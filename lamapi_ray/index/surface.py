@@ -1,0 +1,236 @@
+"""Surface-form index build + in-memory candidate retrieval index.
+
+Replaces the reference's Elasticsearch ``wikidata`` index
+(scripts/elastic_indexing.py + scripts/index_confs/kg_schema.json) with:
+
+1. :func:`build_surface_forms` — a Ray Data pipeline that fans each KG item
+   out to one row per unique surface form (label/alias, lowercase-deduped,
+   label-beats-alias — elastic_indexing.py:123-138), adds PERS
+   dot-abbreviation aliases (:38-54,147-152), and normalizes popularity by
+   the global max in a two-pass pattern (:88-93,172).
+2. :class:`SurfaceIndex` — the in-memory token inverted index held by the
+   candidate-generation actor pool (the batch replacement for ES BM25
+   retrieval). Deterministic retrieval spec is documented on
+   :meth:`SurfaceIndex.candidates`.
+
+At test scale the surface_forms table is broadcast once via ``ray.put`` and
+read by every actor; at Wikidata scale (~10^8 surface rows) the documented
+scale path is sharding the index by ``hash(first_token(surface_norm))`` and
+routing mention batches to the matching shard (same key the canonicalization
+shuffle already uses) — the retrieval code below only ever touches postings
+for the mention's own tokens, so it is shard-local by construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from lamapi_ray.functions.text import clean_str, dot_abbreviations, scored_pair
+
+
+def _fan_out_items(batch: pa.Table, max_popularity: int) -> pa.Table:
+    """items batch → surface-form rows (M6 + M7 + M8)."""
+    out = {
+        "id": [], "name": [], "surface_norm": [], "is_alias": [],
+        "description": [], "kind": [], "NERtype": [], "types": [],
+        "length": [], "ntoken": [], "popularity": [],
+    }
+    cols = batch.to_pydict()
+    for i in range(len(batch)):
+        label = cols["label"][i]
+        aliases = cols["aliases"][i] or []
+        nertype = cols["NERtype"][i]
+        # lowercase-keyed merge; labels win over aliases (ref :123-138)
+        unique: dict[str, tuple[str, bool]] = {}
+        if label is not None:
+            unique[label.lower()] = (label, False)
+        for alias in aliases:
+            key = alias.lower()
+            if key in unique and not unique[key][1]:
+                continue  # already present as a label → skip (ref :134-135)
+            if key not in unique:
+                unique[key] = (alias, True)
+        if nertype == "PERS" and label is not None:  # ref :147-152
+            for abbrev in dot_abbreviations(label):
+                key = abbrev.lower()
+                if key not in unique:
+                    unique[key] = (abbrev, True)
+        types_joined = " ".join(cols["types"][i] or [])
+        pop_norm = round(int(cols["popularity"][i]) / max_popularity, 2)
+        for key, (name, is_alias) in unique.items():
+            out["id"].append(cols["entity"][i])
+            out["name"].append(name)
+            out["surface_norm"].append(clean_str(name))
+            out["is_alias"].append(is_alias)
+            out["description"].append(cols["description"][i])
+            out["kind"].append(cols["kind"][i])
+            out["NERtype"].append(nertype)
+            out["types"].append(types_joined)
+            out["length"].append(len(name))       # ref :170
+            out["ntoken"].append(len(name.split(" ")))  # ref :171
+            out["popularity"].append(pop_norm)    # ref :172
+    return pa.table(
+        {
+            "id": pa.array(out["id"], pa.string()),
+            "name": pa.array(out["name"], pa.string()),
+            "surface_norm": pa.array(out["surface_norm"], pa.string()),
+            "is_alias": pa.array(out["is_alias"], pa.bool_()),
+            "description": pa.array(out["description"], pa.string()),
+            "kind": pa.array(out["kind"], pa.string()),
+            "NERtype": pa.array(out["NERtype"], pa.string()),
+            "types": pa.array(out["types"], pa.string()),
+            "length": pa.array(out["length"], pa.int64()),
+            "ntoken": pa.array(out["ntoken"], pa.int64()),
+            "popularity": pa.array(out["popularity"], pa.float64()),
+        }
+    )
+
+
+def build_surface_forms(items: ray.data.Dataset) -> ray.data.Dataset:
+    """Two-pass index build: global max popularity, then the fan-out map.
+
+    Pass 1 is a global aggregate (``ds.max``), pass 2 broadcasts the scalar
+    into a stateless ``map_batches`` — the same shape as the reference's
+    max-popularity query + per-doc normalize (elastic_indexing.py:88-93,172).
+    """
+    max_pop = int(items.max("popularity"))
+    return items.map_batches(
+        _fan_out_items,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs={"max_popularity": max_pop},
+    )
+
+
+class SurfaceIndex:
+    """In-memory surface-form index: exact map + token postings.
+
+    Deterministic retrieval spec (the engine-wide contract; the DuckDB
+    oracle in ``__ray_entry__`` reproduces it):
+
+    for a normalized mention ``m`` with distinct token set ``M``:
+
+    * hits = surface entries e with ``tokens(e) ∩ M ≠ ∅``  (whitespace +
+      lowercase analyzer ≈ kg_schema.json:7-17 match query)
+    * match_score(e) = |tokens(e) ∩ M| / max(ntoken_e, ntoken_m, 1),
+      doubled when ``surface_norm == m`` (the reference's ``boost: 2`` on
+      exact name, lookup_retriever.py:283)
+    * hit order: popularity DESC, match_score DESC, id ASC,
+      surface_norm ASC   (the reference sorts by popularity desc —
+      lookup_retriever.py:264; the rest is a deterministic tie-break)
+    * truncate to ``limit`` (default 1000 — params_validator.py:31-33)
+    * pos_score = round((i+1)/len(hits), 3); es_score =
+      round(match_score/max_match_score, 3)   (elastic.py:55-56 — note
+      pos_score *increases* with worse rank, kept on purpose)
+    """
+
+    def __init__(self, surface_forms: pa.Table, type_names: dict[str, str]):
+        self.ids = np.asarray(surface_forms["id"].to_pylist(), dtype=object)
+        self.names = np.asarray(surface_forms["name"].to_pylist(), dtype=object)
+        self.norms = np.asarray(surface_forms["surface_norm"].to_pylist(), dtype=object)
+        self.is_alias = np.asarray(surface_forms["is_alias"].to_pylist(), dtype=bool)
+        self.descriptions = np.asarray(surface_forms["description"].to_pylist(), dtype=object)
+        self.kinds = np.asarray(surface_forms["kind"].to_pylist(), dtype=object)
+        self.nertypes = np.asarray(surface_forms["NERtype"].to_pylist(), dtype=object)
+        self.types_str = np.asarray(surface_forms["types"].to_pylist(), dtype=object)
+        self.ntoken = np.asarray(surface_forms["ntoken"].to_pylist(), dtype=np.int64)
+        self.length = np.asarray(surface_forms["length"].to_pylist(), dtype=np.int64)
+        self.popularity = np.asarray(surface_forms["popularity"].to_pylist(), dtype=np.float64)
+        self.type_names = type_names
+
+        postings: dict[str, list[int]] = {}
+        for i, norm in enumerate(self.norms):
+            for tok in set(norm.split(" ")):
+                postings.setdefault(tok, []).append(i)
+        self.postings = {t: np.asarray(ix, dtype=np.int64) for t, ix in postings.items()}
+        # vocabulary of full surface forms for the mention scanner
+        self.surface_vocab = set(self.norms.tolist())
+        self.max_surface_tokens = int(self.ntoken.max()) if len(self.ntoken) else 1
+
+    def retrieve(self, mention: str, limit: int = 1000):
+        """→ (hit_idx ordered, match_score per hit) or empty arrays."""
+        mtokens = mention.split(" ")
+        mset = sorted(set(mtokens))
+        lists = [self.postings[t] for t in mset if t in self.postings]
+        if not lists:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        cat = np.concatenate(lists)
+        idx, shared = np.unique(cat, return_counts=True)
+        denom = np.maximum(self.ntoken[idx], max(len(mtokens), 1)).astype(np.float64)
+        score = shared / denom
+        exact = self.norms[idx] == mention
+        score = np.where(exact, score * 2.0, score)
+        # strict total order: (-popularity, -match_score, id, surface_norm)
+        order = np.lexsort(
+            (self.norms[idx], self.ids[idx], -score, -self.popularity[idx])
+        )
+        order = order[:limit]
+        return idx[order], score[order]
+
+    def candidates(self, mention: str, limit: int = 1000) -> list[dict]:
+        """Fully scored, per-entity-deduped candidate list for one mention.
+
+        Output schema/formulas per reference lookup_retriever.py:137-182 +
+        elastic.py:49-63; ambiguity features per lookup_retriever.py:118-135
+        (A5) computed over the same hit list; per-entity best-candidate dedup
+        (A6) keeps max (ed+jaccard), first-seen on ties.
+
+        Documented deviation: the reference's ambiguity count is iteration-
+        order dependent (an id first seen with a non-matching surface is
+        never counted); we count a distinct id when *any* of its hit
+        surfaces exact-matches — an order-independent, well-defined variant.
+        """
+        idx, match = self.retrieve(mention, limit)
+        n = len(idx)
+        if n == 0:
+            return []
+        mset = set(mention.split(" "))
+        ntoken_mention = len(mention.split(" "))
+        length_mention = len(mention)
+
+        # A5 ambiguity features over the hit list
+        exact = self.norms[idx] == mention
+        distinct_ids = set(self.ids[idx].tolist())
+        exact_ids = set(self.ids[idx[exact]].tolist())
+        ambiguity = round(len(exact_ids) / len(distinct_ids), 3) if distinct_ids else 0
+        hit_tokens: set[str] = set()
+        for norm in self.norms[idx]:
+            hit_tokens.update(norm.split(" "))
+        corrects = round(len(mset & hit_tokens) / len(mset), 3)
+
+        max_match = float(match.max())
+        history: dict[str, dict] = {}
+        for rank in range(n):
+            i = int(idx[rank])
+            label_clean = self.norms[i]
+            ed, jac, jac3 = scored_pair(label_clean, mention)
+            obj = {
+                "id": self.ids[i],
+                "name": self.names[i],
+                "description": self.descriptions[i],
+                "types": self.types_str[i],
+                "type_names": " ".join(
+                    self.type_names.get(t, t) for t in self.types_str[i].split(" ") if t
+                ),
+                "kind": self.kinds[i],
+                "NERtype": self.nertypes[i],
+                "ambiguity_mention": ambiguity,
+                "corrects_tokens": corrects,
+                "ntoken_mention": ntoken_mention,
+                "ntoken_entity": int(self.ntoken[i]),
+                "length_mention": length_mention,
+                "length_entity": int(self.length[i]),
+                "popularity": float(self.popularity[i]),
+                "pos_score": round((rank + 1) / n, 3),
+                "es_score": round(float(match[rank]) / max_match, 3),
+                "ed_score": ed,
+                "jaccard_score": jac,
+                "jaccardNgram_score": jac3,
+            }
+            prev = history.get(obj["id"])
+            if prev is None or (ed + jac) > (prev["ed_score"] + prev["jaccard_score"]):
+                history[obj["id"]] = obj
+        return list(history.values())

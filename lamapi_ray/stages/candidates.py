@@ -1,0 +1,130 @@
+"""Candidate-generation actor pool + linking — the lamAPI core, batch-native.
+
+The reference answers one HTTP lookup per mention with Mongo-cached ES
+queries (api/model/data_retrievers/lookup_retriever.py). Batch-native
+re-expression:
+
+1. **canonicalize**: ``groupby(surface_norm)`` dedups mentions so each
+   distinct surface is scored exactly once — the shuffle that replaces the
+   Mongo ``cache`` collection (memoization → batch dedup). Head surfaces
+   ("red plate" appears in most pages) are *already* one row after this
+   dedup, so the skew lives in the join back to pages, which is a broadcast
+   (mention-level results are vocabulary-bounded, not page-bounded).
+2. **CandidateGenerator** actor pool: each actor materializes the
+   :class:`~lamapi_ray.index.surface.SurfaceIndex` ONCE in ``__init__``
+   from a ``ray.put`` broadcast of the surface_forms table (zero-copy Arrow
+   from the object store), then scores mention batches in ``__call__``.
+3. **link_best**: per-mention argmax — deterministic linking rule
+   ``max by (ed+jaccard+jaccardNgram, popularity, -id)``; candidates for a
+   mention are emitted contiguously by the actor so the argmax is a local
+   per-batch group-reduce, no extra shuffle.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+import ray.data
+
+from lamapi_ray.index.surface import SurfaceIndex
+
+CANDIDATE_FIELDS: list[tuple[str, pa.DataType]] = [
+    ("mention", pa.string()),
+    ("id", pa.string()),
+    ("name", pa.string()),
+    ("description", pa.string()),
+    ("types", pa.string()),
+    ("type_names", pa.string()),
+    ("kind", pa.string()),
+    ("NERtype", pa.string()),
+    ("ambiguity_mention", pa.float64()),
+    ("corrects_tokens", pa.float64()),
+    ("ntoken_mention", pa.int64()),
+    ("ntoken_entity", pa.int64()),
+    ("length_mention", pa.int64()),
+    ("length_entity", pa.int64()),
+    ("popularity", pa.float64()),
+    ("pos_score", pa.float64()),
+    ("es_score", pa.float64()),
+    ("ed_score", pa.float64()),
+    ("jaccard_score", pa.float64()),
+    ("jaccardNgram_score", pa.float64()),
+    ("is_best", pa.bool_()),
+]
+CANDIDATE_SCHEMA = pa.schema(CANDIDATE_FIELDS)
+
+
+class CandidateGenerator:
+    """Actor: SurfaceIndex built once per worker, scored per batch."""
+
+    def __init__(self, surface_ref, type_names_ref, limit: int = 1000):
+        table: pa.Table = ray.get(surface_ref)
+        type_names: dict = ray.get(type_names_ref)
+        self.index = SurfaceIndex(table, type_names)
+        self.limit = limit
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        for mention in batch["mention"].to_pylist():
+            cands = self.index.candidates(mention, self.limit)
+            if not cands:
+                continue
+            # linking rule: argmax (ed+jaccard+jaccardNgram, popularity, id asc)
+            # — computed here because a mention's candidates are guaranteed
+            # local to the actor (no downstream batch-boundary hazard).
+            best = 0
+            best_key = None
+            for k, c in enumerate(cands):
+                key = (
+                    c["ed_score"] + c["jaccard_score"] + c["jaccardNgram_score"],
+                    c["popularity"],
+                )
+                if (
+                    best_key is None
+                    or key > best_key
+                    or (key == best_key and c["id"] < cands[best]["id"])
+                ):
+                    best, best_key = k, key
+            for k, cand in enumerate(cands):
+                cand = dict(cand)
+                cand["mention"] = mention
+                cand["is_best"] = k == best
+                rows.append(cand)
+        if not rows:
+            return pa.Table.from_pylist([], schema=CANDIDATE_SCHEMA)
+        return pa.Table.from_pylist(rows, schema=CANDIDATE_SCHEMA)
+
+
+def generate_candidates(
+    distinct_mentions: ray.data.Dataset,
+    surface_forms: pa.Table,
+    type_names: dict[str, str],
+    limit: int = 1000,
+    concurrency: int = 4,
+) -> ray.data.Dataset:
+    """distinct mentions (col ``mention``) → scored candidate rows."""
+    surface_ref = ray.put(surface_forms)
+    type_names_ref = ray.put(type_names)
+    return distinct_mentions.map_batches(
+        CandidateGenerator,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_constructor_args=(surface_ref, type_names_ref, limit),
+        concurrency=concurrency,
+        batch_size=256,
+    )
+
+
+def link_best(candidates: ray.data.Dataset) -> ray.data.Dataset:
+    """mention → linked entity id (the per-mention argmax rows).
+
+    The argmax itself is computed inside :class:`CandidateGenerator` (where a
+    mention's candidates are guaranteed co-located); this is just the
+    projection of those rows.
+    """
+
+    def pick(batch: pa.Table) -> pa.Table:
+        flt = batch.filter(batch["is_best"])
+        return flt.select(["mention", "id"])
+
+    return candidates.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
