@@ -1,16 +1,17 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data KG-construction engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pages→triples pipeline on sf0.001.
+``queries()`` exposes one callable per implemented operator/pipeline from
+SURVEY.md §2; ``oracle_sql()`` carries the equivalent DuckDB SQL over the
+pre-registered testdata views.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Both sides derive the SAME synthetic pages table and mini-KG from the
+testdata (spec in ``lamapi_ray/synth.py`` — the single source of truth), so
+the full KG pipeline (extract → mentions → candidates → link → triples →
+summaries) is oracle-checkable end to end.
+
+Ray is initialised by the driver before this module is imported; nothing
+here calls ``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -18,27 +19,411 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import pyarrow as pa
 
-def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+LIMIT = 5000  # candidate limit for the oracle-checked queries (no truncation
+# at sf<=0.01; truncation semantics are mirrored in SQL via QUALIFY anyway)
+
+# --------------------------------------------------------------------------
+# SQL fragment library — mirrors the derivation spec in lamapi_ray/synth.py
+# and the retrieval spec in lamapi_ray/index/surface.py.
+# --------------------------------------------------------------------------
+
+SQL_PAGES = """pages AS (
+  SELECT d.doc_id AS doc_id,
+         'doc://' || d.doc_id AS url,
+         d.text || ' ' || p1.p_name || ' ' || p2.p_name || ' ' || CAST(d.n_chars AS VARCHAR) AS text,
+         d.lang AS lang
+  FROM documents d
+  JOIN part p1 ON p1.p_partkey = d.doc_id % (SELECT count(*) FROM part)
+  JOIN part p2 ON p2.p_partkey = (d.doc_id * 7 + 13) % (SELECT count(*) FROM part)
+)"""
+
+SQL_ITEMS = """items AS (
+  SELECT 'Q' || (100000 + p.p_partkey) AS entity, p.p_name AS label,
+         [split_part(p.p_name, ' ', 2) || ' ' || split_part(p.p_name, ' ', 1)] AS aliases,
+         p.p_type AS description, ['Q9001'] AS types,
+         greatest(coalesce(pc.cnt, 0), 1) AS popularity,
+         'entity' AS category, 'entity' AS kind, 'OTHERS' AS nertype
+  FROM part p LEFT JOIN (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1) pc
+    ON p.p_partkey = pc.l_partkey
+  UNION ALL
+  SELECT 'Q' || (200000 + s.s_suppkey), s.s_name, []::VARCHAR[], 'supplier', ['Q9002'],
+         greatest(coalesce(sc.cnt, 0), 1), 'entity', 'entity', 'ORG'
+  FROM supplier s LEFT JOIN (SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY 1) sc
+    ON s.s_suppkey = sc.l_suppkey
+  UNION ALL
+  SELECT 'Q' || (300000 + c.c_custkey), c.c_name, []::VARCHAR[], c.c_mktsegment, ['Q9003'],
+         greatest(coalesce(oc.cnt, 0), 1), 'entity', 'entity', 'PERS'
+  FROM customer c LEFT JOIN (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1) oc
+    ON c.c_custkey = oc.o_custkey
+  UNION ALL
+  SELECT 'Q' || (400000 + n.n_nationkey), n.n_name, []::VARCHAR[], 'nation', ['Q9004'],
+         greatest(coalesce(cn.cnt, 0) + coalesce(sn.cnt, 0), 1), 'entity', 'entity', 'LOC'
+  FROM nation n
+    LEFT JOIN (SELECT c_nationkey, count(*) AS cnt FROM customer GROUP BY 1) cn
+      ON n.n_nationkey = cn.c_nationkey
+    LEFT JOIN (SELECT s_nationkey, count(*) AS cnt FROM supplier GROUP BY 1) sn
+      ON n.n_nationkey = sn.s_nationkey
+  UNION ALL
+  SELECT 'Q' || (500000 + r.r_regionkey), r.r_name, []::VARCHAR[], 'region', ['Q9005'],
+         greatest((SELECT count(*) FROM nation) // (SELECT count(*) FROM region), 1),
+         'entity', 'entity', 'LOC'
+  FROM region r
+  UNION ALL
+  SELECT t.id, t.lab, []::VARCHAR[], 'type', []::VARCHAR[], 1, 'type', 'type', 'OTHERS'
+  FROM (VALUES ('Q9001','part'),('Q9002','supplier'),('Q9003','customer'),
+               ('Q9004','nation'),('Q9005','region')) t(id, lab)
+  UNION ALL
+  SELECT pr.id, pr.lab, []::VARCHAR[], 'predicate', []::VARCHAR[], 1, 'predicate', 'predicate', 'OTHERS'
+  FROM (VALUES ('P1','co-ordered with'),('P2','located in'),('P3','from nation'),
+               ('P4','in region'),('P5','supplies'),('P6','retail price'),
+               ('P7','account balance'),('P8','customer balance'),('P9','brand'),
+               ('P31','instance of'),('P90','has value')) pr(id, lab)
+)"""
+
+# PERS dot-abbreviation fan-out is a no-op in this KG (all PERS labels are
+# single-word, abbrev == label → skipped), so the SQL omits it; the pytest
+# suite covers the multi-word path on a hand-built fixture.
+SQL_SURFACE_FORMS = """surface_forms AS (
+  SELECT i.entity AS id, i.label AS name, lower(i.label) AS surface_norm,
+         false AS is_alias, i.description AS description, i.kind AS kind,
+         i.nertype AS nertype, coalesce(array_to_string(i.types, ' '), '') AS types,
+         length(i.label) AS length, len(str_split(i.label, ' ')) AS ntoken,
+         round_even(i.popularity / (SELECT max(popularity) FROM items), 2) AS popularity
+  FROM items i
+  UNION ALL
+  SELECT i.entity, al.a, lower(al.a), true, i.description, i.kind, i.nertype,
+         coalesce(array_to_string(i.types, ' '), ''), length(al.a), len(str_split(al.a, ' ')),
+         round_even(i.popularity / (SELECT max(popularity) FROM items), 2)
+  FROM items i, unnest(i.aliases) AS al(a)
+  WHERE lower(al.a) <> lower(i.label)
+)"""
+
+SQL_MENTION_ROWS = """mention_rows AS (
+  SELECT DISTINCT pg.url AS url, s.surface_norm AS mention
+  FROM pages pg
+  JOIN (SELECT DISTINCT surface_norm FROM surface_forms) s
+    ON contains(' ' || pg.text || ' ', ' ' || s.surface_norm || ' ')
+)"""
 
 
-def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+def _grams(col: str) -> str:
+    """char-3-gram set of a (single-spaced) string, SQL-side."""
+    return (
+        "list_distinct(flatten(list_transform(str_split(" + col + ", ' '), "
+        "t -> list_transform(range(1, greatest(len(t) - 1, 1)), "
+        "i -> substring(t, i, 3)))))"
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+SQL_CANDIDATES_CHAIN = f"""distinct_mentions AS (SELECT DISTINCT mention FROM mention_rows),
+hits AS (
+  SELECT m.mention, sf.*,
+         len(list_intersect(list_distinct(str_split(sf.surface_norm, ' ')),
+                            list_distinct(str_split(m.mention, ' ')))) AS shared
+  FROM distinct_mentions m JOIN surface_forms sf
+    ON len(list_intersect(list_distinct(str_split(sf.surface_norm, ' ')),
+                          list_distinct(str_split(m.mention, ' ')))) > 0
+),
+scored AS (
+  SELECT *, (shared / greatest(ntoken, len(str_split(mention, ' ')), 1))
+            * (CASE WHEN surface_norm = mention THEN 2 ELSE 1 END) AS match_score
+  FROM hits
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY mention
+             ORDER BY popularity DESC, match_score DESC, id ASC, surface_norm ASC) AS rk
+  FROM scored
+  QUALIFY rk <= {LIMIT}
+),
+wstats AS (
+  SELECT *, count(*) OVER (PARTITION BY mention) AS nhits,
+            max(match_score) OVER (PARTITION BY mention) AS max_match
+  FROM ranked
+),
+amb AS (
+  SELECT mention,
+         round_even(count(DISTINCT CASE WHEN surface_norm = mention THEN id END)
+                    / count(DISTINCT id), 3) AS ambiguity_mention
+  FROM ranked GROUP BY mention
+),
+corr AS (
+  SELECT t.mention,
+         round_even(count(DISTINCT t.tk) FILTER (WHERE list_contains(str_split(t.mention, ' '), t.tk))
+                    / len(list_distinct(str_split(t.mention, ' '))), 3) AS corrects_tokens
+  FROM (SELECT r.mention AS mention, unnest(str_split(r.surface_norm, ' ')) AS tk FROM ranked r) t
+  GROUP BY t.mention
+),
+cscored AS (
+  SELECT w.mention, w.id, w.name, w.description, w.types, w.kind, w.nertype,
+         a.ambiguity_mention, c.corrects_tokens,
+         len(str_split(w.mention, ' ')) AS ntoken_mention, w.ntoken AS ntoken_entity,
+         length(w.mention) AS length_mention, w.length AS length_entity,
+         w.popularity,
+         round_even(w.rk / w.nhits, 3) AS pos_score,
+         round_even(w.match_score / w.max_match, 3) AS es_score,
+         round_even(1 - levenshtein(w.surface_norm, w.mention)
+                    / greatest(length(w.surface_norm), length(w.mention)), 2) AS ed_score,
+         round_even(len(list_intersect(list_distinct(str_split(w.surface_norm, ' ')),
+                                       list_distinct(str_split(w.mention, ' '))))
+                    / greatest(len(list_distinct(str_split(w.surface_norm, ' '))),
+                               len(list_distinct(str_split(w.mention, ' '))), 1), 2) AS jaccard_score,
+         round_even(len(list_intersect({_grams('w.surface_norm')}, {_grams('w.mention')}))
+                    / greatest(len({_grams('w.surface_norm')}), len({_grams('w.mention')}), 1), 2)
+           AS jaccardngram_score,
+         w.rk
+  FROM wstats w JOIN amb a USING (mention) JOIN corr c USING (mention)
+),
+deduped AS (
+  SELECT *, row_number() OVER (PARTITION BY mention, id
+             ORDER BY (ed_score + jaccard_score) DESC, rk ASC) AS ddrk
+  FROM cscored QUALIFY ddrk = 1
+),
+final_cands AS (
+  SELECT d.*, (row_number() OVER (PARTITION BY d.mention
+               ORDER BY (d.ed_score + d.jaccard_score + d.jaccardngram_score) DESC,
+                        d.popularity DESC, d.id ASC) = 1) AS is_best
+  FROM deduped d
+)"""
+
+SQL_LINKED = """linked AS (
+  SELECT mr.url, mr.mention, fc.id
+  FROM mention_rows mr JOIN final_cands fc ON fc.mention = mr.mention AND fc.is_best
+)"""
+
+SQL_ADJACENCY = """adjacency AS (
+  SELECT i.entity AS subj, 'P31' AS pred, t.ty AS obj FROM items i, unnest(i.types) AS t(ty)
+  UNION
+  SELECT 'Q' || (200000 + s_suppkey), 'P2', 'Q' || (400000 + s_nationkey) FROM supplier
+  UNION
+  SELECT 'Q' || (300000 + c_custkey), 'P3', 'Q' || (400000 + c_nationkey) FROM customer
+  UNION
+  SELECT 'Q' || (400000 + n_nationkey), 'P4', 'Q' || (500000 + n_regionkey) FROM nation
+  UNION
+  SELECT 'Q' || (200000 + l_suppkey), 'P5', 'Q' || (100000 + l_partkey) FROM lineitem
+  UNION
+  SELECT 'Q' || (100000 + a.l_partkey), 'P1', 'Q' || (100000 + b.l_partkey)
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+)"""
+
+SQL_KG_LITERALS = """kg_literals AS (
+  SELECT 'Q' || (100000 + p_partkey) AS entity, 'NUMBER' AS datatype, 'P6' AS pred,
+         CAST(p_retailprice AS VARCHAR) AS value FROM part
+  UNION ALL
+  SELECT 'Q' || (100000 + p_partkey), 'STRING', 'P9', p_brand FROM part
+  UNION ALL
+  SELECT 'Q' || (200000 + s_suppkey), 'NUMBER', 'P7', CAST(s_acctbal AS VARCHAR) FROM supplier
+  UNION ALL
+  SELECT 'Q' || (300000 + c_custkey), 'NUMBER', 'P8', CAST(c_acctbal AS VARCHAR) FROM customer
+)"""
+
+# literal classification CASE chain — same patterns, same first-match order
+# as lamapi_ray/functions/literals.py (reference literal_recognizer.py:76-94)
+from lamapi_ray.functions.literals import (  # noqa: E402
+    DATE_PATTERN,
+    DATETIME_PATTERN,
+    EMAIL_PATTERN,
+    FLOAT_PATTERN,
+    INTEGER_PATTERN,
+    TIME_PATTERN,
+    URL_PATTERN,
+)
+
+
+def _classify_case(col: str) -> str:
+    chain = [
+        ("DATETIME", DATETIME_PATTERN),
+        ("TIME", TIME_PATTERN),
+        ("URL", URL_PATTERN),
+        ("EMAIL", EMAIL_PATTERN),
+        ("FLOAT", FLOAT_PATTERN),
+        ("INTEGER", INTEGER_PATTERN),
+        ("DATE", DATE_PATTERN),
+    ]
+    whens = "\n      ".join(
+        f"WHEN regexp_matches({col}, '{pat}', 'i') THEN '{name}'"
+        for name, pat in chain
+    )
+    return f"CASE\n      {whens}\n      ELSE 'STRING' END"
+
+
+def _with(*ctes: str) -> str:
+    return "WITH " + ",\n".join(ctes) + "\n"
+
+
+_KG_CHAIN = (
+    SQL_PAGES,
+    SQL_ITEMS,
+    SQL_SURFACE_FORMS,
+    SQL_MENTION_ROWS,
+    SQL_CANDIDATES_CHAIN,
+)
+
+_SUMMARY_NORMS = """round_even(g.cnt / st.sm, 2) AS "countNormSumAll",
+       round_even(g.cnt / st.mx, 2) AS "countNormMax",
+       round_even((g.cnt - st.mn) / (st.mx - st.mn), 2) AS "countNormMinMax",
+       round_even((g.cnt - st.m) / st.sd, 2) AS "countNormZScore\""""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql: dict[str, str] = {}
+
+    sql["extract_text"] = _with(SQL_PAGES) + "SELECT url, text, lang FROM pages"
+
+    sql["surface_forms"] = _with(SQL_ITEMS, SQL_SURFACE_FORMS) + (
+        'SELECT id, name, surface_norm, is_alias, description, kind, '
+        'nertype AS "NERtype", types, length, ntoken, popularity FROM surface_forms'
+    )
+
+    sql["mentions"] = _with(SQL_PAGES, SQL_ITEMS, SQL_SURFACE_FORMS, SQL_MENTION_ROWS) + (
+        "SELECT url, mention FROM mention_rows"
+    )
+
+    sql["candidates"] = _with(*_KG_CHAIN) + (
+        'SELECT f.mention, f.id, f.name, f.description, f.types,\n'
+        "       CASE WHEN f.types = '' THEN '' ELSE coalesce(ti.label, f.types) END AS type_names,\n"
+        '       f.kind, f.nertype AS "NERtype", f.ambiguity_mention, f.corrects_tokens,\n'
+        '       f.ntoken_mention, f.ntoken_entity, f.length_mention, f.length_entity,\n'
+        '       f.popularity, f.pos_score, f.es_score, f.ed_score, f.jaccard_score,\n'
+        '       f.jaccardngram_score AS "jaccardNgram_score", f.is_best\n'
+        "FROM final_cands f LEFT JOIN items ti ON ti.entity = f.types AND ti.kind = 'type'"
+    )
+
+    sql["linked"] = _with(*_KG_CHAIN, SQL_LINKED) + "SELECT url, mention, id FROM linked"
+
+    sql["triples"] = _with(*_KG_CHAIN, SQL_LINKED, SQL_ADJACENCY) + (
+        "SELECT DISTINCT p.subj, adj.pred, p.obj\n"
+        "FROM (SELECT DISTINCT a.id AS subj, b.id AS obj\n"
+        "      FROM (SELECT DISTINCT url, id FROM linked) a\n"
+        "      JOIN (SELECT DISTINCT url, id FROM linked) b\n"
+        "        ON a.url = b.url AND a.id <> b.id) p\n"
+        "JOIN adjacency adj ON adj.subj = p.subj AND adj.obj = p.obj"
+    )
+
+    sql["literal_triples"] = _with(*_KG_CHAIN, SQL_LINKED) + (
+        "SELECT DISTINCT ps.id AS subj, 'P90' AS pred, ns.value AS value, ns.datatype AS datatype\n"
+        "FROM (SELECT url, tok AS value,\n"
+        f"      {_classify_case('tok')} AS datatype\n"
+        "      FROM (SELECT DISTINCT url, unnest(str_split(text, ' ')) AS tok FROM pages)) ns\n"
+        "JOIN (SELECT url, id FROM (SELECT url, id,\n"
+        "        row_number() OVER (PARTITION BY url ORDER BY mention ASC, id ASC) AS rn\n"
+        "      FROM linked) WHERE rn = 1) ps USING (url)\n"
+        "WHERE ns.datatype <> 'STRING'"
+    )
+
+    sql["summary_objects"] = _with(
+        SQL_ITEMS,
+        SQL_ADJACENCY,
+        "g AS (SELECT pred AS predicate, count(*) AS cnt FROM adjacency GROUP BY 1)",
+        "st AS (SELECT avg(cnt) AS m, stddev_samp(cnt) AS sd, max(cnt) AS mx,"
+        " min(cnt) AS mn, sum(cnt) AS sm FROM g)",
+    ) + (
+        "SELECT g.predicate, coalesce(i.label, 'Unknown Label') AS label,\n"
+        '       g.cnt AS "count",\n       ' + _SUMMARY_NORMS + "\n"
+        "FROM g CROSS JOIN st LEFT JOIN items i ON i.entity = g.predicate"
+    )
+
+    sql["summary_literals"] = _with(
+        SQL_ITEMS,
+        SQL_KG_LITERALS,
+        "g AS (SELECT datatype, pred AS predicate, count(*) AS cnt FROM kg_literals GROUP BY 1, 2)",
+        "st AS (SELECT avg(cnt) AS m, stddev_samp(cnt) AS sd, max(cnt) AS mx,"
+        " min(cnt) AS mn, sum(cnt) AS sm FROM g)",
+    ) + (
+        "SELECT g.datatype, g.predicate, coalesce(i.label, 'Unknown Label') AS label,\n"
+        '       g.cnt AS "count",\n       ' + _SUMMARY_NORMS + "\n"
+        "FROM g CROSS JOIN st LEFT JOIN items i ON i.entity = g.predicate"
+    )
+
+    return sql
+
+
+# --------------------------------------------------------------------------
+# Engine side
+# --------------------------------------------------------------------------
+
+_RESULTS_CACHE: dict[str, dict[str, Any]] = {}
+
+
+def _collect(ds) -> pa.Table:
+    import ray
+
+    return pa.concat_tables(
+        [b for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow")]
+    ) if ds is not None else None
+
+
+def _results(sf_dir: str) -> dict[str, Any]:
+    """Run the KG pipeline once per sf_dir; cache the materialized outputs."""
+    if sf_dir in _RESULTS_CACHE:
+        return _RESULTS_CACHE[sf_dir]
+    import ray.data
+
+    from lamapi_ray import synth
+    from lamapi_ray.pipelines.kg import KGContext, run_pipeline
+    from lamapi_ray.pipelines.summary import predicate_summary
+    from lamapi_ray.stages.extract import extracted_pages
+
+    kg = synth.build_kg_tables(sf_dir)
+    ctx = KGContext(kg["items"], kg["triples"])
+    pages = synth.pages_dataset(sf_dir)
+    res = run_pipeline(pages, ctx, limit=LIMIT)
+
+    labels = dict(
+        zip(kg["items"]["entity"].to_pylist(), kg["items"]["label"].to_pylist())
+    )
+
+    ext = _collect(extracted_pages(synth.pages_dataset(sf_dir)))
+    extract_tbl = pa.table(
+        {
+            "url": ext["url"].cast(pa.string()),
+            "text": ext["text"].cast(pa.string()),
+            "lang": ext["lang"].cast(pa.string()),
+        }
+    )
+
+    out = {
+        "extract_text": extract_tbl,
+        "surface_forms": ctx.surface_forms,
+        "mentions": _collect(res["mentions"]),
+        "candidates": _collect(res["candidates"]),
+        "linked": _collect(res["page_links"]),
+        "triples": _collect(res["triples"]),
+        "literal_triples": _collect(res["literal_triples"]),
+        "summary_objects": predicate_summary(kg["triples"], labels),
+        "summary_literals": predicate_summary(
+            ray.data.from_arrow(kg["literals"]), labels, extra_keys=["datatype"]
+        ),
+    }
+    _RESULTS_CACHE[sf_dir] = out
+    return out
+
+
+def queries() -> dict[str, Callable[[str], Any]]:
+    names = [
+        "extract_text",
+        "surface_forms",
+        "mentions",
+        "candidates",
+        "linked",
+        "triples",
+        "literal_triples",
+        "summary_objects",
+        "summary_literals",
+    ]
+
+    def make(name):
+        def run(sf_dir: str):
+            return _results(sf_dir)[name]
+
+        run.__name__ = f"query_{name}"
+        return run
+
+    return {n: make(n) for n in names}
+
+
+def entry() -> Any:
+    """Flagship pipeline on sf0.001 → the (subj, pred, obj) triples table."""
+    return _results("/root/testdata/sf0.001")["triples"]

@@ -19,7 +19,23 @@ All are deterministic, allocation-light, and safe to call from inside
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_EVEN, Decimal
 from functools import lru_cache
+
+
+def round_ref(x: float, nd: int) -> float:
+    """Engine-wide banker's rounding on the shortest-decimal repr.
+
+    Matches DuckDB's ``round_even`` (decimal-exact ties-to-even), which the
+    oracle SQL uses. Deviates from CPython's ``round(float, nd)`` only at
+    exact decimal ties (e.g. 0.075 → 0.08 here, 0.07 in CPython, because
+    CPython rounds the underlying binary value which sits just below the
+    tie). The reference uses CPython ``round`` (lookup_retriever.py:148-150
+    etc.); we trade that quirk for cross-engine verifiability and document
+    it here.
+    """
+    q = Decimal(1).scaleb(-nd)
+    return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_EVEN))
 
 
 def clean_str(s: str) -> str:
@@ -108,9 +124,9 @@ def scored_pair(label_clean: str, mention: str) -> tuple[float, float, float]:
     analogue of the reference's Mongo ``cache`` collection.
     """
     return (
-        round(editdistance(label_clean, mention), 2),
-        round(token_jaccard(label_clean, mention), 2),
-        round(ngram_jaccard(label_clean, mention), 2),
+        round_ref(editdistance(label_clean, mention), 2),
+        round_ref(token_jaccard(label_clean, mention), 2),
+        round_ref(ngram_jaccard(label_clean, mention), 2),
     )
 
 

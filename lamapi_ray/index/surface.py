@@ -28,7 +28,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from lamapi_ray.functions.text import clean_str, dot_abbreviations, scored_pair
+from lamapi_ray.functions.text import clean_str, dot_abbreviations, round_ref, scored_pair
 
 
 def _fan_out_items(batch: pa.Table, max_popularity: int) -> pa.Table:
@@ -59,7 +59,7 @@ def _fan_out_items(batch: pa.Table, max_popularity: int) -> pa.Table:
                 if key not in unique:
                     unique[key] = (abbrev, True)
         types_joined = " ".join(cols["types"][i] or [])
-        pop_norm = round(int(cols["popularity"][i]) / max_popularity, 2)
+        pop_norm = round_ref(int(cols["popularity"][i]) / max_popularity, 2)
         for key, (name, is_alias) in unique.items():
             out["id"].append(cols["entity"][i])
             out["name"].append(name)
@@ -195,11 +195,11 @@ class SurfaceIndex:
         exact = self.norms[idx] == mention
         distinct_ids = set(self.ids[idx].tolist())
         exact_ids = set(self.ids[idx[exact]].tolist())
-        ambiguity = round(len(exact_ids) / len(distinct_ids), 3) if distinct_ids else 0
+        ambiguity = round_ref(len(exact_ids) / len(distinct_ids), 3) if distinct_ids else 0
         hit_tokens: set[str] = set()
         for norm in self.norms[idx]:
             hit_tokens.update(norm.split(" "))
-        corrects = round(len(mset & hit_tokens) / len(mset), 3)
+        corrects = round_ref(len(mset & hit_tokens) / len(mset), 3)
 
         max_match = float(match.max())
         history: dict[str, dict] = {}
@@ -224,8 +224,8 @@ class SurfaceIndex:
                 "length_mention": length_mention,
                 "length_entity": int(self.length[i]),
                 "popularity": float(self.popularity[i]),
-                "pos_score": round((rank + 1) / n, 3),
-                "es_score": round(float(match[rank]) / max_match, 3),
+                "pos_score": round_ref((rank + 1) / n, 3),
+                "es_score": round_ref(float(match[rank]) / max_match, 3),
                 "ed_score": ed,
                 "jaccard_score": jac,
                 "jaccardNgram_score": jac3,
