@@ -249,8 +249,87 @@ def _classify_case(col: str) -> str:
     return f"CASE\n      {whens}\n      ELSE 'STRING' END"
 
 
+from lamapi_ray.functions.literals import XML_DATATYPES  # noqa: E402
+
+
+def _xsd_case(dtcol: str, field: str) -> str:
+    whens = " ".join(
+        f"WHEN '{k}' THEN '{v[field]}'" for k, v in XML_DATATYPES.items()
+    )
+    return f"CASE {dtcol} {whens} END"
+
+
+STOP_EN = "('the','a','and','of','to')"
+STOP_DE = "('der','die','das','und','nicht')"
+STOP_ES = "('el','la','los','y','que')"
+STOP_FR = "('le','la','les','et','des')"
+
+SQL_DUP_EXACT = """dup AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+)"""
+
+SQL_DUP_NEAR = """dup AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' xx' FROM documents WHERE doc_id % 5 = 0
+)"""
+
+SQL_SHINGLES = """shd AS (
+  SELECT doc_id, list_distinct(
+    CASE WHEN len(str_split(text, ' ')) < 3 THEN [text]
+         ELSE list_transform(range(1, len(str_split(text, ' ')) - 1),
+              i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i+1]
+                   || ' ' || str_split(text, ' ')[i+2])
+    END) AS s
+  FROM dup
+)"""
+
+SQL_LOOKUP_KEYS = """keys AS (
+  SELECT 'Q' || (100000 + p_partkey) AS entity FROM part WHERE p_partkey < 100
+  UNION ALL SELECT 'Q99999999'
+)"""
+
+
 def _with(*ctes: str) -> str:
     return "WITH " + ",\n".join(ctes) + "\n"
+
+
+def _printf_round(sql: str) -> str:
+    """Rewrite every ``round_even(EXPR, n)`` to
+    ``CAST(printf('%.nf', EXPR) AS DOUBLE)``.
+
+    DuckDB 1.0's ``round_even`` on DOUBLE is non-monotonic at knife-edge
+    decimal ties (observed: round_even(0.48624999999999996, 4) = 0.4863 but
+    round_even(0.48625, 4) = 0.4862), so no Python emulation can match it.
+    printf formatting is correctly rounded on the exact binary value in both
+    engines (fmt/Dragon4 in DuckDB, CPython float repr machinery), so the
+    engine side's ``round_ref`` and this rewrite agree bit-for-bit.
+    The second argument of round_even is always a bare integer literal in
+    this file, so splitting the balanced-paren body at the last comma is safe.
+    """
+    marker = "round_even("
+    while True:
+        j = sql.find(marker)
+        if j < 0:
+            return sql
+        k = j + len(marker)
+        depth = 1
+        while depth:
+            c = sql[k]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            k += 1
+        inner = sql[j + len(marker) : k - 1]
+        expr, nd = inner.rsplit(",", 1)
+        sql = (
+            sql[:j]
+            + f"CAST(printf('%.{int(nd)}f', {expr}) AS DOUBLE)"
+            + sql[k:]
+        )
 
 
 _KG_CHAIN = (
@@ -337,7 +416,186 @@ def oracle_sql() -> dict[str, str]:
         "FROM g CROSS JOIN st LEFT JOIN items i ON i.entity = g.predicate"
     )
 
-    return sql
+    # --- training-data operators ------------------------------------------
+
+    sql["dedup_exact"] = _with(SQL_DUP_EXACT) + (
+        "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM dup GROUP BY text"
+    )
+
+    sql["ngram_jaccard_dup"] = _with(SQL_DUP_NEAR, SQL_SHINGLES) + (
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b,\n"
+        "  round_even(len(list_intersect(a.s, b.s))\n"
+        "             / len(list_distinct(list_concat(a.s, b.s))), 3) AS jaccard\n"
+        "FROM shd a JOIN shd b ON a.doc_id < b.doc_id\n"
+        "WHERE len(list_intersect(a.s, b.s))\n"
+        "      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5"
+    )
+
+    sql["lang_id"] = _with(
+        "t AS (SELECT doc_id, lang, str_split(text, ' ') AS toks FROM documents)",
+        f"""s AS (SELECT doc_id, lang,
+  len(list_filter(toks, x -> x IN {STOP_EN})) / len(toks) AS s_en,
+  len(list_filter(toks, x -> x IN {STOP_DE})) / len(toks) AS s_de,
+  len(list_filter(toks, x -> x IN {STOP_ES})) / len(toks) AS s_es,
+  len(list_filter(toks, x -> x IN {STOP_FR})) / len(toks) AS s_fr,
+  0.0 AS s_zh
+ FROM t)""",
+    ) + (
+        "SELECT doc_id, lang,\n"
+        " CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'unknown'\n"
+        "      WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'\n"
+        "      WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'\n"
+        "      WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'\n"
+        "      WHEN s_fr >= s_zh THEN 'fr'\n"
+        "      ELSE 'zh' END AS lang_pred,\n"
+        " round_even(s_en, 4) AS en_ratio\nFROM s"
+    )
+
+    sql["quality_score"] = _with(
+        "t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)",
+        f"""s AS (SELECT doc_id, len(toks) AS n,
+  len(list_filter(toks, x -> x IN {STOP_EN})) / len(toks) AS sr,
+  list_aggregate(list_transform(toks, x -> len(x)), 'sum') / len(toks) AS ml
+ FROM t)""",
+    ) + (
+        "SELECT doc_id, n AS n_tokens, round_even(sr, 4) AS stopword_ratio,\n"
+        " round_even(ml, 4) AS mean_token_len,\n"
+        " round_even(0.4 * least(n / 100, 1) + 0.3 * (1 - sr) + 0.3 * least(ml / 8, 1), 4) AS quality\n"
+        "FROM s"
+    )
+
+    sql["token_stats"] = (
+        "SELECT doc_id, len(str_split(text, ' ')) AS n_ws_tokens,\n"
+        " len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]+')) AS n_re_tokens,\n"
+        " len(list_distinct(str_split(text, ' '))) AS n_distinct_tokens\n"
+        "FROM documents"
+    )
+
+    sql["ann_cosine"] = (
+        "SELECT query_id, neighbor_id, rank, round_even(cos, 6) AS cosine FROM (\n"
+        "  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,\n"
+        "    row_number() OVER (PARTITION BY q.vec_id ORDER BY\n"
+        "      list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,\n"
+        "      c.vec_id ASC) AS rank,\n"
+        "    list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cos\n"
+        "  FROM embeddings q CROSS JOIN embeddings c\n"
+        "  WHERE q.vec_id < 8 AND c.vec_id >= 8) WHERE rank <= 10"
+    )
+
+    sql["window_events"] = (
+        "SELECT event_type, date_trunc('hour', ts) AS window_start,\n"
+        " count(*) AS n_events,\n"
+        " CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents\n"
+        "FROM events GROUP BY 1, 2"
+    )
+
+    sql["multimodal_decode"] = (
+        "SELECT doc_id, 1 + n_chars % 640 AS width, 1 + (n_chars * 7) % 480 AS height,\n"
+        " round_even(list_aggregate(list_transform(range(1, n_chars + 1),\n"
+        "   i -> unicode(substring(text, i, 1))), 'sum') / n_chars, 4) AS mean_byte\n"
+        "FROM documents"
+    )
+
+    sql["literal_classify"] = _with(
+        """corpus AS (
+  SELECT DISTINCT unnest(str_split(text, ' ')) AS value FROM documents
+  UNION SELECT DISTINCT o_orderpriority FROM orders
+  UNION SELECT DISTINCT CAST(l_quantity AS VARCHAR) FROM lineitem
+  UNION SELECT DISTINCT strftime(l_shipdate, '%Y-%m-%d') FROM lineitem
+)""",
+        f"cls AS (SELECT value, {_classify_case('value')} AS datatype FROM corpus)",
+    ) + (
+        "SELECT value, datatype,\n"
+        f" {_xsd_case('datatype', 'classification')} AS classification,\n"
+        f" {_xsd_case('datatype', 'tag')} AS tag,\n"
+        f" {_xsd_case('datatype', 'xml_datatype')} AS xml_datatype\nFROM cls"
+    )
+
+    # --- lookup parity (J1/J3) --------------------------------------------
+
+    sql["lookup_types"] = _with(SQL_ITEMS, SQL_LOOKUP_KEYS) + (
+        "SELECT i.entity, t.ty AS type FROM items i JOIN keys k ON k.entity = i.entity,"
+        " unnest(i.types) AS t(ty)"
+    )
+
+    sql["lookup_labels"] = _with(SQL_ITEMS, SQL_LOOKUP_KEYS) + (
+        "SELECT i.entity, i.label FROM items i JOIN keys k ON k.entity = i.entity"
+    )
+
+    sql["lookup_objects"] = _with(SQL_ITEMS, SQL_ADJACENCY, SQL_LOOKUP_KEYS) + (
+        "SELECT a.subj AS entity, a.pred, a.obj FROM adjacency a"
+        " JOIN keys k ON k.entity = a.subj"
+    )
+
+    sql["lookup_literals"] = _with(SQL_KG_LITERALS, SQL_LOOKUP_KEYS) + (
+        "SELECT l.entity, l.datatype, l.pred, l.value FROM kg_literals l"
+        " JOIN keys k ON k.entity = l.entity"
+    )
+
+    sql["lookup_sameas"] = (
+        "SELECT 'Q' || (100000 + p_partkey) AS entity,\n"
+        " 'wiki/' || replace(p_name, ' ', '_') AS wikipedia_id,\n"
+        " 'dbpedia:' || replace(p_name, ' ', '_') AS dbpedia_id\n"
+        "FROM part WHERE p_partkey < 100"
+    )
+
+    sql["predicates_pairs"] = _with(
+        SQL_ITEMS,
+        SQL_ADJACENCY,
+        """prs AS (
+  SELECT DISTINCT 'Q' || (100000 + a.l_partkey) AS subj,
+                  'Q' || (100000 + b.l_partkey) AS obj
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  WHERE a.l_orderkey < 100 AND b.l_orderkey < 100
+)""",
+    ) + (
+        "SELECT p.subj, p.obj, adj.pred FROM prs p"
+        " JOIN adjacency adj ON adj.subj = p.subj AND adj.obj = p.obj"
+    )
+
+    sql["ner_dictionary"] = _with(*_KG_CHAIN, SQL_LINKED) + (
+        'SELECT l.url, l.mention, i.nertype AS "NERtype"\n'
+        "FROM linked l JOIN items i ON i.entity = l.id"
+    )
+
+    sql["bow_similarity"] = _with(
+        *_KG_CHAIN,
+        SQL_LINKED,
+        "ptok AS (SELECT DISTINCT url, unnest(str_split(text, ' ')) AS tk FROM pages)",
+        "pn AS (SELECT url, count(*) AS n FROM ptok GROUP BY 1)",
+        "bow AS (SELECT DISTINCT id, unnest(str_split(surface_norm, ' ')) AS tk FROM surface_forms)",
+        "pe AS (SELECT DISTINCT url, id FROM linked)",
+        "ov AS (SELECT pe.url, pe.id, count(*) AS inter FROM pe"
+        " JOIN bow ON bow.id = pe.id"
+        " JOIN ptok ON ptok.url = pe.url AND ptok.tk = bow.tk GROUP BY 1, 2)",
+    ) + (
+        "SELECT pe.url, pe.id, round_even(coalesce(ov.inter, 0) / pn.n, 2) AS bow_sim\n"
+        "FROM pe JOIN pn ON pn.url = pe.url\n"
+        "LEFT JOIN ov ON ov.url = pe.url AND ov.id = pe.id"
+    )
+
+    sql["column_analysis"] = _with(
+        """vals AS (
+  SELECT 'o_orderkey' AS col, CAST(o_orderkey AS VARCHAR) AS value FROM orders
+  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+  UNION ALL SELECT 'o_totalprice', CAST(o_totalprice AS VARCHAR) FROM orders
+  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+)""",
+        f"cls AS (SELECT col, {_classify_case('value')} AS datatype FROM vals)",
+        "cnt AS (SELECT col, datatype, count(*) AS n FROM cls GROUP BY 1, 2)",
+        "tot AS (SELECT col, CAST(sum(n) AS BIGINT) AS n_values FROM cnt GROUP BY 1)",
+        "best AS (SELECT col, datatype,"
+        " row_number() OVER (PARTITION BY col ORDER BY n DESC, datatype ASC) AS rn FROM cnt)",
+    ) + (
+        'SELECT b.col AS "column", b.datatype,\n'
+        f" {_xsd_case('b.datatype', 'classification')} AS classification,\n"
+        f" {_xsd_case('b.datatype', 'tag')} AS tag,\n"
+        " t.n_values\n"
+        "FROM best b JOIN tot t ON t.col = b.col WHERE b.rn = 1"
+    )
+
+    return {k: _printf_round(v) for k, v in sql.items()}
 
 
 # --------------------------------------------------------------------------
@@ -396,13 +654,15 @@ def _results(sf_dir: str) -> dict[str, Any]:
         "summary_literals": predicate_summary(
             ray.data.from_arrow(kg["literals"]), labels, extra_keys=["datatype"]
         ),
+        "_kg": kg,
+        "_ctx": ctx,
     }
     _RESULTS_CACHE[sf_dir] = out
     return out
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    names = [
+    kg_names = [
         "extract_text",
         "surface_forms",
         "mentions",
@@ -421,7 +681,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
         run.__name__ = f"query_{name}"
         return run
 
-    return {n: make(n) for n in names}
+    out: dict[str, Callable[[str], Any]] = {n: make(n) for n in kg_names}
+
+    from lamapi_ray.pipelines import extras
+
+    for n in [
+        "dedup_exact",
+        "dedup_minhash",
+        "dedup_simhash",
+        "ngram_jaccard_dup",
+        "lang_id",
+        "quality_score",
+        "token_stats",
+        "fingerprint",
+        "ann_cosine",
+        "ann_lsh",
+        "window_events",
+        "multimodal_decode",
+        "literal_classify",
+        "lookup_sameas",
+        "column_analysis",
+    ]:
+        out[n] = getattr(extras, n)
+
+    def with_kg(fn_name, *table_keys):
+        def run(sf_dir: str):
+            r = _results(sf_dir)
+            tables = [r["_kg"][k] if k in r["_kg"] else r[k] for k in table_keys]
+            return getattr(extras, fn_name)(sf_dir, *tables)
+
+        run.__name__ = f"query_{fn_name}"
+        return run
+
+    out["lookup_types"] = with_kg("lookup_types", "items")
+    out["lookup_labels"] = with_kg("lookup_labels", "items")
+    out["lookup_objects"] = with_kg("lookup_objects", "triples")
+    out["lookup_literals"] = with_kg("lookup_literals", "literals")
+    out["predicates_pairs"] = with_kg("predicates_pairs", "triples")
+
+    def ner(sf_dir: str):
+        r = _results(sf_dir)
+        return extras.ner_dictionary(r["linked"], r["_kg"]["items"])
+
+    out["ner_dictionary"] = ner
+
+    def bow(sf_dir: str):
+        from lamapi_ray import synth
+        from lamapi_ray.stages.extract import extracted_pages
+
+        r = _results(sf_dir)
+        pages = extracted_pages(synth.pages_dataset(sf_dir))
+        return extras.bow_similarity(pages, r["linked"], r["_ctx"].surface_forms)
+
+    out["bow_similarity"] = bow
+    return out
 
 
 def entry() -> Any:

@@ -1,0 +1,490 @@
+"""Engine-side pipelines for the training-data + lookup-parity operators.
+
+Each function takes ``sf_dir`` (plus precomputed KG context where needed)
+and returns a pyarrow Table. These are thin compositions over the stage
+modules; the oracle SQL lives in ``__ray_entry__``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from lamapi_ray.functions.literals import XML_DATATYPES, classify_array
+from lamapi_ray.functions.text import round_ref
+from lamapi_ray.stages.annsearch import cosine_topk, lsh_topk
+from lamapi_ray.stages.dedup import (
+    exact_dedup,
+    minhash_clusters,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from lamapi_ray.stages.join import bucketed_hash_join
+from lamapi_ray.stages.multimodal import attach_payload, decode_payloads
+from lamapi_ray.stages.textstats import (
+    fingerprint_batch,
+    lang_id_batch,
+    quality_batch,
+    token_stats_batch,
+)
+
+
+def _collect(ds) -> pa.Table:
+    return pa.concat_tables(
+        [b for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow")]
+    )
+
+
+def _docs(sf_dir: str, cols=("doc_id", "text")) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(cols))
+
+
+def _dup_corpus(sf_dir: str, modify: bool) -> ray.data.Dataset:
+    """documents ∪ shifted copies of every 5th doc (optionally near-modified).
+
+    Deterministic duplicate injection (the raw corpus has no duplicates):
+    copy doc_id → doc_id + 1_000_000; ``modify`` appends ' xx' to the copy
+    (near-dup for MinHash / Jaccard; exact dup otherwise).
+    """
+
+    def dup(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        mask = ids % 5 == 0
+        extra_ids = ids[mask] + 1_000_000
+        texts = np.asarray(batch["text"].to_pylist(), dtype=object)
+        extra_texts = texts[mask]
+        if modify:
+            extra_texts = np.array([t + " xx" for t in extra_texts], dtype=object)
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate([ids, extra_ids]).astype(np.int64), pa.int64()
+                ),
+                "text": pa.array(list(texts) + list(extra_texts), pa.string()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(dup, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- dedup family ---------------------------------------------------------
+
+
+def dedup_exact(sf_dir: str) -> pa.Table:
+    out = _collect(exact_dedup(_dup_corpus(sf_dir, modify=False), "doc_id", "text"))
+    return out.sort_by("doc_id")
+
+
+def dedup_minhash(sf_dir: str) -> pa.Table:
+    return minhash_clusters(_dup_corpus(sf_dir, modify=True), "doc_id", "text")
+
+
+def dedup_simhash(sf_dir: str) -> pa.Table:
+    return _collect(simhash_fingerprints(_docs(sf_dir), "doc_id", "text"))
+
+
+def ngram_jaccard_dup(sf_dir: str) -> pa.Table:
+    corpus = _collect(_dup_corpus(sf_dir, modify=True))
+    return ngram_jaccard_pairs(corpus, "doc_id", "text", threshold=0.5)
+
+
+# --- text stats -----------------------------------------------------------
+
+
+def lang_id(sf_dir: str) -> pa.Table:
+    return _collect(
+        _docs(sf_dir, ("doc_id", "lang", "text")).map_batches(
+            lang_id_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+
+def quality_score(sf_dir: str) -> pa.Table:
+    return _collect(
+        _docs(sf_dir).map_batches(
+            quality_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+
+def token_stats(sf_dir: str) -> pa.Table:
+    return _collect(
+        _docs(sf_dir).map_batches(
+            token_stats_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+
+def fingerprint(sf_dir: str) -> pa.Table:
+    return _collect(
+        _docs(sf_dir).map_batches(
+            fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+
+# --- similarity search ----------------------------------------------------
+
+
+def _queries_matrix(sf_dir: str, n: int = 8):
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    flt = tbl.filter(pc.less(tbl["vec_id"], n)).sort_by("vec_id")
+    q = np.asarray(flt["embedding"].to_pylist(), dtype=np.float64)
+    qids = np.asarray(flt["vec_id"].to_pylist(), dtype=np.int64)
+    return q, qids
+
+
+def _corpus_ds(sf_dir: str, n: int = 8) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["vec_id"], n)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def ann_cosine(sf_dir: str) -> pa.Table:
+    q, qids = _queries_matrix(sf_dir)
+    return cosine_topk(_corpus_ds(sf_dir), q, qids, k=10)
+
+
+def ann_lsh(sf_dir: str) -> pa.Table:
+    q, qids = _queries_matrix(sf_dir)
+    return lsh_topk(_corpus_ds(sf_dir), q, qids, k=10)
+
+
+# --- windowed aggregate ---------------------------------------------------
+
+
+def window_events(sf_dir: str) -> pa.Table:
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    HOUR_US = 3600 * 1_000_000
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        win = (ts_us // HOUR_US) * HOUR_US
+        cents = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "window_us": pa.array(win, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    agg = (
+        ev.map_batches(add_window, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "window_us"])
+        .aggregate(Count(alias_name="n_events"), Sum("cents", alias_name="sum_value_cents"))
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(agg["event_type"], pa.string()),
+            "window_start": pa.array(
+                agg["window_us"].astype("int64"), pa.int64()
+            ).cast(pa.timestamp("us")),
+            "n_events": pa.array(agg["n_events"].astype("int64"), pa.int64()),
+            "sum_value_cents": pa.array(
+                agg["sum_value_cents"].astype("int64"), pa.int64()
+            ),
+        }
+    )
+
+
+# --- multimodal -----------------------------------------------------------
+
+
+def multimodal_decode(sf_dir: str) -> pa.Table:
+    return _collect(decode_payloads(attach_payload(_docs(sf_dir))))
+
+
+# --- literal classification corpus ---------------------------------------
+
+
+def literal_classify(sf_dir: str) -> pa.Table:
+    docs = _docs(sf_dir, ("text",))
+
+    def doc_tokens(batch: pa.Table) -> pa.Table:
+        vals = set()
+        for t in batch["text"].to_pylist():
+            vals.update(t.split(" "))
+        return pa.table({"value": pa.array(sorted(vals), pa.string())})
+
+    tok_ds = docs.map_batches(doc_tokens, batch_format="pyarrow", zero_copy_batch=True)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority"]
+    ).map_batches(
+        lambda t: pa.table({"value": t["o_orderpriority"].cast(pa.string())}),
+        batch_format="pyarrow",
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_quantity", "l_shipdate"]
+    )
+
+    def li_vals(batch: pa.Table) -> pa.Table:
+        qty = [str(v) for v in batch["l_quantity"].to_pylist()]
+        dates = pc.strftime(batch["l_shipdate"], format="%Y-%m-%d").to_pylist()
+        return pa.table({"value": pa.array(qty + dates, pa.string())})
+
+    li_ds = li.map_batches(li_vals, batch_format="pyarrow", zero_copy_batch=True)
+
+    distinct = (
+        tok_ds.union(orders).union(li_ds).groupby("value").count().select_columns(["value"])
+    )
+    tbl = _collect(distinct)
+    labels = classify_array(tbl["value"])
+    recs = [XML_DATATYPES[lab] for lab in labels]
+    return pa.table(
+        {
+            "value": tbl["value"].combine_chunks().cast(pa.string()),
+            "datatype": pa.array([r["datatype"] for r in recs], pa.string()),
+            "classification": pa.array([r["classification"] for r in recs], pa.string()),
+            "tag": pa.array([r["tag"] for r in recs], pa.string()),
+            "xml_datatype": pa.array([r["xml_datatype"] for r in recs], pa.string()),
+        }
+    )
+
+
+# --- lookup parity (J1/J3) ------------------------------------------------
+
+
+def _part_keys(sf_dir: str, n: int = 100) -> pa.Table:
+    keys = [f"Q{100000 + k}" for k in range(n)] + ["Q99999999"]
+    return pa.table({"entity": pa.array(keys, pa.string())})
+
+
+def _semi_join(table: pa.Table, keys: pa.Table, on: str) -> pa.Table:
+    """Batch point-lookup (Mongo ``$in``) — broadcast semi-join; missing
+    keys silently absent (reference types_retriever.py:11-12 semantics)."""
+    key_set = set(keys["entity"].to_pylist())
+    key_ref = ray.put(key_set)
+    ds = ray.data.from_arrow(table)
+
+    def flt(batch: pa.Table) -> pa.Table:
+        ks = ray.get(key_ref)
+        mask = pa.array([v in ks for v in batch[on].to_pylist()], pa.bool_())
+        return batch.filter(mask)
+
+    return _collect(ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True))
+
+
+def lookup_types(sf_dir: str, items: pa.Table) -> pa.Table:
+    sub = _semi_join(items.select(["entity", "types"]), _part_keys(sf_dir), "entity")
+    ents, tys = [], []
+    for e, ts in zip(sub["entity"].to_pylist(), sub["types"].to_pylist()):
+        for t in ts or []:
+            ents.append(e)
+            tys.append(t)
+    return pa.table(
+        {"entity": pa.array(ents, pa.string()), "type": pa.array(tys, pa.string())}
+    )
+
+
+def lookup_labels(sf_dir: str, items: pa.Table) -> pa.Table:
+    return _semi_join(items.select(["entity", "label"]), _part_keys(sf_dir), "entity")
+
+
+def lookup_objects(sf_dir: str, adjacency: pa.Table) -> pa.Table:
+    sub = _semi_join(adjacency, _part_keys(sf_dir), "subj")
+    return sub.rename_columns(["entity", "pred", "obj"])
+
+
+def lookup_literals(sf_dir: str, literals: pa.Table) -> pa.Table:
+    return _semi_join(literals, _part_keys(sf_dir), "entity")
+
+
+def lookup_sameas(sf_dir: str) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+    part = part.filter(pc.less(part["p_partkey"], 100)).sort_by("p_partkey")
+    ents, wiki, dbp = [], [], []
+    for k, name in zip(part["p_partkey"].to_pylist(), part["p_name"].to_pylist()):
+        slug = name.replace(" ", "_")
+        ents.append(f"Q{100000 + k}")
+        wiki.append(f"wiki/{slug}")
+        dbp.append(f"dbpedia:{slug}")
+    return pa.table(
+        {
+            "entity": pa.array(ents, pa.string()),
+            "wikipedia_id": pa.array(wiki, pa.string()),
+            "dbpedia_id": pa.array(dbp, pa.string()),
+        }
+    )
+
+
+def predicates_pairs(sf_dir: str, adjacency: pa.Table) -> pa.Table:
+    """J3 semantics: for (subj, obj) pairs, the predicates connecting them
+    (predicates_retriever.py:52-73) — pairs from early orders' co-lineitems."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).map_batches(
+        lambda t: t.filter(pc.less(t["l_orderkey"], 100)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def order_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        parts = sorted(set(group["l_partkey"]))
+        a, b = [], []
+        for x in parts:
+            for y in parts:
+                if x != y:
+                    a.append(f"Q{100000 + x}")
+                    b.append(f"Q{100000 + y}")
+        return pd.DataFrame({"subj": a, "obj": b})
+
+    pairs = (
+        li.groupby("l_orderkey")
+        .map_groups(order_pairs, batch_format="pandas")
+        .groupby(["subj", "obj"])
+        .count()
+        .select_columns(["subj", "obj"])
+    )
+    adj_df = adjacency.to_pandas()
+    adj_ref = ray.put(adj_df)
+
+    def join_adj(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(ray.get(adj_ref), on=["subj", "obj"], how="inner")
+
+    out = _collect(pairs.map_batches(join_adj, batch_format="pandas"))
+    return out.select(["subj", "obj", "pred"])
+
+
+# --- dictionary NER + BoW similarity --------------------------------------
+
+
+def ner_dictionary(page_links: pa.Table, items: pa.Table) -> pa.Table:
+    """M12 parity: spaCy is stubbed; NER = dictionary tagging via the linked
+    entity's NERtype (ner_recognizer.py:7-29 analogue, surface-index-driven)."""
+    ner_map = dict(zip(items["entity"].to_pylist(), items["NERtype"].to_pylist()))
+    tags = [ner_map.get(i) for i in page_links["id"].to_pylist()]
+    return pa.table(
+        {
+            "url": page_links["url"].combine_chunks().cast(pa.string()),
+            "mention": page_links["mention"].combine_chunks().cast(pa.string()),
+            "NERtype": pa.array(tags, pa.string()),
+        }
+    )
+
+
+def bow_similarity(
+    pages: ray.data.Dataset, page_links: pa.Table, surface_forms: pa.Table
+) -> pa.Table:
+    """F7/J7 parity: |page tokens ∩ entity BoW| / |page distinct tokens|.
+
+    Entity BoW = distinct tokens over its surface forms (the reference's
+    gzip-pickled per-entity BoW blob, bow_retriever.py:66-74, becomes a
+    plain token-set map). The pages ⋈ links equi-join runs as the bucketed
+    hash join (both sides page-scale at 100 TB).
+    """
+    bow: dict[str, set] = {}
+    for i, norm in zip(
+        surface_forms["id"].to_pylist(), surface_forms["surface_norm"].to_pylist()
+    ):
+        bow.setdefault(i, set()).update(norm.split(" "))
+    bow_ref = ray.put(bow)
+
+    links = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": page_links["url"].combine_chunks().cast(pa.string()),
+                "id": page_links["id"].combine_chunks().cast(pa.string()),
+            }
+        ).group_by(["url", "id"]).aggregate([])
+    )
+    joined = bucketed_hash_join(
+        pages.select_columns(["url", "text"]), links, on="url", num_buckets=16
+    )
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        bw = ray.get(bow_ref)
+        sims = []
+        for text, eid in zip(batch["text"], batch["id"]):
+            toks = set(text.split(" "))
+            inter = len(toks & bw.get(eid, set()))
+            sims.append(round_ref(inter / len(toks), 2))
+        return pd.DataFrame(
+            {"url": batch["url"], "id": batch["id"], "bow_sim": sims}
+        )
+
+    return _collect(joined.map_batches(score, batch_format="pandas"))
+
+
+# --- column analysis (M13) -------------------------------------------------
+
+
+def column_analysis(sf_dir: str) -> pa.Table:
+    """M13 parity: per-column majority literal-datatype + NE/LIT tag.
+
+    Partial counts per batch (column × datatype), one small groupby-sum,
+    driver-side majority — the pre-aggregation pattern."""
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out_c, out_d, out_n = [], [], []
+        for c in cols:
+            vals = [str(v) for v in batch[c].to_pylist()]
+            labels = classify_array(vals)
+            uniq, counts = np.unique(labels, return_counts=True)
+            for u, n in zip(uniq, counts):
+                out_c.append(c)
+                out_d.append(str(u))
+                out_n.append(int(n))
+        return pa.table(
+            {
+                "column": pa.array(out_c, pa.string()),
+                "datatype": pa.array(out_d, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["column", "datatype"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    rows = []
+    for col, grp in agg.groupby("column"):
+        grp = grp.sort_values(["n", "datatype"], ascending=[False, True])
+        best = grp.iloc[0]
+        rec = XML_DATATYPES[best["datatype"]]
+        rows.append(
+            {
+                "column": col,
+                "datatype": best["datatype"],
+                "classification": rec["classification"],
+                "tag": rec["tag"],
+                "n_values": int(grp["n"].sum()),
+            }
+        )
+    rows.sort(key=lambda r: r["column"])
+    return pa.table(
+        {
+            "column": pa.array([r["column"] for r in rows], pa.string()),
+            "datatype": pa.array([r["datatype"] for r in rows], pa.string()),
+            "classification": pa.array([r["classification"] for r in rows], pa.string()),
+            "tag": pa.array([r["tag"] for r in rows], pa.string()),
+            "n_values": pa.array([r["n_values"] for r in rows], pa.int64()),
+        }
+    )
