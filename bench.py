@@ -1,0 +1,180 @@
+#!/usr/bin/env python
+"""Benchmark harness for the Ray-Data KG-construction engine.
+
+Default mode: runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+     "pages": N, "pages_per_sec": ..., "triples": N, "triples_per_sec": ...}
+
+``--scaling``: runs the headline KG job twice in FRESH subprocesses at
+num_cpus=8 and num_cpus=32 on the same input and reports both throughputs
+plus scaling efficiency = (thr_32/thr_8) / (32/8).
+
+Usage:
+    python bench.py                 # full suite, one JSON line
+    python bench.py --scaling       # two fresh sessions, efficiency JSON line
+    python bench.py --only kg_e2e --cpus 8   # internal / focused runs
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# ×20 tiles sf0.1's 5k documents into 100k distinct pages — large enough to
+# keep every core busy through the scan/link stages, small enough to finish
+# a bench round quickly. Distinct urls, same injected surface forms, so the
+# canonicalization stage sees realistic head-key skew.
+PAGE_REPLICATE = int(os.environ.get("GRAFT_PAGE_REPLICATE", "20"))
+SCRATCH = "/tmp/lamapi_bench"
+
+
+def _consume(ds) -> int:
+    """Drain a Dataset through the streaming executor; return row count."""
+    n = 0
+    for batch in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        n += batch.num_rows
+    return n
+
+
+def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=num_cpus, include_dashboard=False,
+            logging_level="ERROR",
+        )
+
+    from lamapi_ray import synth
+    from lamapi_ray.pipelines import extras
+    from lamapi_ray.pipelines.kg import KGContext, run_pipeline
+
+    timings: dict[str, float] = {}
+    counters: dict[str, int] = {}
+
+    def timed(name, fn):
+        if only and name != only and name not in ("kg_build", "index_build"):
+            return None
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # --- headline: pages -> triples, end to end ---------------------------
+    kg = timed("kg_build", lambda: synth.build_kg_tables(sf_dir))
+    ctx = timed("index_build", lambda: KGContext(kg["items"], kg["triples"]))
+
+    import pyarrow.parquet as pq
+
+    counters["pages"] = (
+        pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+        * PAGE_REPLICATE
+    )
+
+    def kg_e2e():
+        shutil.rmtree(SCRATCH, ignore_errors=True)
+        pages = synth.pages_dataset(sf_dir, replicate=PAGE_REPLICATE)
+        res = run_pipeline(
+            pages, ctx, limit=1000, concurrency=max(2, num_cpus // 2)
+        )
+        res["triples"].write_parquet(f"{SCRATCH}/triples")
+        counters["triples"] = _consume(
+            __import__("ray").data.read_parquet(f"{SCRATCH}/triples")
+        )
+        counters["literal_triples"] = _consume(res["literal_triples"])
+
+    timed("kg_e2e", kg_e2e)
+
+    # --- training-data operators ------------------------------------------
+    timed("dedup_exact", lambda: extras.dedup_exact(sf_dir))
+    timed("dedup_minhash", lambda: extras.dedup_minhash(sf_dir))
+    timed("dedup_simhash", lambda: extras.dedup_simhash(sf_dir))
+    timed("ngram_jaccard_dup", lambda: extras.ngram_jaccard_dup(sf_dir))
+    timed("lang_id", lambda: extras.lang_id(sf_dir))
+    timed("quality_score", lambda: extras.quality_score(sf_dir))
+    timed("token_stats", lambda: extras.token_stats(sf_dir))
+    timed("fingerprint", lambda: extras.fingerprint(sf_dir))
+    timed("ann_cosine", lambda: extras.ann_cosine(sf_dir))
+    timed("ann_lsh", lambda: extras.ann_lsh(sf_dir))
+    timed("window_events", lambda: extras.window_events(sf_dir))
+    timed("multimodal_decode", lambda: extras.multimodal_decode(sf_dir))
+    timed("literal_classify", lambda: extras.literal_classify(sf_dir))
+
+    total = round(sum(timings.values()), 3)
+    kg_sec = timings.get("kg_e2e", 0.0)
+    n_pages = counters.get("pages", 0)
+    n_triples = counters.get("triples", 0)
+    return {
+        "metric": "e2e_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "pages": n_pages,
+        "pages_per_sec": round(n_pages / kg_sec, 1) if kg_sec else None,
+        "triples": n_triples,
+        "triples_per_sec": round(n_triples / kg_sec, 1) if kg_sec else None,
+    }
+
+
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    """Same headline job in two fresh processes; efficiency = speedup/(hi/lo)."""
+    results = {}
+    for cpus in (lo, hi):
+        out = subprocess.run(
+            [sys.executable, __file__, "--cpus", str(cpus), "--only", "kg_e2e",
+             "--sf-dir", sf_dir],
+            capture_output=True, text=True, check=True,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+    thr = {c: results[c]["pages_per_sec"] for c in (lo, hi)}
+    eff = round((thr[hi] / thr[lo]) / (hi / lo), 3)
+    return {
+        "metric": "scaling_efficiency",
+        "value": eff,
+        "unit": "ratio",
+        "queries": {
+            f"kg_e2e_cpus{lo}": results[lo]["queries"]["kg_e2e"],
+            f"kg_e2e_cpus{hi}": results[hi]["queries"]["kg_e2e"],
+        },
+        "sf": sf_dir,
+        "num_cpus": hi,
+        "pages": results[hi]["pages"],
+        "throughput_pages_per_sec": thr,
+        "triples_per_sec": {c: results[c]["triples_per_sec"] for c in (lo, hi)},
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--only", default=None, help="run a single named pipeline")
+    args = ap.parse_args()
+
+    if args.scaling:
+        out = run_scaling(args.sf_dir)
+    else:
+        out = run_suite(args.sf_dir, args.cpus, only=args.only)
+        import ray
+
+        ray.shutdown()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

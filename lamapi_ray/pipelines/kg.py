@@ -12,8 +12,8 @@ one bucketed hash join. Everything else is map_batches / broadcast.
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from lamapi_ray.index.surface import build_surface_forms
@@ -61,66 +61,146 @@ class KGContext:
 
 
 def mention_rows(pages: ray.data.Dataset, ctx: KGContext, concurrency=4):
-    """pages → (url, mention | literal) rows."""
+    """pages → one row per page (url, mentions[], lit_values[], lit_datatypes[])."""
     ext = extracted_pages(pages)
     return scan_mentions(ext, ctx.vocab, ctx.max_surface_tokens, concurrency)
 
 
-def split_rows(rows: ray.data.Dataset):
-    mentions = rows.filter(
-        expr="row_kind == 'mention'"
-    ).select_columns(["url", "mention"])
-    literals = rows.filter(
-        expr="row_kind == 'literal'"
-    ).select_columns(["url", "value", "datatype"])
+def split_rows(page_rows: ray.data.Dataset):
+    """Exploded (url, mention) and (url, value, datatype) views — cheap
+    row-local flattens, produced for the query/oracle surface."""
+
+    def flat_mentions(batch: pa.Table) -> pa.Table:
+        n = pc.list_value_length(batch["mentions"])
+        return pa.table(
+            {
+                "url": _repeat(batch["url"], n),
+                "mention": pc.list_flatten(batch["mentions"]),
+            }
+        )
+
+    def flat_literals(batch: pa.Table) -> pa.Table:
+        n = pc.list_value_length(batch["lit_values"])
+        return pa.table(
+            {
+                "url": _repeat(batch["url"], n),
+                "value": pc.list_flatten(batch["lit_values"]),
+                "datatype": pc.list_flatten(batch["lit_datatypes"]),
+            }
+        )
+
+    mentions = page_rows.map_batches(flat_mentions, batch_format="pyarrow")
+    literals = page_rows.map_batches(flat_literals, batch_format="pyarrow")
     return mentions, literals
 
 
-def distinct_mentions(mentions: ray.data.Dataset) -> ray.data.Dataset:
+def _repeat(col: pa.ChunkedArray | pa.Array, counts) -> pa.Array:
+    """Repeat col[i] counts[i] times (np.repeat on indices, then take)."""
+    import numpy as np
+
+    n = counts.to_numpy(zero_copy_only=False)
+    return pc.take(col, pa.array(np.repeat(np.arange(len(n)), n)))
+
+
+def distinct_mentions(page_rows: ray.data.Dataset) -> ray.data.Dataset:
     """Canonicalization shuffle — each distinct surface scored once.
 
     This groupby replaces the reference's Mongo candidate cache
-    (lookup_retriever.py:78-102): batch dedup *is* the memoization. The
-    group key is the already-normalized surface form, so head surfaces
-    collapse to one row before the expensive candidate stage.
+    (lookup_retriever.py:78-102): batch dedup *is* the memoization. A
+    per-batch distinct (set-union of the page mention lists) combines
+    BEFORE the shuffle, so head surfaces ("USA"-style skew) collapse to at
+    most one row per block and the exchange is vocabulary-bounded.
     """
-    return mentions.groupby("mention").count().select_columns(["mention"])
+
+    def batch_distinct(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"mention": pc.unique(pc.list_flatten(batch["mentions"]))}
+        )
+
+    return (
+        page_rows.map_batches(batch_distinct, batch_format="pyarrow")
+        .groupby("mention")
+        .count()
+        .select_columns(["mention"])
+    )
 
 
 def linked_pages(
-    mentions: ray.data.Dataset,
+    page_rows: ray.data.Dataset,
     ctx: KGContext,
     limit: int = 1000,
     concurrency: int = 4,
 ):
-    """(url, mention) → (url, mention, id) via candidate gen + broadcast map.
+    """Attach linked entity ids per page via candidate gen + broadcast map.
 
-    Returns (page_links, candidates) — candidates exposed for inspection /
-    the candidates query.
+    Returns (linked_rows, page_links, candidates): ``linked_rows`` keeps the
+    page-row shape plus an aligned ``ids`` list column; ``page_links`` is the
+    exploded (url, mention, id) view for the query surface.
     """
-    dm = distinct_mentions(mentions)
+    dm = distinct_mentions(page_rows)
     cands = generate_candidates(
         dm, ctx.surface_forms, ctx.type_names, limit=limit, concurrency=concurrency
     )
-    link_map = link_best(cands).to_pandas()  # vocabulary-bounded, small
-    page_links = broadcast_join(mentions, link_map, on="mention")
-    return page_links, cands
+    lm = link_best(cands).to_pandas()  # vocabulary-bounded, small
+    link_map = dict(zip(lm["mention"], lm["id"]))
+    link_ref = ray.put(link_map)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lmap = ray.get(link_ref)
+        lm_col, id_col = [], []
+        for ms in batch["mentions"].to_pylist():
+            pairs = [(m, lmap[m]) for m in ms if m in lmap]
+            lm_col.append([p[0] for p in pairs])
+            id_col.append([p[1] for p in pairs])
+        return batch.append_column(
+            "linked_mentions", pa.array(lm_col, pa.list_(pa.string()))
+        ).append_column("ids", pa.array(id_col, pa.list_(pa.string())))
+
+    linked_rows = page_rows.map_batches(attach, batch_format="pyarrow")
+
+    def flat_links(batch: pa.Table) -> pa.Table:
+        n = pc.list_value_length(batch["ids"])
+        return pa.table(
+            {
+                "url": _repeat(batch["url"], n),
+                "mention": pc.list_flatten(batch["linked_mentions"]),
+                "id": pc.list_flatten(batch["ids"]),
+            }
+        )
+
+    page_links = linked_rows.map_batches(flat_links, batch_format="pyarrow")
+    return linked_rows, page_links, cands
 
 
-def page_entity_pairs(page_links: ray.data.Dataset) -> ray.data.Dataset:
-    """groupby(url) → ordered pairs of distinct linked entities per page."""
+def page_entity_pairs(linked_rows: ray.data.Dataset) -> ray.data.Dataset:
+    """Ordered pairs of distinct entities co-linked on a page.
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(group["id"]))
-        a, b = [], []
-        for x in ids:
-            for y in ids:
-                if x != y:
-                    a.append(x)
-                    b.append(y)
-        return pd.DataFrame({"subj": a, "obj": b})
+    Page-local work stays in the row: the pair fan-out and a per-batch
+    distinct (combiner) run inside ``map_batches``; the only exchange is the
+    final global distinct, which is vocabulary²-bounded — independent of
+    page count.
+    """
 
-    pairs_ds = page_links.groupby("url").map_groups(pairs, batch_format="pandas")
+    def emit_pairs(batch: pa.Table) -> pa.Table:
+        pairs: set[tuple[str, str]] = set()
+        for ids in batch["ids"].to_pylist():
+            uids = sorted(set(ids))
+            for i, x in enumerate(uids):
+                for y in uids[i + 1 :]:
+                    pairs.add((x, y))
+        ordered = sorted(pairs)
+        return pa.table(
+            {
+                "subj": pa.array(
+                    [p[0] for p in ordered] + [p[1] for p in ordered], pa.string()
+                ),
+                "obj": pa.array(
+                    [p[1] for p in ordered] + [p[0] for p in ordered], pa.string()
+                ),
+            }
+        )
+
+    pairs_ds = linked_rows.map_batches(emit_pairs, batch_format="pyarrow")
     # global distinct — vocabulary² upper bound, tiny vs page count
     return pairs_ds.groupby(["subj", "obj"]).count().select_columns(["subj", "obj"])
 
@@ -147,50 +227,40 @@ def entity_triples(
     )
 
 
-def literal_triples(
-    page_links: ray.data.Dataset, literals: ray.data.Dataset
-) -> ray.data.Dataset:
+def literal_triples(linked_rows: ray.data.Dataset) -> ray.data.Dataset:
     """Typed literal triples: (page subject, P90, value, datatype).
 
     Page subject := linked entity of the alphabetically-first mention of the
     page (tie → smaller id) — a deterministic stand-in for "the page's main
-    entity". One groupby(url) over the union of link rows and literal rows.
+    entity". Entirely row-local (the subject choice and literal values both
+    live in the page row); per-batch distinct combines before the final
+    vocabulary-bounded global distinct — the only shuffle.
     """
 
-    def tag_links(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["value"] = None
-        batch["datatype"] = None
-        return batch[["url", "mention", "id", "value", "datatype"]]
-
-    def tag_lits(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["mention"] = None
-        batch["id"] = None
-        return batch[["url", "mention", "id", "value", "datatype"]]
-
-    both = page_links.map_batches(tag_links, batch_format="pandas").union(
-        literals.map_batches(tag_lits, batch_format="pandas")
-    )
-
-    def emit(group: pd.DataFrame) -> pd.DataFrame:
-        links = group[group["id"].notna()]
-        lits = group[group["value"].notna()]
-        if len(links) == 0 or len(lits) == 0:
-            return pd.DataFrame({"subj": [], "pred": [], "value": [], "datatype": []})
-        links = links.sort_values(["mention", "id"], kind="mergesort")
-        subj = links.iloc[0]["id"]
-        out = lits[["value", "datatype"]].drop_duplicates()
-        return pd.DataFrame(
+    def emit(batch: pa.Table) -> pa.Table:
+        out: set[tuple[str, str, str]] = set()
+        for ms, ids, vals, dts in zip(
+            batch["linked_mentions"].to_pylist(),
+            batch["ids"].to_pylist(),
+            batch["lit_values"].to_pylist(),
+            batch["lit_datatypes"].to_pylist(),
+        ):
+            if not ids or not vals:
+                continue
+            subj = min(zip(ms, ids))[1]
+            for v, dt in zip(vals, dts):
+                out.add((subj, v, dt))
+        rows = sorted(out)
+        return pa.table(
             {
-                "subj": subj,
-                "pred": LITERAL_PRED,
-                "value": out["value"].to_numpy(),
-                "datatype": out["datatype"].to_numpy(),
+                "subj": pa.array([r[0] for r in rows], pa.string()),
+                "pred": pa.array([LITERAL_PRED] * len(rows), pa.string()),
+                "value": pa.array([r[1] for r in rows], pa.string()),
+                "datatype": pa.array([r[2] for r in rows], pa.string()),
             }
         )
 
-    trip = both.groupby("url").map_groups(emit, batch_format="pandas")
+    trip = linked_rows.map_batches(emit, batch_format="pyarrow")
     return trip.groupby(["subj", "pred", "value", "datatype"]).count().select_columns(
         ["subj", "pred", "value", "datatype"]
     )
@@ -200,19 +270,19 @@ def run_pipeline(pages: ray.data.Dataset, ctx: KGContext, limit: int = 1000,
                  concurrency: int = 4):
     """Full run → dict of result Datasets.
 
-    Shared intermediates (``rows``, ``page_links``) are materialized once —
-    Ray Data re-executes lineage per consumer, and both triple branches and
-    the link map consume the mention scan; materializing trades object-store
-    space (skinny string rows, spillable) for not re-running the scan and
-    candidate stages per branch.
+    The shared intermediate (the page-row scan+link output) is materialized
+    once — Ray Data re-executes lineage per consumer, and both triple
+    branches consume it; materializing trades object-store space (compact
+    list-column rows, spillable) for not re-running the scan and candidate
+    stages per branch.
     """
     rows = mention_rows(pages, ctx, concurrency).materialize()
     mentions, literals = split_rows(rows)
-    page_links, cands = linked_pages(mentions, ctx, limit, concurrency)
-    page_links = page_links.materialize()
-    pairs = page_entity_pairs(page_links)
+    linked_rows, page_links, cands = linked_pages(rows, ctx, limit, concurrency)
+    linked_rows = linked_rows.materialize()
+    pairs = page_entity_pairs(linked_rows)
     etriples = entity_triples(pairs, ctx)
-    ltriples = literal_triples(page_links, literals)
+    ltriples = literal_triples(linked_rows)
     return {
         "mentions": mentions,
         "literals": literals,

@@ -13,6 +13,17 @@ Stateless ``map_batches`` stage. For each page:
   non-STRING literal are emitted as typed literal values, NOT as entity
   mentions (literals are not entity surfaces).
 
+Output is ONE ROW PER PAGE with list columns::
+
+    url:string, mentions:list<string>, lit_values:list<string>,
+    lit_datatypes:list<string>
+
+Keeping page-local facts in the row (instead of exploding to
+(url, mention) rows) means every later per-page computation — entity
+co-occurrence pairs, the page-subject choice for literal triples — is a
+row-local vectorized map with NO url-keyed shuffle or join. Only
+vocabulary-bounded distincts (mentions, triples) ever shuffle.
+
 The vocabulary is broadcast once via ``ray.put`` (a frozenset of
 surface_norm strings + the window width); tasks read it zero-copy from the
 object store instead of re-shipping it per batch.
@@ -28,6 +39,17 @@ from lamapi_ray.functions.text import clean_str
 
 
 _SCANNER_CACHE: dict = {}
+# literal classification is pure per-token; memoize per worker process
+_LIT_CACHE: dict[str, str] = {}
+
+
+def _classify(tok: str) -> str:
+    dt = _LIT_CACHE.get(tok)
+    if dt is None:
+        dt = check_literal(tok)
+        if len(_LIT_CACHE) < 1_000_000:
+            _LIT_CACHE[tok] = dt
+    return dt
 
 
 class MentionScanner:
@@ -52,59 +74,46 @@ class MentionScanner:
         return inst
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls_out: list[str] = []
-        mentions_out: list[str] = []
-        lit_urls: list[str] = []
-        lit_values: list[str] = []
-        lit_types: list[str] = []
-        urls = batch["url"].to_pylist()
+        mentions_col: list[list[str]] = []
+        lit_vals_col: list[list[str]] = []
+        lit_dts_col: list[list[str]] = []
         texts = batch["text"].to_pylist()
-        for url, text in zip(urls, texts):
+        vocab = self.vocab
+        first_tokens = self.first_tokens
+        max_n = self.max_n
+        for text in texts:
             tokens = clean_str(text).split(" ") if text else []
             seen: set[str] = set()
-            lits: set[str] = set()
             ntok = len(tokens)
             for i, tok in enumerate(tokens):
-                if tok in self.first_tokens:
-                    for n in range(1, self.max_n + 1):
+                if tok in first_tokens:
+                    for n in range(1, max_n + 1):
                         if i + n > ntok:
                             break
                         window = " ".join(tokens[i : i + n])
-                        if window in self.vocab:
+                        if window in vocab:
                             seen.add(window)
-                lits.add(tok)
-            for m in sorted(seen):
-                urls_out.append(url)
-                mentions_out.append(m)
-            for tok in sorted(lits):
-                dt = check_literal(tok)
+            lvals, ldts = [], []
+            for tok in sorted(set(tokens)):
+                dt = _classify(tok)
                 if dt != "STRING":
-                    lit_urls.append(url)
-                    lit_values.append(tok)
-                    lit_types.append(dt)
-        mention_rows = pa.table(
+                    lvals.append(tok)
+                    ldts.append(dt)
+            mentions_col.append(sorted(seen))
+            lit_vals_col.append(lvals)
+            lit_dts_col.append(ldts)
+        return pa.table(
             {
-                "url": pa.array(urls_out, pa.string()),
-                "mention": pa.array(mentions_out, pa.string()),
-                "row_kind": pa.array(["mention"] * len(urls_out), pa.string()),
-                "value": pa.array([None] * len(urls_out), pa.string()),
-                "datatype": pa.array([None] * len(urls_out), pa.string()),
+                "url": batch["url"],
+                "mentions": pa.array(mentions_col, pa.list_(pa.string())),
+                "lit_values": pa.array(lit_vals_col, pa.list_(pa.string())),
+                "lit_datatypes": pa.array(lit_dts_col, pa.list_(pa.string())),
             }
         )
-        literal_rows = pa.table(
-            {
-                "url": pa.array(lit_urls, pa.string()),
-                "mention": pa.array([None] * len(lit_urls), pa.string()),
-                "row_kind": pa.array(["literal"] * len(lit_urls), pa.string()),
-                "value": pa.array(lit_values, pa.string()),
-                "datatype": pa.array(lit_types, pa.string()),
-            }
-        )
-        return pa.concat_tables([mention_rows, literal_rows])
 
 
 def scan_mentions(pages, vocab: frozenset[str], max_tokens: int, concurrency=None):
-    """pages(url,text,…) → rows (url, mention | literal value+datatype).
+    """pages(url,text,…) → one row per page (url, mentions[], literals[]).
 
     ``vocab`` is put in the object store once; the scanner class re-reads it
     per actor (not per batch).

@@ -93,10 +93,29 @@ def part_entity(partkey: int) -> str:
     return f"Q{100000 + partkey}"
 
 
+def _collect_arrow(ds: ray.data.Dataset) -> pa.Table:
+    return pa.concat_tables(
+        b for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow")
+    )
+
+
 def _counts(ds: ray.data.Dataset, key: str) -> dict[int, int]:
-    """key → row count, via a Ray Data groupby (small result → driver dict)."""
-    out = ds.groupby(key).count().to_pandas()
-    return dict(zip(out[key].astype(int), out["count()"].astype(int)))
+    """key → row count: per-batch partial counts (combiner inside
+    map_batches), merged driver-side — one streaming pass, no shuffle.
+    The key domain is dimension-sized (≪ fact rows), so the merged dict is
+    small by construction."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = batch[key].value_counts()
+        return pa.table({"k": vc.field("values"), "n": vc.field("counts")})
+
+    out: dict[int, int] = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        for k, n in zip(b["k"].to_pylist(), b["n"].to_pylist()):
+            out[int(k)] = out.get(int(k), 0) + int(n)
+    return out
 
 
 def pages_dataset(sf_dir: str, replicate: int = 1) -> ray.data.Dataset:
@@ -269,58 +288,96 @@ def build_kg_tables(sf_dir: str) -> dict[str, pa.Table]:
     )
 
     # --- adjacency triples -------------------------------------------------
-    triple_rows: set[tuple[str, str, str]] = set()
-    for it in items:
-        for t in it["types"]:
-            triple_rows.add((it["entity"], "P31", t))
-    for s in supplier:
-        triple_rows.add((f"Q{200000 + s['s_suppkey']}", "P2", f"Q{400000 + s['s_nationkey']}"))
-    for c in customer:
-        triple_rows.add((f"Q{300000 + c['c_custkey']}", "P3", f"Q{400000 + c['c_nationkey']}"))
-    for n in nation:
-        triple_rows.add((f"Q{400000 + n['n_nationkey']}", "P4", f"Q{500000 + n['n_regionkey']}"))
-
-    # Co-order (P1) and supplies (P5) edges come from the fact table — a real
-    # Ray Data self-join-shaped aggregation: group lineitem by order, emit
-    # part-pairs per group, distinct.
-    def order_pairs(group: pa.Table) -> pa.Table:
-        parts = sorted({int(x) for x in group["l_partkey"].to_pylist()})
-        subs, objs = [], []
-        for i in parts:
-            for j in parts:
-                if i != j:
-                    subs.append(part_entity(i))
-                    objs.append(part_entity(j))
+    def _edges(subj_pref: int, subj_keys, pred: str, obj_pref: int, obj_keys):
+        subj = pc.binary_join_element_wise(
+            "Q", pc.cast(pc.add(pa.array(subj_keys, pa.int64()), subj_pref), pa.string()), ""
+        )
+        obj = pc.binary_join_element_wise(
+            "Q", pc.cast(pc.add(pa.array(obj_keys, pa.int64()), obj_pref), pa.string()), ""
+        )
         return pa.table(
-            {"subj": pa.array(subs, pa.string()), "obj": pa.array(objs, pa.string())}
+            {"subj": subj, "pred": pa.array([pred] * len(subj_keys)), "obj": obj}
         )
 
-    co = (
-        li.groupby("l_orderkey")
-        .map_groups(order_pairs, batch_format="pyarrow")
-        .groupby(["subj", "obj"])
-        .count()
-        .to_arrow_refs()
+    edge_tables = [
+        pa.table(
+            {
+                "subj": pa.array(
+                    [it["entity"] for it in items for _ in it["types"]], pa.string()
+                ),
+                "pred": pa.array(
+                    ["P31"] * sum(len(it["types"]) for it in items), pa.string()
+                ),
+                "obj": pa.array(
+                    [t for it in items for t in it["types"]], pa.string()
+                ),
+            }
+        ),
+        _edges(200000, [s["s_suppkey"] for s in supplier], "P2",
+               400000, [s["s_nationkey"] for s in supplier]),
+        _edges(300000, [c["c_custkey"] for c in customer], "P3",
+               400000, [c["c_nationkey"] for c in customer]),
+        _edges(400000, [n["n_nationkey"] for n in nation], "P4",
+               500000, [n["n_regionkey"] for n in nation]),
+    ]
+
+    # Co-order (P1) edges: distinct (order, part) → hash self-join on order —
+    # the one genuinely wide step of the synth build, expressed as Ray Data's
+    # native shuffle hash join rather than a per-group Python loop.
+    op = li.groupby(["l_orderkey", "l_partkey"]).count().select_columns(
+        ["l_orderkey", "l_partkey"]
     )
-    import ray as _ray
-
-    co_tbl = pa.concat_tables([_ray.get(r) for r in co])
-    for subj, obj in zip(co_tbl["subj"].to_pylist(), co_tbl["obj"].to_pylist()):
-        triple_rows.add((subj, "P1", obj))
-
-    supplies = (
-        li.groupby(["l_suppkey", "l_partkey"]).count().to_pandas()
+    joined = op.join(
+        op,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        left_suffix="",
+        right_suffix="_r",
     )
-    for sk, pk in zip(supplies["l_suppkey"], supplies["l_partkey"]):
-        triple_rows.add((f"Q{200000 + int(sk)}", "P5", part_entity(int(pk))))
 
-    triples_sorted = sorted(triple_rows)
-    triples_tbl = pa.table(
-        {
-            "subj": pa.array([t[0] for t in triples_sorted], pa.string()),
-            "pred": pa.array([t[1] for t in triples_sorted], pa.string()),
-            "obj": pa.array([t[2] for t in triples_sorted], pa.string()),
-        }
+    def pair_edges(batch: pa.Table) -> pa.Table:
+        a = batch["l_partkey"]
+        b = (
+            batch["l_partkey_r"]
+            if "l_partkey_r" in batch.column_names
+            else batch["l_partkey" + "_r"]
+        )
+        keep = pc.not_equal(a, b)
+        a, b = pc.filter(a, keep), pc.filter(b, keep)
+        subj = pc.binary_join_element_wise(
+            "Q", pc.cast(pc.add(pc.cast(a, pa.int64()), 100000), pa.string()), ""
+        )
+        obj = pc.binary_join_element_wise(
+            "Q", pc.cast(pc.add(pc.cast(b, pa.int64()), 100000), pa.string()), ""
+        )
+        return pa.table(
+            {"subj": subj, "pred": pa.array(["P1"] * len(subj)), "obj": obj}
+        )
+
+    co = joined.map_batches(pair_edges, batch_format="pyarrow")
+    edge_tables.append(_collect_arrow(co))
+
+    # Supplies (P5): per-batch distinct (combiner), final dedup in the
+    # driver-side group_by below (pair domain is supplier×part bounded).
+    def sup_partial(batch: pa.Table) -> pa.Table:
+        return batch.select(["l_suppkey", "l_partkey"]).group_by(
+            ["l_suppkey", "l_partkey"]
+        ).aggregate([])
+
+    sup_tbl = _collect_arrow(li.map_batches(sup_partial, batch_format="pyarrow"))
+    edge_tables.append(
+        _edges(200000, sup_tbl["l_suppkey"].to_pylist(), "P5",
+               100000, sup_tbl["l_partkey"].to_pylist())
+    )
+
+    all_edges = pa.concat_tables(
+        [t.cast(edge_tables[0].schema) for t in edge_tables]
+    )
+    triples_tbl = (
+        all_edges.group_by(["subj", "pred", "obj"])
+        .aggregate([])
+        .sort_by([("subj", "ascending"), ("pred", "ascending"), ("obj", "ascending")])
     )
 
     # --- literal triples ---------------------------------------------------
