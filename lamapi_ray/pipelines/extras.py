@@ -230,7 +230,9 @@ def literal_classify(sf_dir: str) -> pa.Table:
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderpriority"]
     ).map_batches(
-        lambda t: pa.table({"value": t["o_orderpriority"].cast(pa.string())}),
+        lambda t: pa.table(
+            {"value": pc.unique(t["o_orderpriority"].combine_chunks()).cast(pa.string())}
+        ),
         batch_format="pyarrow",
     )
     li = ray.data.read_parquet(
@@ -238,9 +240,13 @@ def literal_classify(sf_dir: str) -> pa.Table:
     )
 
     def li_vals(batch: pa.Table) -> pa.Table:
-        qty = [str(v) for v in batch["l_quantity"].to_pylist()]
-        dates = pc.strftime(batch["l_shipdate"], format="%Y-%m-%d").to_pylist()
-        return pa.table({"value": pa.array(qty + dates, pa.string())})
+        # per-batch distinct combiner — the quantity/date domains are tiny,
+        # so the downstream distinct shuffle sees ~hundreds of rows per block
+        qty = [str(v) for v in pc.unique(batch["l_quantity"].combine_chunks()).to_pylist()]
+        dates = pc.unique(
+            pc.strftime(batch["l_shipdate"], format="%Y-%m-%d").combine_chunks()
+        ).to_pylist()
+        return pa.table({"value": pa.array(sorted(set(qty + dates)), pa.string())})
 
     li_ds = li.map_batches(li_vals, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -182,27 +182,98 @@ def page_entity_pairs(linked_rows: ray.data.Dataset) -> ray.data.Dataset:
     """
 
     def emit_pairs(batch: pa.Table) -> pa.Table:
-        pairs: set[tuple[str, str]] = set()
-        for ids in batch["ids"].to_pylist():
-            uids = sorted(set(ids))
-            for i, x in enumerate(uids):
-                for y in uids[i + 1 :]:
-                    pairs.add((x, y))
-        ordered = sorted(pairs)
+        pairs = _batch_pairs(batch)
         return pa.table(
             {
-                "subj": pa.array(
-                    [p[0] for p in ordered] + [p[1] for p in ordered], pa.string()
-                ),
-                "obj": pa.array(
-                    [p[1] for p in ordered] + [p[0] for p in ordered], pa.string()
-                ),
+                "subj": pa.array([p[0] for p in pairs], pa.string()),
+                "obj": pa.array([p[1] for p in pairs], pa.string()),
             }
         )
 
     pairs_ds = linked_rows.map_batches(emit_pairs, batch_format="pyarrow")
     # global distinct — vocabulary² upper bound, tiny vs page count
     return pairs_ds.groupby(["subj", "obj"]).count().select_columns(["subj", "obj"])
+
+
+def _batch_pairs(batch: pa.Table) -> list[tuple[str, str]]:
+    """Distinct ordered co-link pairs within one batch (both directions)."""
+    pairs: set[tuple[str, str]] = set()
+    for ids in batch["ids"].to_pylist():
+        uids = sorted(set(ids))
+        for i, x in enumerate(uids):
+            for y in uids[i + 1 :]:
+                pairs.add((x, y))
+    return sorted(pairs) + sorted((b, a) for a, b in pairs)
+
+
+def _batch_litrows(batch: pa.Table) -> list[tuple[str, str, str]]:
+    """Distinct (subj, value, datatype) literal rows within one batch."""
+    out: set[tuple[str, str, str]] = set()
+    for ms, ids, vals, dts in zip(
+        batch["linked_mentions"].to_pylist(),
+        batch["ids"].to_pylist(),
+        batch["lit_values"].to_pylist(),
+        batch["lit_datatypes"].to_pylist(),
+    ):
+        if not ids or not vals:
+            continue
+        subj = min(zip(ms, ids))[1]
+        for v, dt in zip(vals, dts):
+            out.add((subj, v, dt))
+    return sorted(out)
+
+
+def cooccurrence_tables(linked_rows: ray.data.Dataset) -> tuple[pa.Table, pa.Table]:
+    """One pass over the linked page rows → (pairs table, literal triples).
+
+    Fuses the pair fan-out and the literal-triple emission into a single
+    tagged map + ONE global distinct (both outputs are vocabulary-bounded,
+    so the collected result is small). Halves the number of streaming
+    executions vs running the two branches separately — fixed per-execution
+    cost is the scaling-efficiency killer at bench scale.
+    """
+
+    def emit_both(batch: pa.Table) -> pa.Table:
+        pairs = _batch_pairs(batch)
+        lits = _batch_litrows(batch)
+        return pa.table(
+            {
+                "tag": pa.array(["P"] * len(pairs) + ["L"] * len(lits), pa.string()),
+                "subj": pa.array(
+                    [p[0] for p in pairs] + [r[0] for r in lits], pa.string()
+                ),
+                "obj": pa.array(
+                    [p[1] for p in pairs] + ["" for _ in lits], pa.string()
+                ),
+                "value": pa.array(
+                    ["" for _ in pairs] + [r[1] for r in lits], pa.string()
+                ),
+                "datatype": pa.array(
+                    ["" for _ in pairs] + [r[2] for r in lits], pa.string()
+                ),
+            }
+        )
+
+    both = (
+        linked_rows.map_batches(emit_both, batch_format="pyarrow")
+        .groupby(["tag", "subj", "obj", "value", "datatype"])
+        .count()
+    )
+    tbl = pa.concat_tables(
+        b for b in both.iter_batches(batch_size=65536, batch_format="pyarrow")
+    ).combine_chunks()
+    is_pair = pc.equal(tbl["tag"], "P")
+    pairs_tbl = tbl.filter(is_pair).select(["subj", "obj"])
+    lit_part = tbl.filter(pc.invert(is_pair))
+    lit_tbl = pa.table(
+        {
+            "subj": lit_part["subj"],
+            "pred": pa.array([LITERAL_PRED] * len(lit_part), pa.string()),
+            "value": lit_part["value"],
+            "datatype": lit_part["datatype"],
+        }
+    )
+    return pairs_tbl, lit_tbl
 
 
 def entity_triples(
@@ -212,19 +283,40 @@ def entity_triples(
 ) -> ray.data.Dataset:
     """pairs ⋈ adjacency on (subj, obj) → (subj, pred, obj).
 
-    Broadcasts the adjacency when it fits comfortably in the object store;
-    otherwise falls back to the bucketed hash join (one shuffle).
+    The co-occurrence pair set is vocabulary²-bounded (it comes out of a
+    global distinct), so it is the BROADCAST side: collected once,
+    ``ray.put`` once, semi-joined (arrow hash join) into every streaming
+    batch of the adjacency — the adjacency (the full KG, billions of edges
+    at scale) is never collected or shuffled. Falls back to the bucketed
+    hash join only if the pair set outgrows the broadcast threshold.
+
+    ``pairs``: the distinct (subj, obj) pairs, as a Dataset or a collected
+    arrow table.
     """
+    pairs_tbl = (
+        pairs
+        if isinstance(pairs, pa.Table)
+        else pa.concat_tables(
+            b for b in pairs.iter_batches(batch_size=65536, batch_format="pyarrow")
+        ).combine_chunks()
+    )
     adj = ctx.adjacency
-    if isinstance(adj, pa.Table):
-        if len(adj) <= broadcast_threshold:
-            return broadcast_join(pairs, adj, on=["subj", "obj"]).select_columns(
+    if len(pairs_tbl) <= broadcast_threshold:
+        adj_ds = ray.data.from_arrow(adj) if isinstance(adj, pa.Table) else adj
+        pairs_ref = ray.put(pairs_tbl)
+
+        def semi(batch: pa.Table) -> pa.Table:
+            p = ray.get(pairs_ref)
+            return batch.join(p, keys=["subj", "obj"], join_type="inner").select(
                 ["subj", "pred", "obj"]
             )
+
+        return adj_ds.map_batches(semi, batch_format="pyarrow", zero_copy_batch=True)
+    if isinstance(adj, pa.Table):
         adj = ray.data.from_arrow(adj)
-    return bucketed_hash_join(pairs, adj, on=["subj", "obj"]).select_columns(
-        ["subj", "pred", "obj"]
-    )
+    return bucketed_hash_join(
+        ray.data.from_arrow(pairs_tbl), adj, on=["subj", "obj"]
+    ).select_columns(["subj", "pred", "obj"])
 
 
 def literal_triples(linked_rows: ray.data.Dataset) -> ray.data.Dataset:
@@ -279,15 +371,13 @@ def run_pipeline(pages: ray.data.Dataset, ctx: KGContext, limit: int = 1000,
     rows = mention_rows(pages, ctx, concurrency).materialize()
     mentions, literals = split_rows(rows)
     linked_rows, page_links, cands = linked_pages(rows, ctx, limit, concurrency)
-    linked_rows = linked_rows.materialize()
-    pairs = page_entity_pairs(linked_rows)
-    etriples = entity_triples(pairs, ctx)
-    ltriples = literal_triples(linked_rows)
+    pairs_tbl, lit_tbl = cooccurrence_tables(linked_rows)
+    etriples = entity_triples(pairs_tbl, ctx)
     return {
         "mentions": mentions,
         "literals": literals,
         "candidates": cands,
         "page_links": page_links,
         "triples": etriples,
-        "literal_triples": ltriples,
+        "literal_triples": ray.data.from_arrow(lit_tbl),
     }

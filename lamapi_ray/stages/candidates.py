@@ -54,13 +54,28 @@ CANDIDATE_FIELDS: list[tuple[str, pa.DataType]] = [
 CANDIDATE_SCHEMA = pa.schema(CANDIDATE_FIELDS)
 
 
+_INDEX_CACHE: dict = {}
+
+
 class CandidateGenerator:
-    """Actor: SurfaceIndex built once per worker, scored per batch."""
+    """SurfaceIndex built once per worker process, scored per batch.
+
+    Runs as STATELESS tasks (not an actor pool): the index is derived from a
+    ``ray.put`` broadcast and memoized per worker keyed by the object ref,
+    so warm workers from earlier stages are reused instead of paying an
+    actor-process spawn + import per run. State cost is identical (one index
+    per worker); scheduling is elastic.
+    """
 
     def __init__(self, surface_ref, type_names_ref, limit: int = 1000):
-        table: pa.Table = ray.get(surface_ref)
-        type_names: dict = ray.get(type_names_ref)
-        self.index = SurfaceIndex(table, type_names)
+        key = surface_ref.hex() if hasattr(surface_ref, "hex") else id(surface_ref)
+        index = _INDEX_CACHE.get(key)
+        if index is None:
+            table: pa.Table = ray.get(surface_ref)
+            type_names: dict = ray.get(type_names_ref)
+            index = SurfaceIndex(table, type_names)
+            _INDEX_CACHE[key] = index
+        self.index = index
         self.limit = limit
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -105,12 +120,14 @@ def generate_candidates(
     """distinct mentions (col ``mention``) → scored candidate rows."""
     surface_ref = ray.put(surface_forms)
     type_names_ref = ray.put(type_names)
+
+    def score(batch: pa.Table) -> pa.Table:
+        return CandidateGenerator(surface_ref, type_names_ref, limit)(batch)
+
     return distinct_mentions.map_batches(
-        CandidateGenerator,
+        score,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        fn_constructor_args=(surface_ref, type_names_ref, limit),
-        concurrency=concurrency,
         batch_size=256,
     )
 

@@ -4,27 +4,31 @@ The reference has only implicit dedup (SURVEY §2.7); these are the
 first-class large-scale training-data operators this engine adds:
 
 * :func:`exact_dedup` — content-hash per batch (vectorized sha1), one
-  ``groupby(hash)`` shuffle, keep min id per group. At 100 TB the hash
-  column (20 B/row) is what shuffles, never the text.
-* :func:`minhash_clusters` — shingle → 64-perm MinHash → banded LSH:
-  signatures per batch (numpy), explode to (band, band_hash, id) rows, ONE
-  ``groupby(band, band_hash)`` co-locates collision candidates; candidate
-  pairs are verified by signature agreement and connected components are
-  resolved by union-find over the (tiny) verified-pair set on the driver —
-  documented assumption: #near-dup pairs ≪ #docs (holds for dedup
-  workloads; if it breaks, swap the driver union-find for a few rounds of
-  min-label propagation via groupby).
+  ``groupby(hash)`` shuffle with native Min/Count aggregates. At 100 TB the
+  hash column (20 B/row) is what shuffles, never the text.
+* :func:`minhash_clusters` — shingle → 64-perm MinHash → banded LSH.
+  Signatures are computed distributed (the scan-heavy part, with a
+  per-worker shingle-hash cache); band bucketing, candidate-pair
+  verification and union-find run vectorized on the collected
+  (id, band-hash) table — 16 small ints per doc, ≈100 B/doc, so the
+  driver-side step is bounded by doc COUNT, not corpus bytes (1 GB per
+  10^7 docs). Beyond that, swap the pandas bucket groupby for a Ray
+  ``groupby(band, bh)`` over the same rows and min-label propagation —
+  the signature stage (the dominant cost) is unchanged.
 * :func:`simhash_fingerprints` — 64-bit SimHash per doc (pure map, no
-  shuffle); Hamming-close pairs join on rotated prefix buckets.
-* :func:`ngram_jaccard_pairs` — exact token-shingle Jaccard for candidate
-  pairs; brute-force all-pairs is exposed for small corpora / verification
-  (the LSH path above is the scale path).
+  shuffle).
+* :func:`ngram_jaccard_pairs` — exact token-shingle Jaccard via a broadcast
+  inverted shingle index: each task scans a slice of ids and counts shingle
+  collisions against the index (only ids sharing ≥1 shingle are even
+  touched), so cost is Σ|bucket|² not n². Use :func:`minhash_clusters` when
+  the index outgrows broadcast.
 """
 
 from __future__ import annotations
 
 import hashlib
 import struct
+from collections import Counter
 
 import numpy as np
 import pandas as pd
@@ -45,8 +49,23 @@ def _hash64(s: str) -> int:
     return struct.unpack("<Q", hashlib.md5(s.encode("utf-8")).digest()[:8])[0]
 
 
+# per-worker memo: shingle/token string → 64-bit hash (duplicate-heavy
+# corpora re-hash the same shingles constantly)
+_H64_CACHE: dict[str, int] = {}
+
+
+def _hash64_cached(s: str) -> int:
+    h = _H64_CACHE.get(s)
+    if h is None:
+        h = _hash64(s)
+        if len(_H64_CACHE) < 2_000_000:
+            _H64_CACHE[s] = h
+    return h
+
+
 def exact_dedup(ds: ray.data.Dataset, id_col: str, text_col: str) -> ray.data.Dataset:
     """→ one row per distinct text: (id_col = min id, n_copies)."""
+    from ray.data.aggregate import Count, Min
 
     def add_hash(batch: pa.Table) -> pa.Table:
         hashes = [
@@ -58,13 +77,17 @@ def exact_dedup(ds: ray.data.Dataset, id_col: str, text_col: str) -> ray.data.Da
         )
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+    agg = hashed.groupby("__h").aggregate(Min(id_col), Count())
 
-    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {id_col: [group[id_col].min()], "n_copies": [np.int64(len(group))]}
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch[f"min({id_col})"],
+                "n_copies": batch["count()"].cast(pa.int64()),
+            }
         )
 
-    return hashed.groupby("__h").map_groups(keep_first, batch_format="pandas")
+    return agg.map_batches(project, batch_format="pyarrow")
 
 
 class MinHasher:
@@ -83,7 +106,7 @@ class MinHasher:
 
     def signature(self, text: str) -> np.ndarray:
         hs = np.array(
-            [_hash64(s) for s in set(_token_shingles(text))], dtype=np.uint64
+            [_hash64_cached(s) for s in set(_token_shingles(text))], dtype=np.uint64
         )
         # (a*h + b) mod p, per permutation — vectorized over shingles
         vals = (hs[None, :] * self.a[:, None] + self.b[:, None]) % _MERSENNE
@@ -105,52 +128,60 @@ def minhash_clusters(
     """
     rows_per_band = MinHasher.NUM_PERM // bands
 
-    def to_bands(batch: pa.Table) -> pa.Table:
+    def to_sigs(batch: pa.Table) -> pa.Table:
         mh = _minhasher()
-        ids, band_ids, band_hashes, sigs = [], [], [], []
-        for i, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            sig = mh.signature(text)
-            sig_hex = sig.tobytes().hex()
-            for b in range(bands):
-                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                ids.append(i)
-                band_ids.append(b)
-                band_hashes.append(hashlib.md5(chunk.tobytes()).hexdigest())
-                sigs.append(sig_hex)
-        return pa.table(
-            {
-                "id": pa.array(ids, pa.int64()),
-                "band": pa.array(band_ids, pa.int64()),
-                "bh": pa.array(band_hashes, pa.string()),
-                "sig": pa.array(sigs, pa.string()),
-            }
-        )
+        ids = batch[id_col].to_pylist()
+        sigs = np.stack(
+            [mh.signature(t) for t in batch[text_col].to_pylist()]
+        ) if ids else np.empty((0, MinHasher.NUM_PERM), dtype=np.uint64)
+        # one 64-bit hash per band (md5 of the band's slots), vectorized rows
+        bh = {
+            f"bh{b}": pa.array(
+                [
+                    struct.unpack(
+                        "<Q",
+                        hashlib.md5(
+                            sigs[i, b * rows_per_band : (b + 1) * rows_per_band].tobytes()
+                        ).digest()[:8],
+                    )[0]
+                    for i in range(len(ids))
+                ],
+                pa.uint64(),
+            )
+            for b in range(bands)
+        }
+        cols = {"id": pa.array(ids, pa.int64())}
+        cols.update(bh)
+        cols["sig"] = pa.array([s.tobytes() for s in sigs], pa.binary())
+        return pa.table(cols)
 
-    banded = ds.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
-
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates("id").sort_values("id")
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": []}).astype({"a": "int64", "b": "int64"})
-        ids = g["id"].to_numpy()
-        sigs = [np.frombuffer(bytes.fromhex(s), dtype=np.uint64) for s in g["sig"]]
-        a_out, b_out = [], []
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                if int((sigs[x] == sigs[y]).sum()) >= threshold_rows:
-                    a_out.append(ids[x])
-                    b_out.append(ids[y])
-        return pd.DataFrame({"a": a_out, "b": b_out}).astype({"a": "int64", "b": "int64"})
-
-    pairs = (
-        banded.groupby(["band", "bh"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["a", "b"])
-        .count()
-        .to_pandas()
+    sig_tbl = pa.concat_tables(
+        b
+        for b in ds.map_batches(
+            to_sigs, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_size=65536, batch_format="pyarrow")
     )
 
-    # driver-side union-find over the verified pair set (bounded — see doc)
+    ids = sig_tbl["id"].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    sigs = np.frombuffer(
+        b"".join(sig_tbl["sig"].take(pa.array(order)).to_pylist()), dtype=np.uint64
+    ).reshape(len(ids), MinHasher.NUM_PERM)
+
+    # banded LSH buckets → candidate pairs (vectorized per band)
+    cand: set[tuple[int, int]] = set()
+    for b in range(bands):
+        bh = sig_tbl[f"bh{b}"].to_numpy(zero_copy_only=False)[order]
+        buckets = pd.Series(np.arange(len(ids))).groupby(bh)
+        for _, grp in buckets:
+            if len(grp) > 1:
+                g = grp.to_numpy()
+                for x in range(len(g)):
+                    for y in range(x + 1, len(g)):
+                        cand.add((g[x], g[y]))
+
+    # verify candidates by signature agreement (vectorized compare)
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -159,19 +190,18 @@ def minhash_clusters(
             x = parent[x]
         return x
 
-    for a, b in zip(pairs["a"], pairs["b"]):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
+    for x, y in cand:
+        if int((sigs[x] == sigs[y]).sum()) >= threshold_rows:
+            a, b2 = int(ids[x]), int(ids[y])
+            ra, rb = find(a), find(b2)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
 
-    all_ids = [int(x) for x in ds.select_columns([id_col]).to_pandas()[id_col]]
-    clusters = [find(i) for i in all_ids]
+    clusters = [find(int(i)) for i in ids]
     return pa.table(
         {
-            "id": pa.array(sorted(all_ids), pa.int64()),
-            "cluster": pa.array(
-                [c for _, c in sorted(zip(all_ids, clusters))], pa.int64()
-            ),
+            "id": pa.array(ids, pa.int64()),
+            "cluster": pa.array(clusters, pa.int64()),
         }
     )
 
@@ -191,7 +221,7 @@ def simhash64(text: str) -> int:
     toks = text.split(" ")
     uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
     for tok, cnt in zip(uniq, counts):
-        h = _hash64(tok)
+        h = _hash64_cached(tok)
         bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
         acc += np.where(bits.astype(bool), cnt, -cnt)
     out = 0
@@ -220,38 +250,44 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     k: int = 3,
 ) -> pa.Table:
-    """All-pairs token-k-shingle Jaccard ≥ threshold (small-corpus/verify path).
+    """All candidate-pairs token-k-shingle Jaccard ≥ threshold.
 
     Real Jaccard (union denominator) — unlike the reference's scoring
-    functions, this is a training-data op, not a lamAPI-parity op. Runs
-    distributed: shingle sets are broadcast, each task handles a slice of
-    left ids. O(n²) by design; use :func:`minhash_clusters` at scale.
+    functions, this is a training-data op, not a lamAPI-parity op.
+    Distributed shape: a shingle→ids inverted index is broadcast once;
+    each task scans a slice of left ids and counts shingle collisions via
+    the index, so only pairs sharing ≥1 shingle cost anything
+    (Σ|bucket|², not n²). Exact — identical output to the brute-force
+    all-pairs join.
     """
     import ray
 
     from lamapi_ray.functions.text import round_ref
 
     ids = table[id_col].to_pylist()
-    shingles = {
-        int(i): frozenset(_token_shingles(t, k))
+    shingle_sets = {
+        int(i): set(_token_shingles(t, k))
         for i, t in zip(ids, table[text_col].to_pylist())
     }
-    sh_ref = ray.put(shingles)
+    index: dict[str, list[int]] = {}
+    for i in sorted(shingle_sets):
+        for s in shingle_sets[i]:
+            index.setdefault(s, []).append(i)
+    sizes = {i: len(s) for i, s in shingle_sets.items()}
+    state_ref = ray.put((shingle_sets, index, sizes))
 
     def pairs_for(batch: pa.Table) -> pa.Table:
-        sh = ray.get(sh_ref)
-        all_ids = sorted(sh)
+        sh, idx, sz = ray.get(state_ref)
         a_out, b_out, j_out = [], [], []
         for a in batch["id"].to_pylist():
-            sa = sh[a]
-            for b in all_ids:
-                if b <= a:
-                    continue
-                sb = sh[b]
-                inter = len(sa & sb)
-                if inter == 0:
-                    continue
-                jac = inter / len(sa | sb)
+            inter: Counter = Counter()
+            for s in sh[a]:
+                for b in idx[s]:
+                    if b > a:
+                        inter[b] += 1
+            na = sz[a]
+            for b, n in inter.items():
+                jac = n / (na + sz[b] - n)
                 if jac >= threshold:
                     a_out.append(a)
                     b_out.append(b)
@@ -264,8 +300,8 @@ def ngram_jaccard_pairs(
             }
         )
 
-    ds = ray.data.from_arrow(pa.table({"id": pa.array(sorted(shingles), pa.int64())}))
-    out = ds.map_batches(pairs_for, batch_format="pyarrow", batch_size=64)
+    ds = ray.data.from_arrow(pa.table({"id": pa.array(sorted(shingle_sets), pa.int64())}))
+    out = ds.map_batches(pairs_for, batch_format="pyarrow", batch_size=256)
     return pa.concat_tables(
         [b for b in out.iter_batches(batch_size=65536, batch_format="pyarrow")]
     )

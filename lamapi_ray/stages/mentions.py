@@ -55,14 +55,28 @@ def _classify(tok: str) -> str:
 class MentionScanner:
     """Scanner state derived once per (worker, vocab) — cached module-level
     so the stage can run as stateless tasks (elastic scheduling) while still
-    paying the derivation cost once per worker process, not per batch."""
+    paying the derivation cost once per worker process, not per batch.
+
+    The scan itself is fully vectorized: tokens come from
+    ``utf8_lower`` + whitespace split (arrow kernels, equivalent to the
+    reference's ``clean_str`` normalization then split — utils.py:42-44);
+    n-gram windows of width 1..max_n are built by joining SHIFTED slices of
+    the flat token array (one ``binary_join_element_wise`` per width, page
+    boundaries masked via ``list_parent_indices``); membership is one
+    ``is_in`` per width against the per-width surface vocabulary. No Python
+    executes per token — only per HIT (mentions + literal tokens, a few per
+    page)."""
 
     def __init__(self, vocab: frozenset[str], max_n: int):
         self.vocab = vocab
         self.max_n = max_n
-        # first-token gate: windows can only start at a token that starts
-        # some surface — prunes the inner loop sharply on head vocabularies
-        self.first_tokens = frozenset(s.split(" ", 1)[0] for s in vocab)
+        # per-width vocab value sets for the is_in kernels
+        by_width: dict[int, list[str]] = {}
+        for s in vocab:
+            by_width.setdefault(s.count(" ") + 1, []).append(s)
+        self.vocab_arrays = {
+            n: pa.array(sorted(v), pa.string()) for n, v in by_width.items()
+        }
 
     @classmethod
     def for_ref(cls, vocab_ref, max_n: int) -> "MentionScanner":
@@ -74,34 +88,70 @@ class MentionScanner:
         return inst
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mentions_col: list[list[str]] = []
-        lit_vals_col: list[list[str]] = []
-        lit_dts_col: list[list[str]] = []
-        texts = batch["text"].to_pylist()
-        vocab = self.vocab
-        first_tokens = self.first_tokens
-        max_n = self.max_n
-        for text in texts:
-            tokens = clean_str(text).split(" ") if text else []
-            seen: set[str] = set()
-            ntok = len(tokens)
-            for i, tok in enumerate(tokens):
-                if tok in first_tokens:
-                    for n in range(1, max_n + 1):
-                        if i + n > ntok:
-                            break
-                        window = " ".join(tokens[i : i + n])
-                        if window in vocab:
-                            seen.add(window)
-            lvals, ldts = [], []
-            for tok in sorted(set(tokens)):
-                dt = _classify(tok)
-                if dt != "STRING":
-                    lvals.append(tok)
-                    ldts.append(dt)
-            mentions_col.append(sorted(seen))
-            lit_vals_col.append(lvals)
-            lit_dts_col.append(ldts)
+        import numpy as np
+        import pyarrow.compute as pc
+
+        npages = len(batch)
+        text = batch["text"].combine_chunks() if isinstance(
+            batch["text"], pa.ChunkedArray
+        ) else batch["text"]
+        toks_list = pc.utf8_split_whitespace(
+            pc.utf8_lower(pc.fill_null(text.cast(pa.string()), ""))
+        )
+        flat = pc.list_flatten(toks_list)
+        parents = pc.list_parent_indices(toks_list).to_numpy(zero_copy_only=False)
+        nflat = len(flat)
+
+        # hits: (page_idx, surface) accumulated over all window widths
+        hit_pages: list[np.ndarray] = []
+        hit_vals: list[pa.Array] = []
+        grams = flat
+        for width in range(1, self.max_n + 1):
+            vocab_arr = self.vocab_arrays.get(width)
+            if width > 1:
+                if nflat < width:
+                    break
+                grams = pc.binary_join_element_wise(
+                    grams.slice(0, nflat - width + 1),
+                    flat.slice(width - 1, nflat - width + 1),
+                    " ",
+                )
+            if vocab_arr is None:
+                continue
+            mask = pc.is_in(grams, value_set=vocab_arr).to_numpy(
+                zero_copy_only=False
+            )
+            # window must not cross a page boundary
+            if width > 1:
+                mask &= parents[: nflat - width + 1] == parents[width - 1 :]
+            idx = np.nonzero(mask)[0]
+            if len(idx):
+                hit_pages.append(parents[idx])
+                hit_vals.append(pc.take(grams, pa.array(idx)))
+
+        page_mentions: list[set] = [set() for _ in range(npages)]
+        for pages_arr, vals in zip(hit_pages, hit_vals):
+            for p, v in zip(pages_arr, vals.to_pylist()):
+                page_mentions[p].add(v)
+
+        # literal tokens: classify batch-distinct tokens (memoized), then
+        # locate the (rare) non-STRING tokens back in the flat array
+        uniq = pc.unique(flat)
+        lit_tokens = [
+            t for t in uniq.to_pylist() if t and _classify(t) != "STRING"
+        ]
+        page_lits: list[set] = [set() for _ in range(npages)]
+        if lit_tokens:
+            lmask = pc.is_in(flat, value_set=pa.array(lit_tokens, pa.string()))
+            lidx = np.nonzero(lmask.to_numpy(zero_copy_only=False))[0]
+            lvals = pc.take(flat, pa.array(lidx)).to_pylist()
+            for p, v in zip(parents[lidx], lvals):
+                page_lits[p].add(v)
+
+        mentions_col = [sorted(s) for s in page_mentions]
+        lit_sorted = [sorted(s) for s in page_lits]
+        lit_vals_col = lit_sorted
+        lit_dts_col = [[_classify(v) for v in vs] for vs in lit_sorted]
         return pa.table(
             {
                 "url": batch["url"],

@@ -118,13 +118,24 @@ def _counts(ds: ray.data.Dataset, key: str) -> dict[int, int]:
     return out
 
 
-def pages_dataset(sf_dir: str, replicate: int = 1) -> ray.data.Dataset:
+def pages_dataset(
+    sf_dir: str,
+    replicate: int = 1,
+    text_repeat: int = 1,
+    override_num_blocks: int | None = None,
+) -> ray.data.Dataset:
     """The synthetic web-pages table as a streaming Ray Dataset.
 
     ``replicate`` > 1 tiles the documents table (with distinct urls/doc ids)
     to scale benchmark input without external data; replica r shifts doc_id
     by ``r * n_docs`` only in the url/ts (same injected parts — the
     canonicalization stage then sees realistic head-key skew).
+
+    ``text_repeat`` > 1 (bench-only) repeats the document body so pages
+    carry Common-Crawl-realistic token counts (~50 → ~50·k tokens); the
+    injected surface forms and the distinct-token set are unchanged.
+    Correctness queries always use the default 1 — the oracle SQL mirrors
+    that derivation.
     """
     part_names = pq.read_table(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
@@ -134,19 +145,27 @@ def pages_dataset(sf_dir: str, replicate: int = 1) -> ray.data.Dataset:
     nparts = len(names)
     names_arr = pa.array(names, type=pa.string())
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    # Block count is the load-balancing knob: the downstream scan fuses into
+    # the read task, so len(blocks) IS the stage's parallelism. Benchmarks
+    # pass ~8 tasks/core; default (None) lets Ray choose.
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", override_num_blocks=override_num_blocks
+    )
     if replicate > 1:
         n_docs_total = ds.count()
 
-    def to_pages(batch: pa.Table, replica: int = 0) -> pa.Table:
+    def to_pages(batch: pa.Table, id_shift=None) -> pa.Table:
         import numpy as np
 
         doc_id = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         p1 = pc.take(names_arr, pa.array(doc_id % nparts))
         p2 = pc.take(names_arr, pa.array((doc_id * 7 + 13) % nparts))
         lit = pc.cast(batch["n_chars"], pa.string())
-        full_text = pc.binary_join_element_wise(batch["text"], p1, p2, lit, " ")
-        eff_id = doc_id + replica * n_docs_total if replica else doc_id
+        body = batch["text"]
+        if text_repeat > 1:
+            body = pc.binary_join_element_wise(*([body] * text_repeat), " ")
+        full_text = pc.binary_join_element_wise(body, p1, p2, lit, " ")
+        eff_id = doc_id + id_shift if id_shift is not None else doc_id
         url = pc.binary_join_element_wise(
             pa.array(["doc://"] * len(batch)),
             pc.cast(pa.array(eff_id), pa.string()),
@@ -183,7 +202,14 @@ def pages_dataset(sf_dir: str, replicate: int = 1) -> ray.data.Dataset:
         return ds.map_batches(to_pages, batch_format="pyarrow", zero_copy_batch=True)
 
     def to_pages_replicated(batch: pa.Table) -> pa.Table:
-        return pa.concat_tables([to_pages(batch, r) for r in range(replicate)])
+        import numpy as np
+
+        n = len(batch)
+        tiled = batch.take(pa.array(np.tile(np.arange(n), replicate)))
+        shift = np.repeat(
+            np.arange(replicate, dtype=np.int64), n
+        ) * n_docs_total
+        return to_pages(tiled, id_shift=shift)
 
     return ds.map_batches(
         to_pages_replicated, batch_format="pyarrow", zero_copy_batch=True
