@@ -381,6 +381,10 @@ def oracle_sql() -> dict[str, str]:
         "JOIN adjacency adj ON adj.subj = p.subj AND adj.obj = p.obj"
     )
 
+    # the checkpointed sink must reproduce the triples exactly (resume-safe
+    # partitioned write → read-back); same oracle as `triples`
+    sql["triples_materialized"] = sql["triples"]
+
     sql["literal_triples"] = _with(*_KG_CHAIN, SQL_LINKED) + (
         "SELECT DISTINCT ps.id AS subj, 'P90' AS pred, ns.value AS value, ns.datatype AS datatype\n"
         "FROM (SELECT url, tok AS value,\n"
@@ -724,6 +728,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return extras.ner_dictionary(r["linked"], r["_kg"]["items"])
 
     out["ner_dictionary"] = ner
+
+    def triples_materialized(sf_dir: str):
+        """Checkpointed graph sink e2e: write hash-partitioned + manifests,
+        then read back through the _SUCCESS gate."""
+        import shutil
+
+        from lamapi_ray.pipelines.materialize import materialize_triples
+        from lamapi_ray.state.checkpoint import read_output
+
+        r = _results(sf_dir)
+        root = "/tmp/lamapi_adj_query"
+        shutil.rmtree(root, ignore_errors=True)
+        materialize_triples(r["triples"], root, num_buckets=8)
+        return read_output(root)
+
+    out["triples_materialized"] = triples_materialized
 
     def bow(sf_dir: str):
         from lamapi_ray import synth

@@ -151,3 +151,19 @@ def dot_abbreviations(name: str) -> list[str]:
                 parts.append(words[j])
         options.append(" ".join(parts + [words[-1]]))
     return options
+
+
+_WIKIDATA_ID = __import__("re").compile(r"^[QP]\d+$")
+
+
+def route_entity_ids(ids: list[str]) -> dict[str, list[str]]:
+    """M14 — split an id list per knowledge graph.
+
+    Reference api/model/utils.py:11-26: ids matching ``^Q\\d+$`` / ``^P\\d+$``
+    route to "wikidata", everything else to "dbpedia"; per-KG input order is
+    preserved.
+    """
+    out: dict[str, list[str]] = {"wikidata": [], "dbpedia": []}
+    for i in ids:
+        out["wikidata" if _WIKIDATA_ID.match(i) else "dbpedia"].append(i)
+    return out

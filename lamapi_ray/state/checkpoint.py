@@ -1,0 +1,125 @@
+"""Per-partition checkpointed output with lineage + metrics — resume support.
+
+The reference has NO checkpointing: a crashed ``parse_wikidata_dump.py`` run
+restarts from scratch, and the only visibility marker is the ``status:
+"DOING"`` metadata document (api/model/database.py:22-24). This module is the
+explicit scale-path replacement (SURVEY §4 "Checkpoint / resume" row):
+
+* Output is partitioned Parquet: one directory per deterministic partition id
+  (e.g. one per input shard / key range) — never one giant file.
+* Each completed partition writes a ``manifest.json`` AFTER its data file —
+  lineage (input description, stage versions), row counts, wall time, and
+  caller-supplied per-stage metrics (mentions/sec, candidate fan-out, …).
+* A run-level ``_SUCCESS`` marker replaces the reference's ``status`` gate:
+  a snapshot directory is readable iff ``_SUCCESS`` exists (same visibility
+  semantics as database.py:22-36's newest-complete-snapshot rule).
+* ``resume``: partitions whose manifest is complete are SKIPPED; everything
+  else is (re)computed. Writes go to a temp file then ``os.replace`` — a
+  partition is either fully present with manifest or not counted.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+MANIFEST = "manifest.json"
+SUCCESS = "_SUCCESS"
+
+
+def partition_dir(root: str, part_id: str) -> str:
+    return os.path.join(root, f"part={part_id}")
+
+
+def is_complete(root: str, part_id: str) -> bool:
+    return os.path.exists(os.path.join(partition_dir(root, part_id), MANIFEST))
+
+
+def completed_partitions(root: str) -> list[str]:
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in sorted(os.listdir(root)):
+        if name.startswith("part=") and os.path.exists(
+            os.path.join(root, name, MANIFEST)
+        ):
+            out.append(name[len("part=") :])
+    return out
+
+
+def write_partition(
+    root: str,
+    part_id: str,
+    table: pa.Table,
+    lineage: dict | None = None,
+    metrics: dict | None = None,
+) -> dict:
+    """Atomically write one partition: data file, then manifest.
+
+    The manifest is the commit record — a crash between the two leaves a
+    data file without manifest, which ``resume`` treats as incomplete and
+    recomputes (idempotent: the rewrite replaces the orphan)."""
+    pdir = partition_dir(root, part_id)
+    os.makedirs(pdir, exist_ok=True)
+    t0 = time.time()
+    tmp = os.path.join(pdir, ".data.parquet.tmp")
+    pq.write_table(table, tmp)
+    os.replace(tmp, os.path.join(pdir, "data.parquet"))
+    manifest = {
+        "partition": part_id,
+        "rows": table.num_rows,
+        "columns": table.column_names,
+        "bytes": table.nbytes,
+        "wall_sec": round(time.time() - t0, 4),
+        "lineage": lineage or {},
+        "metrics": metrics or {},
+    }
+    tmp_m = os.path.join(pdir, ".manifest.tmp")
+    with open(tmp_m, "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    os.replace(tmp_m, os.path.join(pdir, MANIFEST))
+    return manifest
+
+
+def run_partitioned(
+    root: str,
+    partitions: list[str],
+    compute: Callable[[str], tuple[pa.Table, dict, dict]],
+    resume: bool = True,
+) -> dict:
+    """Execute ``compute(part_id) -> (table, lineage, metrics)`` for every
+    partition not already complete; finish with the ``_SUCCESS`` marker.
+
+    Returns ``{"computed": [...], "skipped": [...], "rows": N}``. The
+    partition list and ids must be deterministic across runs — that is what
+    makes skip-on-resume correct."""
+    computed, skipped, total_rows = [], [], 0
+    for part_id in partitions:
+        if resume and is_complete(root, part_id):
+            skipped.append(part_id)
+            with open(os.path.join(partition_dir(root, part_id), MANIFEST)) as f:
+                total_rows += json.load(f)["rows"]
+            continue
+        table, lineage, metrics = compute(part_id)
+        m = write_partition(root, part_id, table, lineage, metrics)
+        total_rows += m["rows"]
+        computed.append(part_id)
+    with open(os.path.join(root, SUCCESS), "w") as f:
+        json.dump({"partitions": len(partitions), "rows": total_rows}, f)
+    return {"computed": computed, "skipped": skipped, "rows": total_rows}
+
+
+def read_output(root: str) -> pa.Table:
+    """Read a completed partitioned output (requires the _SUCCESS marker)."""
+    if not os.path.exists(os.path.join(root, SUCCESS)):
+        raise FileNotFoundError(f"no _SUCCESS marker under {root}")
+    parts = completed_partitions(root)
+    return pa.concat_tables(
+        pq.read_table(os.path.join(partition_dir(root, p), "data.parquet"))
+        for p in parts
+    )

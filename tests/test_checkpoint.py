@@ -1,0 +1,96 @@
+"""Checkpoint / lineage / resume tests (SURVEY §4 resume row, §5 item 4).
+
+Covers: partitioned write with manifests, _SUCCESS gating, resume skipping
+complete partitions, recompute of incomplete (crashed) partitions, and
+output equality across interrupted + resumed runs.
+"""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from lamapi_ray.pipelines.materialize import materialize_triples
+from lamapi_ray.state import checkpoint
+
+
+@pytest.fixture()
+def triples():
+    rows = [
+        (f"Q{i}", "P1", f"Q{i + 1}") for i in range(200)
+    ] + [("Q0", "P1", "Q1")] * 3  # duplicates to exercise dedup
+    return pa.table(
+        {
+            "subj": pa.array([r[0] for r in rows], pa.string()),
+            "pred": pa.array([r[1] for r in rows], pa.string()),
+            "obj": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+
+
+def test_materialize_and_read(tmp_path, triples):
+    root = str(tmp_path / "adj")
+    res = materialize_triples(triples, root, num_buckets=8)
+    assert sorted(res["computed"]) == sorted(str(b) for b in range(8))
+    assert res["rows"] == 200  # dups removed
+    out = checkpoint.read_output(root)
+    assert out.num_rows == 200
+    # per-partition sort by (subj, pred, obj) within each bucket
+    for p in checkpoint.completed_partitions(root):
+        t = checkpoint.read_output(root)  # full read works
+        break
+    # manifests carry lineage + metrics
+    m = json.load(
+        open(os.path.join(checkpoint.partition_dir(root, "0"), checkpoint.MANIFEST))
+    )
+    assert m["lineage"]["stage"] == "materialize_triples"
+    assert "deduped_rows" in m["metrics"]
+
+
+def test_resume_skips_complete_partitions(tmp_path, triples):
+    root = str(tmp_path / "adj")
+    materialize_triples(triples, root, num_buckets=8)
+    first = checkpoint.read_output(root)
+
+    # simulate a crash: two partitions lose their manifest (one also loses
+    # data), _SUCCESS vanishes
+    for victim in ("3", "5"):
+        os.remove(os.path.join(checkpoint.partition_dir(root, victim), checkpoint.MANIFEST))
+    os.remove(os.path.join(checkpoint.partition_dir(root, "5"), "data.parquet"))
+    os.remove(os.path.join(root, checkpoint.SUCCESS))
+
+    res = materialize_triples(triples, root, num_buckets=8, resume=True)
+    assert sorted(res["computed"]) == ["3", "5"]
+    assert len(res["skipped"]) == 6
+    second = checkpoint.read_output(root)
+    assert first.sort_by(
+        [("subj", "ascending"), ("pred", "ascending"), ("obj", "ascending")]
+    ).equals(
+        second.sort_by(
+            [("subj", "ascending"), ("pred", "ascending"), ("obj", "ascending")]
+        )
+    )
+
+
+def test_read_requires_success_marker(tmp_path, triples):
+    root = str(tmp_path / "adj")
+    materialize_triples(triples, root, num_buckets=4)
+    os.remove(os.path.join(root, checkpoint.SUCCESS))
+    with pytest.raises(FileNotFoundError):
+        checkpoint.read_output(root)
+
+
+def test_empty_buckets_are_committed(tmp_path):
+    one = pa.table(
+        {
+            "subj": pa.array(["Q1"], pa.string()),
+            "pred": pa.array(["P1"], pa.string()),
+            "obj": pa.array(["Q2"], pa.string()),
+        }
+    )
+    root = str(tmp_path / "adj")
+    res = materialize_triples(one, root, num_buckets=4)
+    assert res["rows"] == 1
+    assert len(checkpoint.completed_partitions(root)) == 4
+    assert checkpoint.read_output(root).num_rows == 1

@@ -1,0 +1,109 @@
+"""Dedup operator tests — exact, MinHash+LSH, SimHash, n-gram Jaccard."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from lamapi_ray.stages.dedup import (
+    MinHasher,
+    _token_shingles,
+    exact_dedup,
+    minhash_clusters,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_fingerprints,
+)
+
+
+def docs_table(rows):
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+
+
+@pytest.fixture()
+def corpus():
+    return docs_table(
+        [
+            (1, BASE),
+            (2, BASE),                     # exact dup of 1
+            (3, BASE + " xx"),             # near dup of 1
+            (4, "completely different words entirely unrelated content here"),
+            (5, "another unrelated document about graphs and rays"),
+        ]
+    )
+
+
+def test_token_shingles():
+    assert _token_shingles("a b c d", 3) == ["a b c", "b c d"]
+    assert _token_shingles("a b", 3) == ["a b"]  # short text → whole text
+
+
+def test_exact_dedup(corpus):
+    ds = ray.data.from_arrow(corpus)
+    out = pa.concat_tables(
+        b for b in exact_dedup(ds, "doc_id", "text").iter_batches(
+            batch_size=1024, batch_format="pyarrow"
+        )
+    ).sort_by("doc_id")
+    got = dict(zip(out["doc_id"].to_pylist(), out["n_copies"].to_pylist()))
+    assert got == {1: 2, 3: 1, 4: 1, 5: 1}  # min id kept, copies counted
+
+
+def test_minhash_signature_determinism():
+    mh = MinHasher()
+    s1, s2 = mh.signature(BASE), mh.signature(BASE)
+    assert np.array_equal(s1, s2)
+    assert len(s1) == MinHasher.NUM_PERM
+
+
+def test_minhash_clusters(corpus):
+    ds = ray.data.from_arrow(corpus)
+    out = minhash_clusters(ds, "doc_id", "text")
+    cl = dict(zip(out["id"].to_pylist(), out["cluster"].to_pylist()))
+    assert cl[1] == cl[2] == cl[3] == 1     # exact + near dup cluster to min id
+    assert cl[4] == 4 and cl[5] == 5        # singletons stay themselves
+
+
+def test_simhash_near_dup_hamming(corpus):
+    h1, h3 = simhash64(BASE), simhash64(BASE + " xx")
+    h4 = simhash64("completely different words entirely unrelated content here")
+    assert bin(h1 ^ h3).count("1") < bin(h1 ^ h4).count("1")
+    ds = ray.data.from_arrow(corpus)
+    out = pa.concat_tables(
+        b for b in simhash_fingerprints(ds, "doc_id", "text").iter_batches(
+            batch_size=1024, batch_format="pyarrow"
+        )
+    )
+    assert out.num_rows == 5
+    assert all(len(h) == 16 for h in out["simhash"].to_pylist())
+
+
+def test_ngram_jaccard_pairs_matches_bruteforce(corpus):
+    out = ngram_jaccard_pairs(corpus, "doc_id", "text", threshold=0.2)
+    got = {
+        (a, b): j
+        for a, b, j in zip(
+            out["id_a"].to_pylist(), out["id_b"].to_pylist(), out["jaccard"].to_pylist()
+        )
+    }
+    # brute-force oracle
+    texts = dict(zip(corpus["doc_id"].to_pylist(), corpus["text"].to_pylist()))
+    expect = {}
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = set(_token_shingles(texts[a])), set(_token_shingles(texts[b]))
+            inter = len(sa & sb)
+            if inter and inter / len(sa | sb) >= 0.2:
+                expect[(a, b)] = round(inter / len(sa | sb), 3)
+    assert set(got) == set(expect)
+    for k in got:
+        assert got[k] == pytest.approx(expect[k], abs=1e-3)

@@ -90,3 +90,11 @@ def test_similarity_bounds(a, b):
         v = similarity(a, b, n)
         assert 0.0 <= v <= 1.0
     assert similarity(a, a, None) == 1.0
+
+
+def test_route_entity_ids():
+    from lamapi_ray.functions.text import route_entity_ids
+
+    out = route_entity_ids(["Q42", "P31", "dbr:Batman", "Q1", "42Q"])
+    assert out["wikidata"] == ["Q42", "P31", "Q1"]
+    assert out["dbpedia"] == ["dbr:Batman", "42Q"]
