@@ -360,6 +360,11 @@ def oracle_sql() -> dict[str, str]:
         "SELECT url, mention FROM mention_rows"
     )
 
+    # skew-aware canonicalization count (salted two-stage groupby)
+    sql["mention_counts"] = _with(
+        SQL_PAGES, SQL_ITEMS, SQL_SURFACE_FORMS, SQL_MENTION_ROWS
+    ) + "SELECT mention, count(*) AS n FROM mention_rows GROUP BY mention"
+
     sql["candidates"] = _with(*_KG_CHAIN) + (
         'SELECT f.mention, f.id, f.name, f.description, f.types,\n'
         "       CASE WHEN f.types = '' THEN '' ELSE coalesce(ti.label, f.types) END AS type_names,\n"
@@ -744,6 +749,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return read_output(root)
 
     out["triples_materialized"] = triples_materialized
+
+    def mention_counts(sf_dir: str):
+        """Salted two-stage groupby over the skewed surface-form key."""
+        import ray.data as rd
+
+        from lamapi_ray.stages.shuffle import salted_count
+
+        r = _results(sf_dir)
+        return _collect(
+            salted_count(rd.from_arrow(r["mentions"]), "mention", num_salts=8)
+        )
+
+    out["mention_counts"] = mention_counts
 
     def bow(sf_dir: str):
         from lamapi_ray import synth

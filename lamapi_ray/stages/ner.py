@@ -1,0 +1,131 @@
+"""NER stage — stateful actor pool with a model loaded once per actor.
+
+The reference wraps spaCy ``en_core_web_sm`` loaded once per process
+(api/model/data_retrievers/ner_recognizer.py:7) and emits
+``{mention, classification, start_index, end_index}`` per entity span
+(:14-29). This container ships no spaCy, so the stage is the REAL actor-pool
+plumbing (callable class, ``__init__``-time model load, batched
+``__call__``) around a gated model:
+
+* if ``spacy`` + the model import cleanly → real NER;
+* else → a deterministic gazetteer fallback: spans whose lowercase form is
+  in a broadcast surface→NERtype dictionary (the same dictionary the
+  linking stage produces), classification mapped exactly like the
+  reference maps spaCy labels (PERSON→PERS, ORG→ORG, GPE/LOC→LOC,
+  else OTHERS — ner_recognizer.py label convention).
+
+The output schema matches the reference either way, so swapping the real
+model in changes no downstream code.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+import ray.data
+
+SPACY_LABEL_MAP = {
+    "PERSON": "PERS",
+    "ORG": "ORG",
+    "GPE": "LOC",
+    "LOC": "LOC",
+}
+
+NER_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("mention", pa.string()),
+        ("classification", pa.string()),
+        ("start_index", pa.int64()),
+        ("end_index", pa.int64()),
+    ]
+)
+
+
+class NERActor:
+    """Model state loaded once per actor (reference loads spaCy once per
+    process); batches scored in ``__call__``."""
+
+    def __init__(self, gazetteer_ref=None):
+        self.nlp = None
+        try:  # pragma: no cover - spaCy not present in this container
+            import spacy
+
+            self.nlp = spacy.load("en_core_web_sm")
+        except Exception:
+            self.nlp = None
+        self.gazetteer: dict[str, str] = (
+            ray.get(gazetteer_ref) if gazetteer_ref is not None else {}
+        )
+
+    def _spans(self, text: str) -> list[tuple[str, str, int, int]]:
+        if self.nlp is not None:  # pragma: no cover
+            doc = self.nlp(text)
+            return [
+                (
+                    ent.text,
+                    SPACY_LABEL_MAP.get(ent.label_, "OTHERS"),
+                    ent.start_char,
+                    ent.end_char,
+                )
+                for ent in doc.ents
+            ]
+        # deterministic gazetteer fallback: longest-match-first scan
+        out = []
+        low = text.lower()
+        if not self.gazetteer:
+            return out
+        max_n = max(s.count(" ") + 1 for s in self.gazetteer)
+        tokens = low.split(" ")
+        # char offsets per token of the ORIGINAL text (single-space split)
+        offsets = []
+        pos = 0
+        for t in text.split(" "):
+            offsets.append(pos)
+            pos += len(t) + 1
+        i = 0
+        while i < len(tokens):
+            matched = False
+            for n in range(min(max_n, len(tokens) - i), 0, -1):
+                window = " ".join(tokens[i : i + n])
+                if window in self.gazetteer:
+                    start = offsets[i]
+                    end = offsets[i + n - 1] + len(tokens[i + n - 1])
+                    out.append((text[start:end], self.gazetteer[window], start, end))
+                    i += n
+                    matched = True
+                    break
+            if not matched:
+                i += 1
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for url, text in zip(batch["url"].to_pylist(), batch["text"].to_pylist()):
+            for mention, cls, s, e in self._spans(text or ""):
+                rows.append(
+                    {
+                        "url": url,
+                        "mention": mention,
+                        "classification": cls,
+                        "start_index": s,
+                        "end_index": e,
+                    }
+                )
+        return pa.Table.from_pylist(rows, schema=NER_SCHEMA)
+
+
+def ner_pages(
+    pages: ray.data.Dataset,
+    gazetteer: dict[str, str] | None = None,
+    concurrency: int = 2,
+) -> ray.data.Dataset:
+    """Actor-pool NER over (url, text) pages."""
+    gz_ref = ray.put(gazetteer or {})
+    return pages.select_columns(["url", "text"]).map_batches(
+        NERActor,
+        batch_format="pyarrow",
+        fn_constructor_args=(gz_ref,),
+        concurrency=concurrency,
+        batch_size=512,
+    )
