@@ -55,6 +55,23 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
             address="local", num_cpus=num_cpus, include_dashboard=False,
             logging_level="ERROR",
         )
+    from ray.data import DataContext
+
+    dctx = DataContext.get_current()
+    dctx.enable_progress_bars = False
+    dctx.execution_options.preserve_order = False
+
+    # warm the OS page cache + worker import graph (untimed)
+    import ray.data as _rd
+
+    def _warm(b):
+        import lamapi_ray.pipelines.kg  # noqa: F401
+        return b
+
+    _rd.range(2 * num_cpus, override_num_blocks=2 * num_cpus).map_batches(
+        _warm
+    ).materialize()
+    _rd.read_parquet(f"{sf_dir}/documents.parquet").materialize()
 
     from lamapi_ray import synth
     from lamapi_ray.pipelines import extras

@@ -94,3 +94,37 @@ def test_empty_buckets_are_committed(tmp_path):
     assert res["rows"] == 1
     assert len(checkpoint.completed_partitions(root)) == 4
     assert checkpoint.read_output(root).num_rows == 1
+
+
+def test_run_job_end_to_end_and_resume(tmp_path):
+    """Full job: pipeline → checkpointed adjacency + manifests with stage
+    metrics; rerun skips all partitions."""
+    from lamapi_ray.run import run_job
+    from lamapi_ray.state import checkpoint
+
+    out = str(tmp_path / "kg_out")
+    import os
+
+    os.makedirs(out, exist_ok=True)
+    r1 = run_job("/root/testdata/sf0.001", out, num_buckets=4)
+    assert r1["metrics"]["triples"] > 0
+    assert r1["metrics"]["mentions_per_sec"] > 0
+    assert r1["metrics"]["candidate_fan_out"] > 0
+    assert len(r1["materialize"]["computed"]) == 4
+    # manifests carry the job lineage + metrics
+    m = json.load(
+        open(
+            os.path.join(
+                checkpoint.partition_dir(os.path.join(out, "adjacency"), "0"),
+                checkpoint.MANIFEST,
+            )
+        )
+    )
+    assert "mentions_per_sec" in m["lineage"]["stage_metrics"]
+    assert m["lineage"]["input"].endswith("sf0.001")
+
+    r2 = run_job("/root/testdata/sf0.001", out, num_buckets=4)
+    assert r2["materialize"]["computed"] == []       # resume skipped everything
+    assert len(r2["materialize"]["skipped"]) == 4
+    first = checkpoint.read_output(os.path.join(out, "adjacency"))
+    assert first.num_rows == r1["metrics"]["triples"]
