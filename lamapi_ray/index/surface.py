@@ -146,6 +146,14 @@ class SurfaceIndex:
             for tok in set(norm.split(" ")):
                 postings.setdefault(tok, []).append(i)
         self.postings = {t: np.asarray(ix, dtype=np.int64) for t, ix in postings.items()}
+        # per-row type-name strings resolved once (J2) — constant per surface
+        self.type_names_joined = np.asarray(
+            [
+                " ".join(type_names.get(t, t) for t in ts.split(" ") if t)
+                for ts in self.types_str
+            ],
+            dtype=object,
+        )
         # vocabulary of full surface forms for the mention scanner
         self.surface_vocab = set(self.norms.tolist())
         self.max_surface_tokens = int(self.ntoken.max()) if len(self.ntoken) else 1
@@ -207,14 +215,15 @@ class SurfaceIndex:
             i = int(idx[rank])
             label_clean = self.norms[i]
             ed, jac, jac3 = scored_pair(label_clean, mention)
-            obj = {
+            prev = history.get(self.ids[i])
+            if prev is not None and (ed + jac) <= (prev["ed_score"] + prev["jaccard_score"]):
+                continue
+            history[self.ids[i]] = {
                 "id": self.ids[i],
                 "name": self.names[i],
                 "description": self.descriptions[i],
                 "types": self.types_str[i],
-                "type_names": " ".join(
-                    self.type_names.get(t, t) for t in self.types_str[i].split(" ") if t
-                ),
+                "type_names": self.type_names_joined[i],
                 "kind": self.kinds[i],
                 "NERtype": self.nertypes[i],
                 "ambiguity_mention": ambiguity,
@@ -230,7 +239,4 @@ class SurfaceIndex:
                 "jaccard_score": jac,
                 "jaccardNgram_score": jac3,
             }
-            prev = history.get(obj["id"])
-            if prev is None or (ed + jac) > (prev["ed_score"] + prev["jaccard_score"]):
-                history[obj["id"]] = obj
         return list(history.values())

@@ -1,13 +1,15 @@
 """The flagship KG-construction pipeline, end to end.
 
-pages → extract_text → mention scan → canonicalize (groupby surface) →
-candidate-gen actor pool → link → per-page entity pairs → adjacency join →
-(subj, pred, obj) triples + typed-literal triples.
+pages → extract_text → mention scan (one row per page, list columns) →
+canonicalize (per-batch combine + groupby surface) → candidate gen
+(per-worker index, broadcast) → link (broadcast map) → row-local pair +
+literal-triple emission (one tagged global distinct) → pairs ⋈ adjacency
+(pairs broadcast, adjacency streamed) → (subj, pred, obj) triples.
 
-Each arrow is a Dataset transform; the only all-to-all exchanges are the
-mention canonicalization (``groupby(mention)``), the per-page grouping
-(``groupby(url)``) and — when the adjacency side is too big to broadcast —
-one bucketed hash join. Everything else is map_batches / broadcast.
+Each arrow is a Dataset transform. The only all-to-all exchanges are the
+mention canonicalization and the vocabulary-bounded final distincts; every
+page-scale step is a stateless ``map_batches`` over zero-copy Arrow, so the
+pipeline's shuffle volume is independent of page count.
 """
 
 from __future__ import annotations
@@ -19,7 +21,7 @@ import ray.data
 from lamapi_ray.index.surface import build_surface_forms
 from lamapi_ray.stages.candidates import generate_candidates, link_best
 from lamapi_ray.stages.extract import extracted_pages
-from lamapi_ray.stages.join import broadcast_join, bucketed_hash_join
+from lamapi_ray.stages.join import bucketed_hash_join
 from lamapi_ray.stages.mentions import scan_mentions
 from lamapi_ray.synth import TYPE_LABELS
 
@@ -317,45 +319,6 @@ def entity_triples(
     return bucketed_hash_join(
         ray.data.from_arrow(pairs_tbl), adj, on=["subj", "obj"]
     ).select_columns(["subj", "pred", "obj"])
-
-
-def literal_triples(linked_rows: ray.data.Dataset) -> ray.data.Dataset:
-    """Typed literal triples: (page subject, P90, value, datatype).
-
-    Page subject := linked entity of the alphabetically-first mention of the
-    page (tie → smaller id) — a deterministic stand-in for "the page's main
-    entity". Entirely row-local (the subject choice and literal values both
-    live in the page row); per-batch distinct combines before the final
-    vocabulary-bounded global distinct — the only shuffle.
-    """
-
-    def emit(batch: pa.Table) -> pa.Table:
-        out: set[tuple[str, str, str]] = set()
-        for ms, ids, vals, dts in zip(
-            batch["linked_mentions"].to_pylist(),
-            batch["ids"].to_pylist(),
-            batch["lit_values"].to_pylist(),
-            batch["lit_datatypes"].to_pylist(),
-        ):
-            if not ids or not vals:
-                continue
-            subj = min(zip(ms, ids))[1]
-            for v, dt in zip(vals, dts):
-                out.add((subj, v, dt))
-        rows = sorted(out)
-        return pa.table(
-            {
-                "subj": pa.array([r[0] for r in rows], pa.string()),
-                "pred": pa.array([LITERAL_PRED] * len(rows), pa.string()),
-                "value": pa.array([r[1] for r in rows], pa.string()),
-                "datatype": pa.array([r[2] for r in rows], pa.string()),
-            }
-        )
-
-    trip = linked_rows.map_batches(emit, batch_format="pyarrow")
-    return trip.groupby(["subj", "pred", "value", "datatype"]).count().select_columns(
-        ["subj", "pred", "value", "datatype"]
-    )
 
 
 def run_pipeline(pages: ray.data.Dataset, ctx: KGContext, limit: int = 1000,

@@ -79,7 +79,7 @@ class CandidateGenerator:
         self.limit = limit
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows: list[dict] = []
+        cols: dict[str, list] = {name: [] for name, _ in CANDIDATE_FIELDS}
         for mention in batch["mention"].to_pylist():
             cands = self.index.candidates(mention, self.limit)
             if not cands:
@@ -101,13 +101,19 @@ class CandidateGenerator:
                 ):
                     best, best_key = k, key
             for k, cand in enumerate(cands):
-                cand = dict(cand)
-                cand["mention"] = mention
-                cand["is_best"] = k == best
-                rows.append(cand)
-        if not rows:
-            return pa.Table.from_pylist([], schema=CANDIDATE_SCHEMA)
-        return pa.Table.from_pylist(rows, schema=CANDIDATE_SCHEMA)
+                for name, _ in CANDIDATE_FIELDS:
+                    if name == "mention":
+                        cols["mention"].append(mention)
+                    elif name == "is_best":
+                        cols["is_best"].append(k == best)
+                    else:
+                        cols[name].append(cand[name])
+        return pa.table(
+            {
+                name: pa.array(cols[name], type=typ)
+                for name, typ in CANDIDATE_FIELDS
+            }
+        )
 
 
 def generate_candidates(
