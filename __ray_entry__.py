@@ -520,6 +520,31 @@ def oracle_sql() -> dict[str, str]:
         f" {_xsd_case('datatype', 'xml_datatype')} AS xml_datatype\nFROM cls"
     )
 
+    # --- wikidata dump ingest e2e (S1 + M1-M4) ----------------------------
+    # engine side synthesizes a wikidata-style JSON dump from `part`
+    # (extras._synth_dump_path spec) and runs the real reader/parser; the
+    # oracle reproduces the derivation relationally.
+
+    sql["wikidata_items"] = (
+        "SELECT 'Q' || (100000 + p_partkey) AS entity, p_name AS label,\n"
+        "  p_type AS description, greatest(p_partkey % 5, 1) AS popularity,\n"
+        "  CASE WHEN p_partkey % 7 = 0 THEN 'type' ELSE 'entity' END AS category\n"
+        "FROM part"
+    )
+
+    sql["wikidata_triples"] = (
+        "SELECT 'Q' || (100000 + p_partkey) AS entity, 'P31' AS pred, 'Q9001' AS obj FROM part\n"
+        "UNION ALL\n"
+        "SELECT 'Q' || (100000 + p_partkey), 'P279', 'Q9001' FROM part WHERE p_partkey % 7 = 0"
+    )
+
+    sql["wikidata_literals"] = (
+        "SELECT 'Q' || (100000 + p_partkey) AS entity, 'NUMBER' AS datatype,\n"
+        "  'P6' AS pred, CAST(p_retailprice AS VARCHAR) AS value FROM part\n"
+        "UNION ALL\n"
+        "SELECT 'Q' || (100000 + p_partkey), 'STRING', 'P9', p_brand FROM part"
+    )
+
     # --- lookup parity (J1/J3) --------------------------------------------
 
     sql["lookup_types"] = _with(SQL_ITEMS, SQL_LOOKUP_KEYS) + (
@@ -710,6 +735,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "literal_classify",
         "lookup_sameas",
         "column_analysis",
+        "wikidata_items",
+        "wikidata_triples",
+        "wikidata_literals",
     ]:
         out[n] = getattr(extras, n)
 

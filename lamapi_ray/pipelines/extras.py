@@ -494,3 +494,103 @@ def column_analysis(sf_dir: str) -> pa.Table:
             "n_values": pa.array([r["n_values"] for r in rows], pa.int64()),
         }
     )
+
+
+# --- Wikidata dump ingest e2e (S1 + M1-M4, oracle-checked) ----------------
+
+
+def _synth_dump_path(sf_dir: str) -> str:
+    """Deterministic wikidata-style JSON dump derived from the part table.
+
+    One entity per part: Q(100000+k); en label = p_name; description =
+    p_type; sitelinks count = k % 5 (→ popularity max(k%5, 1)); every 7th
+    part carries a P279 claim (→ category "type"); claims: P31 → Q9001
+    (wikibase-item), P6 quantity = p_retailprice, P9 string = p_brand, plus
+    one wikibase-lexeme claim that the parser must skip. A malformed line is
+    injected to exercise the skip path. The oracle SQL reproduces the same
+    derivation from `part` directly.
+    """
+    import hashlib
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/lamapi_dump_{tag}.json"
+    if os.path.exists(path):
+        return path
+    parts = (
+        pq.read_table(
+            f"{sf_dir}/part.parquet",
+            columns=["p_partkey", "p_name", "p_type", "p_brand", "p_retailprice"],
+        )
+        .sort_by("p_partkey")
+        .to_pylist()
+    )
+    lines = ["["]
+    for p in parts:
+        k = int(p["p_partkey"])
+        claims = {
+            "P31": [{"mainsnak": {"datatype": "wikibase-item",
+                                  "datavalue": {"value": {"id": "Q9001"}}}}],
+            "P6": [{"mainsnak": {"datatype": "quantity",
+                                 "datavalue": {"value": {"amount": str(p["p_retailprice"])}}}}],
+            "P9": [{"mainsnak": {"datatype": "string",
+                                 "datavalue": {"value": p["p_brand"]}}}],
+            "P99": [{"mainsnak": {"datatype": "wikibase-lexeme",
+                                  "datavalue": {"value": {"id": "L1"}}}}],
+        }
+        if k % 7 == 0:
+            claims["P279"] = [{"mainsnak": {"datatype": "wikibase-item",
+                                            "datavalue": {"value": {"id": "Q9001"}}}}]
+        entity = {
+            "id": f"Q{100000 + k}",
+            "labels": {"en": {"value": p["p_name"]}},
+            "aliases": {},
+            "descriptions": {"en": {"value": p["p_type"]}},
+            "sitelinks": {f"wiki{i}": {} for i in range(k % 5)},
+            "claims": claims,
+        }
+        lines.append(json.dumps(entity, sort_keys=True) + ",")
+    lines.append("{not json},")  # malformed-line skip (ref :252-253)
+    lines.append("]")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines))
+    os.replace(tmp, path)
+    return path
+
+
+def _dump_tables(sf_dir: str):
+    from lamapi_ray.sources.wikidata import read_dump, split_tables
+
+    return split_tables(read_dump(_synth_dump_path(sf_dir)))
+
+
+def wikidata_items(sf_dir: str) -> pa.Table:
+    tbl = _collect(_dump_tables(sf_dir)["items"])
+
+    def en_label(labels):
+        for rec in labels or []:
+            if rec["lang"] == "en":
+                return rec["value"]
+        return None
+
+    return pa.table(
+        {
+            "entity": tbl["entity"].combine_chunks().cast(pa.string()),
+            "label": pa.array([en_label(x) for x in tbl["labels"].to_pylist()], pa.string()),
+            "description": tbl["description"].combine_chunks().cast(pa.string()),
+            "popularity": tbl["popularity"].combine_chunks().cast(pa.int64()),
+            "category": tbl["category"].combine_chunks().cast(pa.string()),
+        }
+    )
+
+
+def wikidata_triples(sf_dir: str) -> pa.Table:
+    return _collect(_dump_tables(sf_dir)["triples"])
+
+
+def wikidata_literals(sf_dir: str) -> pa.Table:
+    return _collect(_dump_tables(sf_dir)["literals"])
