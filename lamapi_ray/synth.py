@@ -362,39 +362,46 @@ def build_kg_tables(sf_dir: str) -> dict[str, pa.Table]:
         right_suffix="_r",
     )
 
-    def pair_edges(batch: pa.Table) -> pa.Table:
+    # Pair keys shuffle as packed int64 (a·2^24 + b), per-batch distinct
+    # combiner; final dedup is a numpy unique over ints — strings are built
+    # exactly once, for the already-distinct keys.
+    import numpy as np
+
+    _PACK = 1 << 24  # part keys < 16M at any tested sf
+
+    def pair_keys(batch: pa.Table) -> pa.Table:
         a = batch["l_partkey"]
-        b = (
-            batch["l_partkey_r"]
-            if "l_partkey_r" in batch.column_names
-            else batch["l_partkey" + "_r"]
-        )
+        b = batch["l_partkey_r"]
         keep = pc.not_equal(a, b)
-        a, b = pc.filter(a, keep), pc.filter(b, keep)
-        subj = pc.binary_join_element_wise(
-            "Q", pc.cast(pc.add(pc.cast(a, pa.int64()), 100000), pa.string()), ""
-        )
-        obj = pc.binary_join_element_wise(
-            "Q", pc.cast(pc.add(pc.cast(b, pa.int64()), 100000), pa.string()), ""
-        )
-        return pa.table(
-            {"subj": subj, "pred": pa.array(["P1"] * len(subj)), "obj": obj}
-        )
+        a = pc.filter(a, keep).cast(pa.int64())
+        b = pc.filter(b, keep).cast(pa.int64())
+        key = pc.add(pc.multiply(a, _PACK), b)
+        return pa.table({"k": pc.unique(key.combine_chunks())})
 
-    co = joined.map_batches(pair_edges, batch_format="pyarrow")
-    edge_tables.append(_collect_arrow(co))
-
-    # Supplies (P5): per-batch distinct (combiner), final dedup in the
-    # driver-side group_by below (pair domain is supplier×part bounded).
-    def sup_partial(batch: pa.Table) -> pa.Table:
-        return batch.select(["l_suppkey", "l_partkey"]).group_by(
-            ["l_suppkey", "l_partkey"]
-        ).aggregate([])
-
-    sup_tbl = _collect_arrow(li.map_batches(sup_partial, batch_format="pyarrow"))
+    co_keys = np.unique(
+        _collect_arrow(joined.map_batches(pair_keys, batch_format="pyarrow"))[
+            "k"
+        ].to_numpy(zero_copy_only=False)
+    )
     edge_tables.append(
-        _edges(200000, sup_tbl["l_suppkey"].to_pylist(), "P5",
-               100000, sup_tbl["l_partkey"].to_pylist())
+        _edges(100000, co_keys // _PACK, "P1", 100000, co_keys % _PACK)
+    )
+
+    # Supplies (P5): same packed-distinct pattern over (suppkey, partkey).
+    def sup_keys(batch: pa.Table) -> pa.Table:
+        key = pc.add(
+            pc.multiply(batch["l_suppkey"].cast(pa.int64()), _PACK),
+            batch["l_partkey"].cast(pa.int64()),
+        )
+        return pa.table({"k": pc.unique(key.combine_chunks())})
+
+    sup_keys_arr = np.unique(
+        _collect_arrow(li.map_batches(sup_keys, batch_format="pyarrow"))[
+            "k"
+        ].to_numpy(zero_copy_only=False)
+    )
+    edge_tables.append(
+        _edges(200000, sup_keys_arr // _PACK, "P5", 100000, sup_keys_arr % _PACK)
     )
 
     all_edges = pa.concat_tables(
