@@ -425,6 +425,19 @@ def oracle_sql() -> dict[str, str]:
         "FROM g CROSS JOIN st LEFT JOIN items i ON i.entity = g.predicate"
     )
 
+    # O3: summary top-k (default 10, here 3 for a non-trivial subset) with a
+    # deterministic tie-break — reference summary_retriever.py:17-21
+    sql["summary_topk"] = _with(
+        SQL_ITEMS,
+        SQL_ADJACENCY,
+        "g AS (SELECT pred AS predicate, count(*) AS cnt FROM adjacency GROUP BY 1)",
+    ) + (
+        "SELECT g.predicate, coalesce(i.label, 'Unknown Label') AS label,\n"
+        '       g.cnt AS "count"\n'
+        "FROM g LEFT JOIN items i ON i.entity = g.predicate\n"
+        "QUALIFY row_number() OVER (ORDER BY g.cnt DESC, g.predicate ASC) <= 3"
+    )
+
     # --- training-data operators ------------------------------------------
 
     sql["dedup_exact"] = _with(SQL_DUP_EXACT) + (
@@ -723,6 +736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact",
         "dedup_minhash",
         "dedup_simhash",
+        "simhash_near_dup",
         "ngram_jaccard_dup",
         "lang_id",
         "quality_score",
@@ -777,6 +791,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return read_output(root)
 
     out["triples_materialized"] = triples_materialized
+
+    def summary_topk(sf_dir: str):
+        """Top-3 predicates by usage (desc, id tie-break) — O3 semantics."""
+        r = _results(sf_dir)
+        tbl = r["summary_objects"].select(["predicate", "label", "count"])
+        order = pa.compute.sort_indices(
+            tbl,
+            sort_keys=[("count", "descending"), ("predicate", "ascending")],
+        )
+        return tbl.take(order[:3])
+
+    out["summary_topk"] = summary_topk
 
     def mention_counts(sf_dir: str):
         """Salted two-stage groupby over the skewed surface-form key."""

@@ -594,3 +594,9 @@ def wikidata_triples(sf_dir: str) -> pa.Table:
 
 def wikidata_literals(sf_dir: str) -> pa.Table:
     return _collect(_dump_tables(sf_dir)["literals"])
+
+
+def simhash_near_dup(sf_dir: str) -> pa.Table:
+    from lamapi_ray.stages.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_dup_corpus(sf_dir, modify=True), "doc_id", "text")

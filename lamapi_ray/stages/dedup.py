@@ -305,3 +305,62 @@ def ngram_jaccard_pairs(
     return pa.concat_tables(
         [b for b in out.iter_batches(batch_size=65536, batch_format="pyarrow")]
     )
+
+
+def simhash_near_pairs(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    num_rotations: int = 4,
+) -> pa.Table:
+    """Hamming-close SimHash pairs via rotated prefix buckets.
+
+    Classic Charikar trick: for each of ``num_rotations`` bit-rotations of
+    the 64-bit fingerprint, bucket by the top-16-bit prefix — any pair
+    within ``max_hamming`` bits collides in at least one rotation with high
+    probability (exact for pairs whose differing bits avoid one prefix).
+    Candidate pairs are verified by exact Hamming distance. Fingerprints are
+    computed distributed (the text-heavy part); bucketing + verification is
+    driver-side numpy over the 8-byte/doc fingerprint table — bounded by doc
+    count, not corpus bytes; swap for a Ray groupby over (rotation, prefix)
+    beyond ~10^8 docs.
+    """
+    fp_tbl = pa.concat_tables(
+        b
+        for b in simhash_fingerprints(ds, id_col, text_col).iter_batches(
+            batch_size=65536, batch_format="pyarrow"
+        )
+    )
+    ids = np.asarray(fp_tbl["id"].to_pylist(), dtype=np.int64)
+    fps = np.array([int(h, 16) for h in fp_tbl["simhash"].to_pylist()], dtype=np.uint64)
+    order = np.argsort(ids, kind="stable")
+    ids, fps = ids[order], fps[order]
+
+    cand: set[tuple[int, int]] = set()
+    for r in range(num_rotations):
+        rot = ((fps << np.uint64(16 * r)) | (fps >> np.uint64(64 - 16 * r))) if r else fps
+        prefix = rot >> np.uint64(48)
+        buckets: dict[int, list[int]] = {}
+        for i, p in enumerate(prefix):
+            buckets.setdefault(int(p), []).append(i)
+        for members in buckets.values():
+            if len(members) > 1:
+                for x in range(len(members)):
+                    for y in range(x + 1, len(members)):
+                        cand.add((members[x], members[y]))
+
+    a_out, b_out, d_out = [], [], []
+    for x, y in sorted(cand):
+        d = int(bin(int(fps[x]) ^ int(fps[y])).count("1"))
+        if d <= max_hamming:
+            a_out.append(int(ids[x]))
+            b_out.append(int(ids[y]))
+            d_out.append(d)
+    return pa.table(
+        {
+            "id_a": pa.array(a_out, pa.int64()),
+            "id_b": pa.array(b_out, pa.int64()),
+            "hamming": pa.array(d_out, pa.int64()),
+        }
+    )

@@ -107,3 +107,27 @@ def test_ngram_jaccard_pairs_matches_bruteforce(corpus):
     assert set(got) == set(expect)
     for k in got:
         assert got[k] == pytest.approx(expect[k], abs=1e-3)
+
+
+def test_simhash_near_pairs():
+    from lamapi_ray.stages.dedup import simhash_near_pairs
+
+    # SimHash hamming distance is only small for LONG docs with small edits
+    # (a 2-token append on a 13-token doc flips 7 bits); use a 200-token doc
+    # with a single substituted token (3 bits) as the near-dup.
+    long = " ".join(f"word{i}" for i in range(200))
+    near = long.replace("word100", "wordX")
+    other = " ".join(f"zzz{i}" for i in range(150))
+    ds = ray.data.from_arrow(
+        docs_table([(1, long), (2, long), (3, near), (4, other)])
+    )
+    out = simhash_near_pairs(ds, "doc_id", "text", max_hamming=3)
+    got = {(a, b): h for a, b, h in zip(
+        out["id_a"].to_pylist(), out["id_b"].to_pylist(), out["hamming"].to_pylist()
+    )}
+    assert got[(1, 2)] == 0          # exact dup → hamming 0
+    assert (1, 3) in got and got[(1, 3)] <= 3
+    assert (2, 3) in got
+    assert all(h <= 3 for h in got.values())
+    # unrelated doc must not pair with anything
+    assert not any(4 in pair for pair in got)
