@@ -504,6 +504,18 @@ def oracle_sql() -> dict[str, str]:
         "  WHERE q.vec_id < 8 AND c.vec_id >= 8) WHERE rank <= 10"
     )
 
+    sql["embedding_near_dup"] = (
+        "WITH dupe AS (\n"
+        "  SELECT vec_id, embedding FROM embeddings\n"
+        "  UNION ALL\n"
+        "  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 5 = 0\n"
+        ")\n"
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b,\n"
+        "  round_even(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine\n"
+        "FROM dupe a JOIN dupe b ON a.vec_id < b.vec_id\n"
+        "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.999"
+    )
+
     sql["window_events"] = (
         "SELECT event_type, date_trunc('hour', ts) AS window_start,\n"
         " count(*) AS n_events,\n"
@@ -744,6 +756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint",
         "ann_cosine",
         "ann_lsh",
+        "embedding_near_dup",
         "window_events",
         "multimodal_decode",
         "literal_classify",

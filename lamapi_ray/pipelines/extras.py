@@ -600,3 +600,46 @@ def simhash_near_dup(sf_dir: str) -> pa.Table:
     from lamapi_ray.stages.dedup import simhash_near_pairs
 
     return simhash_near_pairs(_dup_corpus(sf_dir, modify=True), "doc_id", "text")
+
+
+def embedding_near_dup(sf_dir: str) -> pa.Table:
+    """Embedding-cosine near-duplicate pairs over the embeddings table with
+    injected exact-duplicate vectors (every 5th vec copied to id+1e6)."""
+    from lamapi_ray.stages.annsearch import cosine_near_pairs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def dup(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        mask = ids % 5 == 0
+        emb = batch["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        import numpy as _np
+
+        sel = pa.array(_np.nonzero(mask)[0])
+        return pa.table(
+            {
+                "vec_id": pa.array(
+                    np.concatenate([ids, ids[mask] + 1_000_000]).astype(np.int64),
+                    pa.int64(),
+                ),
+                "embedding": pa.concat_arrays([emb, emb.take(sel)]),
+            }
+        )
+
+    out = cosine_near_pairs(
+        ds.map_batches(dup, batch_format="pyarrow", zero_copy_batch=True),
+        threshold=0.999,
+    )
+    return pa.table(
+        {
+            "id_a": out["id_a"],
+            "id_b": out["id_b"],
+            "cosine": pa.array(
+                [round_ref(c, 6) for c in out["cosine"].to_pylist()], pa.float64()
+            ),
+        }
+    )

@@ -169,3 +169,62 @@ def lsh_topk(
             "rank": pa.array(rows_r, pa.int64()),
         }
     )
+
+
+def cosine_near_pairs(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.999,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> pa.Table:
+    """All (i<j) pairs with cosine similarity ≥ threshold.
+
+    Embedding-cosine near-duplicate detection: the normalized corpus matrix
+    is broadcast once (``ray.put``); each task computes its batch's rows ×
+    full-matrix similarities with one BLAS matmul and keeps only
+    above-threshold pairs with j > i (so every pair is emitted exactly
+    once). At corpus sizes beyond broadcast, the scale path is the same
+    matmul against IVF/LSH bucket neighbours (see :func:`lsh_topk`).
+    """
+    import ray
+
+    full = pa.concat_tables(
+        b for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow")
+    )
+    ids = np.asarray(full[id_col].to_pylist(), dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    mat = _normalize_rows(
+        np.asarray(full[emb_col].to_pylist(), dtype=np.float64)[order]
+    )
+    state = ray.put((ids, mat))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        all_ids, m = ray.get(state)
+        rows = np.asarray(batch["row"].to_pylist(), dtype=np.int64)
+        sims = m[rows] @ m.T
+        a_out, b_out, c_out = [], [], []
+        for local, r in enumerate(rows):
+            hit = np.nonzero(sims[local] >= threshold)[0]
+            for j in hit:
+                if j > r:
+                    a_out.append(int(all_ids[r]))
+                    b_out.append(int(all_ids[j]))
+                    c_out.append(float(sims[local, j]))
+        return pa.table(
+            {
+                "id_a": pa.array(a_out, pa.int64()),
+                "id_b": pa.array(b_out, pa.int64()),
+                "cosine": pa.array(c_out, pa.float64()),
+            }
+        )
+
+    import ray.data as rd
+
+    rows_ds = rd.from_arrow(
+        pa.table({"row": pa.array(np.arange(len(ids)), pa.int64())})
+    )
+    out = rows_ds.map_batches(pairs, batch_format="pyarrow", batch_size=512)
+    return pa.concat_tables(
+        b for b in out.iter_batches(batch_size=65536, batch_format="pyarrow")
+    ).sort_by([("id_a", "ascending"), ("id_b", "ascending")])
