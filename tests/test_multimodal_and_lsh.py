@@ -1,0 +1,94 @@
+"""Multimodal plumbing + LSH-ANN + near-dup cosine stage tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from lamapi_ray.stages.annsearch import cosine_near_pairs, cosine_topk, lsh_topk
+from lamapi_ray.stages.multimodal import PayloadDecoder, attach_payload, decode_payloads
+
+
+def test_payload_decoder_deterministic():
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array([b"abc", b""], pa.binary()),
+        }
+    )
+    dec = PayloadDecoder()
+    out = dec(batch)
+    assert out["width"].to_pylist() == [1 + 3 % 640, 1]
+    assert out["height"].to_pylist() == [1 + 21 % 480, 1]
+    assert out["mean_byte"][0].as_py() == pytest.approx(
+        (ord("a") + ord("b") + ord("c")) / 3, abs=1e-4
+    )
+    assert out["mean_byte"][1].as_py() == 0.0
+
+
+def test_payload_decoder_real_path_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        PayloadDecoder(fake=False)
+
+
+def test_decode_payloads_actor_pool():
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(["aa", "bbb", "c"], pa.string()),
+            }
+        )
+    )
+    out = pa.concat_tables(
+        b
+        for b in decode_payloads(attach_payload(docs), concurrency=1).iter_batches(
+            batch_size=1024, batch_format="pyarrow"
+        )
+    ).sort_by("doc_id")
+    assert out["doc_id"].to_pylist() == [1, 2, 3]
+    assert out.column_names == ["doc_id", "width", "height", "mean_byte"]
+
+
+def _corpus(n=60, d=16, seed=3):
+    rng = np.random.RandomState(seed)
+    emb = rng.rand(n, d)
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in emb]),
+        }
+    ), emb
+
+
+def test_lsh_topk_is_subset_quality_bounded():
+    tbl, emb = _corpus()
+    ds = ray.data.from_arrow(tbl)
+    queries = emb[:2] + 0.001  # near-identical to corpus vectors 0 and 1
+    exact = cosine_topk(ds, queries, np.array([0, 1]), k=5)
+    approx = lsh_topk(ds, queries, np.array([0, 1]), k=5)
+    # LSH must return ranked rows per query and find the near-identical
+    # vector as the top neighbour (it collides in every band)
+    for qid in (0, 1):
+        ex = [n for q, n in zip(exact["query_id"].to_pylist(), exact["neighbor_id"].to_pylist()) if q == qid]
+        ap = [n for q, n in zip(approx["query_id"].to_pylist(), approx["neighbor_id"].to_pylist()) if q == qid]
+        assert ex[0] == qid
+        assert ap and ap[0] == qid
+
+
+def test_cosine_near_pairs_exact_dups_only():
+    tbl, emb = _corpus(n=20)
+    # duplicate vectors 0 and 7 under new ids
+    dup = pa.table(
+        {
+            "vec_id": pa.array([100, 107], pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, emb[0])), list(map(float, emb[7]))]
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(pa.concat_tables([tbl, dup]))
+    out = cosine_near_pairs(ds, threshold=0.999)
+    pairs = set(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
+    assert pairs == {(0, 100), (7, 107)}
+    assert all(c >= 0.999 for c in out["cosine"].to_pylist())
