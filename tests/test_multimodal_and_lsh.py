@@ -92,3 +92,44 @@ def test_cosine_near_pairs_exact_dups_only():
     pairs = set(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
     assert pairs == {(0, 100), (7, 107)}
     assert all(c >= 0.999 for c in out["cosine"].to_pylist())
+
+
+def test_resize_and_frame_sample_stages():
+    from lamapi_ray.stages.multimodal import (
+        FrameSampler,
+        PayloadResizer,
+        resize_payloads,
+        sample_frames,
+    )
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "text": pa.array(["x" * 1000], pa.string()),
+            }
+        )
+    )
+    payloads = attach_payload(docs)
+    rz = pa.concat_tables(
+        b for b in resize_payloads(payloads, 64, 64, concurrency=1).iter_batches(
+            batch_size=64, batch_format="pyarrow"
+        )
+    )
+    assert len(rz["payload"][0].as_py()) == 64 * 64 // 64
+    assert rz["width"][0].as_py() == 64
+
+    fr = pa.concat_tables(
+        b for b in sample_frames(payloads, frame_bytes=100, stride=2,
+                                 concurrency=1).iter_batches(
+            batch_size=64, batch_format="pyarrow"
+        )
+    )
+    # 1000 bytes / 100 per frame = 10 frames, stride 2 → frames 0,2,4,6,8
+    assert fr["frame"].to_pylist() == [0, 2, 4, 6, 8]
+    assert all(len(p) == 100 for p in fr["payload"].to_pylist())
+
+    with pytest.raises(NotImplementedError):
+        PayloadResizer(fake=False)
+    with pytest.raises(NotImplementedError):
+        FrameSampler(fake=False)
