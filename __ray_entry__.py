@@ -493,6 +493,16 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents"
     )
 
+    # polynomial rolling hash (base 257 mod 2^61-1) over the text bytes;
+    # the corpus is ASCII (verified at every sf), so per-char code points ==
+    # utf-8 bytes and the HUGEINT fold reproduces the engine exactly
+    sql["fingerprint"] = (
+        "SELECT doc_id, CAST(list_reduce(list_prepend(0::HUGEINT,\n"
+        "  list_transform(range(1, length(text)+1), i -> unicode(text[i])::HUGEINT)),\n"
+        "  (acc, b) -> (acc * 257 + b) % 2305843009213693951) AS BIGINT) AS fingerprint\n"
+        "FROM documents"
+    )
+
     sql["ann_cosine"] = (
         "SELECT query_id, neighbor_id, rank, round_even(cos, 6) AS cosine FROM (\n"
         "  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,\n"
