@@ -493,6 +493,35 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents"
     )
 
+    # 64-bit SimHash reproduced relationally: per-token md5 → little-endian
+    # u64 (nibble fold), weighted bit votes, sign threshold — identical to
+    # stages/dedup.py::simhash64 (validated per-bit on fixtures)
+    sql["dedup_simhash"] = (
+        "WITH tok AS (\n"
+        "  SELECT doc_id, tok, count(*) AS cnt\n"
+        "  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)\n"
+        "  GROUP BY 1, 2\n"
+        "),\n"
+        "th AS (\n"
+        "  SELECT doc_id, cnt, CAST(list_reduce(list_prepend(0::HUGEINT,\n"
+        "    list_transform(range(0, 8),\n"
+        "      i -> ((strpos('0123456789abcdef', substr(md5(tok), 2*i+1, 1)) - 1) * 16\n"
+        "          + (strpos('0123456789abcdef', substr(md5(tok), 2*i+2, 1)) - 1))::HUGEINT\n"
+        "           * (1::HUGEINT << (8*i)))),\n"
+        "    (a, b) -> a + b) AS UBIGINT) AS h\n"
+        "  FROM tok\n"
+        "),\n"
+        "bits AS (\n"
+        "  SELECT doc_id, bb.b AS bit,\n"
+        "         sum(CASE WHEN (h >> bb.b) & 1 = 1 THEN cnt ELSE -cnt END) AS acc\n"
+        "  FROM th, (SELECT unnest(range(0, 64)) AS b) bb(b)\n"
+        "  GROUP BY 1, 2\n"
+        ")\n"
+        "SELECT doc_id AS id, lower(lpad(hex(CAST(sum(CASE WHEN acc > 0\n"
+        "  THEN 1::HUGEINT << bit ELSE 0::HUGEINT END) AS UBIGINT)), 16, '0')) AS simhash\n"
+        "FROM bits GROUP BY doc_id"
+    )
+
     # polynomial rolling hash (base 257 mod 2^61-1) over the text bytes;
     # the corpus is ASCII (verified at every sf), so per-char code points ==
     # utf-8 bytes and the HUGEINT fold reproduces the engine exactly
