@@ -103,11 +103,11 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
 
     def kg_e2e():
         shutil.rmtree(SCRATCH, ignore_errors=True)
+        # NB: do NOT override_num_blocks here — forcing a block count makes
+        # Ray split one reader task instead of fusing read+scan per block,
+        # measured ~2x slower at 32 cpus than the default plan.
         pages = synth.pages_dataset(
-            sf_dir,
-            replicate=PAGE_REPLICATE,
-            text_repeat=text_repeat,
-            override_num_blocks=2 * num_cpus if PAGE_REPLICATE > 1 else None,
+            sf_dir, replicate=PAGE_REPLICATE, text_repeat=text_repeat
         )
         res = run_pipeline(
             pages, ctx, limit=1000, concurrency=max(2, num_cpus // 2)
