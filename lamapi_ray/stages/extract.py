@@ -18,32 +18,33 @@ byte-stability requirement comes from BASELINE.json input_hint.
 
 from __future__ import annotations
 
-import re
-
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_TAG = re.compile(rb"<[^>]*>")
-
 
 def extract_text_batch(batch: pa.Table) -> pa.Table:
-    """pages batch → same batch with ``text`` filled from html where null."""
+    """pages batch → same batch with ``text`` filled from html where null.
+
+    Fully vectorized: rows with text pass through untouched (zero-copy);
+    only the null-text rows are filtered out, tag-stripped with one RE2
+    kernel over the utf-8-decoded html, and concatenated back. Row order
+    within the batch changes (filled rows move to the end) — downstream
+    stages are row-independent and keyed by url, so order carries no
+    meaning (SURVEY §4 ordering row).
+    """
     text = batch["text"]
     if text.null_count == 0:
         return batch
-    html = batch["html"].combine_chunks()
-    is_null = pc.is_null(text).to_numpy(zero_copy_only=False)
-    filled = text.to_pylist()
-    for i, missing in enumerate(is_null):
-        if missing:
-            raw = html[i].as_py()
-            filled[i] = _TAG.sub(b"", raw).decode("utf-8")
-    out = batch.set_column(
-        batch.schema.get_field_index("text"),
-        "text",
-        pa.array(filled, type=pa.large_string()),
+    is_null = pc.is_null(text)
+    keep = batch.filter(pc.invert(is_null))
+    missing = batch.filter(is_null)
+    stripped = pc.replace_substring_regex(
+        missing["html"].cast(pa.large_string()), pattern="<[^>]*>", replacement=""
+    ).cast(pa.large_string())
+    missing = missing.set_column(
+        missing.schema.get_field_index("text"), "text", stripped
     )
-    return out
+    return pa.concat_tables([keep, missing])
 
 
 def extracted_pages(pages, drop_html: bool = True):

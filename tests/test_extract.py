@@ -31,12 +31,16 @@ def test_extract_fills_only_nulls(sf_dir):
     for b in pages.iter_batches(batch_size=500, batch_format="pyarrow"):
         out = extract_text_batch(b)
         assert out["text"].null_count == 0
-        for url, orig, filled, html in zip(
-            b["url"].to_pylist(),
-            b["text"].to_pylist(),
-            out["text"].to_pylist(),
-            b["html"].to_pylist(),
+        assert out.num_rows == b.num_rows
+        # the extractor may reorder rows within the batch (filled rows move
+        # to the end) — compare per url, not positionally
+        filled_by_url = dict(
+            zip(out["url"].to_pylist(), out["text"].to_pylist())
+        )
+        for url, orig, html in zip(
+            b["url"].to_pylist(), b["text"].to_pylist(), b["html"].to_pylist()
         ):
+            filled = filled_by_url[url]
             if orig is not None:
                 assert filled == orig  # byte-identical passthrough
             else:
