@@ -144,19 +144,39 @@ def linked_pages(
         dm, ctx.surface_forms, ctx.type_names, limit=limit, concurrency=concurrency
     )
     lm = link_best(cands).to_pandas()  # vocabulary-bounded, small
-    link_map = dict(zip(lm["mention"], lm["id"]))
-    link_ref = ray.put(link_map)
+    link_mentions = pa.array(list(lm["mention"]), pa.string())
+    link_ids = pa.array(list(lm["id"]), pa.string())
+    link_ref = ray.put((link_mentions, link_ids))
 
     def attach(batch: pa.Table) -> pa.Table:
-        lmap = ray.get(link_ref)
-        lm_col, id_col = [], []
-        for ms in batch["mentions"].to_pylist():
-            pairs = [(m, lmap[m]) for m in ms if m in lmap]
-            lm_col.append([p[0] for p in pairs])
-            id_col.append([p[1] for p in pairs])
-        return batch.append_column(
-            "linked_mentions", pa.array(lm_col, pa.list_(pa.string()))
-        ).append_column("ids", pa.array(id_col, pa.list_(pa.string())))
+        """Vectorized link attach: flatten mention lists, index into the
+        broadcast (mention → id) arrays, rebuild aligned list columns from
+        per-page counts — no Python per mention."""
+        import numpy as np
+
+        lms, lids = ray.get(link_ref)
+        ml = batch["mentions"]
+        if isinstance(ml, pa.ChunkedArray):
+            ml = ml.combine_chunks()
+        flat = pc.list_flatten(ml)
+        parents = pc.list_parent_indices(ml).to_numpy(zero_copy_only=False)
+        pos = pc.index_in(flat, value_set=lms)
+        mask = pc.is_valid(pos).to_numpy(zero_copy_only=False)
+        idx = np.nonzero(mask)[0]
+        linked_flat = pc.take(flat, pa.array(idx))
+        ids_flat = pc.take(lids, pc.take(pos, pa.array(idx)))
+        counts = np.bincount(parents[idx], minlength=len(batch))
+        offsets = pa.array(
+            np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        )
+        def _arr(a):
+            return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+        lm_col = pa.ListArray.from_arrays(offsets, _arr(linked_flat))
+        id_col = pa.ListArray.from_arrays(offsets, _arr(ids_flat))
+        return batch.append_column("linked_mentions", lm_col).append_column(
+            "ids", id_col
+        )
 
     linked_rows = page_rows.map_batches(attach, batch_format="pyarrow")
 
