@@ -558,7 +558,7 @@ def oracle_sql() -> dict[str, str]:
     sql["window_events"] = (
         "SELECT event_type, date_trunc('hour', ts) AS window_start,\n"
         " count(*) AS n_events,\n"
-        " CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents\n"
+        " CAST(sum(CAST(printf('%.0f', value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents\n"
         "FROM events GROUP BY 1, 2"
     )
 

@@ -54,7 +54,9 @@ CANDIDATE_FIELDS: list[tuple[str, pa.DataType]] = [
 CANDIDATE_SCHEMA = pa.schema(CANDIDATE_FIELDS)
 
 
-_INDEX_CACHE: dict = {}
+# single-slot per-worker cache (key, SurfaceIndex): repeated runs in one Ray
+# session replace the slot instead of pinning every past index copy forever
+_INDEX_CACHE: list = [None, None]
 
 
 class CandidateGenerator:
@@ -69,13 +71,12 @@ class CandidateGenerator:
 
     def __init__(self, surface_ref, type_names_ref, limit: int = 1000):
         key = surface_ref.hex() if hasattr(surface_ref, "hex") else id(surface_ref)
-        index = _INDEX_CACHE.get(key)
-        if index is None:
+        if _INDEX_CACHE[0] != key:
             table: pa.Table = ray.get(surface_ref)
             type_names: dict = ray.get(type_names_ref)
-            index = SurfaceIndex(table, type_names)
-            _INDEX_CACHE[key] = index
-        self.index = index
+            _INDEX_CACHE[0] = key
+            _INDEX_CACHE[1] = SurfaceIndex(table, type_names)
+        self.index = _INDEX_CACHE[1]
         self.limit = limit
 
     def __call__(self, batch: pa.Table) -> pa.Table:

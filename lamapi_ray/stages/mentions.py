@@ -38,7 +38,9 @@ from lamapi_ray.functions.literals import check_literal
 from lamapi_ray.functions.text import clean_str
 
 
-_SCANNER_CACHE: dict = {}
+# single-slot per-worker cache (key, MentionScanner) — replaced on a new
+# vocab ref instead of accumulating one scanner per past run
+_SCANNER_CACHE: list = [None, None]
 # literal classification is pure per-token; memoize per worker process
 _LIT_CACHE: dict[str, str] = {}
 
@@ -80,12 +82,11 @@ class MentionScanner:
 
     @classmethod
     def for_ref(cls, vocab_ref, max_n: int) -> "MentionScanner":
-        key = vocab_ref.hex() if hasattr(vocab_ref, "hex") else id(vocab_ref)
-        inst = _SCANNER_CACHE.get(key)
-        if inst is None:
-            inst = cls(ray.get(vocab_ref), max_n)
-            _SCANNER_CACHE[key] = inst
-        return inst
+        key = (vocab_ref.hex() if hasattr(vocab_ref, "hex") else id(vocab_ref), max_n)
+        if _SCANNER_CACHE[0] != key:
+            _SCANNER_CACHE[0] = key
+            _SCANNER_CACHE[1] = cls(ray.get(vocab_ref), max_n)
+        return _SCANNER_CACHE[1]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np

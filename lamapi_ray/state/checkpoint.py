@@ -109,16 +109,42 @@ def run_partitioned(
         m = write_partition(root, part_id, table, lineage, metrics)
         total_rows += m["rows"]
         computed.append(part_id)
+    # _SUCCESS records the EXACT partition id list of this run — read_output
+    # reads precisely these, so stale part= dirs left by an earlier run with
+    # a different partitioning (e.g. more buckets) are never silently merged
+    # into the result.
     with open(os.path.join(root, SUCCESS), "w") as f:
-        json.dump({"partitions": len(partitions), "rows": total_rows}, f)
+        json.dump(
+            {
+                "partitions": len(partitions),
+                "partition_ids": list(partitions),
+                "rows": total_rows,
+            },
+            f,
+        )
     return {"computed": computed, "skipped": skipped, "rows": total_rows}
 
 
 def read_output(root: str) -> pa.Table:
-    """Read a completed partitioned output (requires the _SUCCESS marker)."""
-    if not os.path.exists(os.path.join(root, SUCCESS)):
+    """Read a completed partitioned output (requires the _SUCCESS marker).
+
+    Reads exactly the partition set recorded in ``_SUCCESS``; a recorded
+    partition without a manifest is an error (torn snapshot), and extra
+    ``part=`` directories on disk (stale leftovers from a differently
+    partitioned earlier run) are ignored."""
+    success_path = os.path.join(root, SUCCESS)
+    if not os.path.exists(success_path):
         raise FileNotFoundError(f"no _SUCCESS marker under {root}")
-    parts = completed_partitions(root)
+    with open(success_path) as f:
+        record = json.load(f)
+    parts = record.get("partition_ids")
+    if parts is None:  # legacy marker without the id list
+        parts = completed_partitions(root)
+    missing = [p for p in parts if not is_complete(root, p)]
+    if missing:
+        raise FileNotFoundError(
+            f"_SUCCESS lists partitions with no manifest under {root}: {missing}"
+        )
     return pa.concat_tables(
         pq.read_table(os.path.join(partition_dir(root, p), "data.parquet"))
         for p in parts
