@@ -444,6 +444,38 @@ def oracle_sql() -> dict[str, str]:
         "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM dup GROUP BY text"
     )
 
+    # MinHash-LSH at full-agreement threshold ≡ cluster by 64-perm MinHash
+    # signature equality, reproduced relationally: md5-based 32-bit shingle
+    # hash (nibble fold of the first 4 md5 bytes, little-endian), the
+    # engine's exact (a·h+b) mod 2^61-1 permutations with the seeded (a, b)
+    # constants inlined, per-perm min over shingles, partition by the
+    # 64-slot signature list. Validates the MinHasher math end to end.
+    from lamapi_ray.stages.dedup import MinHasher  # noqa: E402
+
+    mh = MinHasher()
+    perm_rows = ", ".join(
+        f"({i}, {int(a)}, {int(b)})" for i, (a, b) in enumerate(zip(mh.a, mh.b))
+    )
+    sql["dedup_minhash_exact"] = _with(
+        SQL_DUP_EXACT,
+        SQL_SHINGLES,
+        "sh AS (SELECT doc_id, unnest(s) AS g FROM shd)",
+        "h AS (SELECT doc_id, CAST(list_reduce(list_prepend(0::HUGEINT,\n"
+        "    list_transform(range(0, 4),\n"
+        "      i -> ((strpos('0123456789abcdef', substr(md5(g), 2*i+1, 1)) - 1) * 16\n"
+        "          + (strpos('0123456789abcdef', substr(md5(g), 2*i+2, 1)) - 1))::HUGEINT\n"
+        "           * (1::HUGEINT << (8*i)))),\n"
+        "    (a, b) -> a + b) AS HUGEINT) AS h32 FROM sh)",
+        f"perms(i, a, b) AS (VALUES {perm_rows})",
+        "m AS (SELECT h.doc_id, p.i,\n"
+        "  min((p.a::HUGEINT * h.h32 + p.b) % 2305843009213693951) AS mn\n"
+        "  FROM h CROSS JOIN perms p GROUP BY 1, 2)",
+        "sigs AS (SELECT doc_id, list(mn ORDER BY i) AS sig FROM m GROUP BY doc_id)",
+    ) + (
+        "SELECT doc_id AS id,\n"
+        "  min(doc_id) OVER (PARTITION BY sig) AS cluster\nFROM sigs"
+    )
+
     sql["ngram_jaccard_dup"] = _with(SQL_DUP_NEAR, SQL_SHINGLES) + (
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b,\n"
         "  round_even(len(list_intersect(a.s, b.s))\n"
@@ -786,6 +818,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     for n in [
         "dedup_exact",
         "dedup_minhash",
+        "dedup_minhash_exact",
         "dedup_simhash",
         "simhash_near_dup",
         "ngram_jaccard_dup",

@@ -83,13 +83,23 @@ def dedup_minhash(sf_dir: str) -> pa.Table:
     return minhash_clusters(_dup_corpus(sf_dir, modify=True), "doc_id", "text")
 
 
+def dedup_minhash_exact(sf_dir: str) -> pa.Table:
+    """MinHash-LSH at threshold 64/64 ≡ exact signature equality — the
+    SQL-checkable sub-case: clusters coincide with grouping by the distinct
+    token-3-shingle SET (order-independent), so DuckDB can reproduce it
+    relationally and the full distributed LSH dataflow gets a hash-checked
+    oracle."""
+    return minhash_clusters(
+        _dup_corpus(sf_dir, modify=False), "doc_id", "text", threshold_rows=64
+    )
+
+
 def dedup_simhash(sf_dir: str) -> pa.Table:
     return _collect(simhash_fingerprints(_docs(sf_dir), "doc_id", "text"))
 
 
 def ngram_jaccard_dup(sf_dir: str) -> pa.Table:
-    corpus = _collect(_dup_corpus(sf_dir, modify=True))
-    return ngram_jaccard_pairs(corpus, "doc_id", "text", threshold=0.5)
+    return ngram_jaccard_pairs(_dup_corpus(sf_dir, modify=True), "doc_id", "text", threshold=0.5)
 
 
 # --- text stats -----------------------------------------------------------

@@ -171,60 +171,120 @@ def lsh_topk(
     )
 
 
+_PLANE_CACHE: dict = {}
+
+
+def _hyperplanes(dim: int, planes: int, seed: int) -> np.ndarray:
+    key = (dim, planes, seed)
+    hp = _PLANE_CACHE.get(key)
+    if hp is None:
+        hp = np.random.RandomState(seed).standard_normal((dim, planes))
+        _PLANE_CACHE[key] = hp
+    return hp
+
+
+def _emb_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    import pyarrow.compute as pc
+
+    flat = pc.list_flatten(arr).to_numpy(zero_copy_only=False)
+    return flat.reshape(len(arr), -1).astype(np.float64)
+
+
 def cosine_near_pairs(
     ds: "ray.data.Dataset",
     threshold: float = 0.999,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    planes: int = 16,
+    seed: int = 42,
 ) -> pa.Table:
-    """All (i<j) pairs with cosine similarity ≥ threshold.
+    """All (i<j) pairs with cosine similarity ≥ threshold — sign-LSH
+    bucketed, nothing corpus-sized broadcast or collected.
 
-    Embedding-cosine near-duplicate detection: the normalized corpus matrix
-    is broadcast once (``ray.put``); each task computes its batch's rows ×
-    full-matrix similarities with one BLAS matmul and keeps only
-    above-threshold pairs with j > i (so every pair is emitted exactly
-    once). At corpus sizes beyond broadcast, the scale path is the same
-    matmul against IVF/LSH bucket neighbours (see :func:`lsh_topk`).
+    Each vector gets a 16-bit sign code from seeded random hyperplanes
+    (constant-size state, regenerated per worker from the seed). The code
+    splits into two 8-bit bands; a vector is emitted once per band and ONE
+    ``groupby(band, band_code)`` co-locates candidates; each bucket runs an
+    exact-cosine matmul and keeps above-threshold pairs; a native ``Min``
+    aggregate dedups pairs found in both bands.
+
+    Recall guarantee: any pair whose sign codes differ in ≤1 bit (which
+    includes every exact-duplicate vector, code distance 0) agrees on at
+    least one full band and is always found. Pairs at the threshold whose
+    codes differ in ≥2 bits can be missed — at 0.999 (≈1.45° apart) the
+    per-plane disagreement probability is ~0.008, so ≥2-bit misses are
+    ~1%% of borderline non-identical pairs; duplicates are never missed.
     """
-    import ray
+    import ray.data  # noqa: F401
+    from ray.data.aggregate import Min
 
-    full = pa.concat_tables(
-        b for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow")
-    )
-    ids = np.asarray(full[id_col].to_pylist(), dtype=np.int64)
-    order = np.argsort(ids, kind="stable")
-    ids = ids[order]
-    mat = _normalize_rows(
-        np.asarray(full[emb_col].to_pylist(), dtype=np.float64)[order]
-    )
-    state = ray.put((ids, mat))
-
-    def pairs(batch: pa.Table) -> pa.Table:
-        all_ids, m = ray.get(state)
-        rows = np.asarray(batch["row"].to_pylist(), dtype=np.int64)
-        sims = m[rows] @ m.T
-        a_out, b_out, c_out = [], [], []
-        for local, r in enumerate(rows):
-            hit = np.nonzero(sims[local] >= threshold)[0]
-            for j in hit:
-                if j > r:
-                    a_out.append(int(all_ids[r]))
-                    b_out.append(int(all_ids[j]))
-                    c_out.append(float(sims[local, j]))
+    def code_batch(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {"band": pa.array([], pa.int32()), "bcode": pa.array([], pa.int32()),
+                 "id": pa.array([], pa.int64()), "emb": pa.array([], pa.list_(pa.float64()))}
+            )
+        m = _emb_matrix(batch, emb_col)
+        hp = _hyperplanes(m.shape[1], planes, seed)
+        mn = _normalize_rows(m)
+        sig = (mn @ hp > 0).astype(np.uint32)
+        codes = (sig << np.arange(planes, dtype=np.uint32)).sum(axis=1)
+        half = planes // 2
+        b0 = (codes & ((1 << half) - 1)).astype(np.int32)
+        b1 = (codes >> half).astype(np.int32)
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        flat = np.concatenate([mn.reshape(-1), mn.reshape(-1)])
+        offsets = np.arange(0, 2 * n + 1, dtype=np.int32) * m.shape[1]
+        emb_col_arr = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(flat, pa.float64())
+        )
         return pa.table(
             {
-                "id_a": pa.array(a_out, pa.int64()),
-                "id_b": pa.array(b_out, pa.int64()),
-                "cosine": pa.array(c_out, pa.float64()),
+                "band": pa.array(
+                    np.concatenate([np.zeros(n, np.int32), np.ones(n, np.int32)]),
+                    pa.int32(),
+                ),
+                "bcode": pa.array(np.concatenate([b0, b1]), pa.int32()),
+                "id": pa.array(np.concatenate([ids, ids]), pa.int64()),
+                "emb": emb_col_arr,
             }
         )
 
-    import ray.data as rd
+    rows = ds.map_batches(code_batch, batch_format="pyarrow", zero_copy_batch=True)
 
-    rows_ds = rd.from_arrow(
-        pa.table({"row": pa.array(np.arange(len(ids)), pa.int64())})
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        g = len(group)
+        if g < 2:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        ids = np.asarray(group["id"].to_pylist(), dtype=np.int64)
+        m = _emb_matrix(group, "emb")  # already normalized
+        order = np.argsort(ids, kind="stable")
+        ids, m = ids[order], m[order]
+        sims = m @ m.T
+        iu = np.triu_indices(g, k=1)
+        ok = sims[iu] >= threshold
+        return pa.table(
+            {
+                "id_a": pa.array(ids[iu[0][ok]], pa.int64()),
+                "id_b": pa.array(ids[iu[1][ok]], pa.int64()),
+                "cosine": pa.array(sims[iu][ok], pa.float64()),
+            }
+        )
+
+    pairs = rows.groupby(["band", "bcode"]).map_groups(
+        bucket_pairs, batch_format="pyarrow"
     )
-    out = rows_ds.map_batches(pairs, batch_format="pyarrow", batch_size=512)
-    return pa.concat_tables(
-        b for b in out.iter_batches(batch_size=65536, batch_format="pyarrow")
-    ).sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+    agg = pairs.groupby(["id_a", "id_b"]).aggregate(Min("cosine", alias_name="cosine"))
+    out = pa.concat_tables(
+        b for b in agg.iter_batches(batch_size=65536, batch_format="pyarrow")
+    )
+    return out.select(["id_a", "id_b", "cosine"]).sort_by(
+        [("id_a", "ascending"), ("id_b", "ascending")]
+    )

@@ -1,38 +1,39 @@
 """Deduplication operators — exact, MinHash+LSH, SimHash, n-gram Jaccard.
 
 The reference has only implicit dedup (SURVEY §2.7); these are the
-first-class large-scale training-data operators this engine adds:
+first-class large-scale training-data operators this engine adds. All of
+them are DISTRIBUTED end to end — nothing corpus-sized is ever collected
+to the driver or broadcast:
 
 * :func:`exact_dedup` — content-hash per batch (vectorized sha1), one
   ``groupby(hash)`` shuffle with native Min/Count aggregates. At 100 TB the
   hash column (20 B/row) is what shuffles, never the text.
-* :func:`minhash_clusters` — shingle → 64-perm MinHash → banded LSH.
-  Signatures are computed distributed (the scan-heavy part, with a
-  per-worker shingle-hash cache); band bucketing, candidate-pair
-  verification and union-find run vectorized on the collected
-  (id, band-hash) table — 16 small ints per doc, ≈100 B/doc, so the
-  driver-side step is bounded by doc COUNT, not corpus bytes (1 GB per
-  10^7 docs). Beyond that, swap the pandas bucket groupby for a Ray
-  ``groupby(band, bh)`` over the same rows and min-label propagation —
-  the signature stage (the dominant cost) is unchanged.
-* :func:`simhash_fingerprints` — 64-bit SimHash per doc (pure map, no
-  shuffle).
-* :func:`ngram_jaccard_pairs` — exact token-shingle Jaccard via a broadcast
-  inverted shingle index: each task scans a slice of ids and counts shingle
-  collisions against the index (only ids sharing ≥1 shingle are even
-  touched), so cost is Σ|bucket|² not n². Use :func:`minhash_clusters` when
-  the index outgrows broadcast.
+* :func:`minhash_clusters` — shingle → 64-perm MinHash → banded LSH →
+  connected components. Signatures stream; band rows (id + band hash +
+  signature digest, ~28 B/row) shuffle through ``groupby(band, bh)``;
+  buckets emit star edges for identical-signature groups (so a million-way
+  exact-dup bucket costs O(n), not O(n²)) plus representative pairs between
+  signature groups, which are verified by joining the signature table
+  (bucketed hash join — pair-bounded, not corpus-bounded). Cluster labels
+  come from distributed min-label propagation to a fixed point.
+* :func:`simhash_fingerprints` — 64-bit SimHash per doc (pure vectorized
+  map, no shuffle).
+* :func:`simhash_near_pairs` — rotated-prefix LSH buckets via
+  ``groupby(rotation, prefix)``; per-bucket vectorized XOR-popcount.
+* :func:`ngram_jaccard_pairs` — exact token-shingle Jaccard via a
+  shingle-hash shuffle join: explode (shingle_hash, id), count collisions
+  per pair with a native groupby Count, filter by threshold. Only pairs
+  sharing ≥1 shingle cost anything (Σ|bucket|², not n²).
 """
 
 from __future__ import annotations
 
 import hashlib
 import struct
-from collections import Counter
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 _MERSENNE = (1 << 61) - 1
@@ -63,6 +64,12 @@ def _hash64_cached(s: str) -> int:
     return h
 
 
+def _collect(ds: ray.data.Dataset) -> pa.Table:
+    return pa.concat_tables(
+        b for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow")
+    )
+
+
 def exact_dedup(ds: ray.data.Dataset, id_col: str, text_col: str) -> ray.data.Dataset:
     """→ one row per distinct text: (id_col = min id, n_copies)."""
     from ray.data.aggregate import Count, Min
@@ -91,26 +98,131 @@ def exact_dedup(ds: ray.data.Dataset, id_col: str, text_col: str) -> ray.data.Da
 
 
 class MinHasher:
-    """64-permutation MinHash over token 3-shingles (state built once)."""
+    """64-permutation MinHash over token 3-shingles (state built once).
+
+    True universal family (a·h + b) mod p with p = 2^61-1: shingle hashes
+    are folded to 32 bits and a, b drawn below 2^31, so a·h + b < 2^63
+    never wraps before the reduction (the round-1 uint64-wrapping variant
+    was off-spec)."""
 
     NUM_PERM = 64
 
     def __init__(self, seed: int = 42):
         rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, _MERSENNE, size=self.NUM_PERM, dtype=np.int64).astype(
-            np.uint64
-        )
-        self.b = rng.randint(0, _MERSENNE, size=self.NUM_PERM, dtype=np.int64).astype(
-            np.uint64
-        )
+        self.a = rng.randint(1, 1 << 31, size=self.NUM_PERM).astype(np.uint64)
+        self.b = rng.randint(0, 1 << 31, size=self.NUM_PERM).astype(np.uint64)
 
     def signature(self, text: str) -> np.ndarray:
         hs = np.array(
-            [_hash64_cached(s) for s in set(_token_shingles(text))], dtype=np.uint64
+            [_hash64_cached(s) & 0xFFFFFFFF for s in set(_token_shingles(text))],
+            dtype=np.uint64,
         )
-        # (a*h + b) mod p, per permutation — vectorized over shingles
         vals = (hs[None, :] * self.a[:, None] + self.b[:, None]) % _MERSENNE
         return vals.min(axis=1)
+
+
+_MINHASHER: list = []
+
+
+def _minhasher() -> MinHasher:
+    if not _MINHASHER:
+        _MINHASHER.append(MinHasher())
+    return _MINHASHER[0]
+
+
+def _signatures_batch(batch: pa.Table, id_col: str, text_col: str, bands: int) -> pa.Table:
+    """→ (id, sig binary, sd signature-digest, bh0..bh{bands-1})."""
+    mh = _minhasher()
+    rows_per_band = MinHasher.NUM_PERM // bands
+    ids = batch[id_col].to_pylist()
+    sigs = (
+        np.stack([mh.signature(t) for t in batch[text_col].to_pylist()])
+        if ids
+        else np.empty((0, MinHasher.NUM_PERM), dtype=np.uint64)
+    )
+    cols: dict = {"id": pa.array(ids, pa.int64())}
+    cols["sig"] = pa.array([s.tobytes() for s in sigs], pa.binary())
+    cols["sd"] = pa.array(
+        [
+            struct.unpack("<q", hashlib.md5(s.tobytes()).digest()[:8])[0]
+            for s in sigs
+        ],
+        pa.int64(),
+    )
+    for b in range(bands):
+        cols[f"bh{b}"] = pa.array(
+            [
+                struct.unpack(
+                    "<q",
+                    hashlib.md5(
+                        sigs[i, b * rows_per_band : (b + 1) * rows_per_band].tobytes()
+                    ).digest()[:8],
+                )[0]
+                for i in range(len(ids))
+            ],
+            pa.int64(),
+        )
+    return pa.table(cols)
+
+
+def _min_label_components(
+    nodes: ray.data.Dataset, edges: ray.data.Dataset, max_iters: int = 64
+) -> ray.data.Dataset:
+    """Distributed connected components: min-label propagation to fixpoint.
+
+    ``nodes``: one column ``node`` (int64). ``edges``: ``id_a``/``id_b``.
+    Each iteration joins current labels onto the (bidirectional) edge list
+    (bucketed hash join), sends each node's label to its neighbors, and
+    takes a native ``Min`` aggregate per node — fully vectorized, no
+    per-node Python. Convergence: the label sum is strictly decreasing
+    until fixpoint, so one ``sum`` aggregate per iteration detects it.
+    Iterations are bounded by the largest component diameter (near-dup
+    clusters are shallow)."""
+    from ray.data.aggregate import Min
+
+    from lamapi_ray.stages.join import bucketed_hash_join
+
+    def to_directed(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"]
+        b = batch["id_b"]
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        if isinstance(b, pa.ChunkedArray):
+            b = b.combine_chunks()
+        return pa.table(
+            {
+                "node": pa.concat_arrays([a.cast(pa.int64()), b.cast(pa.int64())]),
+                "nbr": pa.concat_arrays([b.cast(pa.int64()), a.cast(pa.int64())]),
+            }
+        )
+
+    edges_dir = edges.map_batches(to_directed, batch_format="pyarrow").materialize()
+
+    labels = nodes.map_batches(
+        lambda t: pa.table({"node": t["node"], "label": t["node"]}),
+        batch_format="pyarrow",
+    ).materialize()
+    prev_sum = labels.sum("label")
+
+    for _ in range(max_iters):
+        msgs = bucketed_hash_join(
+            edges_dir, labels, on="node", num_buckets=16
+        ).map_batches(
+            lambda t: pa.table({"node": t["nbr"], "label": t["label"]}),
+            batch_format="pyarrow",
+        )
+        labels = (
+            labels.union(msgs)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        new_sum = labels.sum("label")
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+
+    return labels.select_columns(["node", "label"])
 
 
 def minhash_clusters(
@@ -124,99 +236,169 @@ def minhash_clusters(
 
     ``threshold_rows``: minimum number of agreeing signature slots (of 64)
     for a candidate pair to be verified as a near-duplicate (48/64 = 0.75
-    estimated Jaccard).
-    """
-    rows_per_band = MinHasher.NUM_PERM // bands
+    estimated Jaccard; 64 ≡ exact signature equality).
 
-    def to_sigs(batch: pa.Table) -> pa.Table:
-        mh = _minhasher()
-        ids = batch[id_col].to_pylist()
-        sigs = np.stack(
-            [mh.signature(t) for t in batch[text_col].to_pylist()]
-        ) if ids else np.empty((0, MinHasher.NUM_PERM), dtype=np.uint64)
-        # one 64-bit hash per band (md5 of the band's slots), vectorized rows
-        bh = {
-            f"bh{b}": pa.array(
-                [
-                    struct.unpack(
-                        "<Q",
-                        hashlib.md5(
-                            sigs[i, b * rows_per_band : (b + 1) * rows_per_band].tobytes()
-                        ).digest()[:8],
-                    )[0]
-                    for i in range(len(ids))
-                ],
-                pa.uint64(),
+    Fully distributed: see module docstring for the dataflow. The only
+    driver-side work is the final (id, cluster) collect, which callers at
+    scale replace with ``write_parquet``."""
+    from ray.data.aggregate import Count
+
+    from lamapi_ray.stages.join import bucketed_hash_join
+
+    sig_ds = ds.map_batches(
+        _signatures_batch,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs={"id_col": id_col, "text_col": text_col, "bands": bands},
+    ).materialize()
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        ids = batch["id"].combine_chunks() if isinstance(batch["id"], pa.ChunkedArray) else batch["id"]
+        sds = batch["sd"].combine_chunks() if isinstance(batch["sd"], pa.ChunkedArray) else batch["sd"]
+        bcols, icols, scols, hcols = [], [], [], []
+        for b in range(bands):
+            bh = batch[f"bh{b}"]
+            if isinstance(bh, pa.ChunkedArray):
+                bh = bh.combine_chunks()
+            bcols.append(pa.array(np.full(n, b, dtype=np.int32), pa.int32()))
+            icols.append(ids)
+            scols.append(sds)
+            hcols.append(bh)
+        return pa.table(
+            {
+                "band": pa.concat_arrays(bcols),
+                "bh": pa.concat_arrays(hcols),
+                "id": pa.concat_arrays(icols),
+                "sd": pa.concat_arrays(scols),
+            }
+        )
+
+    band_rows = sig_ds.drop_columns(["sig"]).map_batches(
+        explode_bands, batch_format="pyarrow"
+    )
+
+    def bucket_edges(group: pa.Table) -> pa.Table:
+        if len(group) < 2:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                 "sure": pa.array([], pa.bool_())}
             )
-            for b in range(bands)
-        }
-        cols = {"id": pa.array(ids, pa.int64())}
-        cols.update(bh)
-        cols["sig"] = pa.array([s.tobytes() for s in sigs], pa.binary())
-        return pa.table(cols)
+        ids = np.asarray(group["id"].to_pylist(), dtype=np.int64)
+        sds = np.asarray(group["sd"].to_pylist(), dtype=np.int64)
+        order = np.lexsort((ids, sds))
+        ids, sds = ids[order], sds[order]
+        # identical-signature groups → star edges (O(n), handles the
+        # million-way exact-dup bucket); distinct-signature reps → pairs
+        # needing verification
+        starts = np.nonzero(np.concatenate([[True], sds[1:] != sds[:-1]]))[0]
+        a_out, b_out, sure = [], [], []
+        reps = ids[starts]  # min id per sd-group (ids sorted within group)
+        ends = np.concatenate([starts[1:], [len(ids)]])
+        for s, e in zip(starts, ends):
+            if e - s > 1:
+                a_out.extend([int(ids[s])] * (e - s - 1))
+                b_out.extend(int(x) for x in ids[s + 1 : e])
+                sure.extend([True] * (e - s - 1))
+        for i in range(len(reps)):
+            for j in range(i + 1, len(reps)):
+                a, b = int(reps[i]), int(reps[j])
+                a_out.append(min(a, b))
+                b_out.append(max(a, b))
+                sure.append(False)
+        return pa.table(
+            {
+                "id_a": pa.array(a_out, pa.int64()),
+                "id_b": pa.array(b_out, pa.int64()),
+                "sure": pa.array(sure, pa.bool_()),
+            }
+        )
 
-    sig_tbl = pa.concat_tables(
-        b
-        for b in ds.map_batches(
-            to_sigs, batch_format="pyarrow", zero_copy_batch=True
-        ).iter_batches(batch_size=65536, batch_format="pyarrow")
+    all_edges = band_rows.groupby(["band", "bh"]).map_groups(
+        bucket_edges, batch_format="pyarrow"
+    ).materialize()
+
+    def _keep(sure_flag: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            mask = batch["sure"] if sure_flag else pc.invert(batch["sure"])
+            if isinstance(mask, pa.ChunkedArray):
+                mask = mask.combine_chunks()
+            return batch.filter(mask).select(["id_a", "id_b"])
+
+        return fn
+
+    sure_edges = (
+        all_edges.map_batches(_keep(True), batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Count())
+        .select_columns(["id_a", "id_b"])
     )
 
-    ids = sig_tbl["id"].to_numpy(zero_copy_only=False)
-    order = np.argsort(ids, kind="stable")
-    ids = ids[order]
-    sigs = np.frombuffer(
-        b"".join(sig_tbl["sig"].take(pa.array(order)).to_pylist()), dtype=np.uint64
-    ).reshape(len(ids), MinHasher.NUM_PERM)
-
-    # banded LSH buckets → candidate pairs (vectorized per band)
-    cand: set[tuple[int, int]] = set()
-    for b in range(bands):
-        bh = sig_tbl[f"bh{b}"].to_numpy(zero_copy_only=False)[order]
-        buckets = pd.Series(np.arange(len(ids))).groupby(bh)
-        for _, grp in buckets:
-            if len(grp) > 1:
-                g = grp.to_numpy()
-                for x in range(len(g)):
-                    for y in range(x + 1, len(g)):
-                        cand.add((g[x], g[y]))
-
-    # verify candidates by signature agreement (vectorized compare)
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for x, y in cand:
-        if int((sigs[x] == sigs[y]).sum()) >= threshold_rows:
-            a, b2 = int(ids[x]), int(ids[y])
-            ra, rb = find(a), find(b2)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-
-    clusters = [find(int(i)) for i in ids]
-    return pa.table(
-        {
-            "id": pa.array(ids, pa.int64()),
-            "cluster": pa.array(clusters, pa.int64()),
-        }
+    unsure = (
+        all_edges.map_batches(_keep(False), batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Count())
+        .select_columns(["id_a", "id_b"])
     )
 
+    if threshold_rows >= MinHasher.NUM_PERM:
+        # full agreement ≡ signature equality ≡ same sd → rep pairs with
+        # different sd can never verify; skip the join entirely
+        edges = sure_edges
+    else:
+        sig_a = sig_ds.select_columns(["id", "sig"]).map_batches(
+            lambda t: pa.table({"id_a": t["id"], "sig_a": t["sig"]}),
+            batch_format="pyarrow",
+        )
+        sig_b = sig_ds.select_columns(["id", "sig"]).map_batches(
+            lambda t: pa.table({"id_b": t["id"], "sig_b": t["sig"]}),
+            batch_format="pyarrow",
+        )
+        joined = bucketed_hash_join(
+            bucketed_hash_join(unsure, sig_a, on="id_a", num_buckets=16),
+            sig_b,
+            on="id_b",
+            num_buckets=16,
+        )
 
-_MINHASHER: list = []
+        def verify(batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return pa.table(
+                    {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+                )
+            sa = np.frombuffer(
+                b"".join(batch["sig_a"].to_pylist()), dtype=np.uint64
+            ).reshape(len(batch), MinHasher.NUM_PERM)
+            sb = np.frombuffer(
+                b"".join(batch["sig_b"].to_pylist()), dtype=np.uint64
+            ).reshape(len(batch), MinHasher.NUM_PERM)
+            ok = (sa == sb).sum(axis=1) >= threshold_rows
+            return batch.filter(pa.array(ok)).select(["id_a", "id_b"])
+
+        verified = joined.map_batches(verify, batch_format="pyarrow")
+        edges = sure_edges.union(verified)
+
+    nodes = sig_ds.select_columns(["id"]).map_batches(
+        lambda t: pa.table({"node": t["id"]}), batch_format="pyarrow"
+    )
+    labels = _min_label_components(nodes, edges)
+    out = _collect(
+        labels.map_batches(
+            lambda t: pa.table({"id": t["node"], "cluster": t["label"]}),
+            batch_format="pyarrow",
+        )
+    )
+    return out.sort_by("id")
 
 
-def _minhasher() -> MinHasher:
-    if not _MINHASHER:
-        _MINHASHER.append(MinHasher())
-    return _MINHASHER[0]
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over the token multiset."""
+    """64-bit SimHash over the token multiset (scalar spec; the batch path
+    is :func:`_simhash_batch` and produces identical values)."""
     acc = np.zeros(64, dtype=np.int64)
     toks = text.split(" ")
     uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
@@ -231,80 +413,62 @@ def simhash64(text: str) -> int:
     return out
 
 
+def _simhash_batch(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    """Vectorized SimHash: tokens dictionary-encoded per batch, one md5 per
+    DISTINCT token (memoized per worker), bit votes via a segmented
+    reduceat — no per-token Python in the hot path."""
+    nrows = len(batch)
+    if nrows == 0:
+        return pa.table({"id": pa.array([], pa.int64()), "simhash": pa.array([], pa.string())})
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern(text.cast(pa.string()), " ")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    vocab = enc.dictionary.to_pylist()
+    hvals = np.array([_hash64_cached(t) for t in vocab], dtype=np.uint64)
+    sign = (
+        ((hvals[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
+        .astype(np.int64)
+        * 2
+        - 1
+    )  # (ncodes, 64) in {-1, +1}
+    ncodes = max(len(vocab), 1)
+    key = parents * ncodes + codes
+    uniq_key, cnt = np.unique(key, return_counts=True)
+    pair_parent = uniq_key // ncodes
+    pair_code = uniq_key % ncodes
+    contrib = cnt[:, None] * sign[pair_code]  # (npairs, 64)
+    starts = np.nonzero(
+        np.concatenate([[True], pair_parent[1:] != pair_parent[:-1]])
+    )[0]
+    acc = np.add.reduceat(contrib, starts, axis=0)  # (nrows, 64); every row has ≥1 token
+    bits = (acc > 0).astype(np.uint64)
+    vals = (bits << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
+    hexes = [f"{int(v):016x}" for v in vals]
+    return pa.table(
+        {"id": batch[id_col], "simhash": pa.array(hexes, pa.string())}
+    )
+
+
 def simhash_fingerprints(
     ds: ray.data.Dataset, id_col: str, text_col: str
 ) -> ray.data.Dataset:
-    """→ (id, simhash hex string) — pure map stage, no shuffle."""
-
-    def fp(batch: pa.Table) -> pa.Table:
-        hashes = [f"{simhash64(t):016x}" for t in batch[text_col].to_pylist()]
-        return pa.table({"id": batch[id_col], "simhash": pa.array(hashes, pa.string())})
-
-    return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
-
-
-def ngram_jaccard_pairs(
-    table: pa.Table,
-    id_col: str,
-    text_col: str,
-    threshold: float = 0.5,
-    k: int = 3,
-) -> pa.Table:
-    """All candidate-pairs token-k-shingle Jaccard ≥ threshold.
-
-    Real Jaccard (union denominator) — unlike the reference's scoring
-    functions, this is a training-data op, not a lamAPI-parity op.
-    Distributed shape: a shingle→ids inverted index is broadcast once;
-    each task scans a slice of left ids and counts shingle collisions via
-    the index, so only pairs sharing ≥1 shingle cost anything
-    (Σ|bucket|², not n²). Exact — identical output to the brute-force
-    all-pairs join.
-    """
-    import ray
-
-    from lamapi_ray.functions.text import round_ref
-
-    ids = table[id_col].to_pylist()
-    shingle_sets = {
-        int(i): set(_token_shingles(t, k))
-        for i, t in zip(ids, table[text_col].to_pylist())
-    }
-    index: dict[str, list[int]] = {}
-    for i in sorted(shingle_sets):
-        for s in shingle_sets[i]:
-            index.setdefault(s, []).append(i)
-    sizes = {i: len(s) for i, s in shingle_sets.items()}
-    state_ref = ray.put((shingle_sets, index, sizes))
-
-    def pairs_for(batch: pa.Table) -> pa.Table:
-        sh, idx, sz = ray.get(state_ref)
-        a_out, b_out, j_out = [], [], []
-        for a in batch["id"].to_pylist():
-            inter: Counter = Counter()
-            for s in sh[a]:
-                for b in idx[s]:
-                    if b > a:
-                        inter[b] += 1
-            na = sz[a]
-            for b, n in inter.items():
-                jac = n / (na + sz[b] - n)
-                if jac >= threshold:
-                    a_out.append(a)
-                    b_out.append(b)
-                    j_out.append(round_ref(jac, 3))
-        return pa.table(
-            {
-                "id_a": pa.array(a_out, pa.int64()),
-                "id_b": pa.array(b_out, pa.int64()),
-                "jaccard": pa.array(j_out, pa.float64()),
-            }
-        )
-
-    ds = ray.data.from_arrow(pa.table({"id": pa.array(sorted(shingle_sets), pa.int64())}))
-    out = ds.map_batches(pairs_for, batch_format="pyarrow", batch_size=256)
-    return pa.concat_tables(
-        [b for b in out.iter_batches(batch_size=65536, batch_format="pyarrow")]
+    """→ (id, simhash hex string) — pure vectorized map stage, no shuffle."""
+    return ds.map_batches(
+        _simhash_batch,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs={"id_col": id_col, "text_col": text_col},
     )
+
+
+_POPCOUNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
 
 
 def simhash_near_pairs(
@@ -314,53 +478,168 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     num_rotations: int = 4,
 ) -> pa.Table:
-    """Hamming-close SimHash pairs via rotated prefix buckets.
+    """Hamming-close SimHash pairs via rotated prefix buckets — distributed.
 
     Classic Charikar trick: for each of ``num_rotations`` bit-rotations of
     the 64-bit fingerprint, bucket by the top-16-bit prefix — any pair
     within ``max_hamming`` bits collides in at least one rotation with high
-    probability (exact for pairs whose differing bits avoid one prefix).
-    Candidate pairs are verified by exact Hamming distance. Fingerprints are
-    computed distributed (the text-heavy part); bucketing + verification is
-    driver-side numpy over the 8-byte/doc fingerprint table — bounded by doc
-    count, not corpus bytes; swap for a Ray groupby over (rotation, prefix)
-    beyond ~10^8 docs.
-    """
-    fp_tbl = pa.concat_tables(
-        b
-        for b in simhash_fingerprints(ds, id_col, text_col).iter_batches(
-            batch_size=65536, batch_format="pyarrow"
+    probability. Fingerprints stream; (rotation, prefix) rows shuffle
+    through ONE ``groupby``; each bucket verifies with a vectorized
+    XOR-popcount. Pair dedup is a native Min aggregate."""
+    from ray.data.aggregate import Min
+
+    fp_ds = simhash_fingerprints(ds, id_col, text_col)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        ids = np.asarray(batch["id"].to_pylist(), dtype=np.int64)
+        fps = np.array([int(h, 16) for h in batch["simhash"].to_pylist()], dtype=np.uint64)
+        rots, prefixes, out_ids, out_fps = [], [], [], []
+        for r in range(num_rotations):
+            rot = (
+                (fps << np.uint64(16 * r)) | (fps >> np.uint64(64 - 16 * r))
+            ) if r else fps
+            rots.append(np.full(n, r, dtype=np.int32))
+            prefixes.append((rot >> np.uint64(48)).astype(np.int64))
+            out_ids.append(ids)
+            out_fps.append(fps.view(np.int64))
+        return pa.table(
+            {
+                "rot": pa.array(np.concatenate(rots), pa.int32()),
+                "prefix": pa.array(np.concatenate(prefixes), pa.int64()),
+                "id": pa.array(np.concatenate(out_ids), pa.int64()),
+                "fp": pa.array(np.concatenate(out_fps), pa.int64()),
+            }
         )
-    )
-    ids = np.asarray(fp_tbl["id"].to_pylist(), dtype=np.int64)
-    fps = np.array([int(h, 16) for h in fp_tbl["simhash"].to_pylist()], dtype=np.uint64)
-    order = np.argsort(ids, kind="stable")
-    ids, fps = ids[order], fps[order]
 
-    cand: set[tuple[int, int]] = set()
-    for r in range(num_rotations):
-        rot = ((fps << np.uint64(16 * r)) | (fps >> np.uint64(64 - 16 * r))) if r else fps
-        prefix = rot >> np.uint64(48)
-        buckets: dict[int, list[int]] = {}
-        for i, p in enumerate(prefix):
-            buckets.setdefault(int(p), []).append(i)
-        for members in buckets.values():
-            if len(members) > 1:
-                for x in range(len(members)):
-                    for y in range(x + 1, len(members)):
-                        cand.add((members[x], members[y]))
+    rows = fp_ds.map_batches(explode, batch_format="pyarrow")
 
-    a_out, b_out, d_out = [], [], []
-    for x, y in sorted(cand):
-        d = int(bin(int(fps[x]) ^ int(fps[y])).count("1"))
-        if d <= max_hamming:
-            a_out.append(int(ids[x]))
-            b_out.append(int(ids[y]))
-            d_out.append(d)
-    return pa.table(
-        {
-            "id_a": pa.array(a_out, pa.int64()),
-            "id_b": pa.array(b_out, pa.int64()),
-            "hamming": pa.array(d_out, pa.int64()),
-        }
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        g = len(group)
+        if g < 2:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                 "hamming": pa.array([], pa.int64())}
+            )
+        ids = np.asarray(group["id"].to_pylist(), dtype=np.int64)
+        fps = np.asarray(group["fp"].to_pylist(), dtype=np.int64).view(np.uint64)
+        order = np.argsort(ids, kind="stable")
+        ids, fps = ids[order], fps[order]
+        xor = fps[:, None] ^ fps[None, :]
+        dist = _POPCOUNT[xor.view(np.uint8).reshape(g, g, 8)].sum(axis=2)
+        iu = np.triu_indices(g, k=1)
+        ok = dist[iu] <= max_hamming
+        return pa.table(
+            {
+                "id_a": pa.array(ids[iu[0][ok]], pa.int64()),
+                "id_b": pa.array(ids[iu[1][ok]], pa.int64()),
+                "hamming": pa.array(dist[iu][ok], pa.int64()),
+            }
+        )
+
+    pairs = rows.groupby(["rot", "prefix"]).map_groups(
+        bucket_pairs, batch_format="pyarrow"
     )
+    agg = pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    out = _collect(agg)
+    return out.select(["id_a", "id_b", "hamming"]).sort_by(
+        [("id_a", "ascending"), ("id_b", "ascending")]
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram Jaccard pairs
+# --------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    ds: ray.data.Dataset | pa.Table,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    k: int = 3,
+) -> pa.Table:
+    """All pairs with token-k-shingle Jaccard ≥ threshold — exact, via a
+    shingle-hash shuffle join.
+
+    Real Jaccard (union denominator) — unlike the reference's scoring
+    functions, this is a training-data op, not a lamAPI-parity op.
+    Dataflow: each doc explodes to (shingle_hash, id, n_shingles) rows;
+    ONE ``groupby(shingle_hash)`` co-locates colliding docs; each bucket
+    emits its id pairs; a native groupby-Count sums collisions per pair;
+    Jaccard = n/(na+nb−n) filtered by threshold. Nothing is broadcast or
+    collected; cost is Σ|bucket|² over shingle buckets (only pairs sharing
+    ≥1 shingle are touched) — identical output to the brute-force
+    all-pairs join."""
+    from ray.data.aggregate import Count, Min
+
+    from lamapi_ray.functions.text import round_ref
+
+    if isinstance(ds, pa.Table):
+        ds = ray.data.from_arrow(ds)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sh_out, id_out, n_out = [], [], []
+        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            hs = {_hash64_cached(s) for s in _token_shingles(t, k)}
+            sh_out.extend(np.int64(h & 0x7FFFFFFFFFFFFFFF) for h in hs)
+            id_out.extend([i] * len(hs))
+            n_out.extend([len(hs)] * len(hs))
+        return pa.table(
+            {
+                "sh": pa.array(sh_out, pa.int64()),
+                "id": pa.array(id_out, pa.int64()),
+                "nsh": pa.array(n_out, pa.int64()),
+            }
+        )
+
+    sh_rows = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        g = len(group)
+        if g < 2:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                 "na": pa.array([], pa.int64()), "nb": pa.array([], pa.int64())}
+            )
+        ids = np.asarray(group["id"].to_pylist(), dtype=np.int64)
+        ns = np.asarray(group["nsh"].to_pylist(), dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids, ns = ids[order], ns[order]
+        iu = np.triu_indices(g, k=1)
+        return pa.table(
+            {
+                "id_a": pa.array(ids[iu[0]], pa.int64()),
+                "id_b": pa.array(ids[iu[1]], pa.int64()),
+                "na": pa.array(ns[iu[0]], pa.int64()),
+                "nb": pa.array(ns[iu[1]], pa.int64()),
+            }
+        )
+
+    pairs = sh_rows.groupby("sh").map_groups(bucket_pairs, batch_format="pyarrow")
+    agg = pairs.groupby(["id_a", "id_b"]).aggregate(
+        Count(alias_name="n_common"),
+        Min("na", alias_name="na"),
+        Min("nb", alias_name="nb"),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch["n_common"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = batch["na"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = batch["nb"].to_numpy(zero_copy_only=False).astype(np.float64)
+        jac = n / (na + nb - n)
+        keep = pa.array(jac >= threshold)
+        flt = batch.filter(keep)
+        jac_kept = jac[jac >= threshold]
+        return pa.table(
+            {
+                "id_a": flt["id_a"],
+                "id_b": flt["id_b"],
+                "jaccard": pa.array(
+                    [round_ref(j, 3) for j in jac_kept], pa.float64()
+                ),
+            }
+        )
+
+    out = _collect(agg.map_batches(finalize, batch_format="pyarrow"))
+    return out.sort_by([("id_a", "ascending"), ("id_b", "ascending")])

@@ -5,12 +5,15 @@ lookups are Mongo ``$in`` point queries (e.g.
 api/model/data_retrievers/types_retriever.py:11-12) — inner semi/equi joins
 in batch terms. Two explicit strategies, chosen by the caller:
 
-* :func:`broadcast_join` — the small side is ``ray.put`` ONCE and merged
-  into every batch of the large side (pandas merge per batch). No shuffle.
-  Right choice whenever the small side is dimension/vocabulary-bounded.
+* :func:`broadcast_join` — the small side is ``ray.put`` ONCE and joined
+  into every batch of the large side (pyarrow hash join per batch). No
+  shuffle. Right choice whenever the small side is dimension/vocabulary-
+  bounded.
 * :func:`bucketed_hash_join` — both sides large: add ``bucket =
-  hash(key) % B`` to both, tag the side, union, ``groupby(bucket)`` (ONE
-  all-to-all), and merge the two sides inside ``map_groups``. Skewed keys
+  hash(key) % B`` to both (vectorized polynomial hash over the key bytes —
+  :mod:`lamapi_ray.functions.inthash`, no per-row Python), tag the side,
+  union, ``groupby(bucket)`` (ONE all-to-all), and merge the two sides with
+  a pyarrow C++ hash join per bucket. Arrow batches end to end. Skewed keys
   are spread by bucketing on the *full key tuple* hash; B is the knob to
   keep per-bucket working sets in worker heap (B ≈ total_bytes /
   128 MiB at scale).
@@ -18,41 +21,40 @@ in batch terms. Two explicit strategies, chosen by the caller:
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
-
-def _stable_bucket(frame: pd.DataFrame, keys: list[str], num_buckets: int) -> pd.Series:
-    """Deterministic per-row bucket from the key columns (no PYTHONHASHSEED)."""
-    import zlib
-
-    joined = frame[keys[0]].astype(str)
-    for k in keys[1:]:
-        joined = joined + "\x1f" + frame[k].astype(str)
-    return joined.map(lambda s: zlib.crc32(s.encode("utf-8")) % num_buckets)
+from lamapi_ray.functions.inthash import hash_key_columns
 
 
 def broadcast_join(
     large: ray.data.Dataset,
-    small: pa.Table | pd.DataFrame,
+    small: pa.Table,
     on: list[str] | str,
     how: str = "inner",
 ) -> ray.data.Dataset:
-    """Merge a driver-resident small table into every batch of ``large``."""
-    if isinstance(small, pa.Table):
-        small = small.to_pandas()
-    on = [on] if isinstance(on, str) else list(on)
-    small_ref = ray.put(small)
+    """Join a driver-resident small table into every batch of ``large``."""
+    import pandas as pd
 
-    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+    if isinstance(small, pd.DataFrame):
+        small = pa.Table.from_pandas(small, preserve_index=False)
+    on = [on] if isinstance(on, str) else list(on)
+    small_ref = ray.put(small.combine_chunks())
+    join_type = {"inner": "inner", "left": "left outer"}.get(how, how)
+
+    def merge(batch: pa.Table) -> pa.Table:
         # ray.get of a local object is a zero-copy lookup after the first
         # touch on a worker — the table is shipped once per node, not per
         # batch; stateless tasks keep the stage elastic (no CPU reservation).
-        return batch.merge(ray.get(small_ref), on=on, how=how)
+        return batch.join(ray.get(small_ref), keys=on, join_type=join_type)
 
-    return large.map_batches(merge, batch_format="pandas")
+    return large.map_batches(merge, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _null_column(n: int, typ: pa.DataType) -> pa.Array:
+    return pa.nulls(n, typ)
 
 
 def bucketed_hash_join(
@@ -63,42 +65,62 @@ def bucketed_hash_join(
 ) -> ray.data.Dataset:
     """Inner equi-join of two large Datasets via one bucket shuffle.
 
-    The two sides are column-aligned (missing columns null-filled) so they
-    can share one ``union`` + ``groupby(bucket)`` exchange; ``map_groups``
-    then merges the sides per bucket. Output columns: key columns, then
-    left payload, then right payload.
+    The two sides are column-aligned (missing columns null-filled with the
+    other side's types) so they can share one ``union`` + ``groupby(bucket)``
+    exchange; each bucket is then merged with ``pa.Table.join`` (pyarrow's
+    C++ hash join). Output columns: key columns, then left payload, then
+    right payload.
     """
     on = [on] if isinstance(on, str) else list(on)
-    lcols = list(left.schema().names)
-    rcols = list(right.schema().names)
+    lschema = left.schema()
+    rschema = right.schema()
+    lcols = list(lschema.names)
+    rcols = list(rschema.names)
     lpayload = [c for c in lcols if c not in on]
     rpayload = [c for c in rcols if c not in on]
     overlap = set(lpayload) & set(rpayload)
     if overlap:
         raise ValueError(f"payload column collision: {sorted(overlap)}")
     all_cols = on + lpayload + rpayload
+    types = {}
+    for name, typ in zip(lschema.names, lschema.types):
+        types[name] = typ
+    for name, typ in zip(rschema.names, rschema.types):
+        types.setdefault(name, typ)
 
     def tag(side: str):
-        def fn(batch: pd.DataFrame) -> pd.DataFrame:
-            batch = batch.copy()
+        def fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            cols = {}
             for c in all_cols:
-                if c not in batch.columns:
-                    batch[c] = None
-            batch["__side"] = side
-            batch["__bucket"] = _stable_bucket(batch, on, num_buckets)
-            return batch[all_cols + ["__side", "__bucket"]]
+                if c in batch.column_names:
+                    col = batch[c]
+                    if isinstance(col, pa.ChunkedArray):
+                        col = col.combine_chunks()
+                    cols[c] = col.cast(types[c])
+                else:
+                    cols[c] = _null_column(n, types[c])
+            cols["__side"] = pa.array([side] * n, pa.string())
+            cols["__bucket"] = pa.array(
+                hash_key_columns(batch, on, num_buckets), pa.int64()
+            )
+            return pa.table(cols)
 
         return fn
 
-    both = left.map_batches(tag("l"), batch_format="pandas").union(
-        right.map_batches(tag("r"), batch_format="pandas")
-    )
+    both = left.map_batches(
+        tag("l"), batch_format="pyarrow", zero_copy_batch=True
+    ).union(right.map_batches(tag("r"), batch_format="pyarrow", zero_copy_batch=True))
 
-    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        lpart = group.loc[group["__side"] == "l", on + lpayload]
-        rpart = group.loc[group["__side"] == "r", on + rpayload]
+    def join_bucket(group: pa.Table) -> pa.Table:
+        side = group["__side"]
+        lmask = pc.equal(side, "l")
+        lpart = group.filter(lmask).select(on + lpayload)
+        rpart = group.filter(pc.invert(lmask)).select(on + rpayload)
         if len(lpart) == 0 or len(rpart) == 0:
-            return pd.DataFrame(columns=all_cols)
-        return lpart.merge(rpart, on=on, how="inner")[all_cols]
+            return pa.table(
+                {c: pa.array([], types[c]) for c in all_cols}
+            )
+        return lpart.join(rpart, keys=on, join_type="inner").select(all_cols)
 
-    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")

@@ -143,60 +143,16 @@ def token_stats_batch(batch: pa.Table) -> pa.Table:
 # Rolling fingerprint: polynomial hash over utf-8 bytes, base 257 mod 2^61-1
 # --------------------------------------------------------------------------
 
+from lamapi_ray.functions.inthash import (  # noqa: E402
+    MOD61,
+    mulmod61 as _mulmod61,
+    segsum_mod61 as _segsum_mod,
+    string_bytes,
+)
+
 _FP_BASE = 257
-_FP_MOD = (1 << 61) - 1
+_FP_MOD = MOD61
 _FP_BLOCK = 64  # bytes per vectorized Horner block
-
-_U32 = np.uint64(0xFFFFFFFF)
-_P = np.uint64(_FP_MOD)
-
-
-def _mulmod61(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Exact (a*b) mod 2^61-1 for uint64 arrays with values < 2^61.
-
-    32-bit limb decomposition: a*b = a1*b1*2^64 + (a1*b0 + a0*b1)*2^32
-    + a0*b0 with 2^64 ≡ 8 and 2^61 ≡ 1 (mod p); every intermediate fits
-    uint64 (largest is a0*b0 < 2^64)."""
-    a = np.asarray(a, dtype=np.uint64)
-    b = np.asarray(b, dtype=np.uint64)
-    a0 = a & _U32
-    a1 = a >> np.uint64(32)
-    b0 = b & _U32
-    b1 = b >> np.uint64(32)
-    m = a1 * b1  # < 2^58
-    t = a1 * b0 + a0 * b1  # < 2^62
-    lo = a0 * b0  # < 2^64
-    t_lo = t & np.uint64((1 << 29) - 1)
-    t_hi = t >> np.uint64(29)
-    acc = (
-        m * np.uint64(8)
-        + t_hi
-        + (t_lo << np.uint64(32))
-        + (lo >> np.uint64(61))
-        + (lo & _P)
-    )  # < 2^63
-    acc = (acc >> np.uint64(61)) + (acc & _P)
-    acc = (acc >> np.uint64(61)) + (acc & _P)
-    return np.where(acc >= _P, acc - _P, acc)
-
-
-def _fold_mod(x: np.ndarray) -> np.ndarray:
-    """x mod 2^61-1 for arbitrary uint64 x."""
-    x = (x >> np.uint64(61)) + (x & _P)
-    x = (x >> np.uint64(61)) + (x & _P)
-    return np.where(x >= _P, x - _P, x)
-
-
-def _segsum_mod(prods: np.ndarray, starts: np.ndarray) -> np.ndarray:
-    """Per-segment sum mod p of uint64 values < 2^61 (overflow-safe via
-    32-bit limb split: each half sums without wrap for < 2^29 elements)."""
-    hi = prods >> np.uint64(32)
-    lo = prods & _U32
-    hi_s = np.add.reduceat(hi, starts) if len(prods) else np.zeros(0, np.uint64)
-    lo_s = np.add.reduceat(lo, starts) if len(prods) else np.zeros(0, np.uint64)
-    shift = np.full(len(hi_s), np.uint64(1) << np.uint64(32), dtype=np.uint64)
-    return _fold_mod(_mulmod61(hi_s, shift) + _fold_mod(lo_s))
-
 
 _POW_IN_BLOCK = np.array(
     [pow(_FP_BASE, _FP_BLOCK - 1 - i, _FP_MOD) for i in range(_FP_BLOCK)],
@@ -234,23 +190,12 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
     text = text.cast(pa.string())
-    arr = pc.fill_null(text, "")
-    nrows = len(arr)
+    nrows = len(text)
     if nrows == 0:
         return pa.table(
             {"doc_id": batch["doc_id"], "fingerprint": pa.array([], pa.int64())}
         )
-    # raw utf-8 bytes + per-doc offsets, zero-copy from the arrow buffers
-    # (sliced arrays index into the offsets buffer at arr.offset)
-    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
-        arr.offset : arr.offset + nrows + 1
-    ].astype(np.int64)
-    data_buf = arr.buffers()[2]
-    data = (
-        np.frombuffer(data_buf, dtype=np.uint8)
-        if data_buf is not None
-        else np.zeros(0, np.uint8)
-    )
+    data, offsets = string_bytes(text)
     lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
     kblocks = np.maximum((lens + _FP_BLOCK - 1) // _FP_BLOCK, 1)
     padded_lens = kblocks * _FP_BLOCK
