@@ -117,45 +117,44 @@ def _grams(col: str) -> str:
     )
 
 
-SQL_CANDIDATES_CHAIN = f"""distinct_mentions AS (SELECT DISTINCT mention FROM mention_rows),
-hits AS (
-  SELECT m.mention, sf.*,
-         len(list_intersect(list_distinct(str_split(sf.surface_norm, ' ')),
-                            list_distinct(str_split(m.mention, ' ')))) AS shared
-  FROM distinct_mentions m JOIN surface_forms sf
-    ON len(list_intersect(list_distinct(str_split(sf.surface_norm, ' ')),
-                          list_distinct(str_split(m.mention, ' ')))) > 0
+def _post_hits_chain(p: str, boost: bool) -> str:
+    """The scoring chain downstream of a ``{p}hits`` CTE — rank, window
+    stats, A5 ambiguity features, F1-F3 scores, O4 rank scores, A6 dedup,
+    is_best. Shared by the plain and the fuzzy+filtered candidate chains
+    (``boost`` controls the reference's non-fuzzy-only exact-name ×2,
+    lookup_retriever.py:283)."""
+    boost_expr = (
+        " * (CASE WHEN surface_norm = mention THEN 2 ELSE 1 END)" if boost else ""
+    )
+    return f"""{p}scored AS (
+  SELECT *, (shared / greatest(ntoken, len(str_split(mention, ' ')), 1)){boost_expr} AS match_score
+  FROM {p}hits
 ),
-scored AS (
-  SELECT *, (shared / greatest(ntoken, len(str_split(mention, ' ')), 1))
-            * (CASE WHEN surface_norm = mention THEN 2 ELSE 1 END) AS match_score
-  FROM hits
-),
-ranked AS (
+{p}ranked AS (
   SELECT *, row_number() OVER (PARTITION BY mention
              ORDER BY popularity DESC, match_score DESC, id ASC, surface_norm ASC) AS rk
-  FROM scored
+  FROM {p}scored
   QUALIFY rk <= {LIMIT}
 ),
-wstats AS (
+{p}wstats AS (
   SELECT *, count(*) OVER (PARTITION BY mention) AS nhits,
             max(match_score) OVER (PARTITION BY mention) AS max_match
-  FROM ranked
+  FROM {p}ranked
 ),
-amb AS (
+{p}amb AS (
   SELECT mention,
          round_even(count(DISTINCT CASE WHEN surface_norm = mention THEN id END)
                     / count(DISTINCT id), 3) AS ambiguity_mention
-  FROM ranked GROUP BY mention
+  FROM {p}ranked GROUP BY mention
 ),
-corr AS (
+{p}corr AS (
   SELECT t.mention,
          round_even(count(DISTINCT t.tk) FILTER (WHERE list_contains(str_split(t.mention, ' '), t.tk))
                     / len(list_distinct(str_split(t.mention, ' '))), 3) AS corrects_tokens
-  FROM (SELECT r.mention AS mention, unnest(str_split(r.surface_norm, ' ')) AS tk FROM ranked r) t
+  FROM (SELECT r.mention AS mention, unnest(str_split(r.surface_norm, ' ')) AS tk FROM {p}ranked r) t
   GROUP BY t.mention
 ),
-cscored AS (
+{p}cscored AS (
   SELECT w.mention, w.id, w.name, w.description, w.types, w.kind, w.nertype,
          a.ambiguity_mention, c.corrects_tokens,
          len(str_split(w.mention, ' ')) AS ntoken_mention, w.ntoken AS ntoken_entity,
@@ -173,19 +172,55 @@ cscored AS (
                     / greatest(len({_grams('w.surface_norm')}), len({_grams('w.mention')}), 1), 2)
            AS jaccardngram_score,
          w.rk
-  FROM wstats w JOIN amb a USING (mention) JOIN corr c USING (mention)
+  FROM {p}wstats w JOIN {p}amb a USING (mention) JOIN {p}corr c USING (mention)
 ),
-deduped AS (
+{p}deduped AS (
   SELECT *, row_number() OVER (PARTITION BY mention, id
              ORDER BY (ed_score + jaccard_score) DESC, rk ASC) AS ddrk
-  FROM cscored QUALIFY ddrk = 1
+  FROM {p}cscored QUALIFY ddrk = 1
 ),
-final_cands AS (
+{p}final_cands AS (
   SELECT d.*, (row_number() OVER (PARTITION BY d.mention
-               ORDER BY (d.ed_score + d.jaccard_score + d.jaccardngram_score) DESC,
+               ORDER BY (d.ed_score + d.jaccard_score + d.jaccardNgram_score) DESC,
                         d.popularity DESC, d.id ASC) = 1) AS is_best
-  FROM deduped d
+  FROM {p}deduped d
 )"""
+
+
+SQL_CANDIDATES_CHAIN = (
+    """distinct_mentions AS (SELECT DISTINCT mention FROM mention_rows),
+hits AS (
+  SELECT m.mention, sf.*,
+         len(list_intersect(list_distinct(str_split(sf.surface_norm, ' ')),
+                            list_distinct(str_split(m.mention, ' ')))) AS shared
+  FROM distinct_mentions m JOIN surface_forms sf
+    ON len(list_intersect(list_distinct(str_split(sf.surface_norm, ' ')),
+                          list_distinct(str_split(m.mention, ' ')))) > 0
+),
+"""
+    + _post_hits_chain("", boost=True)
+)
+
+# ES "fuzziness: auto" edit budget by query-term length (0 / 1 / 2)
+_FUZZY_SHARED = (
+    "len(list_filter(list_distinct(str_split({m}, ' ')), mt -> "
+    "len(list_filter(str_split({e}, ' '), et -> "
+    "levenshtein(mt, et) <= (CASE WHEN length(mt) < 3 THEN 0 "
+    "WHEN length(mt) <= 5 THEN 1 ELSE 2 END))) > 0))"
+)
+
+SQL_FILTERED_CHAIN = (
+    f"""fdistinct AS (SELECT DISTINCT 'x' || mention AS mention FROM mention_rows),
+fhits AS (
+  SELECT m.mention, sf.*,
+         {_FUZZY_SHARED.format(m="m.mention", e="sf.surface_norm")} AS shared
+  FROM fdistinct m JOIN surface_forms sf
+    ON sf.kind = 'entity' AND sf.nertype = 'OTHERS'
+   AND {_FUZZY_SHARED.format(m="m.mention", e="sf.surface_norm")} > 0
+),
+"""
+    + _post_hits_chain("f", boost=False)
+)
 
 SQL_LINKED = """linked AS (
   SELECT mr.url, mr.mention, fc.id
@@ -376,6 +411,61 @@ def oracle_sql() -> dict[str, str]:
     )
 
     sql["linked"] = _with(*_KG_CHAIN, SQL_LINKED) + "SELECT url, mention, id FROM linked"
+
+    _cand_select = (
+        'SELECT f.mention, f.id, f.name, f.description, f.types,\n'
+        "       CASE WHEN f.types = '' THEN '' ELSE coalesce(ti.label, f.types) END AS type_names,\n"
+        '       f.kind, f.nertype AS "NERtype", f.ambiguity_mention, f.corrects_tokens,\n'
+        '       f.ntoken_mention, f.ntoken_entity, f.length_mention, f.length_entity,\n'
+        '       f.popularity, f.pos_score, f.es_score, f.ed_score, f.jaccard_score,\n'
+        '       f.jaccardngram_score AS "jaccardNgram_score"'
+    )
+
+    # F8 parity: fuzziness:auto + kind/NERtype term filters over typo'd
+    # mentions — the fuzzy hit rule is mirrored with nested list lambdas
+    sql["candidates_filtered"] = _with(
+        SQL_PAGES, SQL_ITEMS, SQL_SURFACE_FORMS, SQL_MENTION_ROWS, SQL_FILTERED_CHAIN
+    ) + (
+        _cand_select + ', f.is_best\n'
+        "FROM ffinal_cands f LEFT JOIN items ti ON ti.entity = f.types AND ti.kind = 'type'"
+    )
+
+    # J6 _check_ids forced-candidate union: requested ids per mention,
+    # anti-join found, id-lookup the remainder as the en non-alias label
+    # row, score with F1-F3 + deterministic rank scores, append
+    _sp = "list_distinct(str_split(r.surface_norm, ' '))"
+    _mp = "list_distinct(str_split(r.mention, ' '))"
+    sql["forced_candidates"] = _with(
+        *_KG_CHAIN,
+        "forced AS (SELECT mention, 'Q' || (500000 + length(mention) % 5) AS fid FROM distinct_mentions\n"
+        "  UNION ALL SELECT mention, 'Q' || (100000 + (length(mention) * 7) % (SELECT count(*) FROM part)) FROM distinct_mentions)",
+        "missing AS (SELECT f.mention, f.fid FROM forced f LEFT JOIN final_cands c\n"
+        "  ON c.mention = f.mention AND c.id = f.fid WHERE c.id IS NULL)",
+        "fid_hits AS (SELECT m.mention, sf.* FROM missing m JOIN surface_forms sf\n"
+        "  ON sf.id = m.fid AND NOT sf.is_alias)",
+        "fidranked AS (SELECT *, row_number() OVER (PARTITION BY mention ORDER BY popularity DESC, id ASC) AS rk,\n"
+        "  count(*) OVER (PARTITION BY mention) AS nh FROM fid_hits)",
+        "feat AS (SELECT mention, any_value(ambiguity_mention) AS amb,\n"
+        "  any_value(corrects_tokens) AS corr FROM final_cands GROUP BY mention)",
+    ) + (
+        _cand_select + ", false AS forced\n"
+        "FROM final_cands f LEFT JOIN items ti ON ti.entity = f.types AND ti.kind = 'type'\n"
+        "UNION ALL\n"
+        "SELECT r.mention, r.id, r.name, r.description, r.types,\n"
+        "       CASE WHEN r.types = '' THEN '' ELSE coalesce(ti.label, r.types) END,\n"
+        "       r.kind, r.nertype, coalesce(ft.amb, 0.0), coalesce(ft.corr, 0.0),\n"
+        "       len(str_split(r.mention, ' ')), r.ntoken, length(r.mention), r.length,\n"
+        "       r.popularity, round_even(r.rk / r.nh, 3), 1.0,\n"
+        "       round_even(1 - levenshtein(r.surface_norm, r.mention)\n"
+        "                  / greatest(length(r.surface_norm), length(r.mention)), 2),\n"
+        f"       round_even(len(list_intersect({_sp}, {_mp}))\n"
+        f"                  / greatest(len({_sp}), len({_mp}), 1), 2),\n"
+        f"       round_even(len(list_intersect({_grams('r.surface_norm')}, {_grams('r.mention')}))\n"
+        f"                  / greatest(len({_grams('r.surface_norm')}), len({_grams('r.mention')}), 1), 2),\n"
+        "       true\n"
+        "FROM fidranked r LEFT JOIN feat ft ON ft.mention = r.mention\n"
+        "LEFT JOIN items ti ON ti.entity = r.types AND ti.kind = 'type'"
+    )
 
     sql["triples"] = _with(*_KG_CHAIN, SQL_LINKED, SQL_ADJACENCY) + (
         "SELECT DISTINCT p.subj, adj.pred, p.obj\n"
@@ -911,6 +1001,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return extras.bow_similarity(pages, r["linked"], r["_ctx"].surface_forms)
 
     out["bow_similarity"] = bow
+
+    def candidates_filtered(sf_dir: str):
+        r = _results(sf_dir)
+        return extras.candidates_filtered(r["mentions"], r["_ctx"], LIMIT)
+
+    out["candidates_filtered"] = candidates_filtered
+
+    def forced_candidates(sf_dir: str):
+        r = _results(sf_dir)
+        return extras.forced_candidates(
+            sf_dir, r["mentions"], r["candidates"], r["_ctx"], LIMIT
+        )
+
+    out["forced_candidates"] = forced_candidates
     return out
 
 

@@ -157,20 +157,117 @@ class SurfaceIndex:
         # vocabulary of full surface forms for the mention scanner
         self.surface_vocab = set(self.norms.tolist())
         self.max_surface_tokens = int(self.ntoken.max()) if len(self.ntoken) else 1
+        self._bigram_index: dict[str, list[str]] | None = None
 
-    def retrieve(self, mention: str, limit: int = 1000):
-        """→ (hit_idx ordered, match_score per hit) or empty arrays."""
+    @staticmethod
+    def auto_fuzz(token: str) -> int:
+        """ES ``fuzziness: "auto"`` edit-distance budget by term length:
+        0 for <3 chars, 1 for 3-5, 2 for >5 (lookup_retriever.py:268)."""
+        n = len(token)
+        return 0 if n < 3 else (1 if n <= 5 else 2)
+
+    def _fuzzy_vocab_matches(self, token: str) -> list[str]:
+        """Vocabulary tokens within the AUTO edit-distance budget of
+        ``token`` — candidate generation via a char-bigram index over the
+        (bounded) token vocabulary, then exact Levenshtein verification."""
+        from lamapi_ray.functions.text import levenshtein
+
+        fz = self.auto_fuzz(token)
+        if fz == 0:
+            return [token] if token in self.postings else []
+        if self._bigram_index is None:
+            bindex: dict[str, list[str]] = {}
+            for tok in self.postings:
+                grams = (
+                    {tok[i : i + 2] for i in range(len(tok) - 1)} if len(tok) > 1 else {tok}
+                )
+                for g in grams:
+                    bindex.setdefault(g, []).append(tok)
+            self._bigram_index = bindex
+        grams = (
+            {token[i : i + 2] for i in range(len(token) - 1)}
+            if len(token) > 1
+            else {token}
+        )
+        cand: set[str] = set()
+        for g in grams:
+            cand.update(self._bigram_index.get(g, ()))
+        # len-3 tokens (fz=1): a single middle-char edit destroys BOTH
+        # bigrams ("abc"→"aXc"), so the bigram prefilter alone would miss
+        # legal matches — brute-check the (small) length-2..4 vocab slice
+        if len(token) == 3:
+            if not hasattr(self, "_short_vocab"):
+                self._short_vocab = [t for t in self.postings if 2 <= len(t) <= 4]
+            cand.update(self._short_vocab)
+        out = []
+        for c in cand:
+            if abs(len(c) - len(token)) <= fz and levenshtein(token, c) <= fz:
+                out.append(c)
+        return sorted(out)
+
+    def retrieve(
+        self,
+        mention: str,
+        limit: int = 1000,
+        fuzzy: bool = False,
+        kind: str | None = None,
+        nertype: str | None = None,
+        types: str | None = None,
+    ):
+        """→ (hit_idx ordered, match_score per hit) or empty arrays.
+
+        Non-fuzzy: hits share ≥1 exact token with the mention and an exact
+        full-surface match doubles the score (the reference's ``boost: 2``,
+        lookup_retriever.py:283). Fuzzy (``fuzziness: "auto"``,
+        :266-268): a mention token also matches entry tokens within its
+        AUTO edit-distance budget, shared = number of DISTINCT mention
+        tokens matched, and no exact boost is applied (the reference only
+        boosts in the non-fuzzy branch). ``kind``/``nertype`` are exact
+        term filters; ``types`` is a whitespace-analyzed match — the entry
+        passes if it carries ANY of the requested type ids (:271-280)."""
         mtokens = mention.split(" ")
         mset = sorted(set(mtokens))
-        lists = [self.postings[t] for t in mset if t in self.postings]
-        if not lists:
-            return np.empty(0, np.int64), np.empty(0, np.float64)
-        cat = np.concatenate(lists)
-        idx, shared = np.unique(cat, return_counts=True)
+        if not fuzzy:
+            lists = [self.postings[t] for t in mset if t in self.postings]
+            if not lists:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            cat = np.concatenate(lists)
+            idx, shared = np.unique(cat, return_counts=True)
+        else:
+            nrows = len(self.ids)
+            counts = np.zeros(nrows, dtype=np.int64)
+            for t in mset:
+                matched = self._fuzzy_vocab_matches(t)
+                if not matched:
+                    continue
+                hit = np.unique(
+                    np.concatenate([self.postings[v] for v in matched])
+                )
+                counts[hit] += 1
+            idx = np.nonzero(counts)[0].astype(np.int64)
+            if len(idx) == 0:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            shared = counts[idx]
+        if kind is not None or nertype is not None or types is not None:
+            mask = np.ones(len(idx), dtype=bool)
+            if kind is not None:
+                mask &= self.kinds[idx] == kind
+            if nertype is not None:
+                mask &= self.nertypes[idx] == nertype
+            if types is not None:
+                wanted = set(types.split(" "))
+                mask &= np.asarray(
+                    [bool(wanted & set(ts.split(" "))) for ts in self.types_str[idx]],
+                    dtype=bool,
+                )
+            idx, shared = idx[mask], shared[mask]
+            if len(idx) == 0:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
         denom = np.maximum(self.ntoken[idx], max(len(mtokens), 1)).astype(np.float64)
         score = shared / denom
-        exact = self.norms[idx] == mention
-        score = np.where(exact, score * 2.0, score)
+        if not fuzzy:
+            exact = self.norms[idx] == mention
+            score = np.where(exact, score * 2.0, score)
         # strict total order: (-popularity, -match_score, id, surface_norm)
         order = np.lexsort(
             (self.norms[idx], self.ids[idx], -score, -self.popularity[idx])
@@ -178,20 +275,36 @@ class SurfaceIndex:
         order = order[:limit]
         return idx[order], score[order]
 
-    def candidates(self, mention: str, limit: int = 1000) -> list[dict]:
+    def candidates(
+        self,
+        mention: str,
+        limit: int = 1000,
+        fuzzy: bool = False,
+        kind: str | None = None,
+        nertype: str | None = None,
+        types: str | None = None,
+    ) -> list[dict]:
         """Fully scored, per-entity-deduped candidate list for one mention.
 
         Output schema/formulas per reference lookup_retriever.py:137-182 +
         elastic.py:49-63; ambiguity features per lookup_retriever.py:118-135
         (A5) computed over the same hit list; per-entity best-candidate dedup
-        (A6) keeps max (ed+jaccard), first-seen on ties.
+        (A6) keeps max (ed+jaccard), first-seen on ties. ``fuzzy``/``kind``/
+        ``nertype``/``types`` mirror the query-builder params
+        (lookup_retriever.py:261-290) — see :meth:`retrieve`.
 
-        Documented deviation: the reference's ambiguity count is iteration-
-        order dependent (an id first seen with a non-matching surface is
-        never counted); we count a distinct id when *any* of its hit
-        surfaces exact-matches — an order-independent, well-defined variant.
+        Documented deviations: (a) the reference's ambiguity count is
+        iteration-order dependent (an id first seen with a non-matching
+        surface is never counted); we count a distinct id when *any* of its
+        hit surfaces exact-matches — an order-independent, well-defined
+        variant. (b) With filters, the reference computes ambiguity via a
+        separate UNfiltered token query (:118-135, 242-244); we compute it
+        over the filtered hit list so the feature describes the returned
+        candidates.
         """
-        idx, match = self.retrieve(mention, limit)
+        idx, match = self.retrieve(
+            mention, limit, fuzzy=fuzzy, kind=kind, nertype=nertype, types=types
+        )
         n = len(idx)
         if n == 0:
             return []

@@ -34,9 +34,10 @@ from lamapi_ray.stages.textstats import (
 
 
 def _collect(ds) -> pa.Table:
-    return pa.concat_tables(
-        [b for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow")]
-    )
+    batches = [b for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow")]
+    if not batches:
+        return pa.Table.from_pydict({}, schema=pa.schema([]))
+    return pa.concat_tables(batches)
 
 
 def _docs(sf_dir: str, cols=("doc_id", "text")) -> ray.data.Dataset:
@@ -604,6 +605,134 @@ def wikidata_triples(sf_dir: str) -> pa.Table:
 
 def wikidata_literals(sf_dir: str) -> pa.Table:
     return _collect(_dump_tables(sf_dir)["literals"])
+
+
+# --- fuzzy + filtered retrieval (F8 parity) and forced candidates (J6) ----
+
+
+def candidates_filtered(mentions_tbl: pa.Table, ctx, limit: int) -> pa.Table:
+    """F8 fuzzy+filtered retrieval parity (lookup_retriever.py:261-290):
+    every distinct pipeline mention gets a 1-edit typo ('x' prepended to
+    its first token) and is retrieved with ``fuzziness: auto`` plus
+    ``kind = entity`` / ``NERtype = OTHERS`` term filters — the full scored
+    candidate chain (A5/A6/F1-F3/O4) runs on the fuzzy hit set."""
+    from lamapi_ray.stages.candidates import generate_candidates
+
+    dm = sorted(set(mentions_tbl["mention"].to_pylist()))
+    fm = ray.data.from_arrow(
+        pa.table({"mention": pa.array(["x" + m for m in dm], pa.string())})
+    )
+    cands = generate_candidates(
+        fm,
+        ctx.surface_forms,
+        ctx.type_names,
+        limit=limit,
+        retrieve_kwargs={"fuzzy": True, "kind": "entity", "nertype": "OTHERS"},
+    )
+    return _collect(cands)
+
+
+def forced_candidates(
+    sf_dir: str, mentions_tbl: pa.Table, candidates_tbl: pa.Table, ctx, limit: int
+) -> pa.Table:
+    """J6 ``_check_ids`` forced-candidate union (lookup_retriever.py:213-234,
+    247-259): per distinct mention, two deterministically derived requested
+    QIDs; ids already present among the mention's candidates are removed
+    (anti-join); the remainder are id-looked-up as their English non-alias
+    label row (create_ids_query ``must``: match id, language en, is_alias
+    False), scored with F1-F3 against the mention, given rank scores over
+    the id-hit list, and appended to the candidate set (``forced = true``).
+
+    Documented deviations from the reference: (a) the reference passes
+    ``limit=1`` to the ids query so at most ONE forced candidate returns,
+    ranked by ES BM25 relevance — an ES-scoring artifact; we return every
+    requested id's label row with a deterministic (popularity DESC, id ASC)
+    ordering. (b) ``es_score`` for id-matches is a BM25 ratio; an id match
+    is exact, so we emit the uniform 1.0."""
+    import pyarrow.parquet as pq
+
+    from lamapi_ray.functions.text import round_ref, scored_pair
+
+    npart = pq.ParquetFile(f"{sf_dir}/part.parquet").metadata.num_rows
+    dm = sorted(set(mentions_tbl["mention"].to_pylist()))
+    forced_pairs = []
+    for m in dm:
+        forced_pairs.append((m, f"Q{500000 + len(m) % 5}"))
+        forced_pairs.append((m, f"Q{100000 + (len(m) * 7) % npart}"))
+
+    found = set(
+        zip(candidates_tbl["mention"].to_pylist(), candidates_tbl["id"].to_pylist())
+    )
+    missing = [(m, fid) for m, fid in forced_pairs if (m, fid) not in found]
+
+    sf = ctx.surface_forms
+    label_rows: dict[str, dict] = {}
+    mask = pc.invert(sf["is_alias"].combine_chunks())
+    lab = sf.filter(mask)
+    for i in range(len(lab)):
+        label_rows[lab["id"][i].as_py()] = {
+            c: lab[c][i].as_py() for c in lab.column_names
+        }
+
+    feats: dict[str, tuple[float, float]] = {}
+    for m, a, c in zip(
+        candidates_tbl["mention"].to_pylist(),
+        candidates_tbl["ambiguity_mention"].to_pylist(),
+        candidates_tbl["corrects_tokens"].to_pylist(),
+    ):
+        feats.setdefault(m, (a, c))
+
+    # group missing by mention; order by popularity desc, id asc
+    from collections import defaultdict
+
+    by_mention: dict[str, list[dict]] = defaultdict(list)
+    for m, fid in missing:
+        row = label_rows.get(fid)
+        if row is not None:
+            by_mention[m].append(row)
+
+    out_rows = []
+    for m in sorted(by_mention):
+        hits = sorted(by_mention[m], key=lambda r: (-r["popularity"], r["id"]))
+        n = len(hits)
+        amb, corr = feats.get(m, (0.0, 0.0))
+        for rank, r in enumerate(hits, 1):
+            ed, jac, jac3 = scored_pair(r["surface_norm"], m)
+            out_rows.append(
+                {
+                    "mention": m,
+                    "id": r["id"],
+                    "name": r["name"],
+                    "description": r["description"],
+                    "types": r["types"],
+                    "type_names": " ".join(
+                        ctx.type_names.get(t, t) for t in r["types"].split(" ") if t
+                    ),
+                    "kind": r["kind"],
+                    "NERtype": r["NERtype"],
+                    "ambiguity_mention": amb,
+                    "corrects_tokens": corr,
+                    "ntoken_mention": len(m.split(" ")),
+                    "ntoken_entity": r["ntoken"],
+                    "length_mention": len(m),
+                    "length_entity": r["length"],
+                    "popularity": r["popularity"],
+                    "pos_score": round_ref(rank / n, 3),
+                    "es_score": 1.0,
+                    "ed_score": ed,
+                    "jaccard_score": jac,
+                    "jaccardNgram_score": jac3,
+                    "forced": True,
+                }
+            )
+
+    base = candidates_tbl.drop_columns(["is_best"]).append_column(
+        "forced", pa.array([False] * len(candidates_tbl), pa.bool_())
+    )
+    if out_rows:
+        appended = pa.Table.from_pylist(out_rows, schema=base.schema)
+        return pa.concat_tables([base, appended])
+    return base
 
 
 def simhash_near_dup(sf_dir: str) -> pa.Table:

@@ -69,7 +69,7 @@ class CandidateGenerator:
     per worker); scheduling is elastic.
     """
 
-    def __init__(self, surface_ref, type_names_ref, limit: int = 1000):
+    def __init__(self, surface_ref, type_names_ref, limit: int = 1000, retrieve_kwargs=None):
         key = surface_ref.hex() if hasattr(surface_ref, "hex") else id(surface_ref)
         if _INDEX_CACHE[0] != key:
             table: pa.Table = ray.get(surface_ref)
@@ -78,11 +78,12 @@ class CandidateGenerator:
             _INDEX_CACHE[1] = SurfaceIndex(table, type_names)
         self.index = _INDEX_CACHE[1]
         self.limit = limit
+        self.retrieve_kwargs = retrieve_kwargs or {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cols: dict[str, list] = {name: [] for name, _ in CANDIDATE_FIELDS}
         for mention in batch["mention"].to_pylist():
-            cands = self.index.candidates(mention, self.limit)
+            cands = self.index.candidates(mention, self.limit, **self.retrieve_kwargs)
             if not cands:
                 continue
             # linking rule: argmax (ed+jaccard+jaccardNgram, popularity, id asc)
@@ -123,13 +124,18 @@ def generate_candidates(
     type_names: dict[str, str],
     limit: int = 1000,
     concurrency: int = 4,
+    retrieve_kwargs: dict | None = None,
 ) -> ray.data.Dataset:
-    """distinct mentions (col ``mention``) → scored candidate rows."""
+    """distinct mentions (col ``mention``) → scored candidate rows.
+
+    ``retrieve_kwargs`` forwards the query-builder params (``fuzzy``,
+    ``kind``, ``nertype``, ``types`` — reference
+    lookup_retriever.py:261-290) to :meth:`SurfaceIndex.candidates`."""
     surface_ref = ray.put(surface_forms)
     type_names_ref = ray.put(type_names)
 
     def score(batch: pa.Table) -> pa.Table:
-        return CandidateGenerator(surface_ref, type_names_ref, limit)(batch)
+        return CandidateGenerator(surface_ref, type_names_ref, limit, retrieve_kwargs)(batch)
 
     return distinct_mentions.map_batches(
         score,

@@ -129,3 +129,57 @@ def test_limit_truncates_hits(index):
     assert len(idx) == 2
     # truncation keeps the top of the popularity-desc order
     assert [index.norms[i] for i in idx] == ["batman", "batman begins"]
+
+
+# --- fuzzy + filtered retrieval (F8 fuzziness/filters parity) --------------
+
+
+def test_auto_fuzz_budgets():
+    assert SurfaceIndex.auto_fuzz("ab") == 0
+    assert SurfaceIndex.auto_fuzz("abc") == 1
+    assert SurfaceIndex.auto_fuzz("abcde") == 1
+    assert SurfaceIndex.auto_fuzz("abcdef") == 2
+
+
+def test_fuzzy_retrieval_matches_one_edit_typo():
+    idx = make_index(
+        [
+            {"id": "Q1", "name": "red plate", "popularity": 0.9},
+            {"id": "Q2", "name": "blue cup", "popularity": 0.5},
+        ]
+    )
+    # exact path misses the typo'd token entirely
+    hits, _ = idx.retrieve("xred saucer")
+    assert len(hits) == 0
+    # fuzzy: 'xred' (len 4 → budget 1) matches vocab 'red'
+    hits, score = idx.retrieve("xred saucer", fuzzy=True)
+    assert list(idx.ids[hits]) == ["Q1"]
+    # no exact-name ×2 boost in fuzzy mode
+    assert score[0] == pytest.approx(1 / 2)  # 1 shared / max(2, 2)
+
+
+def test_fuzzy_len3_middle_edit_fallback():
+    # 'rxd' vs vocab 'red': the single middle edit destroys BOTH bigrams —
+    # only the short-vocab fallback can find it
+    idx = make_index([{"id": "Q1", "name": "red plate", "popularity": 0.9}])
+    hits, _ = idx.retrieve("rxd", fuzzy=True)
+    assert list(idx.ids[hits]) == ["Q1"]
+
+
+def test_filters_restrict_hits():
+    idx = make_index(
+        [
+            {"id": "Q1", "name": "acme corp", "popularity": 0.9, "NERtype": "ORG"},
+            {"id": "Q2", "name": "acme peak", "popularity": 0.5, "NERtype": "LOC"},
+        ]
+    )
+    hits, _ = idx.retrieve("acme")
+    assert set(idx.ids[hits]) == {"Q1", "Q2"}
+    hits, _ = idx.retrieve("acme", nertype="LOC")
+    assert list(idx.ids[hits]) == ["Q2"]
+    hits, _ = idx.retrieve("acme", nertype="LOC", kind="type")
+    assert len(hits) == 0
+    hits, _ = idx.retrieve("acme", types="Q100 Q999")
+    assert set(idx.ids[hits]) == {"Q1", "Q2"}
+    hits, _ = idx.retrieve("acme", types="Q999")
+    assert len(hits) == 0
