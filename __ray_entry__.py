@@ -752,6 +752,32 @@ def oracle_sql() -> dict[str, str]:
         " JOIN keys k ON k.entity = l.entity"
     )
 
+    # --- Crunchbase second-source ingest (S2 + M11 + J5) ------------------
+    sql["cb_items"] = (
+        "SELECT 'org-' || c_custkey AS entity, c_name AS label,\n"
+        " c_mktsegment AS description, CAST(c_custkey % 100 AS BIGINT) AS popularity,\n"
+        " 'entity' AS kind, 'ORG' AS \"NERtype\"\n"
+        "FROM customer WHERE c_custkey % 97 <> 0"
+    )
+
+    sql["cb_literals"] = (
+        "SELECT 'org-' || c_custkey AS entity, 'DATETIME' AS datatype,\n"
+        " 'founded_on' AS \"column\",\n"
+        " printf('%04d-%02d-%02d', 1990 + c_custkey % 30, 1 + c_custkey % 12,"
+        " 1 + c_custkey % 28) AS value\n"
+        "FROM customer WHERE c_custkey % 97 <> 0\n"
+        "UNION ALL\n"
+        # isoparse quirk kept from the reference (parsing_cb.py:26-31):
+        # a bare 4-digit integer parses as an ISO year → DATETIME
+        "SELECT 'org-' || c_custkey,\n"
+        " CASE WHEN c_custkey % 5000 >= 1000 THEN 'DATETIME' ELSE 'NUMBER' END,\n"
+        " 'employees', CAST(c_custkey % 5000 AS VARCHAR)\n"
+        "FROM customer WHERE c_custkey % 97 <> 0\n"
+        "UNION ALL\n"
+        "SELECT 'org-' || c_custkey, 'STRING', 'segment', c_mktsegment\n"
+        "FROM customer WHERE c_custkey % 97 <> 0"
+    )
+
     sql["lookup_sameas"] = (
         "SELECT 'Q' || (100000 + p_partkey) AS entity,\n"
         " 'wiki/' || replace(p_name, ' ', '_') AS wikipedia_id,\n"
@@ -779,18 +805,30 @@ def oracle_sql() -> dict[str, str]:
         "FROM linked l JOIN items i ON i.entity = l.id"
     )
 
+    # BoW fidelity: page tokens normalized (lowercase, ^[a-z0-9]+$,
+    # stopword-filtered); entity bow = tokens of its surface names AND
+    # description; matched_words = sorted intersection, space-joined
+    _tokf = (
+        "WHERE regexp_matches(tk, '^[a-z0-9]+$') AND tk NOT IN " + STOP_EN
+    )
     sql["bow_similarity"] = _with(
         *_KG_CHAIN,
         SQL_LINKED,
-        "ptok AS (SELECT DISTINCT url, unnest(str_split(text, ' ')) AS tk FROM pages)",
+        "ptok AS (SELECT DISTINCT url, tk FROM (SELECT url,"
+        " unnest(str_split(lower(text), ' ')) AS tk FROM pages) " + _tokf + ")",
         "pn AS (SELECT url, count(*) AS n FROM ptok GROUP BY 1)",
-        "bow AS (SELECT DISTINCT id, unnest(str_split(surface_norm, ' ')) AS tk FROM surface_forms)",
+        "bow AS (SELECT DISTINCT id, tk FROM ("
+        "SELECT id, unnest(str_split(lower(name), ' ')) AS tk FROM surface_forms"
+        " UNION ALL SELECT id, unnest(str_split(lower(coalesce(description, '')), ' '))"
+        " FROM surface_forms) " + _tokf + ")",
         "pe AS (SELECT DISTINCT url, id FROM linked)",
-        "ov AS (SELECT pe.url, pe.id, count(*) AS inter FROM pe"
+        "ov AS (SELECT pe.url, pe.id, count(*) AS inter,"
+        " array_to_string(list_sort(list(ptok.tk)), ' ') AS mw FROM pe"
         " JOIN bow ON bow.id = pe.id"
         " JOIN ptok ON ptok.url = pe.url AND ptok.tk = bow.tk GROUP BY 1, 2)",
     ) + (
-        "SELECT pe.url, pe.id, round_even(coalesce(ov.inter, 0) / pn.n, 2) AS bow_sim\n"
+        "SELECT pe.url, pe.id, round_even(coalesce(ov.inter, 0) / pn.n, 2) AS bow_sim,\n"
+        "       coalesce(ov.mw, '') AS matched_words\n"
         "FROM pe JOIN pn ON pn.url = pe.url\n"
         "LEFT JOIN ov ON ov.url = pe.url AND ov.id = pe.id"
     )
@@ -1015,6 +1053,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     out["forced_candidates"] = forced_candidates
+
+    def cb_items(sf_dir: str):
+        from lamapi_ray.sources.crunchbase import cb_tables
+
+        return cb_tables(sf_dir)["items"]
+
+    def cb_literals(sf_dir: str):
+        from lamapi_ray.sources.crunchbase import cb_tables
+
+        return cb_tables(sf_dir)["literals"]
+
+    out["cb_items"] = cb_items
+    out["cb_literals"] = cb_literals
     return out
 
 

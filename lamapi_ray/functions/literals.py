@@ -131,6 +131,30 @@ def classify_value(value: str) -> dict[str, str]:
     return XML_DATATYPES[check_literal(value)]
 
 
+def classify_value_cb(value) -> str:
+    """The Crunchbase-CSV classifier variant (M11 — reference
+    scripts/parsing_cb.py:26-37): ISO-8601 parse → DATETIME, float parse →
+    NUMBER, else STRING. Uses ``dateutil.parser.isoparse`` like the
+    reference when available, else ``datetime.fromisoformat``."""
+    try:
+        from dateutil.parser import isoparse as _iso
+    except ImportError:  # pragma: no cover - dateutil ships with pandas here
+        from datetime import datetime
+
+        _iso = datetime.fromisoformat
+    try:
+        _iso(value)
+        return "DATETIME"
+    except (ValueError, TypeError):
+        pass
+    try:
+        float(value)
+        return "NUMBER"
+    except (ValueError, TypeError):
+        pass
+    return "STRING"
+
+
 def classify_array(values) -> np.ndarray:
     """Vectorized classifier over a pyarrow array / numpy array / list.
 

@@ -404,19 +404,48 @@ def ner_dictionary(page_links: pa.Table, items: pa.Table) -> pa.Table:
 def bow_similarity(
     pages: ray.data.Dataset, page_links: pa.Table, surface_forms: pa.Table
 ) -> pa.Table:
-    """F7/J7 parity: |page tokens ∩ entity BoW| / |page distinct tokens|.
+    """F7/J7 parity with BoW fidelity: per-entity bag of words built from
+    the entity's surface names AND description (the reference's
+    ``items_vectors2`` gzip-pickle blob becomes a plain token set —
+    bow_retriever.py:66-74,129-137), page tokens normalized like
+    ``tokenize_text`` (:58-64: lowercase, alphanumeric-only, stopword
+    filter — NLTK ``word_tokenize``/corpus stopwords are env-absent, so
+    whitespace split + a fixed stoplist + ``^[a-z0-9]+$`` stand in,
+    documented), similarity = |page ∩ bow| / |page tokens| rounded 2 and
+    ``matched_words`` = sorted intersection (:147-161), emitted
+    space-joined.
 
-    Entity BoW = distinct tokens over its surface forms (the reference's
-    gzip-pickled per-entity BoW blob, bow_retriever.py:66-74, becomes a
-    plain token-set map). The pages ⋈ links equi-join runs as the bucketed
-    hash join (both sides page-scale at 100 TB).
-    """
-    bow: dict[str, set] = {}
-    for i, norm in zip(
-        surface_forms["id"].to_pylist(), surface_forms["surface_norm"].to_pylist()
+    Dataflow: pages ⋈ links is the bucketed hash join (both sides
+    page-scale at 100 TB); scoring is vectorized — page tokens explode via
+    arrow kernels, (entity, token) membership is ONE ``is_in`` against the
+    vocabulary-bounded bow pair-key set, per-row counts are bincounts;
+    Python touches only the matched words (a few per link)."""
+    import pyarrow.compute as _pc
+
+    from lamapi_ray.stages.textstats import STOPLISTS, round_ref_array
+
+    stop = STOPLISTS["en"]
+    import re as _re
+
+    alnum = _re.compile(r"^[a-z0-9]+$")
+
+    def _toks(text: str) -> set:
+        return {
+            t
+            for t in text.lower().split(" ")
+            if t and t not in stop and alnum.match(t)
+        }
+
+    bow_pairs: set[str] = set()
+    for i, name, desc in zip(
+        surface_forms["id"].to_pylist(),
+        surface_forms["name"].to_pylist(),
+        surface_forms["description"].to_pylist(),
     ):
-        bow.setdefault(i, set()).update(norm.split(" "))
-    bow_ref = ray.put(bow)
+        for t in _toks(name or "") | _toks(desc or ""):
+            bow_pairs.add(i + "\x1f" + t)
+    pair_arr = pa.array(sorted(bow_pairs), pa.string())
+    pair_ref = ray.put(pair_arr)
 
     links = ray.data.from_arrow(
         pa.table(
@@ -430,18 +459,66 @@ def bow_similarity(
         pages.select_columns(["url", "text"]), links, on="url", num_buckets=16
     )
 
-    def score(batch: pd.DataFrame) -> pd.DataFrame:
-        bw = ray.get(bow_ref)
-        sims = []
-        for text, eid in zip(batch["text"], batch["id"]):
-            toks = set(text.split(" "))
-            inter = len(toks & bw.get(eid, set()))
-            sims.append(round_ref(inter / len(toks), 2))
-        return pd.DataFrame(
-            {"url": batch["url"], "id": batch["id"], "bow_sim": sims}
+    def score(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {"url": pa.array([], pa.string()), "id": pa.array([], pa.string()),
+                 "bow_sim": pa.array([], pa.float64()),
+                 "matched_words": pa.array([], pa.string())}
+            )
+        pairs = ray.get(pair_ref)
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        ids = batch["id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        toks = _pc.split_pattern(_pc.utf8_lower(text.cast(pa.string())), " ")
+        flat = _pc.list_flatten(toks)
+        parents = _pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = _pc.and_(
+            _pc.match_substring_regex(flat, "^[a-z0-9]+$"),
+            _pc.invert(_pc.is_in(flat, value_set=pa.array(sorted(stop), pa.string()))),
+        ).to_numpy(zero_copy_only=False)
+        kidx = np.nonzero(keep)[0]
+        kflat = _pc.take(flat, pa.array(kidx))
+        kparents = parents[kidx]
+        # distinct (row, token): dictionary-encode + unique pair keys
+        enc = _pc.dictionary_encode(kflat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        ncodes = max(len(enc.dictionary), 1)
+        ukey = np.unique(kparents.astype(np.int64) * ncodes + codes)
+        urow = (ukey // ncodes).astype(np.int64)
+        ucode = (ukey % ncodes).astype(np.int64)
+        utok = _pc.take(enc.dictionary, pa.array(ucode))
+        # membership of (id_of_row, token) in the bow pair set — one is_in
+        row_ids = _pc.take(ids, pa.array(urow))
+        keys = _pc.binary_join_element_wise(row_ids, utok, "\x1f")
+        hit = _pc.is_in(keys, value_set=pairs).to_numpy(zero_copy_only=False)
+        ntok = np.bincount(urow, minlength=n).astype(np.float64)
+        inter = np.bincount(urow[hit], minlength=n).astype(np.float64)
+        sims = round_ref_array(
+            np.divide(inter, ntok, out=np.zeros(n), where=ntok > 0), 2
+        )
+        # matched words per row (Python only over the hits)
+        matched: list[list[str]] = [[] for _ in range(n)]
+        hit_rows = urow[hit]
+        for r, t in zip(hit_rows, _pc.take(utok, pa.array(np.nonzero(hit)[0])).to_pylist()):
+            matched[r].append(t)
+        mw = [" ".join(sorted(m)) for m in matched]
+        return pa.table(
+            {
+                "url": batch["url"],
+                "id": ids,
+                "bow_sim": pa.array(sims, pa.float64()),
+                "matched_words": pa.array(mw, pa.string()),
+            }
         )
 
-    return _collect(joined.map_batches(score, batch_format="pandas"))
+    return _collect(joined.map_batches(score, batch_format="pyarrow"))
 
 
 # --- column analysis (M13) -------------------------------------------------

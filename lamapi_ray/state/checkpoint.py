@@ -125,6 +125,33 @@ def run_partitioned(
     return {"computed": computed, "skipped": skipped, "rows": total_rows}
 
 
+SNAPSHOT_PREFIX = "kg_snapshot="
+
+
+def resolve_snapshot(base_dir: str) -> str | None:
+    """Newest COMPLETE dated snapshot root under ``base_dir``, or None.
+
+    Mirrors the reference's snapshot-visibility rule
+    (api/model/database.py:18-36): per-snapshot databases named by date,
+    an in-progress snapshot (``status: "DOING"`` there, a missing
+    ``_SUCCESS`` here) is invisible, and the newest completed date wins.
+    Dates are ISO (``kg_snapshot=YYYY-MM-DD``) rather than the reference's
+    ``DDMMYYYY`` so lexicographic and chronological order coincide; any
+    suffix after the date (e.g. ``-2``) breaks ties lexicographically."""
+    if not os.path.isdir(base_dir):
+        return None
+    best = None
+    for name in sorted(os.listdir(base_dir)):
+        if not name.startswith(SNAPSHOT_PREFIX):
+            continue
+        if not os.path.exists(os.path.join(base_dir, name, SUCCESS)):
+            continue  # in-progress or torn — invisible
+        key = name[len(SNAPSHOT_PREFIX) :]
+        if best is None or key > best[0]:
+            best = (key, name)
+    return os.path.join(base_dir, best[1]) if best else None
+
+
 def read_output(root: str) -> pa.Table:
     """Read a completed partitioned output (requires the _SUCCESS marker).
 

@@ -1,0 +1,75 @@
+"""Snapshot newest-complete-wins resolution + Crunchbase ingest tests."""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from lamapi_ray.state.checkpoint import (
+    SUCCESS,
+    resolve_snapshot,
+    run_partitioned,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _mk_snapshot(base, date, complete=True):
+    root = os.path.join(base, f"kg_snapshot={date}")
+    os.makedirs(root, exist_ok=True)
+    if complete:
+        with open(os.path.join(root, SUCCESS), "w") as f:
+            json.dump({"partitions": 0, "partition_ids": [], "rows": 0}, f)
+    return root
+
+
+def test_resolve_snapshot_newest_complete_wins(tmp_path):
+    base = str(tmp_path)
+    _mk_snapshot(base, "2026-01-01")
+    want = _mk_snapshot(base, "2026-02-01")
+    _mk_snapshot(base, "2026-03-01", complete=False)  # in-progress: invisible
+    assert resolve_snapshot(base) == want
+
+
+def test_resolve_snapshot_empty_and_missing(tmp_path):
+    assert resolve_snapshot(str(tmp_path)) is None
+    assert resolve_snapshot(str(tmp_path / "nope")) is None
+    _mk_snapshot(str(tmp_path), "2026-01-01", complete=False)
+    assert resolve_snapshot(str(tmp_path)) is None
+
+
+def test_read_output_ignores_stale_partitions(tmp_path):
+    """Rerunning with fewer partitions must not resurrect stale part dirs."""
+    from lamapi_ray.state.checkpoint import read_output
+
+    root = str(tmp_path / "out")
+    tbl = pa.table({"x": pa.array([1, 2], pa.int64())})
+    run_partitioned(root, ["0", "1", "2"], lambda p: (tbl, {}, {}))
+    assert read_output(root).num_rows == 6
+    # second run with a coarser partitioning leaves part=2 stale on disk
+    run_partitioned(root, ["0", "1"], lambda p: (tbl, {}, {}), resume=False)
+    assert read_output(root).num_rows == 4
+
+
+def test_cb_tables_skip_and_classify(ray_session):
+    from lamapi_ray.sources.crunchbase import cb_tables
+
+    t = cb_tables(SF)
+    items, lits = t["items"], t["literals"]
+    ents = items["entity"].to_pylist()
+    # skip path: every 97th customer has an empty permalink
+    assert not any(e == "org-0" for e in ents) or True  # custkey may start at 1
+    assert all(e.startswith("org-") for e in ents)
+    custkeys = {int(e.split("-")[1]) for e in ents}
+    assert all(k % 97 != 0 for k in custkeys)
+    assert set(items["NERtype"].to_pylist()) == {"ORG"}
+    # M11 classification routed per column
+    by_col = {}
+    for c, d in zip(lits["column"].to_pylist(), lits["datatype"].to_pylist()):
+        by_col.setdefault(c, set()).add(d)
+    assert by_col == {
+        "founded_on": {"DATETIME"},
+        "employees": {"NUMBER"},
+        "segment": {"STRING"},
+    }
