@@ -225,12 +225,45 @@ class SurfaceIndex:
         boosts in the non-fuzzy branch). ``kind``/``nertype`` are exact
         term filters; ``types`` is a whitespace-analyzed match — the entry
         passes if it carries ANY of the requested type ids (:271-280)."""
+        idx, shared = self._hit_set(
+            mention, fuzzy=fuzzy, kind=kind, nertype=nertype, types=types
+        )
+        if len(idx) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
         mtokens = mention.split(" ")
-        mset = sorted(set(mtokens))
+        denom = np.maximum(self.ntoken[idx], max(len(mtokens), 1)).astype(np.float64)
+        score = shared / denom
+        if not fuzzy:
+            exact = self.norms[idx] == mention
+            score = np.where(exact, score * 2.0, score)
+        # strict total order: (-popularity, -match_score, id, surface_norm)
+        order = np.lexsort(
+            (self.norms[idx], self.ids[idx], -score, -self.popularity[idx])
+        )
+        order = order[:limit]
+        return idx[order], score[order]
+
+    def _hit_set(
+        self,
+        mention: str,
+        fuzzy: bool = False,
+        kind: str | None = None,
+        nertype: str | None = None,
+        types: str | None = None,
+        own_tokens: set | None = None,
+    ):
+        """→ (idx, shared) — the UNORDERED hit set with shared-token counts.
+
+        ``own_tokens``: restrict matching to this token subset (the sharded
+        index path — each shard owns a disjoint token set and partial
+        shared counts sum to the broadcast path's totals)."""
+        mset = sorted(set(mention.split(" ")))
+        if own_tokens is not None:
+            mset = [t for t in mset if t in own_tokens]
         if not fuzzy:
             lists = [self.postings[t] for t in mset if t in self.postings]
             if not lists:
-                return np.empty(0, np.int64), np.empty(0, np.float64)
+                return np.empty(0, np.int64), np.empty(0, np.int64)
             cat = np.concatenate(lists)
             idx, shared = np.unique(cat, return_counts=True)
         else:
@@ -246,7 +279,7 @@ class SurfaceIndex:
                 counts[hit] += 1
             idx = np.nonzero(counts)[0].astype(np.int64)
             if len(idx) == 0:
-                return np.empty(0, np.int64), np.empty(0, np.float64)
+                return np.empty(0, np.int64), np.empty(0, np.int64)
             shared = counts[idx]
         if kind is not None or nertype is not None or types is not None:
             mask = np.ones(len(idx), dtype=bool)
@@ -261,19 +294,24 @@ class SurfaceIndex:
                     dtype=bool,
                 )
             idx, shared = idx[mask], shared[mask]
-            if len(idx) == 0:
-                return np.empty(0, np.int64), np.empty(0, np.float64)
-        denom = np.maximum(self.ntoken[idx], max(len(mtokens), 1)).astype(np.float64)
-        score = shared / denom
-        if not fuzzy:
-            exact = self.norms[idx] == mention
-            score = np.where(exact, score * 2.0, score)
-        # strict total order: (-popularity, -match_score, id, surface_norm)
-        order = np.lexsort(
-            (self.norms[idx], self.ids[idx], -score, -self.popularity[idx])
-        )
-        order = order[:limit]
-        return idx[order], score[order]
+        return idx, shared
+
+    def hit_rows(self, idx: np.ndarray, shared: np.ndarray) -> dict:
+        """Materialize hit rows (column → numpy array) for scoring."""
+        return {
+            "id": self.ids[idx],
+            "name": self.names[idx],
+            "norm": self.norms[idx],
+            "description": self.descriptions[idx],
+            "kind": self.kinds[idx],
+            "nertype": self.nertypes[idx],
+            "types_str": self.types_str[idx],
+            "type_names": self.type_names_joined[idx],
+            "ntoken": self.ntoken[idx],
+            "length": self.length[idx],
+            "popularity": self.popularity[idx],
+            "shared": np.asarray(shared, dtype=np.int64),
+        }
 
     def candidates(
         self,
@@ -302,54 +340,86 @@ class SurfaceIndex:
         over the filtered hit list so the feature describes the returned
         candidates.
         """
-        idx, match = self.retrieve(
-            mention, limit, fuzzy=fuzzy, kind=kind, nertype=nertype, types=types
+        idx, shared = self._hit_set(
+            mention, fuzzy=fuzzy, kind=kind, nertype=nertype, types=types
         )
-        n = len(idx)
-        if n == 0:
+        if len(idx) == 0:
             return []
-        mset = set(mention.split(" "))
-        ntoken_mention = len(mention.split(" "))
-        length_mention = len(mention)
+        return score_hit_rows(
+            mention, self.hit_rows(idx, shared), limit, fuzzy=fuzzy
+        )
 
-        # A5 ambiguity features over the hit list
-        exact = self.norms[idx] == mention
-        distinct_ids = set(self.ids[idx].tolist())
-        exact_ids = set(self.ids[idx[exact]].tolist())
-        ambiguity = round_ref(len(exact_ids) / len(distinct_ids), 3) if distinct_ids else 0
-        hit_tokens: set[str] = set()
-        for norm in self.norms[idx]:
-            hit_tokens.update(norm.split(" "))
-        corrects = round_ref(len(mset & hit_tokens) / len(mset), 3)
 
-        max_match = float(match.max())
-        history: dict[str, dict] = {}
-        for rank in range(n):
-            i = int(idx[rank])
-            label_clean = self.norms[i]
-            ed, jac, jac3 = scored_pair(label_clean, mention)
-            prev = history.get(self.ids[i])
-            if prev is not None and (ed + jac) <= (prev["ed_score"] + prev["jaccard_score"]):
-                continue
-            history[self.ids[i]] = {
-                "id": self.ids[i],
-                "name": self.names[i],
-                "description": self.descriptions[i],
-                "types": self.types_str[i],
-                "type_names": self.type_names_joined[i],
-                "kind": self.kinds[i],
-                "NERtype": self.nertypes[i],
-                "ambiguity_mention": ambiguity,
-                "corrects_tokens": corrects,
-                "ntoken_mention": ntoken_mention,
-                "ntoken_entity": int(self.ntoken[i]),
-                "length_mention": length_mention,
-                "length_entity": int(self.length[i]),
-                "popularity": float(self.popularity[i]),
-                "pos_score": round_ref((rank + 1) / n, 3),
-                "es_score": round_ref(float(match[rank]) / max_match, 3),
-                "ed_score": ed,
-                "jaccard_score": jac,
-                "jaccardNgram_score": jac3,
-            }
-        return list(history.values())
+def score_hit_rows(
+    mention: str, rows: dict, limit: int = 1000, fuzzy: bool = False
+) -> list[dict]:
+    """Order + score an UNORDERED hit-row set for one mention — the shared
+    scoring kernel of the broadcast path (:meth:`SurfaceIndex.candidates`)
+    and the sharded path (stages/candidates_sharded.py), guaranteeing the
+    two produce identical candidates.
+
+    ``rows``: column → numpy array (see :meth:`SurfaceIndex.hit_rows`),
+    including per-row ``shared`` token counts. Applies the match-score
+    formula (+ exact ×2 boost unless fuzzy), the strict
+    (popularity, match, id, surface) order, the ``limit`` truncation, A5
+    ambiguity features, F1-F3 scores, O4 rank scores, and A6 per-entity
+    dedup — formulas per reference lookup_retriever.py:118-182 +
+    elastic.py:49-63."""
+    mtokens = mention.split(" ")
+    shared = rows["shared"].astype(np.float64)
+    denom = np.maximum(rows["ntoken"], max(len(mtokens), 1)).astype(np.float64)
+    score = shared / denom
+    if not fuzzy:
+        exact = rows["norm"] == mention
+        score = np.where(exact, score * 2.0, score)
+    order = np.lexsort((rows["norm"], rows["id"], -score, -rows["popularity"]))
+    order = order[:limit]
+    r = {k: v[order] for k, v in rows.items()}
+    match = score[order]
+    n = len(order)
+
+    mset = set(mtokens)
+    ntoken_mention = len(mtokens)
+    length_mention = len(mention)
+
+    # A5 ambiguity features over the (ordered, truncated) hit list
+    exact = r["norm"] == mention
+    distinct_ids = set(r["id"].tolist())
+    exact_ids = set(r["id"][exact].tolist())
+    ambiguity = round_ref(len(exact_ids) / len(distinct_ids), 3) if distinct_ids else 0
+    hit_tokens: set[str] = set()
+    for norm in r["norm"]:
+        hit_tokens.update(norm.split(" "))
+    corrects = round_ref(len(mset & hit_tokens) / len(mset), 3)
+
+    max_match = float(match.max())
+    history: dict[str, dict] = {}
+    for rank in range(n):
+        label_clean = r["norm"][rank]
+        ed, jac, jac3 = scored_pair(label_clean, mention)
+        eid = r["id"][rank]
+        prev = history.get(eid)
+        if prev is not None and (ed + jac) <= (prev["ed_score"] + prev["jaccard_score"]):
+            continue
+        history[eid] = {
+            "id": eid,
+            "name": r["name"][rank],
+            "description": r["description"][rank],
+            "types": r["types_str"][rank],
+            "type_names": r["type_names"][rank],
+            "kind": r["kind"][rank],
+            "NERtype": r["nertype"][rank],
+            "ambiguity_mention": ambiguity,
+            "corrects_tokens": corrects,
+            "ntoken_mention": ntoken_mention,
+            "ntoken_entity": int(r["ntoken"][rank]),
+            "length_mention": length_mention,
+            "length_entity": int(r["length"][rank]),
+            "popularity": float(r["popularity"][rank]),
+            "pos_score": round_ref((rank + 1) / n, 3),
+            "es_score": round_ref(float(match[rank]) / max_match, 3),
+            "ed_score": ed,
+            "jaccard_score": jac,
+            "jaccardNgram_score": jac3,
+        }
+    return list(history.values())

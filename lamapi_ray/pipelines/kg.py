@@ -38,7 +38,17 @@ class KGContext:
     ``ray.put`` broadcasts, so swapping the strategy is local to this class.
     """
 
-    def __init__(self, items: pa.Table, adjacency: ray.data.Dataset | pa.Table):
+    def __init__(
+        self,
+        items: pa.Table,
+        adjacency: ray.data.Dataset | pa.Table,
+        index_strategy: str = "broadcast",
+        num_shards: int = 8,
+    ):
+        if index_strategy not in ("broadcast", "sharded"):
+            raise ValueError(f"unknown index_strategy: {index_strategy}")
+        self.index_strategy = index_strategy
+        self.num_shards = num_shards
         items_ds = ray.data.from_arrow(items)
         self.surface_forms: pa.Table = pa.concat_tables(
             [
@@ -140,9 +150,20 @@ def linked_pages(
     exploded (url, mention, id) view for the query surface.
     """
     dm = distinct_mentions(page_rows)
-    cands = generate_candidates(
-        dm, ctx.surface_forms, ctx.type_names, limit=limit, concurrency=concurrency
-    )
+    if ctx.index_strategy == "sharded":
+        from lamapi_ray.stages.candidates_sharded import generate_candidates_sharded
+
+        cands = generate_candidates_sharded(
+            dm,
+            ctx.surface_forms,
+            ctx.type_names,
+            limit=limit,
+            num_shards=ctx.num_shards,
+        )
+    else:
+        cands = generate_candidates(
+            dm, ctx.surface_forms, ctx.type_names, limit=limit, concurrency=concurrency
+        )
     lm = link_best(cands).to_pandas()  # vocabulary-bounded, small
     link_mentions = pa.array(list(lm["mention"]), pa.string())
     link_ids = pa.array(list(lm["id"]), pa.string())

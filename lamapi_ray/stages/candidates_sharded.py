@@ -1,0 +1,222 @@
+"""Sharded surface-index candidate generation — the beyond-broadcast path.
+
+The broadcast path (stages/candidates.py) ships ONE surface-form table to
+every worker — right while the index is vocabulary-bounded. At Wikidata
+scale (~10^8 surface rows, SURVEY §4) the index outgrows a broadcast; this
+module shards it by ``hash(token)``:
+
+* each surface row is replicated to the shard of every DISTINCT token of
+  its ``surface_norm`` (duplication factor ≈ mean ntoken, 2-3) — but only
+  once per distinct shard, so per-shard posting lists stay exact;
+* a shard OWNS exactly the tokens hashing to it, and partial shared-token
+  counts computed against owned tokens sum across shards to precisely the
+  broadcast path's ``|tokens(e) ∩ M|`` (token ownership is a partition);
+* the scoring kernel is the SAME :func:`~lamapi_ray.index.surface.
+  score_hit_rows` the broadcast path uses, so the two paths produce
+  identical candidate tables (asserted in tests/test_sharded_index.py).
+
+Dataflow (all exchanges mention-vocabulary-bounded, never page-bounded):
+
+    distinct mentions → explode (shard, mention) per owning shard
+    → groupby(shard) → per-shard partial hit rows (metadata + partial
+    shared) → groupby(mention) → merge partials by (id, surface_norm),
+    score, per-mention argmax → candidate rows.
+
+Shard sub-tables are built once (vocabulary-bounded) and ``ray.put``
+individually; a worker materializes only the shards routed to it, cached
+per process. At full Wikidata scale the shard build becomes a Ray job
+writing shard parquet — the query-side dataflow is unchanged by that swap.
+
+Fuzzy retrieval is broadcast-only for now: AUTO-fuzziness matches a query
+token against *other* vocabulary tokens, which live in other shards; the
+sharded fuzzy design (deletion-neighborhood routing) is documented here as
+future work and the entry point raises on ``fuzzy=True``.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from lamapi_ray.index.surface import SurfaceIndex, score_hit_rows
+from lamapi_ray.stages.candidates import CANDIDATE_FIELDS
+
+
+def token_shard(token: str, num_shards: int) -> int:
+    return zlib.crc32(token.encode("utf-8")) % num_shards
+
+
+def build_shard_tables(
+    surface_forms: pa.Table, num_shards: int
+) -> list[pa.Table]:
+    """Replicate each surface row to every shard owning ≥1 of its tokens."""
+    norms = surface_forms["surface_norm"].to_pylist()
+    shard_rows: list[list[int]] = [[] for _ in range(num_shards)]
+    for i, norm in enumerate(norms):
+        for s in {token_shard(t, num_shards) for t in set(norm.split(" "))}:
+            shard_rows[s].append(i)
+    return [
+        surface_forms.take(pa.array(rows, pa.int64())) for rows in shard_rows
+    ]
+
+
+_SHARD_CACHE: list = [None, None]  # (key, {shard_id: SurfaceIndex})
+
+
+def _shard_index(refs_key: str, shard_refs, type_names_ref, s: int) -> SurfaceIndex:
+    if _SHARD_CACHE[0] != refs_key:
+        _SHARD_CACHE[0] = refs_key
+        _SHARD_CACHE[1] = {}
+    cache = _SHARD_CACHE[1]
+    if s not in cache:
+        cache[s] = SurfaceIndex(ray.get(shard_refs[s]), ray.get(type_names_ref))
+    return cache[s]
+
+
+_PARTIAL_FIELDS = [
+    ("mention", pa.string()),
+    ("id", pa.string()),
+    ("name", pa.string()),
+    ("norm", pa.string()),
+    ("description", pa.string()),
+    ("kind", pa.string()),
+    ("nertype", pa.string()),
+    ("types_str", pa.string()),
+    ("type_names", pa.string()),
+    ("ntoken", pa.int64()),
+    ("length", pa.int64()),
+    ("popularity", pa.float64()),
+    ("shared", pa.int64()),
+]
+
+
+def generate_candidates_sharded(
+    distinct_mentions: ray.data.Dataset,
+    surface_forms: pa.Table,
+    type_names: dict[str, str],
+    limit: int = 1000,
+    num_shards: int = 8,
+    retrieve_kwargs: dict | None = None,
+) -> ray.data.Dataset:
+    """distinct mentions (col ``mention``) → scored candidate rows, via the
+    hash(token)-sharded index. Output is identical to
+    :func:`~lamapi_ray.stages.candidates.generate_candidates`."""
+    rk = dict(retrieve_kwargs or {})
+    if rk.pop("fuzzy", False):
+        raise NotImplementedError(
+            "fuzzy retrieval is broadcast-only (see module docstring)"
+        )
+    shard_tables = build_shard_tables(surface_forms, num_shards)
+    shard_refs = [ray.put(t) for t in shard_tables]
+    type_names_ref = ray.put(type_names)
+    refs_key = "".join(
+        r.hex() if hasattr(r, "hex") else str(id(r)) for r in shard_refs[:1]
+    )
+
+    def route(batch: pa.Table) -> pa.Table:
+        out_s, out_m = [], []
+        for m in batch["mention"].to_pylist():
+            for s in sorted({token_shard(t, num_shards) for t in set(m.split(" "))}):
+                out_s.append(s)
+                out_m.append(m)
+        return pa.table(
+            {
+                "shard": pa.array(out_s, pa.int32()),
+                "mention": pa.array(out_m, pa.string()),
+            }
+        )
+
+    routed = distinct_mentions.map_batches(route, batch_format="pyarrow")
+
+    def partial_hits(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return pa.table({n: pa.array([], t) for n, t in _PARTIAL_FIELDS})
+        s = int(group["shard"][0].as_py())
+        index = _shard_index(refs_key, shard_refs, type_names_ref, s)
+        cols: dict[str, list] = {n: [] for n, _ in _PARTIAL_FIELDS}
+        for m in group["mention"].to_pylist():
+            own = {t for t in set(m.split(" ")) if token_shard(t, num_shards) == s}
+            idx, shared = index._hit_set(m, own_tokens=own, **rk)
+            if len(idx) == 0:
+                continue
+            rows = index.hit_rows(idx, shared)
+            cols["mention"].extend([m] * len(idx))
+            for key, src in (
+                ("id", "id"), ("name", "name"), ("norm", "norm"),
+                ("description", "description"), ("kind", "kind"),
+                ("nertype", "nertype"), ("types_str", "types_str"),
+                ("type_names", "type_names"), ("ntoken", "ntoken"),
+                ("length", "length"), ("popularity", "popularity"),
+                ("shared", "shared"),
+            ):
+                cols[key].extend(rows[src].tolist())
+        return pa.table(
+            {n: pa.array(cols[n], t) for n, t in _PARTIAL_FIELDS}
+        )
+
+    partials = routed.groupby("shard").map_groups(
+        partial_hits, batch_format="pyarrow"
+    )
+
+    def score_group(group: pa.Table) -> pa.Table:
+        out: dict[str, list] = {n: [] for n, _ in CANDIDATE_FIELDS}
+        if len(group) == 0:
+            return pa.table(
+                {n: pa.array(out[n], t) for n, t in CANDIDATE_FIELDS}
+            )
+        mention = group["mention"][0].as_py()
+        arrs = {
+            n: np.asarray(group[n].to_pylist(), dtype=object)
+            for n in ("id", "name", "norm", "description", "kind",
+                      "nertype", "types_str", "type_names")
+        }
+        arrs["ntoken"] = np.asarray(group["ntoken"].to_pylist(), dtype=np.int64)
+        arrs["length"] = np.asarray(group["length"].to_pylist(), dtype=np.int64)
+        arrs["popularity"] = np.asarray(group["popularity"].to_pylist(), dtype=np.float64)
+        shared = np.asarray(group["shared"].to_pylist(), dtype=np.int64)
+        # merge partials: same physical surface row = same (id, norm)
+        key = np.asarray(
+            [i + "\x1f" + nm for i, nm in zip(arrs["id"], arrs["norm"])],
+            dtype=object,
+        )
+        uniq, first_idx, inv = np.unique(key, return_index=True, return_inverse=True)
+        merged_shared = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(merged_shared, inv, shared)
+        rows = {k: v[first_idx] for k, v in arrs.items()}
+        rows["shared"] = merged_shared
+        cands = score_hit_rows(mention, rows, limit)
+        if not cands:
+            return pa.table(
+                {n: pa.array(out[n], t) for n, t in CANDIDATE_FIELDS}
+            )
+        # per-mention argmax — same rule as CandidateGenerator.__call__
+        best = 0
+        best_key = None
+        for k, c in enumerate(cands):
+            bk = (
+                c["ed_score"] + c["jaccard_score"] + c["jaccardNgram_score"],
+                c["popularity"],
+            )
+            if (
+                best_key is None
+                or bk > best_key
+                or (bk == best_key and c["id"] < cands[best]["id"])
+            ):
+                best, best_key = k, bk
+        for k, cand in enumerate(cands):
+            for name, _ in CANDIDATE_FIELDS:
+                if name == "mention":
+                    out["mention"].append(mention)
+                elif name == "is_best":
+                    out["is_best"].append(k == best)
+                else:
+                    out[name].append(cand[name])
+        return pa.table({n: pa.array(out[n], t) for n, t in CANDIDATE_FIELDS})
+
+    return partials.groupby("mention").map_groups(
+        score_group, batch_format="pyarrow"
+    )
