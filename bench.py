@@ -124,7 +124,9 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("dedup_exact", lambda: extras.dedup_exact(sf_dir))
     timed("dedup_minhash", lambda: extras.dedup_minhash(sf_dir))
     timed("dedup_simhash", lambda: extras.dedup_simhash(sf_dir))
+    timed("simhash_near_dup", lambda: extras.simhash_near_dup(sf_dir))
     timed("ngram_jaccard_dup", lambda: extras.ngram_jaccard_dup(sf_dir))
+    timed("embedding_near_dup", lambda: extras.embedding_near_dup(sf_dir))
     timed("lang_id", lambda: extras.lang_id(sf_dir))
     timed("quality_score", lambda: extras.quality_score(sf_dir))
     timed("token_stats", lambda: extras.token_stats(sf_dir))
@@ -134,6 +136,14 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("window_events", lambda: extras.window_events(sf_dir))
     timed("multimodal_decode", lambda: extras.multimodal_decode(sf_dir))
     timed("literal_classify", lambda: extras.literal_classify(sf_dir))
+
+    def cb_ingest():
+        from lamapi_ray.sources import crunchbase
+
+        crunchbase._CB_CACHE.clear()
+        crunchbase.cb_tables(sf_dir)
+
+    timed("cb_ingest", cb_ingest)
 
     total = round(sum(timings.values()), 3)
     kg_sec = timings.get("kg_e2e", 0.0)
