@@ -165,6 +165,33 @@ def _signatures_batch(batch: pa.Table, id_col: str, text_col: str, bands: int) -
     return pa.table(cols)
 
 
+
+def _run_bounds(sorted_keys: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    """Run starts/lengths over rows already sorted by the given key arrays."""
+    n = len(sorted_keys[0])
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for k in sorted_keys:
+        change[1:] |= k[1:] != k[:-1]
+    starts = np.nonzero(change)[0]
+    lens = np.diff(np.concatenate([starts, [n]]))
+    return starts, lens
+
+
+def _pairs_in_runs(starts: np.ndarray, lens: np.ndarray):
+    """All within-run index pairs (i<j), vectorized by run length.
+
+    Yields (idx_a, idx_b) absolute-index arrays; loops only over DISTINCT
+    run lengths (a handful), never over runs or rows."""
+    for l in np.unique(lens):
+        if l < 2:
+            continue
+        sel = starts[lens == l]
+        grid = sel[:, None] + np.arange(l)[None, :]
+        iu = np.triu_indices(int(l), k=1)
+        yield grid[:, iu[0]].reshape(-1), grid[:, iu[1]].reshape(-1)
+
+
 def _min_label_components(
     nodes: ray.data.Dataset, edges: ray.data.Dataset, max_iters: int = 64
 ) -> ray.data.Dataset:
@@ -196,12 +223,24 @@ def _min_label_components(
             }
         )
 
-    edges_dir = edges.map_batches(to_directed, batch_format="pyarrow").materialize()
+    # block counts are pinned per iteration (coalescing repartition, no
+    # shuffle): the union otherwise COMPOUNDS the block count every round
+    # and executor scheduling cost grows superlinearly with iterations
+    nblocks = 16
+    edges_dir = (
+        edges.map_batches(to_directed, batch_format="pyarrow")
+        .repartition(nblocks)
+        .materialize()
+    )
 
-    labels = nodes.map_batches(
-        lambda t: pa.table({"node": t["node"], "label": t["node"]}),
-        batch_format="pyarrow",
-    ).materialize()
+    labels = (
+        nodes.map_batches(
+            lambda t: pa.table({"node": t["node"], "label": t["node"]}),
+            batch_format="pyarrow",
+        )
+        .repartition(nblocks)
+        .materialize()
+    )
     prev_sum = labels.sum("label")
 
     for _ in range(max_iters):
@@ -215,6 +254,7 @@ def _min_label_components(
             labels.union(msgs)
             .groupby("node")
             .aggregate(Min("label", alias_name="label"))
+            .repartition(nblocks)
             .materialize()
         )
         new_sum = labels.sum("label")
@@ -252,6 +292,8 @@ def minhash_clusters(
         fn_kwargs={"id_col": id_col, "text_col": text_col, "bands": bands},
     ).materialize()
 
+    num_partitions = 64
+
     def explode_bands(batch: pa.Table) -> pa.Table:
         n = len(batch)
         ids = batch["id"].combine_chunks() if isinstance(batch["id"], pa.ChunkedArray) else batch["id"]
@@ -265,10 +307,21 @@ def minhash_clusters(
             icols.append(ids)
             scols.append(sds)
             hcols.append(bh)
+        bh_all = pa.concat_arrays(hcols)
+        band_all = pa.concat_arrays(bcols)
+        # coarse partition key: a Ray group per (band, bh) bucket would mean
+        # millions of tiny map_groups calls; instead ~64 partitions shuffle
+        # and buckets are recovered IN-PROCESS by sorting (run detection)
+        pkey = (
+            bh_all.to_numpy(zero_copy_only=False).view(np.uint64)
+            * np.uint64(0x9E3779B97F4A7C15)
+            + band_all.to_numpy(zero_copy_only=False).astype(np.uint64)
+        ) % np.uint64(num_partitions)
         return pa.table(
             {
-                "band": pa.concat_arrays(bcols),
-                "bh": pa.concat_arrays(hcols),
+                "pkey": pa.array(pkey.astype(np.int64), pa.int64()),
+                "band": band_all,
+                "bh": bh_all,
                 "id": pa.concat_arrays(icols),
                 "sd": pa.concat_arrays(scols),
             }
@@ -278,44 +331,51 @@ def minhash_clusters(
         explode_bands, batch_format="pyarrow"
     )
 
-    def bucket_edges(group: pa.Table) -> pa.Table:
+    def partition_edges(group: pa.Table) -> pa.Table:
+        """One coarse partition: recover (band, bh) buckets by sorting,
+        emit star edges per identical-signature run (vectorized) and
+        rep pairs between signature groups of a bucket (vectorized by
+        run length)."""
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+             "sure": pa.array([], pa.bool_())}
+        )
         if len(group) < 2:
-            return pa.table(
-                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-                 "sure": pa.array([], pa.bool_())}
-            )
+            return empty
+        band = np.asarray(group["band"].to_pylist(), dtype=np.int64)
+        bh = np.asarray(group["bh"].to_pylist(), dtype=np.int64)
         ids = np.asarray(group["id"].to_pylist(), dtype=np.int64)
         sds = np.asarray(group["sd"].to_pylist(), dtype=np.int64)
-        order = np.lexsort((ids, sds))
-        ids, sds = ids[order], sds[order]
-        # identical-signature groups → star edges (O(n), handles the
-        # million-way exact-dup bucket); distinct-signature reps → pairs
-        # needing verification
-        starts = np.nonzero(np.concatenate([[True], sds[1:] != sds[:-1]]))[0]
-        a_out, b_out, sure = [], [], []
-        reps = ids[starts]  # min id per sd-group (ids sorted within group)
-        ends = np.concatenate([starts[1:], [len(ids)]])
-        for s, e in zip(starts, ends):
-            if e - s > 1:
-                a_out.extend([int(ids[s])] * (e - s - 1))
-                b_out.extend(int(x) for x in ids[s + 1 : e])
-                sure.extend([True] * (e - s - 1))
-        for i in range(len(reps)):
-            for j in range(i + 1, len(reps)):
-                a, b = int(reps[i]), int(reps[j])
-                a_out.append(min(a, b))
-                b_out.append(max(a, b))
-                sure.append(False)
+        order = np.lexsort((ids, sds, bh, band))
+        band, bh, ids, sds = band[order], bh[order], ids[order], sds[order]
+        sd_starts, sd_lens = _run_bounds([band, bh, sds])
+        # star edges: every non-first member of an sd-run → the run's min id
+        is_start = np.zeros(len(ids), dtype=bool)
+        is_start[sd_starts] = True
+        run_id = np.cumsum(is_start) - 1
+        star_b = ids[~is_start]
+        star_a = ids[sd_starts][run_id[~is_start]]
+        # rep pairs: sd-run representatives pairwise within each (band, bh)
+        rep_ids = ids[sd_starts]
+        rep_band, rep_bh = band[sd_starts], bh[sd_starts]
+        bk_starts, bk_lens = _run_bounds([rep_band, rep_bh])
+        ra_list, rb_list = [star_a], [star_b]
+        sure_list = [np.ones(len(star_a), dtype=bool)]
+        for ia, ib in _pairs_in_runs(bk_starts, bk_lens):
+            a, b = rep_ids[ia], rep_ids[ib]
+            ra_list.append(np.minimum(a, b))
+            rb_list.append(np.maximum(a, b))
+            sure_list.append(np.zeros(len(a), dtype=bool))
         return pa.table(
             {
-                "id_a": pa.array(a_out, pa.int64()),
-                "id_b": pa.array(b_out, pa.int64()),
-                "sure": pa.array(sure, pa.bool_()),
+                "id_a": pa.array(np.concatenate(ra_list), pa.int64()),
+                "id_b": pa.array(np.concatenate(rb_list), pa.int64()),
+                "sure": pa.array(np.concatenate(sure_list), pa.bool_()),
             }
         )
 
-    all_edges = band_rows.groupby(["band", "bh"]).map_groups(
-        bucket_edges, batch_format="pyarrow"
+    all_edges = band_rows.groupby("pkey").map_groups(
+        partition_edges, batch_format="pyarrow"
     ).materialize()
 
     def _keep(sure_flag: bool):
@@ -327,11 +387,15 @@ def minhash_clusters(
 
         return fn
 
+    # materialized: every downstream consumer (schema probes inside the
+    # bucketed joins, the final edge union) would otherwise re-execute the
+    # whole aggregate lineage
     sure_edges = (
         all_edges.map_batches(_keep(True), batch_format="pyarrow")
         .groupby(["id_a", "id_b"])
         .aggregate(Count())
         .select_columns(["id_a", "id_b"])
+        .materialize()
     )
 
     unsure = (
@@ -339,6 +403,7 @@ def minhash_clusters(
         .groupby(["id_a", "id_b"])
         .aggregate(Count())
         .select_columns(["id_a", "id_b"])
+        .materialize()
     )
 
     if threshold_rows >= MinHasher.NUM_PERM:
@@ -375,7 +440,7 @@ def minhash_clusters(
             ok = (sa == sb).sum(axis=1) >= threshold_rows
             return batch.filter(pa.array(ok)).select(["id_a", "id_b"])
 
-        verified = joined.map_batches(verify, batch_format="pyarrow")
+        verified = joined.map_batches(verify, batch_format="pyarrow").materialize()
         edges = sure_edges.union(verified)
 
     nodes = sig_ds.select_columns(["id"]).map_batches(
@@ -571,12 +636,10 @@ def ngram_jaccard_pairs(
     collected; cost is Σ|bucket|² over shingle buckets (only pairs sharing
     ≥1 shingle are touched) — identical output to the brute-force
     all-pairs join."""
-    from ray.data.aggregate import Count, Min
-
-    from lamapi_ray.functions.text import round_ref
-
     if isinstance(ds, pa.Table):
         ds = ray.data.from_arrow(ds)
+
+    num_partitions = 64
 
     def explode(batch: pa.Table) -> pa.Table:
         sh_out, id_out, n_out = [], [], []
@@ -585,9 +648,16 @@ def ngram_jaccard_pairs(
             sh_out.extend(np.int64(h & 0x7FFFFFFFFFFFFFFF) for h in hs)
             id_out.extend([i] * len(hs))
             n_out.extend([len(hs)] * len(hs))
+        sh_np = np.asarray(sh_out, dtype=np.int64)
+        # coarse partition key — shingle buckets are recovered in-process by
+        # sorting; a Ray group per shingle would be millions of tiny calls
+        pkey = (sh_np.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(
+            num_partitions
+        )
         return pa.table(
             {
-                "sh": pa.array(sh_out, pa.int64()),
+                "pkey": pa.array(pkey.astype(np.int64), pa.int64()),
+                "sh": pa.array(sh_np, pa.int64()),
                 "id": pa.array(id_out, pa.int64()),
                 "nsh": pa.array(n_out, pa.int64()),
             }
@@ -595,51 +665,81 @@ def ngram_jaccard_pairs(
 
     sh_rows = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        g = len(group)
-        if g < 2:
-            return pa.table(
-                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-                 "na": pa.array([], pa.int64()), "nb": pa.array([], pa.int64())}
-            )
+    def partition_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+             "na": pa.array([], pa.int64()), "nb": pa.array([], pa.int64())}
+        )
+        if len(group) < 2:
+            return empty
+        sh = np.asarray(group["sh"].to_pylist(), dtype=np.int64)
         ids = np.asarray(group["id"].to_pylist(), dtype=np.int64)
         ns = np.asarray(group["nsh"].to_pylist(), dtype=np.int64)
-        order = np.argsort(ids, kind="stable")
-        ids, ns = ids[order], ns[order]
-        iu = np.triu_indices(g, k=1)
+        order = np.lexsort((ids, sh))
+        sh, ids, ns = sh[order], ids[order], ns[order]
+        starts, lens = _run_bounds([sh])
+        a_l, b_l, na_l, nb_l = [], [], [], []
+        for ia, ib in _pairs_in_runs(starts, lens):
+            a_l.append(ids[ia])
+            b_l.append(ids[ib])
+            na_l.append(ns[ia])
+            nb_l.append(ns[ib])
+        if not a_l:
+            return empty
         return pa.table(
             {
-                "id_a": pa.array(ids[iu[0]], pa.int64()),
-                "id_b": pa.array(ids[iu[1]], pa.int64()),
-                "na": pa.array(ns[iu[0]], pa.int64()),
-                "nb": pa.array(ns[iu[1]], pa.int64()),
+                "id_a": pa.array(np.concatenate(a_l), pa.int64()),
+                "id_b": pa.array(np.concatenate(b_l), pa.int64()),
+                "na": pa.array(np.concatenate(na_l), pa.int64()),
+                "nb": pa.array(np.concatenate(nb_l), pa.int64()),
             }
         )
 
-    pairs = sh_rows.groupby("sh").map_groups(bucket_pairs, batch_format="pyarrow")
-    agg = pairs.groupby(["id_a", "id_b"]).aggregate(
-        Count(alias_name="n_common"),
-        Min("na", alias_name="na"),
-        Min("nb", alias_name="nb"),
+    pairs = sh_rows.groupby("pkey").map_groups(partition_pairs, batch_format="pyarrow")
+
+    # second coarse exchange keyed by pair hash; collision counting is a
+    # vectorized run count per partition (a native 2-column groupby
+    # aggregate over the pair rows measured ~7x slower at sf0.1)
+    def add_ppkey(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False).view(np.uint64)
+        b = batch["id_b"].to_numpy(zero_copy_only=False).view(np.uint64)
+        pp = (
+            a * np.uint64(0x9E3779B97F4A7C15) + b * np.uint64(0xC2B2AE3D27D4EB4F)
+        ) % np.uint64(num_partitions)
+        return batch.append_column("ppkey", pa.array(pp.astype(np.int64), pa.int64()))
+
+    from lamapi_ray.stages.textstats import round_ref_array
+
+    def count_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}
+        )
+        if len(group) == 0:
+            return empty
+        a = np.asarray(group["id_a"].to_pylist(), dtype=np.int64)
+        b = np.asarray(group["id_b"].to_pylist(), dtype=np.int64)
+        na = np.asarray(group["na"].to_pylist(), dtype=np.float64)
+        nb = np.asarray(group["nb"].to_pylist(), dtype=np.float64)
+        order = np.lexsort((b, a))
+        a, b, na, nb = a[order], b[order], na[order], nb[order]
+        starts, lens = _run_bounds([a, b])
+        n = lens.astype(np.float64)
+        jac = n / (na[starts] + nb[starts] - n)
+        keep = jac >= threshold
+        if not keep.any():
+            return empty
+        return pa.table(
+            {
+                "id_a": pa.array(a[starts][keep], pa.int64()),
+                "id_b": pa.array(b[starts][keep], pa.int64()),
+                "jaccard": pa.array(round_ref_array(jac[keep], 3), pa.float64()),
+            }
+        )
+
+    out = _collect(
+        pairs.map_batches(add_ppkey, batch_format="pyarrow")
+        .groupby("ppkey")
+        .map_groups(count_pairs, batch_format="pyarrow")
     )
-
-    def finalize(batch: pa.Table) -> pa.Table:
-        n = batch["n_common"].to_numpy(zero_copy_only=False).astype(np.float64)
-        na = batch["na"].to_numpy(zero_copy_only=False).astype(np.float64)
-        nb = batch["nb"].to_numpy(zero_copy_only=False).astype(np.float64)
-        jac = n / (na + nb - n)
-        keep = pa.array(jac >= threshold)
-        flt = batch.filter(keep)
-        jac_kept = jac[jac >= threshold]
-        return pa.table(
-            {
-                "id_a": flt["id_a"],
-                "id_b": flt["id_b"],
-                "jaccard": pa.array(
-                    [round_ref(j, 3) for j in jac_kept], pa.float64()
-                ),
-            }
-        )
-
-    out = _collect(agg.map_batches(finalize, batch_format="pyarrow"))
     return out.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
