@@ -778,11 +778,13 @@ def oracle_sql() -> dict[str, str]:
         "FROM customer WHERE c_custkey % 97 <> 0"
     )
 
+    # crosswalk rows exist only for entities WITH an enwiki sitelink
+    # (p_partkey % 5 >= 1 in the synthesized dump)
     sql["lookup_sameas"] = (
         "SELECT 'Q' || (100000 + p_partkey) AS entity,\n"
         " 'wiki/' || replace(p_name, ' ', '_') AS wikipedia_id,\n"
         " 'dbpedia:' || replace(p_name, ' ', '_') AS dbpedia_id\n"
-        "FROM part WHERE p_partkey < 100"
+        "FROM part WHERE p_partkey < 100 AND p_partkey % 5 <> 0"
     )
 
     sql["predicates_pairs"] = _with(

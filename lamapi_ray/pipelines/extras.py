@@ -288,14 +288,18 @@ def _part_keys(sf_dir: str, n: int = 100) -> pa.Table:
 
 def _semi_join(table: pa.Table, keys: pa.Table, on: str) -> pa.Table:
     """Batch point-lookup (Mongo ``$in``) — broadcast semi-join; missing
-    keys silently absent (reference types_retriever.py:11-12 semantics)."""
-    key_set = set(keys["entity"].to_pylist())
-    key_ref = ray.put(key_set)
+    keys silently absent (reference types_retriever.py:11-12 semantics).
+    Membership is one ``pc.is_in`` kernel per batch against the broadcast
+    key array — no per-row Python."""
+    key_arr = pc.unique(keys["entity"].combine_chunks().cast(pa.string()))
+    key_ref = ray.put(key_arr)
     ds = ray.data.from_arrow(table)
 
     def flt(batch: pa.Table) -> pa.Table:
-        ks = ray.get(key_ref)
-        mask = pa.array([v in ks for v in batch[on].to_pylist()], pa.bool_())
+        col = batch[on]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mask = pc.is_in(col.cast(pa.string()), value_set=ray.get(key_ref))
         return batch.filter(mask)
 
     return _collect(ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True))
@@ -327,21 +331,19 @@ def lookup_literals(sf_dir: str, literals: pa.Table) -> pa.Table:
 
 
 def lookup_sameas(sf_dir: str) -> pa.Table:
-    import pyarrow.parquet as pq
-
-    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
-    part = part.filter(pc.less(part["p_partkey"], 100)).sort_by("p_partkey")
-    ents, wiki, dbp = [], [], []
-    for k, name in zip(part["p_partkey"].to_pylist(), part["p_name"].to_pylist()):
-        slug = name.replace(" ", "_")
-        ents.append(f"Q{100000 + k}")
-        wiki.append(f"wiki/{slug}")
-        dbp.append(f"dbpedia:{slug}")
+    """Sameas crosswalk lookup — served from the ``mappings`` table the dump
+    ingest builds out of enwiki sitelink titles (reference
+    parse_wikidata_dump.py:17 crosswalk collection; sameas_retriever.py
+    ``$in`` semantics: requested ids without a crosswalk row are silently
+    absent)."""
+    maps = _collect(_dump_tables(sf_dir)["mappings"])
+    sub = _semi_join(maps, _part_keys(sf_dir), "entity").sort_by("entity")
+    titles = sub["value"].to_pylist()
     return pa.table(
         {
-            "entity": pa.array(ents, pa.string()),
-            "wikipedia_id": pa.array(wiki, pa.string()),
-            "dbpedia_id": pa.array(dbp, pa.string()),
+            "entity": sub["entity"].combine_chunks().cast(pa.string()),
+            "wikipedia_id": pa.array([f"wiki/{t}" for t in titles], pa.string()),
+            "dbpedia_id": pa.array([f"dbpedia:{t}" for t in titles], pa.string()),
         }
     )
 
@@ -605,7 +607,7 @@ def _synth_dump_path(sf_dir: str) -> str:
     import pyarrow.parquet as pq
 
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-    path = f"/tmp/lamapi_dump_{tag}.json"
+    path = f"/tmp/lamapi_dump_v2_{tag}.json"
     if os.path.exists(path):
         return path
     parts = (
@@ -637,7 +639,14 @@ def _synth_dump_path(sf_dir: str) -> str:
             "labels": {"en": {"value": p["p_name"]}},
             "aliases": {},
             "descriptions": {"en": {"value": p["p_type"]}},
-            "sitelinks": {f"wiki{i}": {} for i in range(k % 5)},
+            "sitelinks": (
+                {
+                    "enwiki": {"title": p["p_name"].replace(" ", "_")},
+                    **{f"wiki{i}": {} for i in range(1, k % 5)},
+                }
+                if k % 5 >= 1
+                else {}
+            ),
             "claims": claims,
         }
         lines.append(json.dumps(entity, sort_keys=True) + ",")

@@ -132,6 +132,13 @@ def parse_entity(entity: dict) -> list[dict]:
             "category": category,
         }
     ]
+    # mappings crosswalk from the enwiki sitelink title (the reference keeps
+    # a curid/wikipedia/dbpedia crosswalk collection —
+    # parse_wikidata_dump.py:17); entities without an enwiki sitelink have
+    # no crosswalk row
+    title = (((entity.get("sitelinks") or {}).get("enwiki")) or {}).get("title")
+    if title:
+        rows.append({**base, "tag": "mapping", "entity": eid, "value": title})
     for pid, claim_list in sorted(claims.items()):
         for claim in claim_list or []:
             mainsnak = claim.get("mainsnak", {})
@@ -215,5 +222,8 @@ def split_tables(tagged: ray.data.Dataset) -> dict[str, ray.data.Dataset]:
         ),
         "types": tagged.map_batches(
             proj("type", ["entity", "pred", "obj"]), batch_format="pyarrow"
+        ),
+        "mappings": tagged.map_batches(
+            proj("mapping", ["entity", "value"]), batch_format="pyarrow"
         ),
     }

@@ -131,15 +131,27 @@ def _minhasher() -> MinHasher:
 
 
 def _signatures_batch(batch: pa.Table, id_col: str, text_col: str, bands: int) -> pa.Table:
-    """→ (id, sig binary, sd signature-digest, bh0..bh{bands-1})."""
+    """→ (id, sig binary, sd signature-digest, bh0..bh{bands-1}).
+
+    Vectorized across the batch: one (total_shingles × 64) permutation
+    matrix + a per-doc segmented ``np.minimum.reduceat`` — identical values
+    to the scalar :meth:`MinHasher.signature` (min over the same set)."""
     mh = _minhasher()
     rows_per_band = MinHasher.NUM_PERM // bands
     ids = batch[id_col].to_pylist()
-    sigs = (
-        np.stack([mh.signature(t) for t in batch[text_col].to_pylist()])
-        if ids
-        else np.empty((0, MinHasher.NUM_PERM), dtype=np.uint64)
-    )
+    if ids:
+        sh_flat: list[int] = []
+        doc_starts: list[int] = []
+        for t in batch[text_col].to_pylist():
+            doc_starts.append(len(sh_flat))
+            sh_flat.extend(
+                _hash64_cached(sv) & 0xFFFFFFFF for sv in set(_token_shingles(t))
+            )
+        hs = np.asarray(sh_flat, dtype=np.uint64)
+        vals = (hs[:, None] * mh.a[None, :] + mh.b[None, :]) % _MERSENNE
+        sigs = np.minimum.reduceat(vals, np.asarray(doc_starts, dtype=np.int64), axis=0)
+    else:
+        sigs = np.empty((0, MinHasher.NUM_PERM), dtype=np.uint64)
     cols: dict = {"id": pa.array(ids, pa.int64())}
     cols["sig"] = pa.array([s.tobytes() for s in sigs], pa.binary())
     cols["sd"] = pa.array(
