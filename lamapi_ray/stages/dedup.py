@@ -210,16 +210,23 @@ def _min_label_components(
     """Distributed connected components: min-label propagation to fixpoint.
 
     ``nodes``: one column ``node`` (int64). ``edges``: ``id_a``/``id_b``.
-    Each iteration joins current labels onto the (bidirectional) edge list
-    (bucketed hash join), sends each node's label to its neighbors, and
-    takes a native ``Min`` aggregate per node — fully vectorized, no
-    per-node Python. Convergence: the label sum is strictly decreasing
-    until fixpoint, so one ``sum`` aggregate per iteration detects it.
-    Iterations are bounded by the largest component diameter (near-dup
-    clusters are shallow)."""
-    from ray.data.aggregate import Min
+    Both the label table and the (bidirectional) edge list are partitioned
+    by ``hash(node) % P`` once; each iteration is then exactly TWO grouped
+    exchanges — (1) co-group labels with edges per partition and send each
+    node's label to its neighbors (vectorized ``searchsorted`` lookup, no
+    generic join), (2) take the min candidate per node (vectorized
+    ``minimum.reduceat``). Convergence: the label sum is strictly
+    decreasing until fixpoint, so one cheap ``sum`` aggregate per iteration
+    detects it. Iterations are bounded by the largest component diameter
+    (near-dup clusters are shallow). Block counts stay pinned at P — no
+    per-iteration lineage or block growth."""
+    from ray.data.aggregate import Sum
 
-    from lamapi_ray.stages.join import bucketed_hash_join
+    P = 16
+    MULT = np.uint64(0x9E3779B97F4A7C15)
+
+    def _pkey(arr: np.ndarray) -> np.ndarray:
+        return ((arr.view(np.uint64) * MULT) % np.uint64(P)).astype(np.int64)
 
     def to_directed(batch: pa.Table) -> pa.Table:
         a = batch["id_a"]
@@ -228,47 +235,102 @@ def _min_label_components(
             a = a.combine_chunks()
         if isinstance(b, pa.ChunkedArray):
             b = b.combine_chunks()
+        node = np.concatenate(
+            [a.cast(pa.int64()).to_numpy(zero_copy_only=False),
+             b.cast(pa.int64()).to_numpy(zero_copy_only=False)]
+        )
+        nbr = np.concatenate(
+            [b.cast(pa.int64()).to_numpy(zero_copy_only=False),
+             a.cast(pa.int64()).to_numpy(zero_copy_only=False)]
+        )
         return pa.table(
             {
-                "node": pa.concat_arrays([a.cast(pa.int64()), b.cast(pa.int64())]),
-                "nbr": pa.concat_arrays([b.cast(pa.int64()), a.cast(pa.int64())]),
+                "pkey": pa.array(_pkey(node), pa.int64()),
+                "node": pa.array(node, pa.int64()),
+                "nbr": pa.array(nbr, pa.int64()),
+                "label": pa.nulls(len(node), pa.int64()),
             }
         )
 
-    # block counts are pinned per iteration (coalescing repartition, no
-    # shuffle): the union otherwise COMPOUNDS the block count every round
-    # and executor scheduling cost grows superlinearly with iterations
-    nblocks = 16
     edges_dir = (
         edges.map_batches(to_directed, batch_format="pyarrow")
-        .repartition(nblocks)
+        .repartition(P)
         .materialize()
     )
 
-    labels = (
-        nodes.map_batches(
-            lambda t: pa.table({"node": t["node"], "label": t["node"]}),
-            batch_format="pyarrow",
+    def init_labels(batch: pa.Table) -> pa.Table:
+        node = batch["node"]
+        if isinstance(node, pa.ChunkedArray):
+            node = node.combine_chunks()
+        nn = node.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "pkey": pa.array(_pkey(nn), pa.int64()),
+                "node": pa.array(nn, pa.int64()),
+                "nbr": pa.nulls(len(nn), pa.int64()),
+                "label": pa.array(nn, pa.int64()),
+            }
         )
-        .repartition(nblocks)
-        .materialize()
-    )
+
+    labels = nodes.map_batches(init_labels, batch_format="pyarrow").repartition(
+        P
+    ).materialize()
     prev_sum = labels.sum("label")
 
+    def send(group: pa.Table) -> pa.Table:
+        """One partition: label rows + edge rows for the same node set.
+        Emit (dst, cand) — each node keeps its label, neighbors get it."""
+        node = np.asarray(group["node"].to_pylist(), dtype=np.int64)
+        nbr_col = group["nbr"]
+        if isinstance(nbr_col, pa.ChunkedArray):
+            nbr_col = nbr_col.combine_chunks()
+        is_label = pc.is_valid(group["label"]).to_numpy(zero_copy_only=False)
+        lab_nodes = node[is_label]
+        lab_vals = np.asarray(
+            group.filter(pa.array(is_label))["label"].to_pylist(), dtype=np.int64
+        )
+        order = np.argsort(lab_nodes, kind="stable")
+        lab_nodes, lab_vals = lab_nodes[order], lab_vals[order]
+        e_nodes = node[~is_label]
+        e_nbrs = np.asarray(
+            group.filter(pa.array(~is_label))["nbr"].to_pylist(), dtype=np.int64
+        )
+        pos = np.searchsorted(lab_nodes, e_nodes)
+        e_lab = lab_vals[pos]
+        dst = np.concatenate([lab_nodes, e_nbrs])
+        cand = np.concatenate([lab_vals, e_lab])
+        return pa.table(
+            {
+                "pkey": pa.array(_pkey(dst), pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "cand": pa.array(cand, pa.int64()),
+            }
+        )
+
+    def reduce_min(group: pa.Table) -> pa.Table:
+        dst = np.asarray(group["dst"].to_pylist(), dtype=np.int64)
+        cand = np.asarray(group["cand"].to_pylist(), dtype=np.int64)
+        order = np.lexsort((cand, dst))
+        dst, cand = dst[order], cand[order]
+        starts, _ = _run_bounds([dst])
+        nodes_u = dst[starts]
+        labels_u = np.minimum.reduceat(cand, starts)
+        return pa.table(
+            {
+                "pkey": pa.array(_pkey(nodes_u), pa.int64()),
+                "node": pa.array(nodes_u, pa.int64()),
+                "nbr": pa.nulls(len(nodes_u), pa.int64()),
+                "label": pa.array(labels_u, pa.int64()),
+            }
+        )
+
     for _ in range(max_iters):
-        msgs = bucketed_hash_join(
-            edges_dir, labels, on="node", num_buckets=16
-        ).map_batches(
-            lambda t: pa.table({"node": t["nbr"], "label": t["label"]}),
-            batch_format="pyarrow",
+        msgs = labels.union(edges_dir).groupby("pkey").map_groups(
+            send, batch_format="pyarrow"
         )
-        labels = (
-            labels.union(msgs)
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .repartition(nblocks)
-            .materialize()
-        )
+        labels = msgs.groupby("pkey").map_groups(
+            reduce_min, batch_format="pyarrow"
+        ).materialize()
         new_sum = labels.sum("label")
         if new_sum == prev_sum:
             break
@@ -390,69 +452,153 @@ def minhash_clusters(
         partition_edges, batch_format="pyarrow"
     ).materialize()
 
-    def _keep(sure_flag: bool):
+    # ONE dedup pass over all emitted edges: a pair that is "sure" in any
+    # band (identical signatures there ⇒ identical everywhere) stays sure
+    from ray.data.aggregate import Max
+
+    edge_agg = (
+        all_edges.map_batches(
+            lambda t: pa.table(
+                {
+                    "id_a": t["id_a"],
+                    "id_b": t["id_b"],
+                    "sure": t["sure"].cast(pa.int64())
+                    if not isinstance(t["sure"], pa.ChunkedArray)
+                    else t["sure"].combine_chunks().cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["id_a", "id_b"])
+        .aggregate(Max("sure", alias_name="sure"))
+        .materialize()
+    )
+
+    def _split(sure_flag: bool):
         def fn(batch: pa.Table) -> pa.Table:
-            mask = batch["sure"] if sure_flag else pc.invert(batch["sure"])
-            if isinstance(mask, pa.ChunkedArray):
-                mask = mask.combine_chunks()
+            col = batch["sure"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            mask = pc.equal(col, 1 if sure_flag else 0)
             return batch.filter(mask).select(["id_a", "id_b"])
 
         return fn
 
-    # materialized: every downstream consumer (schema probes inside the
-    # bucketed joins, the final edge union) would otherwise re-execute the
-    # whole aggregate lineage
-    sure_edges = (
-        all_edges.map_batches(_keep(True), batch_format="pyarrow")
-        .groupby(["id_a", "id_b"])
-        .aggregate(Count())
-        .select_columns(["id_a", "id_b"])
-        .materialize()
-    )
-
-    unsure = (
-        all_edges.map_batches(_keep(False), batch_format="pyarrow")
-        .groupby(["id_a", "id_b"])
-        .aggregate(Count())
-        .select_columns(["id_a", "id_b"])
-        .materialize()
-    )
+    sure_edges = edge_agg.map_batches(_split(True), batch_format="pyarrow").materialize()
 
     if threshold_rows >= MinHasher.NUM_PERM:
         # full agreement ≡ signature equality ≡ same sd → rep pairs with
-        # different sd can never verify; skip the join entirely
+        # different sd can never verify; skip verification entirely
         edges = sure_edges
     else:
-        sig_a = sig_ds.select_columns(["id", "sig"]).map_batches(
-            lambda t: pa.table({"id_a": t["id"], "sig_a": t["sig"]}),
-            batch_format="pyarrow",
-        )
-        sig_b = sig_ds.select_columns(["id", "sig"]).map_batches(
-            lambda t: pa.table({"id_b": t["id"], "sig_b": t["sig"]}),
-            batch_format="pyarrow",
-        )
-        joined = bucketed_hash_join(
-            bucketed_hash_join(unsure, sig_a, on="id_a", num_buckets=16),
-            sig_b,
-            on="id_b",
-            num_buckets=16,
+        unsure = edge_agg.map_batches(_split(False), batch_format="pyarrow")
+        P = 16
+        MULT = np.uint64(0x9E3779B97F4A7C15)
+
+        def _pk(arr: np.ndarray) -> np.ndarray:
+            return ((arr.view(np.uint64) * MULT) % np.uint64(P)).astype(np.int64)
+
+        # cogroup verify, two shuffles, no generic join: pair halves and
+        # signature rows meet in hash(id) partitions (searchsorted lookup),
+        # then halves meet in hash(pair) partitions for the agreement test
+        def pair_halves(batch: pa.Table) -> pa.Table:
+            a = np.asarray(batch["id_a"].to_pylist(), dtype=np.int64)
+            b = np.asarray(batch["id_b"].to_pylist(), dtype=np.int64)
+            key = np.concatenate([a, b])
+            return pa.table(
+                {
+                    "pkey": pa.array(_pk(key), pa.int64()),
+                    "key": pa.array(key, pa.int64()),
+                    "id_a": pa.array(np.concatenate([a, a]), pa.int64()),
+                    "id_b": pa.array(np.concatenate([b, b]), pa.int64()),
+                    "sig": pa.nulls(2 * len(a), pa.binary()),
+                }
+            )
+
+        def sig_rows(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch["id"].to_pylist(), dtype=np.int64)
+            sig = batch["sig"]
+            if isinstance(sig, pa.ChunkedArray):
+                sig = sig.combine_chunks()
+            return pa.table(
+                {
+                    "pkey": pa.array(_pk(ids), pa.int64()),
+                    "key": pa.array(ids, pa.int64()),
+                    "id_a": pa.nulls(len(ids), pa.int64()),
+                    "id_b": pa.nulls(len(ids), pa.int64()),
+                    "sig": sig,
+                }
+            )
+
+        both = unsure.map_batches(pair_halves, batch_format="pyarrow").union(
+            sig_ds.select_columns(["id", "sig"]).map_batches(
+                sig_rows, batch_format="pyarrow"
+            )
         )
 
-        def verify(batch: pa.Table) -> pa.Table:
-            if len(batch) == 0:
+        def attach_sig(group: pa.Table) -> pa.Table:
+            is_sig = pc.is_valid(group["sig"]).to_numpy(zero_copy_only=False)
+            keys = np.asarray(group["key"].to_pylist(), dtype=np.int64)
+            s_keys = keys[is_sig]
+            s_sigs = np.asarray(
+                group.filter(pa.array(is_sig))["sig"].to_pylist(), dtype=object
+            )
+            order = np.argsort(s_keys, kind="stable")
+            s_keys, s_sigs = s_keys[order], s_sigs[order]
+            halves = group.filter(pa.array(~is_sig))
+            if len(halves) == 0:
                 return pa.table(
-                    {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+                    {"ppkey": pa.array([], pa.int64()),
+                     "id_a": pa.array([], pa.int64()),
+                     "id_b": pa.array([], pa.int64()),
+                     "sig": pa.array([], pa.binary())}
                 )
-            sa = np.frombuffer(
-                b"".join(batch["sig_a"].to_pylist()), dtype=np.uint64
-            ).reshape(len(batch), MinHasher.NUM_PERM)
-            sb = np.frombuffer(
-                b"".join(batch["sig_b"].to_pylist()), dtype=np.uint64
-            ).reshape(len(batch), MinHasher.NUM_PERM)
-            ok = (sa == sb).sum(axis=1) >= threshold_rows
-            return batch.filter(pa.array(ok)).select(["id_a", "id_b"])
+            h_key = keys[~is_sig]
+            pos = np.searchsorted(s_keys, h_key)
+            ha = np.asarray(halves["id_a"].to_pylist(), dtype=np.int64)
+            hb = np.asarray(halves["id_b"].to_pylist(), dtype=np.int64)
+            ppkey = (
+                (ha.view(np.uint64) * MULT + hb.view(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))
+                % np.uint64(P)
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "ppkey": pa.array(ppkey, pa.int64()),
+                    "id_a": pa.array(ha, pa.int64()),
+                    "id_b": pa.array(hb, pa.int64()),
+                    "sig": pa.array(list(s_sigs[pos]), pa.binary()),
+                }
+            )
 
-        verified = joined.map_batches(verify, batch_format="pyarrow").materialize()
+        def verify_pairs(group: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+            )
+            if len(group) == 0:
+                return empty
+            a = np.asarray(group["id_a"].to_pylist(), dtype=np.int64)
+            b = np.asarray(group["id_b"].to_pylist(), dtype=np.int64)
+            sigs = np.frombuffer(
+                b"".join(group["sig"].to_pylist()), dtype=np.uint64
+            ).reshape(len(group), MinHasher.NUM_PERM)
+            order = np.lexsort((b, a))
+            a, b, sigs = a[order], b[order], sigs[order]
+            # each pair contributed exactly two half-rows (one per endpoint)
+            agree = (sigs[0::2] == sigs[1::2]).sum(axis=1) >= threshold_rows
+            return pa.table(
+                {
+                    "id_a": pa.array(a[0::2][agree], pa.int64()),
+                    "id_b": pa.array(b[0::2][agree], pa.int64()),
+                }
+            )
+
+        verified = (
+            both.groupby("pkey")
+            .map_groups(attach_sig, batch_format="pyarrow")
+            .groupby("ppkey")
+            .map_groups(verify_pairs, batch_format="pyarrow")
+            .materialize()
+        )
         edges = sure_edges.union(verified)
 
     nodes = sig_ds.select_columns(["id"]).map_batches(
