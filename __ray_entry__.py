@@ -992,18 +992,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["ner_dictionary"] = ner
 
     def triples_materialized(sf_dir: str):
-        """Checkpointed graph sink e2e: write hash-partitioned + manifests,
-        then read back through the _SUCCESS gate."""
+        """Checkpointed graph sink e2e through the SNAPSHOT gate: an older
+        complete snapshot, the current write, and a newer IN-PROGRESS
+        (no ``_SUCCESS``) decoy all sit under one base dir; the resolver
+        must pick the current one (newest complete wins —
+        reference database.py:18-36 semantics)."""
+        import json
+        import os
         import shutil
 
         from lamapi_ray.pipelines.materialize import materialize_triples
-        from lamapi_ray.state.checkpoint import read_output
+        from lamapi_ray.state.checkpoint import (
+            SUCCESS,
+            read_output,
+            resolve_snapshot,
+        )
 
         r = _results(sf_dir)
-        root = "/tmp/lamapi_adj_query"
-        shutil.rmtree(root, ignore_errors=True)
-        materialize_triples(r["triples"], root, num_buckets=8)
-        return read_output(root)
+        base = "/tmp/lamapi_adj_query"
+        shutil.rmtree(base, ignore_errors=True)
+        # older complete (empty) snapshot — must lose to the newer one
+        old_root = os.path.join(base, "kg_snapshot=2026-01-01")
+        os.makedirs(old_root, exist_ok=True)
+        with open(os.path.join(old_root, SUCCESS), "w") as f:
+            json.dump({"partitions": 0, "partition_ids": [], "rows": 0}, f)
+        # the real write
+        cur_root = os.path.join(base, "kg_snapshot=2026-02-01")
+        materialize_triples(r["triples"], cur_root, num_buckets=8)
+        # newer in-progress decoy — no _SUCCESS, must stay invisible
+        os.makedirs(os.path.join(base, "kg_snapshot=2026-03-01"), exist_ok=True)
+        resolved = resolve_snapshot(base)
+        assert resolved == cur_root, resolved
+        return read_output(resolved)
 
     out["triples_materialized"] = triples_materialized
 

@@ -54,14 +54,29 @@ def fold_mod61(x: np.ndarray) -> np.ndarray:
 
 
 def segsum_mod61(prods: np.ndarray, starts: np.ndarray) -> np.ndarray:
-    """Per-segment sum mod p of uint64 values < 2^61 (overflow-safe via
-    32-bit limb split: each half sums without wrap for < 2^29 elements)."""
-    if len(prods) == 0:
+    """Per-segment sum mod p of uint64 values < 2^61.
+
+    Overflow-safe via a 32-bit limb split; segment sums come from
+    cumulative-sum differences (NOT ``np.add.reduceat``, whose semantics
+    for an empty segment — ``starts[i] == starts[i+1]`` — return the
+    element at the boundary instead of 0, and which raises on a trailing
+    empty segment). Each limb's running total stays below 2^64 for up to
+    2^32 elements."""
+    starts = np.asarray(starts, dtype=np.int64)
+    if len(starts) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    n = len(prods)
+    ends = np.concatenate([starts[1:], [n]])
+    if n == 0:
         return np.zeros(len(starts), dtype=np.uint64)
     hi = prods >> np.uint64(32)
     lo = prods & _U32
-    hi_s = np.add.reduceat(hi, starts)
-    lo_s = np.add.reduceat(lo, starts)
+    chi = np.zeros(n + 1, dtype=np.uint64)
+    clo = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(hi, out=chi[1:])
+    np.cumsum(lo, out=clo[1:])
+    hi_s = chi[ends] - chi[starts]
+    lo_s = clo[ends] - clo[starts]
     shift = np.full(len(hi_s), np.uint64(1) << np.uint64(32), dtype=np.uint64)
     return fold_mod61(mulmod61(hi_s, shift) + fold_mod61(lo_s))
 

@@ -18,17 +18,12 @@ from __future__ import annotations
 
 import json
 import os
-import zlib
 
 import pandas as pd
 import pyarrow as pa
 import ray.data
 
 from lamapi_ray.state import checkpoint
-
-
-def _bucket_of(subj: str, num_buckets: int) -> int:
-    return zlib.crc32(subj.encode("utf-8")) % num_buckets
 
 
 def materialize_triples(
@@ -55,10 +50,13 @@ def materialize_triples(
         todo_set = {int(p) for p in todo}
 
         def tag(batch: pd.DataFrame) -> pd.DataFrame:
+            from lamapi_ray.functions.inthash import hash_string_array
+
             batch = batch.copy()
-            batch["__bucket"] = [
-                _bucket_of(s, num_buckets) for s in batch["subj"]
-            ]
+            batch["__bucket"] = (
+                hash_string_array(pa.array(batch["subj"], pa.string()))
+                % num_buckets
+            ).astype("int64")
             return batch[batch["__bucket"].isin(todo_set)]
 
         def write_bucket(group: pd.DataFrame) -> pd.DataFrame:
@@ -109,7 +107,10 @@ def materialize_triples(
         ) as f:
             rows += json.load(f)["rows"]
     with open(os.path.join(root, checkpoint.SUCCESS), "w") as f:
-        json.dump({"partitions": num_buckets, "rows": rows}, f)
+        json.dump(
+            {"partitions": num_buckets, "partition_ids": all_parts, "rows": rows},
+            f,
+        )
     return {
         "computed": todo,
         "skipped": [p for p in all_parts if p not in todo],

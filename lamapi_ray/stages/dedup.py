@@ -713,6 +713,8 @@ def simhash_near_pairs(
 
     fp_ds = simhash_fingerprints(ds, id_col, text_col)
 
+    num_partitions = 64
+
     def explode(batch: pa.Table) -> pa.Table:
         n = len(batch)
         ids = np.asarray(batch["id"].to_pylist(), dtype=np.int64)
@@ -726,10 +728,22 @@ def simhash_near_pairs(
             prefixes.append((rot >> np.uint64(48)).astype(np.int64))
             out_ids.append(ids)
             out_fps.append(fps.view(np.int64))
+        rot_all = np.concatenate(rots)
+        pre_all = np.concatenate(prefixes)
+        # coarse partition key — (rotation, prefix) buckets are recovered
+        # in-process by sorting (run detection), not one Ray group each
+        pkey = (
+            (
+                pre_all.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                + rot_all.astype(np.uint64)
+            )
+            % np.uint64(num_partitions)
+        ).astype(np.int64)
         return pa.table(
             {
-                "rot": pa.array(np.concatenate(rots), pa.int32()),
-                "prefix": pa.array(np.concatenate(prefixes), pa.int64()),
+                "pkey": pa.array(pkey, pa.int64()),
+                "rot": pa.array(rot_all, pa.int32()),
+                "prefix": pa.array(pre_all, pa.int64()),
                 "id": pa.array(np.concatenate(out_ids), pa.int64()),
                 "fp": pa.array(np.concatenate(out_fps), pa.int64()),
             }
@@ -737,31 +751,40 @@ def simhash_near_pairs(
 
     rows = fp_ds.map_batches(explode, batch_format="pyarrow")
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        g = len(group)
-        if g < 2:
-            return pa.table(
-                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-                 "hamming": pa.array([], pa.int64())}
-            )
+    def partition_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+             "hamming": pa.array([], pa.int64())}
+        )
+        if len(group) < 2:
+            return empty
+        rot = np.asarray(group["rot"].to_pylist(), dtype=np.int64)
+        pre = np.asarray(group["prefix"].to_pylist(), dtype=np.int64)
         ids = np.asarray(group["id"].to_pylist(), dtype=np.int64)
         fps = np.asarray(group["fp"].to_pylist(), dtype=np.int64).view(np.uint64)
-        order = np.argsort(ids, kind="stable")
-        ids, fps = ids[order], fps[order]
-        xor = fps[:, None] ^ fps[None, :]
-        dist = _POPCOUNT[xor.view(np.uint8).reshape(g, g, 8)].sum(axis=2)
-        iu = np.triu_indices(g, k=1)
-        ok = dist[iu] <= max_hamming
+        order = np.lexsort((ids, pre, rot))
+        rot, pre, ids, fps = rot[order], pre[order], ids[order], fps[order]
+        starts, lens = _run_bounds([rot, pre])
+        a_l, b_l, d_l = [], [], []
+        for ia, ib in _pairs_in_runs(starts, lens):
+            xor = fps[ia] ^ fps[ib]
+            dist = _POPCOUNT[xor.view(np.uint8).reshape(-1, 8)].sum(axis=1)
+            ok = dist <= max_hamming
+            a_l.append(ids[ia][ok])
+            b_l.append(ids[ib][ok])
+            d_l.append(dist[ok])
+        if not a_l:
+            return empty
         return pa.table(
             {
-                "id_a": pa.array(ids[iu[0][ok]], pa.int64()),
-                "id_b": pa.array(ids[iu[1][ok]], pa.int64()),
-                "hamming": pa.array(dist[iu][ok], pa.int64()),
+                "id_a": pa.array(np.concatenate(a_l), pa.int64()),
+                "id_b": pa.array(np.concatenate(b_l), pa.int64()),
+                "hamming": pa.array(np.concatenate(d_l), pa.int64()),
             }
         )
 
-    pairs = rows.groupby(["rot", "prefix"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
+    pairs = rows.groupby("pkey").map_groups(
+        partition_pairs, batch_format="pyarrow"
     )
     agg = pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
     out = _collect(agg)

@@ -1,0 +1,73 @@
+"""Property tests for the uint64 mod-(2^61-1) kernels that back the
+fingerprint stage, the bucketed hash join, and the MinHash family."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lamapi_ray.functions.inthash import (
+    MOD61,
+    fold_mod61,
+    hash_key_columns,
+    hash_string_array,
+    mulmod61,
+    segsum_mod61,
+)
+
+
+@given(
+    st.lists(st.integers(0, MOD61 - 1), min_size=1, max_size=50),
+    st.lists(st.integers(0, MOD61 - 1), min_size=1, max_size=50),
+)
+@settings(max_examples=200, deadline=None)
+def test_mulmod61_matches_python_ints(a_vals, b_vals):
+    n = min(len(a_vals), len(b_vals))
+    a = np.asarray(a_vals[:n], dtype=np.uint64)
+    b = np.asarray(b_vals[:n], dtype=np.uint64)
+    got = mulmod61(a, b)
+    exp = [(int(x) * int(y)) % MOD61 for x, y in zip(a_vals[:n], b_vals[:n])]
+    assert got.tolist() == exp
+
+
+@given(st.lists(st.integers(0, 2**64 - 1), min_size=1, max_size=50))
+@settings(max_examples=200, deadline=None)
+def test_fold_mod61_matches_python_ints(vals):
+    got = fold_mod61(np.asarray(vals, dtype=np.uint64))
+    assert got.tolist() == [v % MOD61 for v in vals]
+
+
+@given(st.lists(st.lists(st.integers(0, MOD61 - 1), min_size=1, max_size=20),
+                min_size=1, max_size=10))
+@settings(max_examples=100, deadline=None)
+def test_segsum_mod61_matches_python_ints(segments):
+    flat = np.asarray([v for seg in segments for v in seg], dtype=np.uint64)
+    starts = np.cumsum([0] + [len(s) for s in segments[:-1]]).astype(np.int64)
+    got = segsum_mod61(flat, starts)
+    exp = [sum(seg) % MOD61 for seg in segments]
+    assert got.tolist() == exp
+
+
+@given(st.lists(st.text(min_size=0, max_size=30), min_size=1, max_size=50))
+@settings(max_examples=100, deadline=None)
+def test_hash_string_array_deterministic_and_length_sensitive(strings):
+    arr = pa.array(strings, pa.string())
+    h1 = hash_string_array(arr)
+    h2 = hash_string_array(arr)
+    assert np.array_equal(h1, h2)
+    # equal strings hash equal; the polynomial+length mix keeps distinct
+    # short strings distinct in practice (no formal guarantee — spot check)
+    idx = {}
+    for i, s in enumerate(strings):
+        if s in idx:
+            assert h1[i] == h1[idx[s]]
+        idx[s] = i
+
+
+def test_hash_key_columns_multi_column_order_sensitivity():
+    t1 = pa.table({"a": pa.array(["x", "y"]), "b": pa.array(["y", "x"])})
+    h = hash_key_columns(t1, ["a", "b"], 1 << 30)
+    assert h[0] != h[1]  # ("x","y") must differ from ("y","x")
+    t2 = pa.table({"a": pa.array([1, 2], pa.int64()), "b": pa.array(["p", "p"])})
+    h2 = hash_key_columns(t2, ["a", "b"], 1 << 30)
+    assert h2[0] != h2[1]
