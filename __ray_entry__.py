@@ -684,6 +684,37 @@ def oracle_sql() -> dict[str, str]:
         "FROM events GROUP BY 1, 2"
     )
 
+    # REAL uncompressed-image decode: BMP roundtrip restores the exact
+    # synthetic pixel spec (flat RGB pixel i = (doc_id*7 + i) % 256), so the
+    # oracle reproduces the mean arithmetically
+    sql["multimodal_decode_real"] = (
+        "SELECT doc_id, (8 + doc_id % 32) AS width, (8 + (doc_id*3) % 16) AS height,\n"
+        " round_even(list_aggregate(list_transform(range(0, (8 + doc_id % 32) * (8 + (doc_id*3) % 16) * 3),\n"
+        "   i -> CAST((doc_id*7 + i) % 256 AS DOUBLE)), 'avg'), 4) AS mean_pixel\n"
+        "FROM documents"
+    )
+
+    # nearest-neighbor 16x16 resample: dst (y,x,c) reads src index
+    # ((y*h)//16 * w + (x*w)//16) * 3 + c
+    sql["multimodal_resize"] = (
+        "SELECT doc_id, 16 AS width, 16 AS height,\n"
+        " round_even(list_aggregate(list_transform(range(0, 768),\n"
+        "   k -> CAST((doc_id*7 + ((((k // 48) * (8 + (doc_id*3) % 16)) // 16) * (8 + doc_id % 32)\n"
+        "        + ((((k // 3) % 16) * (8 + doc_id % 32)) // 16)) * 3 + k % 3) % 256 AS DOUBLE)),\n"
+        "  'avg'), 4) AS mean_pixel\n"
+        "FROM documents"
+    )
+
+    # RAWV frame sampling: nframes = 2 + doc_id % 6, kept frames 0,2,4,...;
+    # frame f pixel i = (doc_id + 13*f + i) % 256 over an 8x8x3 frame
+    sql["multimodal_frames"] = (
+        "SELECT d.doc_id, f.f AS frame,\n"
+        " round_even(list_aggregate(list_transform(range(0, 192),\n"
+        "   i -> CAST((d.doc_id + 13*f.f + i) % 256 AS DOUBLE)), 'avg'), 4) AS mean_pixel\n"
+        "FROM documents d, (SELECT unnest(range(0, 8)) AS f) f(f)\n"
+        "WHERE f.f < 2 + d.doc_id % 6 AND f.f % 2 = 0"
+    )
+
     sql["multimodal_decode"] = (
         "SELECT doc_id, 1 + n_chars % 640 AS width, 1 + (n_chars * 7) % 480 AS height,\n"
         " round_even(list_aggregate(list_transform(range(1, n_chars + 1),\n"
@@ -961,6 +992,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup",
         "window_events",
         "multimodal_decode",
+        "multimodal_decode_real",
+        "multimodal_resize",
+        "multimodal_frames",
         "literal_classify",
         "lookup_sameas",
         "column_analysis",

@@ -224,6 +224,32 @@ def multimodal_decode(sf_dir: str) -> pa.Table:
     return _collect(decode_payloads(attach_payload(_docs(sf_dir))))
 
 
+def multimodal_decode_real(sf_dir: str) -> pa.Table:
+    """REAL image decode: deterministic BMP payloads (pure-numpy encoder)
+    through the actor-pool decoder — true dimensions + mean pixel value."""
+    from lamapi_ray.stages.multimodal import attach_image_payload
+
+    return _collect(
+        decode_payloads(attach_image_payload(_docs(sf_dir)), mode="real")
+    )
+
+
+def multimodal_resize(sf_dir: str) -> pa.Table:
+    """REAL decode → nearest-neighbor resize to 16×16 → re-encode; the
+    oracle reproduces the resampling index arithmetic exactly."""
+    from lamapi_ray.stages.multimodal import attach_image_payload, resize_payloads
+
+    out = _collect(resize_payloads(attach_image_payload(_docs(sf_dir)), 16, 16))
+    return out.drop_columns(["payload"])
+
+
+def multimodal_frames(sf_dir: str) -> pa.Table:
+    """REAL RAWV frame sampling (every 2nd frame, one row per kept frame)."""
+    from lamapi_ray.stages.multimodal import attach_video_payload, sample_frames
+
+    return _collect(sample_frames(attach_video_payload(_docs(sf_dir)), stride=2))
+
+
 # --- literal classification corpus ---------------------------------------
 
 

@@ -1,64 +1,85 @@
-"""Multimodal column plumbing — opaque binary payloads + typed metadata.
+"""Multimodal column stages — opaque binary payloads + typed metadata.
 
 Image/audio/video payloads are carried as Arrow ``binary`` columns with
-typed metadata alongside. The decode / feature-extract stages are
-actor-pool ``map_batches`` (decoder state loaded once per actor). The
-actual codec libraries are NOT in this container, so the real decode is
-stubbed behind ``NotImplementedError``; the deterministic fake decoder
-keeps every piece of Ray-side plumbing (schema, batch sizing, actor
-signature, output layout) real and testable.
+typed metadata alongside. The decode / resize / frame-sample stages are
+actor-pool ``map_batches`` (decoder state initialised once per actor).
 
-Batch-size note: for real image payloads (~MBs/row) this stage must run
+Decode is REAL for uncompressed formats — 24-bit BMP, binary PPM and the
+RAWV raw-video container are parsed with the pure-numpy codecs in
+:mod:`lamapi_ray.functions.imagecodec` (roundtrip-exact, unit-tested, and
+oracle-checked end to end by the ``multimodal_decode_real`` /
+``multimodal_resize`` queries). Compressed formats (JPEG/PNG/MP4) raise
+``NotImplementedError`` — the codec libraries are absent from this
+container, and that path is honestly gated rather than faked. The legacy
+``fake`` mode (pseudo-metadata from payload bytes) is kept for the
+original ``multimodal_decode`` query.
+
+Batch-size note: for real image payloads (~MBs/row) these stages must run
 with a small ``batch_size`` (e.g. 16-64) so batch × concurrency fits the
-worker heap — the knob is exposed on :func:`decode_payloads`.
+worker heap — the knob is exposed on every entry point.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import ray.data
 
+from lamapi_ray.functions.imagecodec import (
+    decode_image,
+    decode_rawv,
+    encode_bmp,
+    resize_nearest,
+    sniff_format,
+)
+
 
 class PayloadDecoder:
-    """Actor: decoder "model" initialised once, applied per batch.
+    """Actor: decoder initialised once, applied per batch.
 
-    ``fake=True`` (default here) derives deterministic pseudo-metadata from
-    the payload bytes; ``fake=False`` is the real-codec path, stubbed.
+    ``mode="real"`` decodes BMP/PPM payloads (numpy codecs) and emits true
+    dimensions + mean pixel value; ``mode="fake"`` derives deterministic
+    pseudo-metadata from the payload bytes (legacy query surface).
     """
 
-    def __init__(self, fake: bool = True):
-        if not fake:
-            raise NotImplementedError(
-                "real image/audio decode needs codec libs not present in "
-                "this environment; plug them in here (loaded once per actor)"
-            )
-        self.fake = fake
+    def __init__(self, mode: str = "fake"):
+        if mode not in ("fake", "real"):
+            raise ValueError(mode)
+        self.mode = mode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from lamapi_ray.functions.text import round_ref
+
         ids, widths, heights, means = [], [], [], []
         for i, payload in zip(
             batch["doc_id"].to_pylist(), batch["payload"].to_pylist()
         ):
-            n = len(payload)
             ids.append(i)
-            widths.append(1 + n % 640)
-            heights.append(1 + (n * 7) % 480)
-            # mean byte value — stands in for a decoded-pixel statistic
-            means.append(sum(payload) / n if n else 0.0)
-        from lamapi_ray.functions.text import round_ref
-
+            if self.mode == "real":
+                img = decode_image(payload)
+                heights.append(img.shape[0])
+                widths.append(img.shape[1])
+                means.append(float(img.mean()))
+            else:
+                n = len(payload)
+                widths.append(1 + n % 640)
+                heights.append(1 + (n * 7) % 480)
+                # mean byte value — stands in for a decoded-pixel statistic
+                means.append(sum(payload) / n if n else 0.0)
+        col = "mean_pixel" if self.mode == "real" else "mean_byte"
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
                 "width": pa.array(widths, pa.int64()),
                 "height": pa.array(heights, pa.int64()),
-                "mean_byte": pa.array([round_ref(m, 4) for m in means], pa.float64()),
+                col: pa.array([round_ref(m, 4) for m in means], pa.float64()),
             }
         )
 
 
 def attach_payload(docs: ray.data.Dataset) -> ray.data.Dataset:
-    """documents → (doc_id, payload:binary) — the opaque multimodal column."""
+    """documents → (doc_id, payload:binary) — the opaque multimodal column
+    (legacy fake-mode payloads: the raw text bytes)."""
 
     def to_payload(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -73,74 +94,138 @@ def attach_payload(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(to_payload, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def synth_image(doc_id: int) -> np.ndarray:
+    """Deterministic test image per doc: w = 8 + id%32, h = 8 + (id*3)%16,
+    flat RGB pixel i = (id*7 + i) % 256 — the same spec the DuckDB oracle
+    reproduces arithmetically."""
+    w = 8 + doc_id % 32
+    h = 8 + (doc_id * 3) % 16
+    px = (np.int64(doc_id) * 7 + np.arange(h * w * 3, dtype=np.int64)) % 256
+    return px.astype(np.uint8).reshape(h, w, 3)
+
+
+def synth_video(doc_id: int) -> np.ndarray:
+    """(nframes, 8, 8, 3): nframes = 2 + id%6, frame f pixel i =
+    (id + 13*f + i) % 256."""
+    n = 2 + doc_id % 6
+    frames = np.stack(
+        [
+            ((doc_id + 13 * f + np.arange(8 * 8 * 3, dtype=np.int64)) % 256)
+            .astype(np.uint8)
+            .reshape(8, 8, 3)
+            for f in range(n)
+        ]
+    )
+    return frames
+
+
+def attach_image_payload(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """documents → (doc_id, payload) with REAL BMP-encoded images."""
+
+    def to_bmp(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(
+                    [encode_bmp(synth_image(int(i))) for i in ids], pa.binary()
+                ),
+            }
+        )
+
+    return docs.map_batches(to_bmp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def attach_video_payload(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """documents → (doc_id, payload) with REAL RAWV-encoded clips."""
+    from lamapi_ray.functions.imagecodec import encode_rawv
+
+    def to_rawv(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(
+                    [encode_rawv(synth_video(int(i))) for i in ids], pa.binary()
+                ),
+            }
+        )
+
+    return docs.map_batches(to_rawv, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def decode_payloads(
     payloads: ray.data.Dataset,
     concurrency: int = 2,
     batch_size: int = 64,
-    fake: bool = True,
+    mode: str = "fake",
 ) -> ray.data.Dataset:
     return payloads.map_batches(
         PayloadDecoder,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        fn_constructor_kwargs={"fake": fake},
+        fn_constructor_kwargs={"mode": mode},
         concurrency=concurrency,
         batch_size=batch_size,
     )
 
 
 class PayloadResizer:
-    """Actor: resize stage — real codec stubbed, deterministic fake keeps the
-    plumbing (target dims in ``__init__``, batched ``__call__``) testable."""
+    """Actor: REAL resize — decode (BMP/PPM), nearest-neighbor resample,
+    re-encode BMP; target dims held as actor state."""
 
-    def __init__(self, width: int = 224, height: int = 224, fake: bool = True):
-        if not fake:
-            raise NotImplementedError(
-                "real image resize needs PIL/cv2 not present here"
-            )
+    def __init__(self, width: int = 224, height: int = 224):
         self.width = width
         self.height = height
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        # fake resize: crop/pad payload bytes to width*height//64 bytes
-        target = max(self.width * self.height // 64, 1)
-        out = [
-            (p[:target] + b"\x00" * (target - len(p)))[:target]
-            for p in batch["payload"].to_pylist()
-        ]
+        from lamapi_ray.functions.text import round_ref
+
+        ids, outs, means = [], [], []
+        for i, p in zip(batch["doc_id"].to_pylist(), batch["payload"].to_pylist()):
+            img = decode_image(p)
+            resized = resize_nearest(img, self.width, self.height)
+            ids.append(i)
+            outs.append(encode_bmp(resized))
+            means.append(round_ref(float(resized.mean()), 4))
         return pa.table(
             {
-                "doc_id": batch["doc_id"],
-                "payload": pa.array(out, pa.binary()),
-                "width": pa.array([self.width] * len(batch), pa.int64()),
-                "height": pa.array([self.height] * len(batch), pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(outs, pa.binary()),
+                "width": pa.array([self.width] * len(ids), pa.int64()),
+                "height": pa.array([self.height] * len(ids), pa.int64()),
+                "mean_pixel": pa.array(means, pa.float64()),
             }
         )
 
 
 class FrameSampler:
-    """Actor: video frame-sampling stage — emits every ``stride``-th chunk of
-    the payload as a "frame" row (flat_map shape: rows out ≥ rows in)."""
+    """Actor: REAL video frame sampling — parse the RAWV container, keep
+    every ``stride``-th frame, one row per kept frame (rows out ≥ rows in)
+    with the frame's mean pixel value."""
 
-    def __init__(self, frame_bytes: int = 64, stride: int = 4, fake: bool = True):
-        if not fake:
-            raise NotImplementedError("real video decode not available here")
-        self.frame_bytes = frame_bytes
+    def __init__(self, stride: int = 2):
         self.stride = stride
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, frames, chunks = [], [], []
+        from lamapi_ray.functions.text import round_ref
+
+        ids, frames, means = [], [], []
         for i, p in zip(batch["doc_id"].to_pylist(), batch["payload"].to_pylist()):
-            n_frames = max(len(p) // self.frame_bytes, 1)
-            for f in range(0, n_frames, self.stride):
+            if sniff_format(p) != "rawv":
+                raise NotImplementedError(
+                    "only the RAWV raw-video container is decodable here"
+                )
+            clip = decode_rawv(p)
+            for f in range(0, clip.shape[0], self.stride):
                 ids.append(i)
                 frames.append(f)
-                chunks.append(p[f * self.frame_bytes : (f + 1) * self.frame_bytes])
+                means.append(round_ref(float(clip[f].mean()), 4))
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
                 "frame": pa.array(frames, pa.int64()),
-                "payload": pa.array(chunks, pa.binary()),
+                "mean_pixel": pa.array(means, pa.float64()),
             }
         )
 
@@ -157,13 +242,13 @@ def resize_payloads(payloads: ray.data.Dataset, width=224, height=224,
     )
 
 
-def sample_frames(payloads: ray.data.Dataset, frame_bytes=64, stride=4,
+def sample_frames(payloads: ray.data.Dataset, stride=2,
                   concurrency: int = 2, batch_size: int = 64):
     return payloads.map_batches(
         FrameSampler,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        fn_constructor_kwargs={"frame_bytes": frame_bytes, "stride": stride},
+        fn_constructor_kwargs={"stride": stride},
         concurrency=concurrency,
         batch_size=batch_size,
     )

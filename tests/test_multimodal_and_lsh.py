@@ -26,9 +26,31 @@ def test_payload_decoder_deterministic():
     assert out["mean_byte"][1].as_py() == 0.0
 
 
-def test_payload_decoder_real_path_is_stubbed():
+def test_payload_decoder_real_path_decodes_bmp_and_gates_compressed():
+    import numpy as np
+
+    from lamapi_ray.functions.imagecodec import encode_bmp
+
+    img = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(6, 4, 3)
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "payload": pa.array([encode_bmp(img)], pa.binary()),
+        }
+    )
+    out = PayloadDecoder(mode="real")(batch)
+    assert out["width"][0].as_py() == 4
+    assert out["height"][0].as_py() == 6
+    assert out["mean_pixel"][0].as_py() == pytest.approx(float(img.mean()), abs=1e-4)
+    # compressed formats stay honestly gated
+    jpeg_batch = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "payload": pa.array([b"\xff\xd8rest"], pa.binary()),
+        }
+    )
     with pytest.raises(NotImplementedError):
-        PayloadDecoder(fake=False)
+        PayloadDecoder(mode="real")(jpeg_batch)
 
 
 def test_decode_payloads_actor_pool():
@@ -95,41 +117,49 @@ def test_cosine_near_pairs_exact_dups_only():
 
 
 def test_resize_and_frame_sample_stages():
+    import numpy as np
+
+    from lamapi_ray.functions.imagecodec import decode_bmp
     from lamapi_ray.stages.multimodal import (
-        FrameSampler,
-        PayloadResizer,
+        attach_image_payload,
+        attach_video_payload,
         resize_payloads,
         sample_frames,
+        synth_image,
+        synth_video,
     )
 
     docs = ray.data.from_arrow(
         pa.table(
             {
-                "doc_id": pa.array([1], pa.int64()),
-                "text": pa.array(["x" * 1000], pa.string()),
+                "doc_id": pa.array([5], pa.int64()),
+                "text": pa.array(["x"], pa.string()),
             }
         )
     )
-    payloads = attach_payload(docs)
     rz = pa.concat_tables(
-        b for b in resize_payloads(payloads, 64, 64, concurrency=1).iter_batches(
-            batch_size=64, batch_format="pyarrow"
-        )
+        b
+        for b in resize_payloads(
+            attach_image_payload(docs), 16, 16, concurrency=1
+        ).iter_batches(batch_size=64, batch_format="pyarrow")
     )
-    assert len(rz["payload"][0].as_py()) == 64 * 64 // 64
-    assert rz["width"][0].as_py() == 64
+    assert rz["width"][0].as_py() == 16 and rz["height"][0].as_py() == 16
+    # the re-encoded payload decodes back to the exact nearest-neighbor grid
+    from lamapi_ray.functions.imagecodec import resize_nearest
+
+    expect = resize_nearest(synth_image(5), 16, 16)
+    got = decode_bmp(rz["payload"][0].as_py())
+    assert np.array_equal(got, expect)
 
     fr = pa.concat_tables(
-        b for b in sample_frames(payloads, frame_bytes=100, stride=2,
-                                 concurrency=1).iter_batches(
-            batch_size=64, batch_format="pyarrow"
-        )
+        b
+        for b in sample_frames(
+            attach_video_payload(docs), stride=2, concurrency=1
+        ).iter_batches(batch_size=64, batch_format="pyarrow")
     )
-    # 1000 bytes / 100 per frame = 10 frames, stride 2 → frames 0,2,4,6,8
-    assert fr["frame"].to_pylist() == [0, 2, 4, 6, 8]
-    assert all(len(p) == 100 for p in fr["payload"].to_pylist())
-
-    with pytest.raises(NotImplementedError):
-        PayloadResizer(fake=False)
-    with pytest.raises(NotImplementedError):
-        FrameSampler(fake=False)
+    clip = synth_video(5)  # 7 frames -> sampled 0,2,4,6
+    assert fr["frame"].to_pylist() == [0, 2, 4, 6]
+    for row, f in enumerate([0, 2, 4, 6]):
+        assert fr["mean_pixel"][row].as_py() == pytest.approx(
+            float(clip[f].mean()), abs=1e-4
+        )
