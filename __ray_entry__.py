@@ -684,6 +684,18 @@ def oracle_sql() -> dict[str, str]:
         "FROM events GROUP BY 1, 2"
     )
 
+    # stable multiplicative hash split, HUGEINT mirror of
+    # functions/inthash (h = (id * K % p + 1) % p, bucket = h % 100)
+    sql["dataset_split"] = (
+        "SELECT doc_id,\n"
+        " CAST(((CAST(doc_id AS HUGEINT) * 2177342782468422681) % 2305843009213693951 + 1)\n"
+        "      % 2305843009213693951 % 100 AS BIGINT) AS bucket,\n"
+        " CASE WHEN ((CAST(doc_id AS HUGEINT) * 2177342782468422681) % 2305843009213693951 + 1) % 2305843009213693951 % 100 < 80 THEN 'train'\n"
+        "      WHEN ((CAST(doc_id AS HUGEINT) * 2177342782468422681) % 2305843009213693951 + 1) % 2305843009213693951 % 100 < 90 THEN 'val'\n"
+        "      ELSE 'test' END AS split\n"
+        "FROM documents"
+    )
+
     # REAL uncompressed-image decode: BMP roundtrip restores the exact
     # synthetic pixel spec (flat RGB pixel i = (doc_id*7 + i) % 256), so the
     # oracle reproduces the mean arithmetically
@@ -995,6 +1007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode_real",
         "multimodal_resize",
         "multimodal_frames",
+        "dataset_split",
         "literal_classify",
         "lookup_sameas",
         "column_analysis",

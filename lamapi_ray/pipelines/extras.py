@@ -217,6 +217,39 @@ def window_events(sf_dir: str) -> pa.Table:
     )
 
 
+# --- deterministic dataset split (training-data op) -----------------------
+
+
+def dataset_split(sf_dir: str) -> pa.Table:
+    """Deterministic train/val/test assignment by a stable content-free
+    hash of the document id — reproducible across runs and engines (the
+    mod-(2^61-1) multiplicative hash from functions/inthash, reproduced in
+    HUGEINT SQL by the oracle): bucket = h % 100 → <80 train, <90 val,
+    else test. A pure vectorized map stage; no shuffle."""
+    from lamapi_ray.functions.inthash import MOD61, fold_mod61, mulmod61
+
+    MULT = np.uint64(0x9E3779B97F4A7C15 % MOD61)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).view(np.uint64)
+        h = fold_mod61(mulmod61(fold_mod61(ids), np.full(len(ids), MULT)) + np.uint64(1))
+        bucket = (h % np.uint64(100)).astype(np.int64)
+        split = np.where(bucket < 80, "train", np.where(bucket < 90, "val", "test"))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "bucket": pa.array(bucket, pa.int64()),
+                "split": pa.array(split.tolist(), pa.string()),
+            }
+        )
+
+    return _collect(
+        _docs(sf_dir, ("doc_id",)).map_batches(
+            assign, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+
 # --- multimodal -----------------------------------------------------------
 
 
