@@ -684,6 +684,34 @@ def oracle_sql() -> dict[str, str]:
         "FROM events GROUP BY 1, 2"
     )
 
+    # composed curation flow: lang-ID filter + quality filter + exact
+    # dedup + split assignment, one SQL chain over the same dup corpus
+    sql["curation_pipeline"] = _with(
+        SQL_DUP_EXACT,
+        "t AS (SELECT doc_id, text, str_split(text, ' ') AS toks FROM dup)",
+        f"""sc AS (SELECT doc_id, text,
+  len(list_filter(toks, x -> x IN {STOP_EN})) / len(toks) AS s_en,
+  len(list_filter(toks, x -> x IN {STOP_DE})) / len(toks) AS s_de,
+  len(list_filter(toks, x -> x IN {STOP_ES})) / len(toks) AS s_es,
+  len(list_filter(toks, x -> x IN {STOP_FR})) / len(toks) AS s_fr,
+  len(toks) AS n,
+  list_aggregate(list_transform(toks, x -> len(x)), 'sum') / len(toks) AS ml
+ FROM t)""",
+        # the engine filters on the ROUNDED (4 dp) quality score — mirror
+        # that exactly so knife-edge docs route the same way
+        "kept AS (SELECT doc_id, text FROM sc\n"
+        "  WHERE s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr\n"
+        "    AND round_even(0.4 * least(n / 100, 1) + 0.3 * (1 - s_en)"
+        " + 0.3 * least(ml / 8, 1), 4) >= 0.55)",
+        "dd AS (SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM kept GROUP BY text)",
+    ) + (
+        "SELECT doc_id, CAST(n_copies AS BIGINT) AS n_copies,\n"
+        " CASE WHEN ((CAST(doc_id AS HUGEINT) * 2177342782468422681) % 2305843009213693951 + 1) % 2305843009213693951 % 100 < 80 THEN 'train'\n"
+        "      WHEN ((CAST(doc_id AS HUGEINT) * 2177342782468422681) % 2305843009213693951 + 1) % 2305843009213693951 % 100 < 90 THEN 'val'\n"
+        "      ELSE 'test' END AS split\n"
+        "FROM dd"
+    )
+
     # stable multiplicative hash split, HUGEINT mirror of
     # functions/inthash (h = (id * K % p + 1) % p, bucket = h % 100)
     sql["dataset_split"] = (
@@ -1008,6 +1036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_resize",
         "multimodal_frames",
         "dataset_split",
+        "curation_pipeline",
         "literal_classify",
         "lookup_sameas",
         "column_analysis",

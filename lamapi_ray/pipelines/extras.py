@@ -250,6 +250,73 @@ def dataset_split(sf_dir: str) -> pa.Table:
     )
 
 
+# --- composed curation pipeline (training-data flow end to end) -----------
+
+
+def curation_pipeline(sf_dir: str) -> pa.Table:
+    """The LLM-data curation flow as ONE streaming composition:
+    documents → language-ID → quality scoring → filter (predicted English
+    AND quality ≥ 0.55) → exact dedup over the survivors (min-id per
+    distinct text, copy count) → deterministic split assignment. Every
+    stage is one of the engine's individually oracle-checked operators;
+    this query checks their composition end to end.
+
+    Dataflow: the per-doc stages fuse into a single ``map_batches`` pass
+    (one corpus read); the only exchange is the dedup ``groupby(hash)``."""
+    from ray.data.aggregate import Count, Min
+
+    from lamapi_ray.functions.inthash import MOD61, fold_mod61, mulmod61
+    from lamapi_ray.stages.textstats import lang_id_batch, quality_batch
+
+    MULT = np.uint64(0x9E3779B97F4A7C15 % MOD61)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        li = lang_id_batch(
+            batch.append_column("lang", pa.array([""] * len(batch), pa.string()))
+        )
+        q = quality_batch(batch)
+        keep = pc.and_(
+            pc.equal(li["lang_pred"], "en"),
+            pc.greater_equal(q["quality"], 0.55),
+        )
+        flt = batch.filter(keep)
+        import hashlib as _h
+
+        hashes = [
+            _h.sha1(t.encode("utf-8")).hexdigest() for t in flt["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": flt["doc_id"],
+                "__h": pa.array(hashes, pa.string()),
+            }
+        )
+
+    ds = _dup_corpus(sf_dir, modify=False)
+    agg = (
+        ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__h")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).view(np.uint64)
+        h = fold_mod61(mulmod61(fold_mod61(ids), np.full(len(ids), MULT)) + np.uint64(1))
+        bucket = (h % np.uint64(100)).astype(np.int64)
+        split = np.where(bucket < 80, "train", np.where(bucket < 90, "val", "test"))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_copies": batch["n_copies"].cast(pa.int64())
+                if not isinstance(batch["n_copies"], pa.ChunkedArray)
+                else batch["n_copies"].combine_chunks().cast(pa.int64()),
+                "split": pa.array(split.tolist(), pa.string()),
+            }
+        )
+
+    return _collect(agg.map_batches(finish, batch_format="pyarrow")).sort_by("doc_id")
+
+
 # --- multimodal -----------------------------------------------------------
 
 
