@@ -101,20 +101,38 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
 
     text_repeat = int(os.environ.get("GRAFT_TEXT_REPEAT", "1"))
 
+    # The north rule's job READS Parquet web pages; materialize the
+    # synthesized pages table to parquet ONCE (untimed, cached across runs
+    # and across the scaling subprocesses) so the timed pipeline is
+    # read_parquet → triples → write_parquet, not synthesis → triples.
+    import hashlib
+
+    pages_tag = hashlib.sha1(
+        f"{sf_dir}|{PAGE_REPLICATE}|{text_repeat}".encode()
+    ).hexdigest()[:10]
+    pages_path = f"/tmp/lamapi_bench_pages_{pages_tag}"
+    if not os.path.exists(os.path.join(pages_path, "_DONE")):
+        shutil.rmtree(pages_path, ignore_errors=True)
+        synth.pages_dataset(
+            sf_dir, replicate=PAGE_REPLICATE, text_repeat=text_repeat
+        ).write_parquet(pages_path)
+        with open(os.path.join(pages_path, "_DONE"), "w") as f:
+            f.write("ok")
+
     def kg_e2e():
         shutil.rmtree(SCRATCH, ignore_errors=True)
         # NB: do NOT override_num_blocks here — forcing a block count makes
         # Ray split one reader task instead of fusing read+scan per block,
         # measured ~2x slower at 32 cpus than the default plan.
-        pages = synth.pages_dataset(
-            sf_dir, replicate=PAGE_REPLICATE, text_repeat=text_repeat
-        )
+        import ray as _ray
+
+        pages = _ray.data.read_parquet(pages_path)
         res = run_pipeline(
             pages, ctx, limit=1000, concurrency=max(2, num_cpus // 2)
         )
         res["triples"].write_parquet(f"{SCRATCH}/triples")
         counters["triples"] = _consume(
-            __import__("ray").data.read_parquet(f"{SCRATCH}/triples")
+            _ray.data.read_parquet(f"{SCRATCH}/triples")
         )
         counters["literal_triples"] = _consume(res["literal_triples"])
 
