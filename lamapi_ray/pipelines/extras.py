@@ -653,62 +653,30 @@ def bow_similarity(
 
 
 def column_analysis(sf_dir: str) -> pa.Table:
-    """M13 parity: per-column majority literal-datatype + NE/LIT tag.
+    """M13 parity: per-column majority literal-datatype + NE/LIT tag via the
+    actor-pool ColumnClassifierModel (ST2 — model state once per actor,
+    stages/column_classifier.py); partial counts combine per batch before
+    the one small shuffle."""
+    from lamapi_ray.stages.column_classifier import classify_columns
 
-    Partial counts per batch (column × datatype), one small groupby-sum,
-    driver-side majority — the pre-aggregation pattern."""
     cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
     ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=cols)
 
-    def partial(batch: pa.Table) -> pa.Table:
-        out_c, out_d, out_n = [], [], []
+    def explode(batch: pa.Table) -> pa.Table:
+        out_c, out_v = [], []
         for c in cols:
             vals = [str(v) for v in batch[c].to_pylist()]
-            labels = classify_array(vals)
-            uniq, counts = np.unique(labels, return_counts=True)
-            for u, n in zip(uniq, counts):
-                out_c.append(c)
-                out_d.append(str(u))
-                out_n.append(int(n))
+            out_c.extend([c] * len(vals))
+            out_v.extend(vals)
         return pa.table(
             {
                 "column": pa.array(out_c, pa.string()),
-                "datatype": pa.array(out_d, pa.string()),
-                "n": pa.array(out_n, pa.int64()),
+                "value": pa.array(out_v, pa.string()),
             }
         )
 
-    from ray.data.aggregate import Sum
-
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["column", "datatype"])
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
-    )
-    rows = []
-    for col, grp in agg.groupby("column"):
-        grp = grp.sort_values(["n", "datatype"], ascending=[False, True])
-        best = grp.iloc[0]
-        rec = XML_DATATYPES[best["datatype"]]
-        rows.append(
-            {
-                "column": col,
-                "datatype": best["datatype"],
-                "classification": rec["classification"],
-                "tag": rec["tag"],
-                "n_values": int(grp["n"].sum()),
-            }
-        )
-    rows.sort(key=lambda r: r["column"])
-    return pa.table(
-        {
-            "column": pa.array([r["column"] for r in rows], pa.string()),
-            "datatype": pa.array([r["datatype"] for r in rows], pa.string()),
-            "classification": pa.array([r["classification"] for r in rows], pa.string()),
-            "tag": pa.array([r["tag"] for r in rows], pa.string()),
-            "n_values": pa.array([r["n_values"] for r in rows], pa.int64()),
-        }
+    return classify_columns(
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
     )
 
 
