@@ -19,7 +19,6 @@ the real thing and swapping in learned weights is local to ``__init__``.
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import ray.data
 

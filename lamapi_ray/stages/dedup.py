@@ -220,8 +220,6 @@ def _min_label_components(
     detects it. Iterations are bounded by the largest component diameter
     (near-dup clusters are shallow). Block counts stay pinned at P — no
     per-iteration lineage or block growth."""
-    from ray.data.aggregate import Sum
-
     P = 16
     MULT = np.uint64(0x9E3779B97F4A7C15)
 
@@ -356,8 +354,6 @@ def minhash_clusters(
     driver-side work is the final (id, cluster) collect, which callers at
     scale replace with ``write_parquet``."""
     from ray.data.aggregate import Count
-
-    from lamapi_ray.stages.join import bucketed_hash_join
 
     sig_ds = ds.map_batches(
         _signatures_batch,

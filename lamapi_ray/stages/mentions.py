@@ -35,7 +35,6 @@ import pyarrow as pa
 import ray
 
 from lamapi_ray.functions.literals import check_literal
-from lamapi_ray.functions.text import clean_str
 
 
 # single-slot per-worker cache (key, MentionScanner) — replaced on a new

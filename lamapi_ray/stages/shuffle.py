@@ -25,7 +25,6 @@ from __future__ import annotations
 import zlib
 
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray.data
 
 
