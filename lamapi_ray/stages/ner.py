@@ -42,16 +42,24 @@ NER_SCHEMA = pa.schema(
 )
 
 
+def _load_spacy():  # pragma: no cover - spaCy absent from this container
+    import spacy
+
+    return spacy.load("en_core_web_sm")
+
+
 class NERActor:
     """Model state loaded once per actor (reference loads spaCy once per
-    process); batches scored in ``__call__``."""
+    process); batches scored in ``__call__``.
 
-    def __init__(self, gazetteer_ref=None):
-        self.nlp = None
-        try:  # pragma: no cover - spaCy not present in this container
-            import spacy
+    ``model_loader`` returns a spaCy-like callable (``nlp(text).ents`` with
+    ``text``/``label_``/``start_char``/``end_char``) — the default tries the
+    real spaCy; tests inject a deterministic fake to exercise the
+    real-model code path without the library."""
 
-            self.nlp = spacy.load("en_core_web_sm")
+    def __init__(self, gazetteer_ref=None, model_loader=_load_spacy):
+        try:
+            self.nlp = model_loader()
         except Exception:
             self.nlp = None
         self.gazetteer: dict[str, str] = (
@@ -59,7 +67,7 @@ class NERActor:
         )
 
     def _spans(self, text: str) -> list[tuple[str, str, int, int]]:
-        if self.nlp is not None:  # pragma: no cover
+        if self.nlp is not None:
             doc = self.nlp(text)
             return [
                 (

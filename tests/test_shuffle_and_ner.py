@@ -101,3 +101,68 @@ def test_ner_pages_actor_pool():
     assert out.num_rows == 1
     assert out["url"][0].as_py() == "a"
     assert out["classification"][0].as_py() == "ORG"
+
+
+def test_ner_real_model_path_with_injected_model():
+    """Exercises the spaCy-branch code (doc.ents → label map → offsets)
+    through a deterministic fake model — the real library is env-absent."""
+    from types import SimpleNamespace
+
+    from lamapi_ray.stages.ner import NERActor
+
+    class FakeNLP:
+        def __call__(self, text):
+            ents = []
+            for word, label in (
+                ("Alice", "PERSON"), ("Acme", "ORG"), ("Paris", "GPE"),
+                ("Coyote", "NORP"),
+            ):
+                i = text.find(word)
+                if i >= 0:
+                    ents.append(
+                        SimpleNamespace(
+                            text=word, label_=label, start_char=i,
+                            end_char=i + len(word),
+                        )
+                    )
+            return SimpleNamespace(ents=ents)
+
+    actor = NERActor(model_loader=lambda: FakeNLP())
+    assert actor.nlp is not None  # real-model branch active
+    batch = pa.table(
+        {
+            "url": pa.array(["u1"], pa.string()),
+            "text": pa.array(["Alice works at Acme in Paris like a Coyote"]),
+        }
+    )
+    out = actor(batch)
+    got = {
+        m: (c, s, e)
+        for m, c, s, e in zip(
+            out["mention"].to_pylist(), out["classification"].to_pylist(),
+            out["start_index"].to_pylist(), out["end_index"].to_pylist(),
+        )
+    }
+    assert got["Alice"] == ("PERS", 0, 5)       # PERSON → PERS
+    assert got["Acme"][0] == "ORG"              # ORG → ORG
+    assert got["Paris"][0] == "LOC"             # GPE → LOC
+    assert got["Coyote"][0] == "OTHERS"         # unmapped label → OTHERS
+
+
+def test_ner_model_load_failure_falls_back_to_gazetteer(ray_session):
+    import ray as _ray
+
+    from lamapi_ray.stages.ner import NERActor
+
+    def broken_loader():
+        raise RuntimeError("no model")
+
+    gz = _ray.put({"acme": "ORG"})
+    actor = NERActor(gazetteer_ref=gz, model_loader=broken_loader)
+    assert actor.nlp is None
+    batch = pa.table(
+        {"url": pa.array(["u"]), "text": pa.array(["visit acme now"])}
+    )
+    out = actor(batch)
+    assert out["mention"].to_pylist() == ["acme"]
+    assert out["classification"].to_pylist() == ["ORG"]
