@@ -1030,6 +1030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine",
         "ann_lsh",
         "embedding_near_dup",
+        "embedding_near_dup_lsh",
         "window_events",
         "multimodal_decode",
         "multimodal_decode_real",

@@ -86,13 +86,17 @@ def decode_ppm(data: bytes) -> np.ndarray:
     while len(parts) < 3:
         while i < len(data) and data[i : i + 1].isspace():
             i += 1
+        if i >= len(data):
+            raise ValueError("truncated PPM header")
         if data[i : i + 1] == b"#":  # comment line
-            while data[i : i + 1] != b"\n":
+            while i < len(data) and data[i : i + 1] != b"\n":
                 i += 1
             continue
         j = i
-        while not data[j : j + 1].isspace():
+        while j < len(data) and not data[j : j + 1].isspace():
             j += 1
+        if j >= len(data):
+            raise ValueError("truncated PPM header")
         parts.append(int(data[i:j]))
         i = j
     i += 1  # exactly one whitespace after maxval

@@ -119,8 +119,10 @@ def hash_string_array(arr: pa.Array, salt: int = 0) -> np.ndarray:
         return np.zeros(0, dtype=np.uint64)
     lens = offsets[1:] - offsets[:-1]
     total = int(lens.sum())
-    if total == 0:
-        return np.full(nrows, np.uint64((17 + salt * 0x9E3779B9) % MOD61))
+    # NB: no all-empty shortcut — empty rows must hash identically whether
+    # they arrive in an all-empty batch or mixed with non-empty rows
+    # (segsum_mod61 returns 0 for empty segments, so the general path is
+    # already correct and batch-composition-independent).
     parent_start = np.repeat(offsets[:-1], lens)
     within = np.arange(total) - np.repeat(
         np.concatenate([[0], np.cumsum(lens)[:-1]]), lens

@@ -139,6 +139,14 @@ class SurfaceIndex:
         self.ntoken = np.asarray(surface_forms["ntoken"].to_pylist(), dtype=np.int64)
         self.length = np.asarray(surface_forms["length"].to_pylist(), dtype=np.int64)
         self.popularity = np.asarray(surface_forms["popularity"].to_pylist(), dtype=np.float64)
+        # global physical row id: lets sharded retrieval merge partials per
+        # surface ROW rather than per (id, surface_norm) — two distinct
+        # surfaces of one entity (e.g. "A  B" vs "A B" aliases) can share a
+        # norm after clean_str, and must stay separate rows
+        if "_grow" in surface_forms.column_names:
+            self.grow = np.asarray(surface_forms["_grow"].to_pylist(), dtype=np.int64)
+        else:
+            self.grow = np.arange(len(self.ids), dtype=np.int64)
         self.type_names = type_names
 
         postings: dict[str, list[int]] = {}
@@ -311,6 +319,7 @@ class SurfaceIndex:
             "length": self.length[idx],
             "popularity": self.popularity[idx],
             "shared": np.asarray(shared, dtype=np.int64),
+            "grow": self.grow[idx],
         }
 
     def candidates(

@@ -637,7 +637,7 @@ def bow_similarity(
         for r, t in zip(hit_rows, _pc.take(utok, pa.array(np.nonzero(hit)[0])).to_pylist()):
             matched[r].append(t)
         mw = [" ".join(sorted(m)) for m in matched]
-        return pa.table(
+        out = pa.table(
             {
                 "url": batch["url"],
                 "id": ids,
@@ -645,6 +645,10 @@ def bow_similarity(
                 "matched_words": pa.array(mw, pa.string()),
             }
         )
+        # A page with zero kept tokens has no BoW at all — the reference's
+        # inner token join drops the link entirely (and the SQL oracle's
+        # `pe JOIN pn` agrees), so emit no row rather than bow_sim=0.0.
+        return out.filter(pa.array(ntok > 0))
 
     return _collect(joined.map_batches(score, batch_format="pyarrow"))
 
@@ -921,11 +925,9 @@ def simhash_near_dup(sf_dir: str) -> pa.Table:
     return simhash_near_pairs(_dup_corpus(sf_dir, modify=True), "doc_id", "text")
 
 
-def embedding_near_dup(sf_dir: str) -> pa.Table:
-    """Embedding-cosine near-duplicate pairs over the embeddings table with
-    injected exact-duplicate vectors (every 5th vec copied to id+1e6)."""
-    from lamapi_ray.stages.annsearch import cosine_near_pairs
-
+def _dup_embeddings(sf_dir: str) -> ray.data.Dataset:
+    """Embeddings table with injected exact-duplicate vectors (every 5th
+    vec copied to id+1e6) — shared corpus for the near-dup queries."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
@@ -949,10 +951,10 @@ def embedding_near_dup(sf_dir: str) -> pa.Table:
             }
         )
 
-    out = cosine_near_pairs(
-        ds.map_batches(dup, batch_format="pyarrow", zero_copy_batch=True),
-        threshold=0.999,
-    )
+    return ds.map_batches(dup, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _round_pairs(out: pa.Table) -> pa.Table:
     return pa.table(
         {
             "id_a": out["id_a"],
@@ -961,4 +963,27 @@ def embedding_near_dup(sf_dir: str) -> pa.Table:
                 [round_ref(c, 6) for c in out["cosine"].to_pylist()], pa.float64()
             ),
         }
+    )
+
+
+def embedding_near_dup(sf_dir: str) -> pa.Table:
+    """EXACT embedding-cosine near-duplicate pairs (chunk-pair-blocked
+    distributed all-pairs — matches the exact SQL oracle by construction;
+    Θ(n²) dot products is the exact contract's price)."""
+    from lamapi_ray.stages.annsearch import exact_cosine_near_pairs
+
+    return _round_pairs(
+        exact_cosine_near_pairs(_dup_embeddings(sf_dir), threshold=0.999)
+    )
+
+
+def embedding_near_dup_lsh(sf_dir: str) -> pa.Table:
+    """Sub-quadratic sign-LSH near-duplicate pairs over the same corpus —
+    the scale path (approximate: ≥2-bit code-distance borderline pairs can
+    be missed; exact duplicates never are). Rows-only driver check; a
+    pytest asserts equality to the exact path on the fixture corpus."""
+    from lamapi_ray.stages.annsearch import cosine_near_pairs
+
+    return _round_pairs(
+        cosine_near_pairs(_dup_embeddings(sf_dir), threshold=0.999, planes=None)
     )

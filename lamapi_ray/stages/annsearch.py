@@ -193,64 +193,228 @@ def _emb_matrix(batch: pa.Table, col: str) -> np.ndarray:
     return flat.reshape(len(arr), -1).astype(np.float64)
 
 
+_PAIR_TILE = 2048  # rows per matmul tile inside a bucket (bounds peak memory)
+
+
+def _emit_pairs(
+    ids_a: np.ndarray,
+    m_a: np.ndarray,
+    ids_b: np.ndarray,
+    m_b: np.ndarray,
+    threshold: float,
+    triangle: bool,
+    out: list,
+    tile: int = _PAIR_TILE,
+) -> None:
+    """Above-threshold cosine pairs between two (normalized) row blocks,
+    tiled so no sim matrix exceeds tile² floats. ``triangle`` means
+    a==b and only i<j pairs are wanted."""
+    for i0 in range(0, len(ids_a), tile):
+        ia = slice(i0, i0 + tile)
+        j_start = i0 if triangle else 0
+        for j0 in range(j_start, len(ids_b), tile):
+            jb = slice(j0, j0 + tile)
+            sims = m_a[ia] @ m_b[jb].T
+            if triangle and j0 == i0:
+                sims[np.tril_indices_from(sims)] = -2.0  # keep strict i<j
+            ri, ci = np.nonzero(sims >= threshold)
+            if len(ri):
+                out.append(
+                    (ids_a[ia][ri], ids_b[jb][ci], sims[ri, ci])
+                )
+
+
+def _pack_emb(mn: np.ndarray) -> pa.ListArray:
+    n, d = mn.shape
+    offsets = np.arange(0, n + 1, dtype=np.int32) * d
+    return pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), pa.array(mn.reshape(-1), pa.float64())
+    )
+
+
+_EMPTY_PAIRS = pa.table(
+    {
+        "id_a": pa.array([], pa.int64()),
+        "id_b": pa.array([], pa.int64()),
+        "cosine": pa.array([], pa.float64()),
+    }
+)
+
+
+def _pairs_table(out: list) -> pa.Table:
+    if not out:
+        return _EMPTY_PAIRS
+    a = np.concatenate([t[0] for t in out])
+    b = np.concatenate([t[1] for t in out])
+    c = np.concatenate([t[2] for t in out])
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    return pa.table(
+        {
+            "id_a": pa.array(lo, pa.int64()),
+            "id_b": pa.array(hi, pa.int64()),
+            "cosine": pa.array(c, pa.float64()),
+        }
+    )
+
+
+def exact_cosine_near_pairs(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.999,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    num_chunks: int = 8,
+) -> pa.Table:
+    """EXACT all-(i<j) pairs with cosine ≥ threshold, distributed via
+    chunk-pair blocking: each vector lands in chunk ``c = id mod B`` and is
+    replicated to every bucket ``(min(c,j), max(c,j))``; one groupby
+    co-locates each chunk pair; bucket (i,i) computes its triangle, bucket
+    (i,j) only cross-chunk pairs, so every pair is computed in EXACTLY one
+    bucket (no dedup pass). Work is inherently Θ(n²/2) dot products —
+    that is the exact contract's price; replication factor is B and
+    per-bucket memory is tiled (``_PAIR_TILE``). Scale B ≈
+    √(n·d·8 / bucket_bytes) so one bucket's two chunks fit a worker."""
+    from lamapi_ray.functions.inthash import fold_mod61, mulmod61
+
+    B = int(num_chunks)
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {"bucket": pa.array([], pa.int32()), "side": pa.array([], pa.int8()),
+                 "id": pa.array([], pa.int64()), "emb": pa.array([], pa.list_(pa.float64()))}
+            )
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        mn = _normalize_rows(_emb_matrix(batch, emb_col))
+        # chunk from a mixed hash of the id (plain mod would correlate with
+        # any id-assignment pattern)
+        h = mulmod61(
+            fold_mod61(ids.view(np.uint64)),
+            np.full(n, np.uint64(0x9E3779B97F4A7C15 % ((1 << 61) - 1))),
+        )
+        chunk = (h % np.uint64(B)).astype(np.int64)
+        reps_bucket = np.empty(n * B, dtype=np.int32)
+        reps_side = np.empty(n * B, dtype=np.int8)
+        for j in range(B):
+            lo = np.minimum(chunk, j)
+            hi = np.maximum(chunk, j)
+            reps_bucket[j::B] = (lo * B + hi).astype(np.int32)
+            reps_side[j::B] = (chunk > j).astype(np.int8)
+        rep_idx = np.repeat(np.arange(n), B)
+        return pa.table(
+            {
+                "bucket": pa.array(reps_bucket, pa.int32()),
+                "side": pa.array(reps_side, pa.int8()),
+                "id": pa.array(ids[rep_idx], pa.int64()),
+                "emb": _pack_emb(mn[rep_idx]),
+            }
+        )
+
+    rows = ds.map_batches(replicate, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        if len(group) < 2:
+            return _EMPTY_PAIRS
+        bucket = int(group["bucket"][0].as_py())
+        i, j = divmod(bucket, B)
+        ids = np.asarray(group["id"].to_pylist(), dtype=np.int64)
+        m = _emb_matrix(group, "emb")  # already normalized
+        side = np.asarray(group["side"].to_pylist(), dtype=np.int8)
+        out: list = []
+        if i == j:
+            order = np.argsort(ids, kind="stable")
+            _emit_pairs(ids[order], m[order], ids[order], m[order],
+                        threshold, True, out)
+        else:
+            a = side == 0  # chunk i rows
+            b = ~a
+            if a.any() and b.any():
+                _emit_pairs(ids[a], m[a], ids[b], m[b], threshold, False, out)
+        return _pairs_table(out)
+
+    pairs = rows.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+    tabs = [b for b in pairs.iter_batches(batch_size=65536, batch_format="pyarrow")]
+    out = pa.concat_tables(tabs) if tabs else _EMPTY_PAIRS
+    return out.select(["id_a", "id_b", "cosine"]).sort_by(
+        [("id_a", "ascending"), ("id_b", "ascending")]
+    )
+
+
+def auto_planes(n: int) -> int:
+    """Sign-LSH code width as a function of corpus size: ≈log₂(n)+8 bits,
+    rounded to even (two bands), clamped to [16, 64]. Keeps the expected
+    band-bucket size ≈ n / 2^(planes/2) bounded as n grows — at n=10⁹ this
+    gives 38 planes → 19-bit bands → ~2k rows per bucket in expectation,
+    so within-bucket pair work stays linear-ish instead of Θ(n²/2^planes)."""
+    import math
+
+    bits = math.ceil(math.log2(max(n, 2))) + 8
+    return int(min(64, max(16, bits + (bits & 1))))
+
+
 def cosine_near_pairs(
     ds: "ray.data.Dataset",
     threshold: float = 0.999,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    planes: int = 16,
+    planes: int | None = 16,
     seed: int = 42,
 ) -> pa.Table:
-    """All (i<j) pairs with cosine similarity ≥ threshold — sign-LSH
-    bucketed, nothing corpus-sized broadcast or collected.
+    """Approximate (high-recall) (i<j) pairs with cosine ≥ threshold —
+    sign-LSH bucketed, nothing corpus-sized broadcast or collected. For
+    the exact contract use :func:`exact_cosine_near_pairs` (Θ(n²) by
+    necessity); this is the sub-quadratic scale path.
 
-    Each vector gets a 16-bit sign code from seeded random hyperplanes
-    (constant-size state, regenerated per worker from the seed). The code
-    splits into two 8-bit bands; a vector is emitted once per band and ONE
-    ``groupby(band, band_code)`` co-locates candidates; each bucket runs an
-    exact-cosine matmul and keeps above-threshold pairs; a native ``Min``
-    aggregate dedups pairs found in both bands.
+    Each vector gets a ``planes``-bit sign code from seeded random
+    hyperplanes (constant-size state, regenerated per worker from the
+    seed). ``planes=None`` sizes the code from the corpus count
+    (:func:`auto_planes`) so buckets stay bounded as n grows. The code
+    splits into two bands; a vector is emitted once per band and ONE
+    ``groupby(band, band_code)`` co-locates candidates; each bucket runs a
+    tiled exact-cosine matmul and keeps above-threshold pairs; a native
+    ``Min`` aggregate dedups pairs found in both bands.
 
-    Recall guarantee: any pair whose sign codes differ in ≤1 bit (which
-    includes every exact-duplicate vector, code distance 0) agrees on at
-    least one full band and is always found. Pairs at the threshold whose
-    codes differ in ≥2 bits can be missed — at 0.999 (≈1.45° apart) the
-    per-plane disagreement probability is ~0.008, so ≥2-bit misses are
-    ~1%% of borderline non-identical pairs; duplicates are never missed.
+    Recall: any pair whose sign codes differ in ≤1 bit (including every
+    exact-duplicate vector, code distance 0) agrees on at least one full
+    band and is ALWAYS found. Pairs at the threshold whose codes differ in
+    ≥2 bits (≥1 per band) can be missed — at threshold 0.999 (≈1.45°
+    apart) the per-plane disagreement probability is ~0.008, so misses are
+    ~1%% of borderline non-identical pairs at 16 planes (growing with
+    plane count — the standard LSH recall/cost trade). Duplicates are
+    never missed.
     """
     import ray.data  # noqa: F401
     from ray.data.aggregate import Min
+
+    if planes is None:
+        planes = auto_planes(ds.count())
+    half = planes // 2
 
     def code_batch(batch: pa.Table) -> pa.Table:
         n = len(batch)
         if n == 0:
             return pa.table(
-                {"band": pa.array([], pa.int32()), "bcode": pa.array([], pa.int32()),
+                {"band": pa.array([], pa.int32()), "bcode": pa.array([], pa.int64()),
                  "id": pa.array([], pa.int64()), "emb": pa.array([], pa.list_(pa.float64()))}
             )
         m = _emb_matrix(batch, emb_col)
         hp = _hyperplanes(m.shape[1], planes, seed)
         mn = _normalize_rows(m)
-        sig = (mn @ hp > 0).astype(np.uint32)
-        codes = (sig << np.arange(planes, dtype=np.uint32)).sum(axis=1)
-        half = planes // 2
-        b0 = (codes & ((1 << half) - 1)).astype(np.int32)
-        b1 = (codes >> half).astype(np.int32)
+        sig = (mn @ hp > 0).astype(np.uint64)
+        codes = (sig << np.arange(planes, dtype=np.uint64)).sum(axis=1)
+        b0 = (codes & np.uint64((1 << half) - 1)).astype(np.int64)
+        b1 = (codes >> np.uint64(half)).astype(np.int64)
         ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-        flat = np.concatenate([mn.reshape(-1), mn.reshape(-1)])
-        offsets = np.arange(0, 2 * n + 1, dtype=np.int32) * m.shape[1]
-        emb_col_arr = pa.ListArray.from_arrays(
-            pa.array(offsets, pa.int32()), pa.array(flat, pa.float64())
-        )
         return pa.table(
             {
                 "band": pa.array(
                     np.concatenate([np.zeros(n, np.int32), np.ones(n, np.int32)]),
                     pa.int32(),
                 ),
-                "bcode": pa.array(np.concatenate([b0, b1]), pa.int32()),
+                "bcode": pa.array(np.concatenate([b0, b1]), pa.int64()),
                 "id": pa.array(np.concatenate([ids, ids]), pa.int64()),
-                "emb": emb_col_arr,
+                "emb": _pack_emb(np.concatenate([mn, mn])),
             }
         )
 
@@ -259,32 +423,21 @@ def cosine_near_pairs(
     def bucket_pairs(group: pa.Table) -> pa.Table:
         g = len(group)
         if g < 2:
-            return pa.table(
-                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-                 "cosine": pa.array([], pa.float64())}
-            )
+            return _EMPTY_PAIRS
         ids = np.asarray(group["id"].to_pylist(), dtype=np.int64)
         m = _emb_matrix(group, "emb")  # already normalized
         order = np.argsort(ids, kind="stable")
         ids, m = ids[order], m[order]
-        sims = m @ m.T
-        iu = np.triu_indices(g, k=1)
-        ok = sims[iu] >= threshold
-        return pa.table(
-            {
-                "id_a": pa.array(ids[iu[0][ok]], pa.int64()),
-                "id_b": pa.array(ids[iu[1][ok]], pa.int64()),
-                "cosine": pa.array(sims[iu][ok], pa.float64()),
-            }
-        )
+        out: list = []
+        _emit_pairs(ids, m, ids, m, threshold, True, out)
+        return _pairs_table(out)
 
     pairs = rows.groupby(["band", "bcode"]).map_groups(
         bucket_pairs, batch_format="pyarrow"
     )
     agg = pairs.groupby(["id_a", "id_b"]).aggregate(Min("cosine", alias_name="cosine"))
-    out = pa.concat_tables(
-        b for b in agg.iter_batches(batch_size=65536, batch_format="pyarrow")
-    )
+    tabs = [b for b in agg.iter_batches(batch_size=65536, batch_format="pyarrow")]
+    out = pa.concat_tables(tabs) if tabs else _EMPTY_PAIRS
     return out.select(["id_a", "id_b", "cosine"]).sort_by(
         [("id_a", "ascending"), ("id_b", "ascending")]
     )

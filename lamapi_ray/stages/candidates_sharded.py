@@ -53,15 +53,21 @@ def token_shard(token: str, num_shards: int) -> int:
 def build_shard_tables(
     surface_forms: pa.Table, num_shards: int
 ) -> list[pa.Table]:
-    """Replicate each surface row to every shard owning ≥1 of its tokens."""
+    """Replicate each surface row to every shard owning ≥1 of its tokens.
+
+    Each shard carries a ``_grow`` column = the physical row index in the
+    original table, so the merge stage can sum partial shared counts per
+    surface ROW — (id, surface_norm) is NOT unique (clean_str can collapse
+    two distinct surfaces of one entity to the same norm)."""
     norms = surface_forms["surface_norm"].to_pylist()
+    tagged = surface_forms.append_column(
+        "_grow", pa.array(np.arange(len(surface_forms)), pa.int64())
+    )
     shard_rows: list[list[int]] = [[] for _ in range(num_shards)]
     for i, norm in enumerate(norms):
         for s in {token_shard(t, num_shards) for t in set(norm.split(" "))}:
             shard_rows[s].append(i)
-    return [
-        surface_forms.take(pa.array(rows, pa.int64())) for rows in shard_rows
-    ]
+    return [tagged.take(pa.array(rows, pa.int64())) for rows in shard_rows]
 
 
 _SHARD_CACHE: list = [None, None]  # (key, {shard_id: SurfaceIndex})
@@ -91,6 +97,7 @@ _PARTIAL_FIELDS = [
     ("length", pa.int64()),
     ("popularity", pa.float64()),
     ("shared", pa.int64()),
+    ("grow", pa.int64()),
 ]
 
 
@@ -151,7 +158,7 @@ def generate_candidates_sharded(
                 ("nertype", "nertype"), ("types_str", "types_str"),
                 ("type_names", "type_names"), ("ntoken", "ntoken"),
                 ("length", "length"), ("popularity", "popularity"),
-                ("shared", "shared"),
+                ("shared", "shared"), ("grow", "grow"),
             ):
                 cols[key].extend(rows[src].tolist())
         return pa.table(
@@ -178,11 +185,10 @@ def generate_candidates_sharded(
         arrs["length"] = np.asarray(group["length"].to_pylist(), dtype=np.int64)
         arrs["popularity"] = np.asarray(group["popularity"].to_pylist(), dtype=np.float64)
         shared = np.asarray(group["shared"].to_pylist(), dtype=np.int64)
-        # merge partials: same physical surface row = same (id, norm)
-        key = np.asarray(
-            [i + "\x1f" + nm for i, nm in zip(arrs["id"], arrs["norm"])],
-            dtype=object,
-        )
+        # merge partials on the PHYSICAL surface-row id carried through the
+        # shards — (id, norm) is not unique when clean_str collapses two
+        # distinct surfaces of one entity to the same norm
+        key = np.asarray(group["grow"].to_pylist(), dtype=np.int64)
         uniq, first_idx, inv = np.unique(key, return_index=True, return_inverse=True)
         merged_shared = np.zeros(len(uniq), dtype=np.int64)
         np.add.at(merged_shared, inv, shared)

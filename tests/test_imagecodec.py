@@ -30,6 +30,16 @@ def test_ppm_roundtrip_exact(h, w):
     assert np.array_equal(decode_ppm(encode_ppm(img)), img)
 
 
+@pytest.mark.parametrize(
+    "payload", [b"P6", b"P6\n12 34", b"P6\n# comment", b"P6\n12 34 255"]
+)
+def test_ppm_truncated_header_raises(payload):
+    # Regression: the header scanner used to spin forever at end-of-buffer
+    # (b"" is not whitespace) instead of raising.
+    with pytest.raises(ValueError, match="truncated PPM header"):
+        decode_ppm(payload)
+
+
 def test_rawv_roundtrip_exact():
     rng = np.random.RandomState(0)
     clip = rng.randint(0, 256, (5, 4, 6, 3), dtype=np.uint8)

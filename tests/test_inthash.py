@@ -64,6 +64,17 @@ def test_hash_string_array_deterministic_and_length_sensitive(strings):
         idx[s] = i
 
 
+def test_hash_string_array_empty_rows_batch_independent():
+    # Regression: an all-empty batch used to take a shortcut that skipped
+    # the final mix, so ""/null hashed differently depending on whether the
+    # batch contained any non-empty row — silently mis-bucketing join keys.
+    all_empty = hash_string_array(pa.array(["", "", None]))
+    mixed = hash_string_array(pa.array(["x", "", None, "y"]))
+    assert all_empty[0] == all_empty[1] == all_empty[2]
+    assert all_empty[0] == mixed[1] == mixed[2]
+    assert mixed[0] != all_empty[0] and mixed[3] != all_empty[0]
+
+
 def test_hash_key_columns_multi_column_order_sensitivity():
     t1 = pa.table({"a": pa.array(["x", "y"]), "b": pa.array(["y", "x"])})
     h = hash_key_columns(t1, ["a", "b"], 1 << 30)

@@ -5,7 +5,13 @@ import pyarrow as pa
 import pytest
 import ray.data
 
-from lamapi_ray.stages.annsearch import cosine_near_pairs, cosine_topk, lsh_topk
+from lamapi_ray.stages.annsearch import (
+    auto_planes,
+    cosine_near_pairs,
+    cosine_topk,
+    exact_cosine_near_pairs,
+    lsh_topk,
+)
 from lamapi_ray.stages.multimodal import PayloadDecoder, attach_payload, decode_payloads
 
 
@@ -114,6 +120,92 @@ def test_cosine_near_pairs_exact_dups_only():
     pairs = set(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
     assert pairs == {(0, 100), (7, 107)}
     assert all(c >= 0.999 for c in out["cosine"].to_pylist())
+
+
+def test_exact_near_pairs_matches_brute_force_and_lsh_on_fixture():
+    tbl, emb = _corpus(n=50)
+    dup = pa.table(
+        {
+            "vec_id": pa.array([100, 107], pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, emb[0])), list(map(float, emb[7]))]
+            ),
+        }
+    )
+    full = pa.concat_tables([tbl, dup])
+    ds = ray.data.from_arrow(full)
+    # local brute force at a loose threshold (so near-but-not-dup pairs
+    # exist and the chunk-pair blocking is genuinely exercised)
+    m = np.asarray(full["embedding"].to_pylist(), dtype=np.float64)
+    m = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
+    ids = np.asarray(full["vec_id"].to_pylist())
+    sims = m @ m.T
+    iu = np.triu_indices(len(ids), k=1)
+    thr = 0.92
+    want = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+        for i, j in zip(iu[0][sims[iu] >= thr], iu[1][sims[iu] >= thr])
+    }
+    assert len(want) > 2  # loose threshold produced non-duplicate pairs
+    got = exact_cosine_near_pairs(ds, threshold=thr, num_chunks=4)
+    got_pairs = set(zip(got["id_a"].to_pylist(), got["id_b"].to_pylist()))
+    assert got_pairs == want
+    # each pair appears exactly once (blocking computes it in one bucket)
+    assert len(got) == len(got_pairs)
+    # LSH scale path finds the exact duplicates at the tight threshold and,
+    # on this fixture, agrees with the exact path
+    lsh = cosine_near_pairs(ds, threshold=0.999, planes=None)
+    ex = exact_cosine_near_pairs(ds, threshold=0.999)
+    assert set(zip(lsh["id_a"].to_pylist(), lsh["id_b"].to_pylist())) == set(
+        zip(ex["id_a"].to_pylist(), ex["id_b"].to_pylist())
+    ) == {(0, 100), (7, 107)}
+
+
+@pytest.mark.parametrize("tile", [1, 3, 7, 64])
+def test_emit_pairs_tiling_kernel(tile):
+    # tiny tiles exercise the tiled-matmul path (incl. diagonal masking
+    # for the triangle case and non-square edge tiles); the pair set must
+    # be tile-size-independent
+    from lamapi_ray.stages.annsearch import _emit_pairs
+
+    _, emb = _corpus(n=23)
+    m = emb / np.sqrt((emb * emb).sum(axis=1, keepdims=True))
+    ids = np.arange(23, dtype=np.int64) * 10
+    sims = m @ m.T
+    iu = np.triu_indices(23, k=1)
+    thr = 0.88
+    want_tri = {
+        (int(ids[i]), int(ids[j]))
+        for i, j in zip(iu[0][sims[iu] >= thr], iu[1][sims[iu] >= thr])
+    }
+    assert want_tri  # fixture sanity
+    out = []
+    _emit_pairs(ids, m, ids, m, thr, True, out, tile=tile)
+    got = {
+        (int(a), int(b))
+        for t in out
+        for a, b in zip(t[0], t[1])
+    }
+    assert got == want_tri
+    # cross-block case: split rows into two halves, want all cross pairs
+    ha, hb = slice(0, 11), slice(11, 23)
+    want_x = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(11)
+        for j in range(11, 23)
+        if sims[i, j] >= thr
+    }
+    out = []
+    _emit_pairs(ids[ha], m[ha], ids[hb], m[hb], thr, False, out, tile=tile)
+    got = {(int(a), int(b)) for t in out for a, b in zip(t[0], t[1])}
+    assert got == want_x
+
+
+def test_auto_planes_scales_with_corpus():
+    assert auto_planes(100) == 16
+    assert auto_planes(1_000_000) == 28
+    assert auto_planes(10**9) == 38
+    assert auto_planes(10**18) == 64  # clamped
 
 
 def test_resize_and_frame_sample_stages():

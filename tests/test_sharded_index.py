@@ -76,6 +76,48 @@ def test_sharded_e2e_triples_match(ray_session):
     assert tb.equals(ts)
 
 
+def test_sharded_keeps_norm_colliding_surface_rows_separate(ray_session):
+    # Regression: two DISTINCT surface rows of one entity ("A  B" label vs
+    # "A B" alias) share a surface_norm after clean_str; the sharded merge
+    # used to key partials on (id, norm) and collapse them, inflating the
+    # shared count and changing hit-list length vs the broadcast path.
+    kg = synth.build_kg_tables(SF)
+    ctx = KGContext(kg["items"], kg["triples"])
+    base = ctx.surface_forms
+    extra = pa.table(
+        {
+            "id": pa.array(["Q900001", "Q900001"]),
+            "name": pa.array(["Red  Plate", "Red Plate"]),
+            "surface_norm": pa.array(["red plate", "red plate"]),
+            "is_alias": pa.array([False, True]),
+            "description": pa.array(["d", "d"]),
+            "kind": pa.array(["entity", "entity"]),
+            "NERtype": pa.array(["OTHERS", "OTHERS"]),
+            "types": pa.array(["", ""]),
+            "ntoken": pa.array([2, 2], pa.int64()),
+            "length": pa.array([10, 9], pa.int64()),
+            "popularity": pa.array([0.5, 0.5], pa.float64()),
+        }
+    )
+    sf = pa.concat_tables([base.select(extra.column_names), extra])
+    dm = ray.data.from_arrow(pa.table({"mention": pa.array(["red plate"])}))
+    bc = _sorted(_collect(generate_candidates(dm, sf, ctx.type_names, limit=5000)))
+    dm2 = ray.data.from_arrow(pa.table({"mention": pa.array(["red plate"])}))
+    sh = _sorted(
+        _collect(
+            generate_candidates_sharded(dm2, sf, ctx.type_names, limit=5000, num_shards=4)
+        )
+    )
+    # A6 keeps one best candidate per entity, so one Q900001 row survives —
+    # but the two physical rows must stay separate THROUGH scoring: the old
+    # (id, norm) merge summed both rows' partial shared counts into one row
+    # (match_score 2.0 instead of 1.0) and shrank the hit list (changing
+    # pos_score for every candidate), so table equality is the regression
+    # signal.
+    assert sum(1 for i in bc["id"].to_pylist() if i == "Q900001") == 1
+    assert bc.equals(sh)
+
+
 def test_sharded_rejects_fuzzy(ray_session):
     kg = synth.build_kg_tables(SF)
     ctx = KGContext(kg["items"], kg["triples"])
