@@ -535,30 +535,40 @@ def oracle_sql() -> dict[str, str]:
     )
 
     # MinHash-LSH at full-agreement threshold ≡ cluster by 64-perm MinHash
-    # signature equality, reproduced relationally: md5-based 32-bit shingle
-    # hash (nibble fold of the first 4 md5 bytes, little-endian), the
-    # engine's exact (a·h+b) mod 2^61-1 permutations with the seeded (a, b)
-    # constants inlined, per-perm min over shingles, partition by the
-    # 64-slot signature list. Validates the MinHasher math end to end.
+    # signature equality, reproduced relationally: per-TOKEN 64-bit hash
+    # (little-endian fold of the first 8 md5 bytes, mod 2^61-1), shingle
+    # hash = Horner fold of the window's token hashes with base 1000003
+    # mod 2^61-1 (dedup.py::shingle_fold), low 32 bits into the engine's
+    # exact (a·h+b) mod 2^61-1 permutations with the seeded (a, b)
+    # constants inlined, per-perm min over distinct shingles, partition by
+    # the 64-slot signature list. Validates the MinHasher math end to end.
     from lamapi_ray.stages.dedup import MinHasher  # noqa: E402
 
     mh = MinHasher()
     perm_rows = ", ".join(
         f"({i}, {int(a)}, {int(b)})" for i, (a, b) in enumerate(zip(mh.a, mh.b))
     )
+    _P61 = "2305843009213693951"
     sql["dedup_minhash_exact"] = _with(
         SQL_DUP_EXACT,
-        SQL_SHINGLES,
-        "sh AS (SELECT doc_id, unnest(s) AS g FROM shd)",
-        "h AS (SELECT doc_id, CAST(list_reduce(list_prepend(0::HUGEINT,\n"
-        "    list_transform(range(0, 4),\n"
-        "      i -> ((strpos('0123456789abcdef', substr(md5(g), 2*i+1, 1)) - 1) * 16\n"
-        "          + (strpos('0123456789abcdef', substr(md5(g), 2*i+2, 1)) - 1))::HUGEINT\n"
-        "           * (1::HUGEINT << (8*i)))),\n"
-        "    (a, b) -> a + b) AS HUGEINT) AS h32 FROM sh)",
+        "tk AS (SELECT doc_id, str_split(text, ' ') AS toks FROM dup)",
+        "tkh AS (SELECT doc_id, list_transform(toks, t ->\n"
+        "    CAST(list_reduce(list_prepend(0::HUGEINT,\n"
+        "      list_transform(range(0, 8),\n"
+        "        i -> ((strpos('0123456789abcdef', substr(md5(t), 2*i+1, 1)) - 1) * 16\n"
+        "            + (strpos('0123456789abcdef', substr(md5(t), 2*i+2, 1)) - 1))::HUGEINT\n"
+        "             * (1::HUGEINT << (8*i)))),\n"
+        f"      (a, b) -> a + b) % {_P61} AS HUGEINT)) AS th FROM tk)",
+        "h AS (SELECT doc_id, unnest(list_distinct(\n"
+        "    CASE WHEN len(th) < 3 THEN\n"
+        f"      [list_reduce(th, (a, b) -> (a * 1000003 + b) % {_P61})]\n"
+        "    ELSE list_transform(range(1, len(th) - 1),\n"
+        f"      i -> (((th[i] * 1000003 + th[i+1]) % {_P61}) * 1000003\n"
+        f"            + th[i+2]) % {_P61})\n"
+        "    END)) AS shl FROM tkh)",
         f"perms(i, a, b) AS (VALUES {perm_rows})",
         "m AS (SELECT h.doc_id, p.i,\n"
-        "  min((p.a::HUGEINT * h.h32 + p.b) % 2305843009213693951) AS mn\n"
+        f"  min((p.a::HUGEINT * (h.shl % 4294967296) + p.b) % {_P61}) AS mn\n"
         "  FROM h CROSS JOIN perms p GROUP BY 1, 2)",
         "sigs AS (SELECT doc_id, list(mn ORDER BY i) AS sig FROM m GROUP BY doc_id)",
     ) + (

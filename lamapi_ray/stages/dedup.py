@@ -97,6 +97,101 @@ def exact_dedup(ds: ray.data.Dataset, id_col: str, text_col: str) -> ray.data.Da
     return agg.map_batches(project, batch_format="pyarrow")
 
 
+_SH_C = 1_000_003  # Horner constant for shingle / digest folds (mod 2^61-1)
+
+
+def _vocab_token_hashes(vocab) -> np.ndarray:
+    """uint64 md5-hash per DISTINCT token, folded below 2^61 — the only
+    per-string Python in the shingle path (memoized per worker; a batch's
+    vocabulary is tiny relative to its token stream)."""
+    out = np.empty(len(vocab), dtype=np.uint64)
+    for i, t in enumerate(vocab):
+        out[i] = _hash64_cached(t)
+    from lamapi_ray.functions.inthash import fold_mod61
+
+    return fold_mod61(out)
+
+
+def shingle_fold(token_hashes: np.ndarray) -> int:
+    """Scalar spec of the shingle hash: Horner fold of the (folded) token
+    hashes with base ``_SH_C`` mod 2^61-1. The batch path and the DuckDB
+    oracle reproduce exactly this."""
+    acc = 0
+    for h in token_hashes:
+        acc = (acc * _SH_C + int(h)) % _MERSENNE
+    return acc
+
+
+def _doc_shingle_hashes(
+    batch: pa.Table, id_col: str, text_col: str, k: int = 3
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized distinct-shingle hashing for a batch of documents.
+
+    → (ids, doc_idx, sh): per distinct (doc, shingle) one row — ``doc_idx``
+    indexes ``ids``, rows grouped by doc in ascending (doc, sh) order.
+    Shingles are k consecutive tokens (split on " "); a doc with <k tokens
+    yields ONE shingle folding all its tokens (``_token_shingles`` parity).
+    The only per-string Python is one md5 per distinct TOKEN (memoized) —
+    windows, dedup and folds are numpy over the whole batch."""
+    from lamapi_ray.functions.inthash import fold_mod61, mulmod61
+
+    ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+    n = len(ids)
+    if n == 0:
+        return ids, np.zeros(0, np.int64), np.zeros(0, np.uint64)
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern(text.cast(pa.string()), " ")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    th = _vocab_token_hashes(enc.dictionary.to_pylist())[codes]  # < 2^61
+    mlen = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+    total = len(th)
+    C = np.uint64(_SH_C)
+    sh_parts: list[np.ndarray] = []
+    par_parts: list[np.ndarray] = []
+    if total >= k:
+        # one sliding Horner over the WHOLE flat token array; windows that
+        # cross a document boundary are masked out afterwards
+        acc = th[: total - k + 1].copy()
+        for j in range(1, k):
+            acc = fold_mod61(
+                mulmod61(acc, np.full(len(acc), C)) + th[j : total - k + 1 + j]
+            )
+        valid = parents[: total - k + 1] == parents[k - 1 :]
+        sh_parts.append(acc[valid])
+        par_parts.append(parents[: total - k + 1][valid])
+    # docs with fewer than k tokens: one shingle folding all tokens;
+    # vectorized per distinct short length (at most k-1 of them)
+    doc_off = np.concatenate([[0], np.cumsum(mlen)])
+    for l in range(1, k):
+        sel = np.nonzero(mlen == l)[0]
+        if len(sel) == 0:
+            continue
+        pos = doc_off[sel][:, None] + np.arange(l)[None, :]
+        win = th[pos]  # (nsel, l)
+        acc = win[:, 0].copy()
+        for j in range(1, l):
+            acc = fold_mod61(mulmod61(acc, np.full(len(acc), C)) + win[:, j])
+        sh_parts.append(acc)
+        par_parts.append(sel.astype(np.int64))
+    sh_all = np.concatenate(sh_parts) if sh_parts else np.zeros(0, np.uint64)
+    par_all = np.concatenate(par_parts) if par_parts else np.zeros(0, np.int64)
+    order = np.lexsort((sh_all, par_all))
+    par_s, sh_s = par_all[order], sh_all[order]
+    if len(par_s):
+        keep = np.concatenate(
+            [[True], (par_s[1:] != par_s[:-1]) | (sh_s[1:] != sh_s[:-1])]
+        )
+        par_s, sh_s = par_s[keep], sh_s[keep]
+    return ids, par_s, sh_s
+
+
 class MinHasher:
     """64-permutation MinHash over token 3-shingles (state built once).
 
@@ -113,11 +208,18 @@ class MinHasher:
         self.b = rng.randint(0, 1 << 31, size=self.NUM_PERM).astype(np.uint64)
 
     def signature(self, text: str) -> np.ndarray:
-        hs = np.array(
-            [_hash64_cached(s) & 0xFFFFFFFF for s in set(_token_shingles(text))],
-            dtype=np.uint64,
-        )
-        vals = (hs[None, :] * self.a[:, None] + self.b[:, None]) % _MERSENNE
+        from lamapi_ray.functions.inthash import fold_mod61
+
+        hs = {
+            shingle_fold(
+                fold_mod61(
+                    np.array([_hash64(t) for t in sv.split(" ")], dtype=np.uint64)
+                )
+            )
+            for sv in set(_token_shingles(text))
+        }
+        h32 = np.array(sorted(hs), dtype=np.uint64) & np.uint64(0xFFFFFFFF)
+        vals = (h32[None, :] * self.a[:, None] + self.b[:, None]) % _MERSENNE
         return vals.min(axis=1)
 
 
@@ -130,48 +232,45 @@ def _minhasher() -> MinHasher:
     return _MINHASHER[0]
 
 
-def _signatures_batch(batch: pa.Table, id_col: str, text_col: str, bands: int) -> pa.Table:
-    """→ (id, sig binary, sd signature-digest, bh0..bh{bands-1}).
+def _horner_cols(mat: np.ndarray, init: np.ndarray | int = 0) -> np.ndarray:
+    """Per-row Horner fold of a (n, m) uint64 matrix (values < 2^61) with
+    base ``_SH_C`` mod 2^61-1 — vectorized digest of signature slots."""
+    from lamapi_ray.functions.inthash import fold_mod61, mulmod61
 
-    Vectorized across the batch: one (total_shingles × 64) permutation
-    matrix + a per-doc segmented ``np.minimum.reduceat`` — identical values
-    to the scalar :meth:`MinHasher.signature` (min over the same set)."""
+    n = mat.shape[0]
+    acc = np.full(n, init, dtype=np.uint64) if np.isscalar(init) else init.copy()
+    C = np.full(n, np.uint64(_SH_C), dtype=np.uint64)
+    for j in range(mat.shape[1]):
+        acc = fold_mod61(mulmod61(acc, C) + mat[:, j])
+    return acc
+
+
+def _sig_matrix(batch: pa.Table, id_col: str, text_col: str) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, (n×64) signature matrix) for a batch — fully vectorized."""
     mh = _minhasher()
+    ids, doc_idx, sh = _doc_shingle_hashes(batch, id_col, text_col)
+    if len(ids) == 0:
+        return ids, np.empty((0, MinHasher.NUM_PERM), dtype=np.uint64)
+    h32 = sh & np.uint64(0xFFFFFFFF)
+    vals = (h32[:, None] * mh.a[None, :] + mh.b[None, :]) % _MERSENNE
+    starts = np.nonzero(np.concatenate([[True], doc_idx[1:] != doc_idx[:-1]]))[0]
+    sigs = np.minimum.reduceat(vals, starts, axis=0)
+    return ids, sigs
+
+
+def _signatures_batch(batch: pa.Table, id_col: str, text_col: str, bands: int) -> pa.Table:
+    """→ (id, sig binary, sd signature-digest, bh0..bh{bands-1}) — the
+    cogroup-mode signature table (sig kept for the verify join)."""
+    ids, sigs = _sig_matrix(batch, id_col, text_col)
     rows_per_band = MinHasher.NUM_PERM // bands
-    ids = batch[id_col].to_pylist()
-    if ids:
-        sh_flat: list[int] = []
-        doc_starts: list[int] = []
-        for t in batch[text_col].to_pylist():
-            doc_starts.append(len(sh_flat))
-            sh_flat.extend(
-                _hash64_cached(sv) & 0xFFFFFFFF for sv in set(_token_shingles(t))
-            )
-        hs = np.asarray(sh_flat, dtype=np.uint64)
-        vals = (hs[:, None] * mh.a[None, :] + mh.b[None, :]) % _MERSENNE
-        sigs = np.minimum.reduceat(vals, np.asarray(doc_starts, dtype=np.int64), axis=0)
-    else:
-        sigs = np.empty((0, MinHasher.NUM_PERM), dtype=np.uint64)
     cols: dict = {"id": pa.array(ids, pa.int64())}
     cols["sig"] = pa.array([s.tobytes() for s in sigs], pa.binary())
-    cols["sd"] = pa.array(
-        [
-            struct.unpack("<q", hashlib.md5(s.tobytes()).digest()[:8])[0]
-            for s in sigs
-        ],
-        pa.int64(),
-    )
+    cols["sd"] = pa.array(_horner_cols(sigs).view(np.int64), pa.int64())
     for b in range(bands):
         cols[f"bh{b}"] = pa.array(
-            [
-                struct.unpack(
-                    "<q",
-                    hashlib.md5(
-                        sigs[i, b * rows_per_band : (b + 1) * rows_per_band].tobytes()
-                    ).digest()[:8],
-                )[0]
-                for i in range(len(ids))
-            ],
+            _horner_cols(
+                sigs[:, b * rows_per_band : (b + 1) * rows_per_band], init=b + 1
+            ).view(np.int64),
             pa.int64(),
         )
     return pa.table(cols)
@@ -204,137 +303,313 @@ def _pairs_in_runs(starts: np.ndarray, lens: np.ndarray):
         yield grid[:, iu[0]].reshape(-1), grid[:, iu[1]].reshape(-1)
 
 
-def _min_label_components(
-    nodes: ray.data.Dataset, edges: ray.data.Dataset, max_iters: int = 64
-) -> ray.data.Dataset:
-    """Distributed connected components: min-label propagation to fixpoint.
+_CC_P = 16
+_CC_MULT = np.uint64(0x9E3779B97F4A7C15)
+# row kinds in the connected-components exchange
+_K_EDGE, _K_CARRY, _K_LABEL = 0, 1, 2
 
-    ``nodes``: one column ``node`` (int64). ``edges``: ``id_a``/``id_b``.
-    Both the label table and the (bidirectional) edge list are partitioned
-    by ``hash(node) % P`` once; each iteration is then exactly TWO grouped
-    exchanges — (1) co-group labels with edges per partition and send each
-    node's label to its neighbors (vectorized ``searchsorted`` lookup, no
-    generic join), (2) take the min candidate per node (vectorized
-    ``minimum.reduceat``). Convergence: the label sum is strictly
-    decreasing until fixpoint, so one cheap ``sum`` aggregate per iteration
-    detects it. Iterations are bounded by the largest component diameter
-    (near-dup clusters are shallow). Block counts stay pinned at P — no
-    per-iteration lineage or block growth."""
-    P = 16
-    MULT = np.uint64(0x9E3779B97F4A7C15)
 
-    def _pkey(arr: np.ndarray) -> np.ndarray:
-        return ((arr.view(np.uint64) * MULT) % np.uint64(P)).astype(np.int64)
+def _cc_pkey(arr: np.ndarray) -> np.ndarray:
+    return ((arr.view(np.uint64) * _CC_MULT) % np.uint64(_CC_P)).astype(np.int64)
 
-    def to_directed(batch: pa.Table) -> pa.Table:
-        a = batch["id_a"]
-        b = batch["id_b"]
-        if isinstance(a, pa.ChunkedArray):
-            a = a.combine_chunks()
-        if isinstance(b, pa.ChunkedArray):
-            b = b.combine_chunks()
-        node = np.concatenate(
-            [a.cast(pa.int64()).to_numpy(zero_copy_only=False),
-             b.cast(pa.int64()).to_numpy(zero_copy_only=False)]
-        )
-        nbr = np.concatenate(
-            [b.cast(pa.int64()).to_numpy(zero_copy_only=False),
-             a.cast(pa.int64()).to_numpy(zero_copy_only=False)]
-        )
-        return pa.table(
-            {
-                "pkey": pa.array(_pkey(node), pa.int64()),
-                "node": pa.array(node, pa.int64()),
-                "nbr": pa.array(nbr, pa.int64()),
-                "label": pa.nulls(len(node), pa.int64()),
-            }
-        )
 
-    edges_dir = (
-        edges.map_batches(to_directed, batch_format="pyarrow")
-        .repartition(P)
-        .materialize()
+def _cc_rows_from_edges(batch: pa.Table) -> pa.Table:
+    """(id_a, id_b) edges → bidirectional CC rows keyed by hash(v)."""
+    a = batch["id_a"]
+    b = batch["id_b"]
+    if isinstance(a, pa.ChunkedArray):
+        a = a.combine_chunks()
+    if isinstance(b, pa.ChunkedArray):
+        b = b.combine_chunks()
+    an = a.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    bn = b.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    v = np.concatenate([an, bn])
+    w = np.concatenate([bn, an])
+    return pa.table(
+        {
+            "pkey": pa.array(_cc_pkey(v), pa.int64()),
+            "kind": pa.array(np.zeros(len(v), np.int8), pa.int8()),
+            "v": pa.array(v, pa.int64()),
+            "w": pa.array(w, pa.int64()),
+        }
     )
 
-    def init_labels(batch: pa.Table) -> pa.Table:
-        node = batch["node"]
-        if isinstance(node, pa.ChunkedArray):
-            node = node.combine_chunks()
-        nn = node.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+@ray.remote(num_cpus=0)
+class _CCChangeCounter:
+    """Per-round changed-label counter — read once per round by the driver
+    instead of running a whole sum() execution over the state. Task retries
+    can only OVERcount (extra increments), which only delays the stop — the
+    zero-changes stop itself stays sound."""
+
+    def __init__(self):
+        self.rounds: dict[int, int] = {}
+
+    def add(self, round_id: int, n: int) -> None:
+        self.rounds[round_id] = self.rounds.get(round_id, 0) + n
+
+    def get(self, round_id: int) -> int:
+        return self.rounds.get(round_id, 0)
+
+
+def _cc_round(group: pa.Table, round_id: int = -1, counter=None) -> pa.Table:
+    """One CC round for one hash(v) partition.
+
+    Rows: kind 0 = edge (v,u), re-emitted (deduped) every round; kind 1 =
+    carrier (neighbor's label for v from last round); kind 2 = v's label.
+    The round runs a LOCAL min-label fixpoint over the partition's edge
+    subgraph (vectorized ``np.minimum.at`` passes), so all intra-partition
+    structure collapses in ONE round — cross-partition hops cost one round
+    each. Each round also adds SHORTCUT edges (v ↔ current label of v);
+    a label value is always an id inside v's component, so components are
+    unchanged while label information then travels directly (pointer-
+    doubling-style path compression). Labels are monotone non-increasing
+    and the global update is a deterministic fixpoint map: a round with
+    zero label changes reproduces its own input (labels fix carriers fix
+    shortcuts), hence is a proven fixpoint."""
+    if len(group) == 0:
         return pa.table(
-            {
-                "pkey": pa.array(_pkey(nn), pa.int64()),
-                "node": pa.array(nn, pa.int64()),
-                "nbr": pa.nulls(len(nn), pa.int64()),
-                "label": pa.array(nn, pa.int64()),
-            }
+            {"pkey": pa.array([], pa.int64()), "kind": pa.array([], pa.int8()),
+             "v": pa.array([], pa.int64()), "w": pa.array([], pa.int64())}
         )
-
-    labels = nodes.map_batches(init_labels, batch_format="pyarrow").repartition(
-        P
-    ).materialize()
-    prev_sum = labels.sum("label")
-
-    def send(group: pa.Table) -> pa.Table:
-        """One partition: label rows + edge rows for the same node set.
-        Emit (dst, cand) — each node keeps its label, neighbors get it."""
-        node = np.asarray(group["node"].to_pylist(), dtype=np.int64)
-        nbr_col = group["nbr"]
-        if isinstance(nbr_col, pa.ChunkedArray):
-            nbr_col = nbr_col.combine_chunks()
-        is_label = pc.is_valid(group["label"]).to_numpy(zero_copy_only=False)
-        lab_nodes = node[is_label]
-        lab_vals = np.asarray(
-            group.filter(pa.array(is_label))["label"].to_pylist(), dtype=np.int64
-        )
-        order = np.argsort(lab_nodes, kind="stable")
-        lab_nodes, lab_vals = lab_nodes[order], lab_vals[order]
-        e_nodes = node[~is_label]
-        e_nbrs = np.asarray(
-            group.filter(pa.array(~is_label))["nbr"].to_pylist(), dtype=np.int64
-        )
-        pos = np.searchsorted(lab_nodes, e_nodes)
-        e_lab = lab_vals[pos]
-        dst = np.concatenate([lab_nodes, e_nbrs])
-        cand = np.concatenate([lab_vals, e_lab])
-        return pa.table(
-            {
-                "pkey": pa.array(_pkey(dst), pa.int64()),
-                "dst": pa.array(dst, pa.int64()),
-                "cand": pa.array(cand, pa.int64()),
-            }
-        )
-
-    def reduce_min(group: pa.Table) -> pa.Table:
-        dst = np.asarray(group["dst"].to_pylist(), dtype=np.int64)
-        cand = np.asarray(group["cand"].to_pylist(), dtype=np.int64)
-        order = np.lexsort((cand, dst))
-        dst, cand = dst[order], cand[order]
-        starts, _ = _run_bounds([dst])
-        nodes_u = dst[starts]
-        labels_u = np.minimum.reduceat(cand, starts)
-        return pa.table(
-            {
-                "pkey": pa.array(_pkey(nodes_u), pa.int64()),
-                "node": pa.array(nodes_u, pa.int64()),
-                "nbr": pa.nulls(len(nodes_u), pa.int64()),
-                "label": pa.array(labels_u, pa.int64()),
-            }
-        )
-
-    for _ in range(max_iters):
-        msgs = labels.union(edges_dir).groupby("pkey").map_groups(
-            send, batch_format="pyarrow"
-        )
-        labels = msgs.groupby("pkey").map_groups(
-            reduce_min, batch_format="pyarrow"
-        ).materialize()
-        new_sum = labels.sum("label")
-        if new_sum == prev_sum:
+    kind = np.asarray(group["kind"].to_pylist(), dtype=np.int8)
+    v = np.asarray(group["v"].to_pylist(), dtype=np.int64)
+    w = np.asarray(group["w"].to_pylist(), dtype=np.int64)
+    is_e = kind == _K_EDGE
+    is_l = kind == _K_LABEL
+    ev, ew = v[is_e], w[is_e]
+    # local node table over every id seen in this partition
+    nodes = np.unique(np.concatenate([v, ew]))
+    val = nodes.copy()  # init: own id
+    # fold in last round's labels and carriers (both keyed by v)
+    iv = np.searchsorted(nodes, v)
+    np.minimum.at(val, iv[~is_e], w[~is_e])
+    # local fixpoint over the partition's edges (usually 1-2 passes)
+    ia = iv[is_e]
+    ib = np.searchsorted(nodes, ew)
+    while True:
+        prev = val.copy()
+        np.minimum.at(val, ia, val[ib])
+        np.minimum.at(val, ib, val[ia])
+        if np.array_equal(prev, val):
             break
-        prev_sum = new_sum
+    gv = np.unique(v)
+    lab = val[np.searchsorted(nodes, gv)]
+    if counter is not None:
+        # changed = grouped nodes whose label moved vs last round (first
+        # appearance counts as changed unless label == own id)
+        old = gv.copy()
+        np.minimum.at(old, np.searchsorted(gv, v[is_l]), w[is_l])
+        ray.get(counter.add.remote(round_id, int((lab != old).sum())))
+    # static edges ∪ shortcuts to current labels, deduped per partition
+    sc = lab != gv
+    e_v = np.concatenate([ev, gv[sc], lab[sc]])
+    e_w = np.concatenate([ew, lab[sc], gv[sc]])
+    epair = np.unique(np.stack([e_v, e_w], axis=1), axis=0)
+    e_v, e_w = epair[:, 0], epair[:, 1]
+    # carriers: each edge (v,u) with LOCAL v sends v's label to u (a
+    # shortcut twin's v side may be a remote label node — its own partition
+    # emits that carrier next round)
+    pos = np.clip(np.searchsorted(nodes, e_v), 0, len(nodes) - 1)
+    local = nodes[pos] == e_v
+    out_v = np.concatenate([e_v, gv, e_w[local]])
+    out_w = np.concatenate([e_w, lab, val[pos[local]]])
+    out_kind = np.concatenate(
+        [
+            np.zeros(len(e_v), np.int8),
+            np.full(len(gv), _K_LABEL, np.int8),
+            np.full(int(local.sum()), _K_CARRY, np.int8),
+        ]
+    )
+    return pa.table(
+        {
+            "pkey": pa.array(_cc_pkey(out_v), pa.int64()),
+            "kind": pa.array(out_kind, pa.int8()),
+            "v": pa.array(out_v, pa.int64()),
+            "w": pa.array(out_w, pa.int64()),
+        }
+    )
 
-    return labels.select_columns(["node", "label"])
+
+def _cc_min_labels(
+    edge_rows: ray.data.Dataset, max_iters: int = 64, pre_round: bool = False
+) -> pa.Table:
+    """Distributed connected components over an (id_a, id_b) edge list
+    (duplicates and self-loops welcome) → (node, label=min id of component).
+
+    ONE grouped exchange per round (vs two for classic send/reduce
+    propagation), with per-partition local fixpoints and shortcut edges so
+    rounds track partition-crossing hops with path compression, not the
+    raw diameter. ``pre_round`` means the input is already CC rows, letting
+    the first round chain onto the caller's pipeline with no extra barrier.
+    Convergence is detected by a zero changed-label count, reported by the
+    round tasks to a zero-cpu counter actor (no extra pass over the state).
+    """
+    import functools
+
+    counter = _CCChangeCounter.remote()
+    state = edge_rows
+    if not pre_round:
+        state = state.map_batches(_cc_rows_from_edges, batch_format="pyarrow")
+    try:
+        for rid in range(max_iters):
+            state = (
+                state.groupby("pkey", num_partitions=_CC_P)
+                .map_groups(
+                    functools.partial(_cc_round, round_id=rid, counter=counter),
+                    batch_format="pyarrow",
+                )
+                .materialize()
+            )
+            if ray.get(counter.get.remote(rid)) == 0:
+                break
+
+        def labels_only(batch: pa.Table) -> pa.Table:
+            mask = pc.equal(batch["kind"], _K_LABEL)
+            sel = batch.filter(mask)
+            return pa.table({"node": sel["v"], "label": sel["w"]})
+
+        batches = [
+            b
+            for b in state.map_batches(
+                labels_only, batch_format="pyarrow"
+            ).iter_batches(batch_size=65536, batch_format="pyarrow")
+        ]
+        if not batches:
+            return pa.table(
+                {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
+            )
+        return pa.concat_tables(batches)
+    finally:
+        ray.kill(counter)
+
+
+_LSH_PARTITIONS = 64
+
+
+def _band_rows_batch(
+    batch: pa.Table, id_col: str, text_col: str, bands: int, carry_sig: bool
+) -> pa.Table:
+    """corpus batch → band rows (pkey, band, bh, id, sd [, sig]) in ONE map
+    (signatures never materialize separately in inline mode). ``pkey`` is a
+    coarse partition key — (band, bh) buckets are recovered in-process by
+    sorting, so the shuffle has ~``_LSH_PARTITIONS`` groups, not millions."""
+    ids, sigs = _sig_matrix(batch, id_col, text_col)
+    n = len(ids)
+    rows_per_band = MinHasher.NUM_PERM // bands
+    sd = _horner_cols(sigs).view(np.int64)
+    band_all = np.repeat(np.arange(bands, dtype=np.int32), n)
+    bh_parts = [
+        _horner_cols(sigs[:, b * rows_per_band : (b + 1) * rows_per_band], init=b + 1)
+        for b in range(bands)
+    ]
+    bh_all = np.concatenate(bh_parts).view(np.int64) if n else np.zeros(0, np.int64)
+    pkey = (
+        bh_all.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        + band_all.astype(np.uint64)
+    ) % np.uint64(_LSH_PARTITIONS)
+    cols = {
+        "pkey": pa.array(pkey.astype(np.int64), pa.int64()),
+        "band": pa.array(band_all, pa.int32()),
+        "bh": pa.array(bh_all, pa.int64()),
+        "id": pa.array(np.tile(ids, bands), pa.int64()),
+        "sd": pa.array(np.tile(sd, bands), pa.int64()),
+    }
+    if carry_sig:
+        sig_bytes = sigs.tobytes()
+        w = MinHasher.NUM_PERM * 8
+        one = pa.array([sig_bytes[i * w : (i + 1) * w] for i in range(n)], pa.binary())
+        cols["sig"] = pa.concat_arrays([one] * bands) if bands > 1 else one
+    return pa.table(cols)
+
+
+def _bucket_edges(
+    group: pa.Table, threshold_rows: int, inline_verify: bool
+) -> pa.Table:
+    """One coarse partition of band rows → edges.
+
+    Per recovered (band, bh, sd) run: star edges member→run-min (so a
+    million-way exact-dup bucket costs O(n)); per band-0 sd-run a rep
+    SELF-edge so every doc reaches the component stage. Rep pairs between
+    different-sd runs of a bucket are near-dup CANDIDATES: with
+    ``inline_verify`` the carried signatures settle them right here
+    (slot-agreement ≥ threshold); otherwise they're emitted unverified
+    (sure=false) for the cogroup verifier. Pairs are deduped locally; the
+    same pair surfacing from another partition is deduped downstream
+    (inline: duplicate edges are harmless to components)."""
+    schema_cols = {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+    if not inline_verify:
+        schema_cols["sure"] = pa.array([], pa.bool_())
+    empty = pa.table(schema_cols)
+    if len(group) == 0:
+        return empty
+    band = np.asarray(group["band"].to_pylist(), dtype=np.int64)
+    bh = np.asarray(group["bh"].to_pylist(), dtype=np.int64)
+    ids = np.asarray(group["id"].to_pylist(), dtype=np.int64)
+    sds = np.asarray(group["sd"].to_pylist(), dtype=np.int64)
+    order = np.lexsort((ids, sds, bh, band))
+    band, bh, ids, sds = band[order], bh[order], ids[order], sds[order]
+    sd_starts, _ = _run_bounds([band, bh, sds])
+    is_start = np.zeros(len(ids), dtype=bool)
+    is_start[sd_starts] = True
+    run_id = np.cumsum(is_start) - 1
+    # band 0 only: identical-sig runs are band-independent, so stars from
+    # one band cover them all without 16x duplicate edges
+    b0 = band == 0
+    star_b = ids[~is_start & b0]
+    star_a = ids[sd_starts][run_id[~is_start & b0]]
+    self_m = ids[sd_starts][b0[sd_starts]]  # rep self-edges: every doc lands in CC
+    # rep pairs between different sd-runs of one (band, bh) bucket
+    rep_ids = ids[sd_starts]
+    bk_starts, bk_lens = _run_bounds([band[sd_starts], bh[sd_starts]])
+    pa_l, pb_l = [], []
+    for ia, ib in _pairs_in_runs(bk_starts, bk_lens):
+        a, b = rep_ids[ia], rep_ids[ib]
+        pa_l.append(np.minimum(a, b))
+        pb_l.append(np.maximum(a, b))
+    cand_a = np.concatenate(pa_l) if pa_l else np.zeros(0, np.int64)
+    cand_b = np.concatenate(pb_l) if pb_l else np.zeros(0, np.int64)
+    if len(cand_a):
+        # local pair dedup (same pair from several bands of this partition)
+        pk = np.unique(np.stack([cand_a, cand_b], axis=1), axis=0)
+        cand_a, cand_b = pk[:, 0], pk[:, 1]
+    if threshold_rows >= MinHasher.NUM_PERM:
+        # full agreement ≡ signature equality ≡ same sd: no rep pair can
+        # ever verify — drop candidates entirely
+        cand_a = cand_b = np.zeros(0, np.int64)
+    elif inline_verify and len(cand_a):
+        sig_col = group["sig"]
+        if isinstance(sig_col, pa.ChunkedArray):
+            sig_col = sig_col.combine_chunks()
+        sigs = np.frombuffer(
+            b"".join(sig_col.to_pylist()), dtype=np.uint64
+        ).reshape(len(group), MinHasher.NUM_PERM)[order]
+        # signature per id: ids repeat across bands — first position per
+        # distinct id, fully vectorized
+        sid_order = np.argsort(ids, kind="stable")
+        sid = ids[sid_order]
+        fstarts, _ = _run_bounds([sid])
+        uniq_ids = sid[fstarts]
+        first_pos = sid_order[fstarts]
+        ia = first_pos[np.searchsorted(uniq_ids, cand_a)]
+        ib = first_pos[np.searchsorted(uniq_ids, cand_b)]
+        agree = (sigs[ia] == sigs[ib]).sum(axis=1) >= threshold_rows
+        cand_a, cand_b = cand_a[agree], cand_b[agree]
+    out = {
+        "id_a": pa.array(np.concatenate([star_a, self_m, cand_a]), pa.int64()),
+        "id_b": pa.array(np.concatenate([star_b, self_m, cand_b]), pa.int64()),
+    }
+    if not inline_verify:
+        out["sure"] = pa.array(
+            np.concatenate(
+                [
+                    np.ones(len(star_a) + len(self_m), dtype=bool),
+                    np.zeros(len(cand_a), dtype=bool),
+                ]
+            ),
+            pa.bool_(),
+        )
+    return pa.table(out)
 
 
 def minhash_clusters(
@@ -343,6 +618,7 @@ def minhash_clusters(
     text_col: str,
     bands: int = 16,
     threshold_rows: int = 48,
+    verify: str = "inline",
 ) -> pa.Table:
     """→ (id, cluster) for every doc; cluster = min id of its component.
 
@@ -350,264 +626,256 @@ def minhash_clusters(
     for a candidate pair to be verified as a near-duplicate (48/64 = 0.75
     estimated Jaccard; 64 ≡ exact signature equality).
 
-    Fully distributed: see module docstring for the dataflow. The only
-    driver-side work is the final (id, cluster) collect, which callers at
-    scale replace with ``write_parquet``."""
-    from ray.data.aggregate import Count
+    Two verify modes with IDENTICAL output (asserted in tests):
 
-    sig_ds = ds.map_batches(
-        _signatures_batch,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        fn_kwargs={"id_col": id_col, "text_col": text_col, "bands": bands},
-    ).materialize()
+    * ``"inline"`` (default): band rows carry the 512-B signature, so
+      candidate discovery AND slot-agreement verification happen inside the
+      one band shuffle, and the whole job is signatures → one grouped
+      exchange → components. Shuffle volume ≈ bands × 520 B/doc (~8 KB at
+      16 bands) — comparable to re-shuffling the corpus once; the fewest
+      barriers, best wall-clock when latency/stage overhead dominates.
+    * ``"cogroup"``: band rows carry only an 8-B digest (~0.5 KB/doc
+      shuffled) and candidate pairs are verified by a two-shuffle cogroup
+      against the signature table (pair-bounded, not corpus-bounded).
+      Minimal shuffle volume — choose this when the corpus is large enough
+      that bytes moved dominate stage overhead (the classic
+      broadcast-vs-shuffle style size cutover).
 
-    num_partitions = 64
+    Fully distributed either way: nothing corpus-sized is collected or
+    broadcast; the final (id, cluster) collect is the test-scale stand-in
+    for ``write_parquet``."""
+    if verify not in ("inline", "cogroup"):
+        raise ValueError(f"verify must be 'inline' or 'cogroup', got {verify!r}")
+    inline = verify == "inline"
+    exact = threshold_rows >= MinHasher.NUM_PERM
 
-    def explode_bands(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        ids = batch["id"].combine_chunks() if isinstance(batch["id"], pa.ChunkedArray) else batch["id"]
-        sds = batch["sd"].combine_chunks() if isinstance(batch["sd"], pa.ChunkedArray) else batch["sd"]
-        bcols, icols, scols, hcols = [], [], [], []
-        for b in range(bands):
-            bh = batch[f"bh{b}"]
-            if isinstance(bh, pa.ChunkedArray):
-                bh = bh.combine_chunks()
-            bcols.append(pa.array(np.full(n, b, dtype=np.int32), pa.int32()))
-            icols.append(ids)
-            scols.append(sds)
-            hcols.append(bh)
-        bh_all = pa.concat_arrays(hcols)
-        band_all = pa.concat_arrays(bcols)
-        # coarse partition key: a Ray group per (band, bh) bucket would mean
-        # millions of tiny map_groups calls; instead ~64 partitions shuffle
-        # and buckets are recovered IN-PROCESS by sorting (run detection)
-        pkey = (
-            bh_all.to_numpy(zero_copy_only=False).view(np.uint64)
-            * np.uint64(0x9E3779B97F4A7C15)
-            + band_all.to_numpy(zero_copy_only=False).astype(np.uint64)
-        ) % np.uint64(num_partitions)
-        return pa.table(
-            {
-                "pkey": pa.array(pkey.astype(np.int64), pa.int64()),
-                "band": band_all,
-                "bh": bh_all,
-                "id": pa.concat_arrays(icols),
-                "sd": pa.concat_arrays(scols),
-            }
+    if inline:
+        band_rows = ds.map_batches(
+            _band_rows_batch,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            fn_kwargs={
+                "id_col": id_col,
+                "text_col": text_col,
+                "bands": bands,
+                # exact mode never verifies, so never pay the sig shuffle
+                "carry_sig": not exact,
+            },
         )
+        import functools
 
-    band_rows = sig_ds.drop_columns(["sig"]).map_batches(
-        explode_bands, batch_format="pyarrow"
-    )
-
-    def partition_edges(group: pa.Table) -> pa.Table:
-        """One coarse partition: recover (band, bh) buckets by sorting,
-        emit star edges per identical-signature run (vectorized) and
-        rep pairs between signature groups of a bucket (vectorized by
-        run length)."""
-        empty = pa.table(
-            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-             "sure": pa.array([], pa.bool_())}
-        )
-        if len(group) < 2:
-            return empty
-        band = np.asarray(group["band"].to_pylist(), dtype=np.int64)
-        bh = np.asarray(group["bh"].to_pylist(), dtype=np.int64)
-        ids = np.asarray(group["id"].to_pylist(), dtype=np.int64)
-        sds = np.asarray(group["sd"].to_pylist(), dtype=np.int64)
-        order = np.lexsort((ids, sds, bh, band))
-        band, bh, ids, sds = band[order], bh[order], ids[order], sds[order]
-        sd_starts, sd_lens = _run_bounds([band, bh, sds])
-        # star edges: every non-first member of an sd-run → the run's min id
-        is_start = np.zeros(len(ids), dtype=bool)
-        is_start[sd_starts] = True
-        run_id = np.cumsum(is_start) - 1
-        star_b = ids[~is_start]
-        star_a = ids[sd_starts][run_id[~is_start]]
-        # rep pairs: sd-run representatives pairwise within each (band, bh)
-        rep_ids = ids[sd_starts]
-        rep_band, rep_bh = band[sd_starts], bh[sd_starts]
-        bk_starts, bk_lens = _run_bounds([rep_band, rep_bh])
-        ra_list, rb_list = [star_a], [star_b]
-        sure_list = [np.ones(len(star_a), dtype=bool)]
-        for ia, ib in _pairs_in_runs(bk_starts, bk_lens):
-            a, b = rep_ids[ia], rep_ids[ib]
-            ra_list.append(np.minimum(a, b))
-            rb_list.append(np.maximum(a, b))
-            sure_list.append(np.zeros(len(a), dtype=bool))
-        return pa.table(
-            {
-                "id_a": pa.array(np.concatenate(ra_list), pa.int64()),
-                "id_b": pa.array(np.concatenate(rb_list), pa.int64()),
-                "sure": pa.array(np.concatenate(sure_list), pa.bool_()),
-            }
-        )
-
-    all_edges = band_rows.groupby("pkey").map_groups(
-        partition_edges, batch_format="pyarrow"
-    ).materialize()
-
-    # ONE dedup pass over all emitted edges: a pair that is "sure" in any
-    # band (identical signatures there ⇒ identical everywhere) stays sure
-    from ray.data.aggregate import Max
-
-    edge_agg = (
-        all_edges.map_batches(
-            lambda t: pa.table(
-                {
-                    "id_a": t["id_a"],
-                    "id_b": t["id_b"],
-                    "sure": t["sure"].cast(pa.int64())
-                    if not isinstance(t["sure"], pa.ChunkedArray)
-                    else t["sure"].combine_chunks().cast(pa.int64()),
-                }
+        edges = band_rows.groupby("pkey", num_partitions=_LSH_PARTITIONS).map_groups(
+            functools.partial(
+                _bucket_edges, threshold_rows=threshold_rows, inline_verify=True
             ),
             batch_format="pyarrow",
         )
-        .groupby(["id_a", "id_b"])
-        .aggregate(Max("sure", alias_name="sure"))
-        .materialize()
-    )
+        # chain straight into CC round 1 — one execution end to end
+        cc_rows = edges.map_batches(_cc_rows_from_edges, batch_format="pyarrow")
+        labels = _cc_min_labels(cc_rows, pre_round=True)
+    else:
+        import functools
 
-    def _split(sure_flag: bool):
-        def fn(batch: pa.Table) -> pa.Table:
+        sig_ds = ds.map_batches(
+            _signatures_batch,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            fn_kwargs={"id_col": id_col, "text_col": text_col, "bands": bands},
+        ).materialize()
+
+        def explode_bands(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            ids = batch["id"]
+            sds = batch["sd"]
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            if isinstance(sds, pa.ChunkedArray):
+                sds = sds.combine_chunks()
+            icols, scols, hcols = [], [], []
+            for b in range(bands):
+                bh = batch[f"bh{b}"]
+                if isinstance(bh, pa.ChunkedArray):
+                    bh = bh.combine_chunks()
+                icols.append(ids)
+                scols.append(sds)
+                hcols.append(bh)
+            bh_all = pa.concat_arrays(hcols)
+            band_all = np.repeat(np.arange(bands, dtype=np.int32), n)
+            pkey = (
+                bh_all.to_numpy(zero_copy_only=False).view(np.uint64)
+                * np.uint64(0x9E3779B97F4A7C15)
+                + band_all.astype(np.uint64)
+            ) % np.uint64(_LSH_PARTITIONS)
+            return pa.table(
+                {
+                    "pkey": pa.array(pkey.astype(np.int64), pa.int64()),
+                    "band": pa.array(band_all, pa.int32()),
+                    "bh": bh_all,
+                    "id": pa.concat_arrays(icols),
+                    "sd": pa.concat_arrays(scols),
+                }
+            )
+
+        all_edges = (
+            sig_ds.drop_columns(["sig"])
+            .map_batches(explode_bands, batch_format="pyarrow")
+            .groupby("pkey", num_partitions=_LSH_PARTITIONS)
+            .map_groups(
+                functools.partial(
+                    _bucket_edges, threshold_rows=threshold_rows, inline_verify=False
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+
+        def sure_only(batch: pa.Table) -> pa.Table:
             col = batch["sure"]
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            mask = pc.equal(col, 1 if sure_flag else 0)
-            return batch.filter(mask).select(["id_a", "id_b"])
+            return batch.filter(col).select(["id_a", "id_b"])
 
-        return fn
-
-    sure_edges = edge_agg.map_batches(_split(True), batch_format="pyarrow").materialize()
-
-    if threshold_rows >= MinHasher.NUM_PERM:
-        # full agreement ≡ signature equality ≡ same sd → rep pairs with
-        # different sd can never verify; skip verification entirely
-        edges = sure_edges
-    else:
-        unsure = edge_agg.map_batches(_split(False), batch_format="pyarrow")
-        P = 16
-        MULT = np.uint64(0x9E3779B97F4A7C15)
-
-        def _pk(arr: np.ndarray) -> np.ndarray:
-            return ((arr.view(np.uint64) * MULT) % np.uint64(P)).astype(np.int64)
-
-        # cogroup verify, two shuffles, no generic join: pair halves and
-        # signature rows meet in hash(id) partitions (searchsorted lookup),
-        # then halves meet in hash(pair) partitions for the agreement test
-        def pair_halves(batch: pa.Table) -> pa.Table:
-            a = np.asarray(batch["id_a"].to_pylist(), dtype=np.int64)
-            b = np.asarray(batch["id_b"].to_pylist(), dtype=np.int64)
-            key = np.concatenate([a, b])
-            return pa.table(
-                {
-                    "pkey": pa.array(_pk(key), pa.int64()),
-                    "key": pa.array(key, pa.int64()),
-                    "id_a": pa.array(np.concatenate([a, a]), pa.int64()),
-                    "id_b": pa.array(np.concatenate([b, b]), pa.int64()),
-                    "sig": pa.nulls(2 * len(a), pa.binary()),
-                }
+        sure_edges = all_edges.map_batches(sure_only, batch_format="pyarrow")
+        if exact:
+            edges = sure_edges
+        else:
+            unsure = all_edges.map_batches(
+                lambda t: t.filter(
+                    pc.invert(
+                        t["sure"].combine_chunks()
+                        if isinstance(t["sure"], pa.ChunkedArray)
+                        else t["sure"]
+                    )
+                ).select(["id_a", "id_b"]),
+                batch_format="pyarrow",
             )
+            verified = _cogroup_verify(unsure, sig_ds, threshold_rows)
+            edges = sure_edges.union(verified)
+        labels = _cc_min_labels(edges)
 
-        def sig_rows(batch: pa.Table) -> pa.Table:
-            ids = np.asarray(batch["id"].to_pylist(), dtype=np.int64)
-            sig = batch["sig"]
-            if isinstance(sig, pa.ChunkedArray):
-                sig = sig.combine_chunks()
-            return pa.table(
-                {
-                    "pkey": pa.array(_pk(ids), pa.int64()),
-                    "key": pa.array(ids, pa.int64()),
-                    "id_a": pa.nulls(len(ids), pa.int64()),
-                    "id_b": pa.nulls(len(ids), pa.int64()),
-                    "sig": sig,
-                }
-            )
-
-        both = unsure.map_batches(pair_halves, batch_format="pyarrow").union(
-            sig_ds.select_columns(["id", "sig"]).map_batches(
-                sig_rows, batch_format="pyarrow"
-            )
-        )
-
-        def attach_sig(group: pa.Table) -> pa.Table:
-            is_sig = pc.is_valid(group["sig"]).to_numpy(zero_copy_only=False)
-            keys = np.asarray(group["key"].to_pylist(), dtype=np.int64)
-            s_keys = keys[is_sig]
-            s_sigs = np.asarray(
-                group.filter(pa.array(is_sig))["sig"].to_pylist(), dtype=object
-            )
-            order = np.argsort(s_keys, kind="stable")
-            s_keys, s_sigs = s_keys[order], s_sigs[order]
-            halves = group.filter(pa.array(~is_sig))
-            if len(halves) == 0:
-                return pa.table(
-                    {"ppkey": pa.array([], pa.int64()),
-                     "id_a": pa.array([], pa.int64()),
-                     "id_b": pa.array([], pa.int64()),
-                     "sig": pa.array([], pa.binary())}
-                )
-            h_key = keys[~is_sig]
-            pos = np.searchsorted(s_keys, h_key)
-            ha = np.asarray(halves["id_a"].to_pylist(), dtype=np.int64)
-            hb = np.asarray(halves["id_b"].to_pylist(), dtype=np.int64)
-            ppkey = (
-                (ha.view(np.uint64) * MULT + hb.view(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))
-                % np.uint64(P)
-            ).astype(np.int64)
-            return pa.table(
-                {
-                    "ppkey": pa.array(ppkey, pa.int64()),
-                    "id_a": pa.array(ha, pa.int64()),
-                    "id_b": pa.array(hb, pa.int64()),
-                    "sig": pa.array(list(s_sigs[pos]), pa.binary()),
-                }
-            )
-
-        def verify_pairs(group: pa.Table) -> pa.Table:
-            empty = pa.table(
-                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
-            )
-            if len(group) == 0:
-                return empty
-            a = np.asarray(group["id_a"].to_pylist(), dtype=np.int64)
-            b = np.asarray(group["id_b"].to_pylist(), dtype=np.int64)
-            sigs = np.frombuffer(
-                b"".join(group["sig"].to_pylist()), dtype=np.uint64
-            ).reshape(len(group), MinHasher.NUM_PERM)
-            order = np.lexsort((b, a))
-            a, b, sigs = a[order], b[order], sigs[order]
-            # each pair contributed exactly two half-rows (one per endpoint)
-            agree = (sigs[0::2] == sigs[1::2]).sum(axis=1) >= threshold_rows
-            return pa.table(
-                {
-                    "id_a": pa.array(a[0::2][agree], pa.int64()),
-                    "id_b": pa.array(b[0::2][agree], pa.int64()),
-                }
-            )
-
-        verified = (
-            both.groupby("pkey")
-            .map_groups(attach_sig, batch_format="pyarrow")
-            .groupby("ppkey")
-            .map_groups(verify_pairs, batch_format="pyarrow")
-            .materialize()
-        )
-        edges = sure_edges.union(verified)
-
-    nodes = sig_ds.select_columns(["id"]).map_batches(
-        lambda t: pa.table({"node": t["id"]}), batch_format="pyarrow"
+    return (
+        pa.table({"id": labels["node"], "cluster": labels["label"]})
+        .sort_by("id")
     )
-    labels = _min_label_components(nodes, edges)
-    out = _collect(
-        labels.map_batches(
-            lambda t: pa.table({"id": t["node"], "cluster": t["label"]}),
-            batch_format="pyarrow",
+
+
+def _cogroup_verify(
+    unsure: ray.data.Dataset, sig_ds: ray.data.Dataset, threshold_rows: int
+) -> ray.data.Dataset:
+    """Slot-agreement verification of candidate pairs against the signature
+    table — two shuffles, no generic join, pair-bounded: pair halves and
+    signature rows meet in hash(id) partitions (searchsorted lookup), then
+    halves meet in hash(pair) partitions for the agreement test. Duplicate
+    candidate pairs from different band partitions are deduped in the first
+    exchange (all copies of a half land in its endpoint's partition)."""
+    P = 16
+    MULT = np.uint64(0x9E3779B97F4A7C15)
+
+    def _pk(arr: np.ndarray) -> np.ndarray:
+        return ((arr.view(np.uint64) * MULT) % np.uint64(P)).astype(np.int64)
+
+    def pair_halves(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["id_a"].to_pylist(), dtype=np.int64)
+        b = np.asarray(batch["id_b"].to_pylist(), dtype=np.int64)
+        key = np.concatenate([a, b])
+        return pa.table(
+            {
+                "pkey": pa.array(_pk(key), pa.int64()),
+                "key": pa.array(key, pa.int64()),
+                "id_a": pa.array(np.concatenate([a, a]), pa.int64()),
+                "id_b": pa.array(np.concatenate([b, b]), pa.int64()),
+                "sig": pa.nulls(2 * len(a), pa.binary()),
+            }
+        )
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["id"].to_pylist(), dtype=np.int64)
+        sig = batch["sig"]
+        if isinstance(sig, pa.ChunkedArray):
+            sig = sig.combine_chunks()
+        return pa.table(
+            {
+                "pkey": pa.array(_pk(ids), pa.int64()),
+                "key": pa.array(ids, pa.int64()),
+                "id_a": pa.nulls(len(ids), pa.int64()),
+                "id_b": pa.nulls(len(ids), pa.int64()),
+                "sig": sig,
+            }
+        )
+
+    both = unsure.map_batches(pair_halves, batch_format="pyarrow").union(
+        sig_ds.select_columns(["id", "sig"]).map_batches(
+            sig_rows, batch_format="pyarrow"
         )
     )
-    return out.sort_by("id")
+
+    def attach_sig(group: pa.Table) -> pa.Table:
+        is_sig = pc.is_valid(group["sig"]).to_numpy(zero_copy_only=False)
+        keys = np.asarray(group["key"].to_pylist(), dtype=np.int64)
+        s_keys = keys[is_sig]
+        s_sigs = np.asarray(
+            group.filter(pa.array(is_sig))["sig"].to_pylist(), dtype=object
+        )
+        order = np.argsort(s_keys, kind="stable")
+        s_keys, s_sigs = s_keys[order], s_sigs[order]
+        halves = group.filter(pa.array(~is_sig))
+        if len(halves) == 0:
+            return pa.table(
+                {"ppkey": pa.array([], pa.int64()),
+                 "id_a": pa.array([], pa.int64()),
+                 "id_b": pa.array([], pa.int64()),
+                 "sig": pa.array([], pa.binary())}
+            )
+        h_key = keys[~is_sig]
+        ha = np.asarray(halves["id_a"].to_pylist(), dtype=np.int64)
+        hb = np.asarray(halves["id_b"].to_pylist(), dtype=np.int64)
+        # dedup duplicate halves (same pair discovered in several band
+        # partitions): all copies carry identical (key, id_a, id_b)
+        trip = np.stack([h_key, ha, hb], axis=1)
+        trip = np.unique(trip, axis=0)
+        h_key, ha, hb = trip[:, 0], trip[:, 1], trip[:, 2]
+        pos = np.searchsorted(s_keys, h_key)
+        ppkey = (
+            (ha.view(np.uint64) * MULT + hb.view(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))
+            % np.uint64(P)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "ppkey": pa.array(ppkey, pa.int64()),
+                "id_a": pa.array(ha, pa.int64()),
+                "id_b": pa.array(hb, pa.int64()),
+                "sig": pa.array(list(s_sigs[pos]), pa.binary()),
+            }
+        )
+
+    def verify_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        )
+        if len(group) == 0:
+            return empty
+        a = np.asarray(group["id_a"].to_pylist(), dtype=np.int64)
+        b = np.asarray(group["id_b"].to_pylist(), dtype=np.int64)
+        sigs = np.frombuffer(
+            b"".join(group["sig"].to_pylist()), dtype=np.uint64
+        ).reshape(len(group), MinHasher.NUM_PERM)
+        order = np.lexsort((b, a))
+        a, b, sigs = a[order], b[order], sigs[order]
+        # each pair contributed exactly two half-rows (one per endpoint)
+        agree = (sigs[0::2] == sigs[1::2]).sum(axis=1) >= threshold_rows
+        return pa.table(
+            {
+                "id_a": pa.array(a[0::2][agree], pa.int64()),
+                "id_b": pa.array(b[0::2][agree], pa.int64()),
+            }
+        )
+
+    return (
+        both.groupby("pkey", num_partitions=P)
+        .map_groups(attach_sig, batch_format="pyarrow")
+        .groupby("ppkey", num_partitions=P)
+        .map_groups(verify_pairs, batch_format="pyarrow")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -779,7 +1047,7 @@ def simhash_near_pairs(
             }
         )
 
-    pairs = rows.groupby("pkey").map_groups(
+    pairs = rows.groupby("pkey", num_partitions=num_partitions).map_groups(
         partition_pairs, batch_format="pyarrow"
     )
     agg = pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
@@ -819,24 +1087,25 @@ def ngram_jaccard_pairs(
     num_partitions = 64
 
     def explode(batch: pa.Table) -> pa.Table:
-        sh_out, id_out, n_out = [], [], []
-        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            hs = {_hash64_cached(s) for s in _token_shingles(t, k)}
-            sh_out.extend(np.int64(h & 0x7FFFFFFFFFFFFFFF) for h in hs)
-            id_out.extend([i] * len(hs))
-            n_out.extend([len(hs)] * len(hs))
-        sh_np = np.asarray(sh_out, dtype=np.int64)
+        # vectorized distinct-shingle hashing (one md5 per distinct TOKEN,
+        # numeric Horner folds for the windows — no per-shingle Python)
+        ids, doc_idx, sh = _doc_shingle_hashes(batch, id_col, text_col, k)
+        if len(doc_idx) == 0:
+            return pa.table(
+                {"pkey": pa.array([], pa.int64()), "sh": pa.array([], pa.int64()),
+                 "id": pa.array([], pa.int64()), "nsh": pa.array([], pa.int64())}
+            )
+        nsh_per_doc = np.bincount(doc_idx, minlength=len(ids)).astype(np.int64)
+        sh_np = sh.view(np.int64)  # < 2^61, stays positive
         # coarse partition key — shingle buckets are recovered in-process by
         # sorting; a Ray group per shingle would be millions of tiny calls
-        pkey = (sh_np.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(
-            num_partitions
-        )
+        pkey = (sh * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_partitions)
         return pa.table(
             {
                 "pkey": pa.array(pkey.astype(np.int64), pa.int64()),
                 "sh": pa.array(sh_np, pa.int64()),
-                "id": pa.array(id_out, pa.int64()),
-                "nsh": pa.array(n_out, pa.int64()),
+                "id": pa.array(ids[doc_idx], pa.int64()),
+                "nsh": pa.array(nsh_per_doc[doc_idx], pa.int64()),
             }
         )
 
@@ -872,7 +1141,7 @@ def ngram_jaccard_pairs(
             }
         )
 
-    pairs = sh_rows.groupby("pkey").map_groups(partition_pairs, batch_format="pyarrow")
+    pairs = sh_rows.groupby("pkey", num_partitions=num_partitions).map_groups(partition_pairs, batch_format="pyarrow")
 
     # second coarse exchange keyed by pair hash; collision counting is a
     # vectorized run count per partition (a native 2-column groupby
@@ -916,7 +1185,7 @@ def ngram_jaccard_pairs(
 
     out = _collect(
         pairs.map_batches(add_ppkey, batch_format="pyarrow")
-        .groupby("ppkey")
+        .groupby("ppkey", num_partitions=num_partitions)
         .map_groups(count_pairs, batch_format="pyarrow")
     )
     return out.sort_by([("id_a", "ascending"), ("id_b", "ascending")])

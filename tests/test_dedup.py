@@ -72,6 +72,31 @@ def test_minhash_clusters(corpus):
     assert cl[4] == 4 and cl[5] == 5        # singletons stay themselves
 
 
+def test_minhash_verify_modes_identical(corpus):
+    # inline (sig-carrying, fewest barriers) and cogroup (digest-only band
+    # rows + pair-bounded verify join) must produce identical clusters
+    ds1 = ray.data.from_arrow(corpus)
+    ds2 = ray.data.from_arrow(corpus)
+    a = minhash_clusters(ds1, "doc_id", "text", verify="inline")
+    b = minhash_clusters(ds2, "doc_id", "text", verify="cogroup")
+    assert a.equals(b)
+    with pytest.raises(ValueError):
+        minhash_clusters(ray.data.from_arrow(corpus), "doc_id", "text", verify="bogus")
+
+
+def test_shingle_fold_matches_batch_path():
+    # the scalar spec (MinHasher.signature) and the vectorized batch path
+    # must produce identical signatures
+    from lamapi_ray.stages.dedup import _sig_matrix
+
+    texts = [BASE, BASE + " xx", "a b", "single", "x y z w v"]
+    tbl = docs_table(list(enumerate(texts)))
+    ids, sigs = _sig_matrix(tbl, "doc_id", "text")
+    mh = MinHasher()
+    for i, t in enumerate(texts):
+        assert np.array_equal(sigs[i], mh.signature(t)), t
+
+
 def test_simhash_near_dup_hamming(corpus):
     h1, h3 = simhash64(BASE), simhash64(BASE + " xx")
     h4 = simhash64("completely different words entirely unrelated content here")
