@@ -823,6 +823,15 @@ def oracle_sql() -> dict[str, str]:
         "SELECT i.entity, i.label FROM items i JOIN keys k ON k.entity = i.entity"
     )
 
+    # language-filtered label lookup (labels_retriever.py:37-41 `lang`):
+    # the synthetic dump carries a 'de' label for even part keys only —
+    # entities without the requested language are absent from the result
+    sql["lookup_labels_lang"] = _with(SQL_LOOKUP_KEYS) + (
+        "SELECT k.entity, 'de ' || p.p_name AS label\n"
+        "FROM part p JOIN keys k ON k.entity = 'Q' || (100000 + p.p_partkey)\n"
+        "WHERE p.p_partkey % 2 = 0"
+    )
+
     sql["lookup_objects"] = _with(SQL_ITEMS, SQL_ADJACENCY, SQL_LOOKUP_KEYS) + (
         "SELECT a.subj AS entity, a.pred, a.obj FROM adjacency a"
         " JOIN keys k ON k.entity = a.subj"
@@ -1049,6 +1058,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split",
         "curation_pipeline",
         "literal_classify",
+        "lookup_labels_lang",
         "lookup_sameas",
         "column_analysis",
         "wikidata_items",

@@ -447,6 +447,24 @@ def lookup_labels(sf_dir: str, items: pa.Table) -> pa.Table:
     return _semi_join(items.select(["entity", "label"]), _part_keys(sf_dir), "entity")
 
 
+def lookup_labels_lang(sf_dir: str, lang: str = "de") -> pa.Table:
+    """Language-filtered label lookup (labels_retriever.py:37-41 ``lang``
+    parameter parity): per requested QID return the label in ONE language
+    from the per-language labels map; entities without that language are
+    silently absent — the reference filters the labels dict the same way."""
+    tbl = _collect(_dump_tables(sf_dir)["items"])
+    ents, labs = [], []
+    for e, ls in zip(tbl["entity"].to_pylist(), tbl["labels"].to_pylist()):
+        for rec in ls or []:
+            if rec["lang"] == lang:
+                ents.append(e)
+                labs.append(rec["value"])
+    per_lang = pa.table(
+        {"entity": pa.array(ents, pa.string()), "label": pa.array(labs, pa.string())}
+    )
+    return _semi_join(per_lang, _part_keys(sf_dir), "entity")
+
+
 def lookup_objects(sf_dir: str, adjacency: pa.Table) -> pa.Table:
     sub = _semi_join(adjacency, _part_keys(sf_dir), "subj")
     return sub.rename_columns(["entity", "pred", "obj"])
@@ -476,7 +494,15 @@ def lookup_sameas(sf_dir: str) -> pa.Table:
 
 def predicates_pairs(sf_dir: str, adjacency: pa.Table) -> pa.Table:
     """J3 semantics: for (subj, obj) pairs, the predicates connecting them
-    (predicates_retriever.py:52-73) — pairs from early orders' co-lineitems."""
+    (predicates_retriever.py:52-73) — pairs from early orders' co-lineitems.
+
+    Join direction matters at scale: the PAIR set is vocabulary²-bounded
+    (distinct co-occurring part pairs), so it is collected once and
+    broadcast via ``ray.put``; the ADJACENCY — the full KG, billions of
+    edges at 100 TB — streams through a per-batch arrow hash semi-join and
+    is never collected (same shape as ``kg.py::entity_triples``)."""
+    from lamapi_ray.stages.dedup import _pairs_in_runs, _run_bounds
+
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
     ).map_batches(
@@ -485,30 +511,75 @@ def predicates_pairs(sf_dir: str, adjacency: pa.Table) -> pa.Table:
         zero_copy_batch=True,
     )
 
-    def order_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        parts = sorted(set(group["l_partkey"]))
-        a, b = [], []
-        for x in parts:
-            for y in parts:
-                if x != y:
-                    a.append(f"Q{100000 + x}")
-                    b.append(f"Q{100000 + y}")
-        return pd.DataFrame({"subj": a, "obj": b})
+    def partition_pairs(group: pa.Table) -> pa.Table:
+        """Pairs for every order in one coarse partition — vectorized run
+        detection + per-run-length pair expansion, no per-order Python."""
+        if len(group) == 0:
+            return pa.table(
+                {"px": pa.array([], pa.int64()), "py": pa.array([], pa.int64())}
+            )
+        ok = np.asarray(group["l_orderkey"].to_pylist(), dtype=np.int64)
+        pk = np.asarray(group["l_partkey"].to_pylist(), dtype=np.int64)
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        keep = np.concatenate([[True], (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])])
+        ok, pk = ok[keep], pk[keep]
+        starts, lens = _run_bounds([ok])
+        xs, ys = [], []
+        for ia, ib in _pairs_in_runs(starts, lens):
+            xs.extend((pk[ia], pk[ib]))  # both directions: x≠y ordered pairs
+            ys.extend((pk[ib], pk[ia]))
+        if not xs:
+            return pa.table(
+                {"px": pa.array([], pa.int64()), "py": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "px": pa.array(np.concatenate(xs), pa.int64()),
+                "py": pa.array(np.concatenate(ys), pa.int64()),
+            }
+        )
 
-    pairs = (
-        li.groupby("l_orderkey")
-        .map_groups(order_pairs, batch_format="pandas")
-        .groupby(["subj", "obj"])
+    def coarse_key(batch: pa.Table) -> pa.Table:
+        okey = batch["l_orderkey"]
+        if isinstance(okey, pa.ChunkedArray):
+            okey = okey.combine_chunks()
+        k = (
+            okey.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
+            * np.uint64(0x9E3779B97F4A7C15)
+        ) % np.uint64(16)
+        return batch.append_column("__pk", pa.array(k.astype(np.int64), pa.int64()))
+
+    distinct = (
+        li.map_batches(coarse_key, batch_format="pyarrow")
+        .groupby("__pk", num_partitions=16)
+        .map_groups(partition_pairs, batch_format="pyarrow")
+        .groupby(["px", "py"])
         .count()
-        .select_columns(["subj", "obj"])
     )
-    adj_df = adjacency.to_pandas()
-    adj_ref = ray.put(adj_df)
+    pairs_tbl = _collect(distinct.select_columns(["px", "py"]))
+    qx = pc.binary_join_element_wise(
+        pa.array(["Q"] * len(pairs_tbl)),
+        pc.cast(pc.add(pairs_tbl["px"].combine_chunks(), 100000), pa.string()),
+        "",
+    )
+    qy = pc.binary_join_element_wise(
+        pa.array(["Q"] * len(pairs_tbl)),
+        pc.cast(pc.add(pairs_tbl["py"].combine_chunks(), 100000), pa.string()),
+        "",
+    )
+    pairs_q = pa.table({"subj": qx, "obj": qy})
+    pairs_ref = ray.put(pairs_q)
 
-    def join_adj(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.merge(ray.get(adj_ref), on=["subj", "obj"], how="inner")
+    adj_ds = ray.data.from_arrow(adjacency)
 
-    out = _collect(pairs.map_batches(join_adj, batch_format="pandas"))
+    def semi(batch: pa.Table) -> pa.Table:
+        p = ray.get(pairs_ref)
+        return batch.join(p, keys=["subj", "obj"], join_type="inner").select(
+            ["subj", "obj", "pred"]
+        )
+
+    out = _collect(adj_ds.map_batches(semi, batch_format="pyarrow", zero_copy_batch=True))
     return out.select(["subj", "obj", "pred"])
 
 
@@ -690,7 +761,9 @@ def column_analysis(sf_dir: str) -> pa.Table:
 def _synth_dump_path(sf_dir: str) -> str:
     """Deterministic wikidata-style JSON dump derived from the part table.
 
-    One entity per part: Q(100000+k); en label = p_name; description =
+    One entity per part: Q(100000+k); en label = p_name ('de '/'fr '
+    prefixed labels on even / %3==0 keys for the language-filtered lookup);
+    description =
     p_type; sitelinks count = k % 5 (→ popularity max(k%5, 1)); every 7th
     part carries a P279 claim (→ category "type"); claims: P31 → Q9001
     (wikibase-item), P6 quantity = p_retailprice, P9 string = p_brand, plus
@@ -705,7 +778,7 @@ def _synth_dump_path(sf_dir: str) -> str:
     import pyarrow.parquet as pq
 
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-    path = f"/tmp/lamapi_dump_v2_{tag}.json"
+    path = f"/tmp/lamapi_dump_v3_{tag}.json"
     if os.path.exists(path):
         return path
     parts = (
@@ -732,9 +805,14 @@ def _synth_dump_path(sf_dir: str) -> str:
         if k % 7 == 0:
             claims["P279"] = [{"mainsnak": {"datatype": "wikibase-item",
                                             "datavalue": {"value": {"id": "Q9001"}}}}]
+        labels = {"en": {"value": p["p_name"]}}
+        if k % 2 == 0:  # deterministic per-language coverage for the
+            labels["de"] = {"value": "de " + p["p_name"]}  # lang-filtered lookup
+        if k % 3 == 0:
+            labels["fr"] = {"value": "fr " + p["p_name"]}
         entity = {
             "id": f"Q{100000 + k}",
-            "labels": {"en": {"value": p["p_name"]}},
+            "labels": labels,
             "aliases": {},
             "descriptions": {"en": {"value": p["p_type"]}},
             "sitelinks": (

@@ -19,8 +19,9 @@ from __future__ import annotations
 import json
 import os
 
-import pandas as pd
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from lamapi_ray.state import checkpoint
@@ -47,44 +48,66 @@ def materialize_triples(
             if isinstance(triples, pa.Table)
             else triples
         )
-        todo_set = {int(p) for p in todo}
+        todo_arr = np.asarray(sorted(int(p) for p in todo), dtype=np.int64)
 
-        def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        def tag(batch: pa.Table) -> pa.Table:
+            # pure-arrow bucket tag: vectorized string hash, no pandas trip
             from lamapi_ray.functions.inthash import hash_string_array
 
-            batch = batch.copy()
-            batch["__bucket"] = (
-                hash_string_array(pa.array(batch["subj"], pa.string()))
-                % num_buckets
-            ).astype("int64")
-            return batch[batch["__bucket"].isin(todo_set)]
-
-        def write_bucket(group: pd.DataFrame) -> pd.DataFrame:
-            bucket = int(group["__bucket"].iloc[0])
-            cols = [c for c in group.columns if c != "__bucket"]
-            out = (
-                group[cols]
-                .drop_duplicates()
-                .sort_values(cols, kind="mergesort")
-                .reset_index(drop=True)
+            subj = batch["subj"]
+            if isinstance(subj, pa.ChunkedArray):
+                subj = subj.combine_chunks()
+            bucket = (hash_string_array(subj) % np.uint64(num_buckets)).astype(
+                np.int64
             )
+            out = batch.append_column("__bucket", pa.array(bucket, pa.int64()))
+            return out.filter(pa.array(np.isin(bucket, todo_arr)))
+
+        def write_bucket(group: pa.Table) -> pa.Table:
+            if len(group) == 0:
+                return pa.table(
+                    {"bucket": pa.array([], pa.int64()), "rows": pa.array([], pa.int64())}
+                )
+            bucket = int(group["__bucket"][0].as_py())
+            cols = [c for c in group.column_names if c != "__bucket"]
+            tbl = group.select(cols).combine_chunks()
+            tbl = tbl.sort_by([(c, "ascending") for c in cols])
+            if len(tbl) > 1:
+                # exact dedup over sorted rows: adjacent-difference mask
+                # (no pandas drop_duplicates round trip)
+                diff = np.zeros(len(tbl) - 1, dtype=bool)
+                for c in cols:
+                    arr = tbl[c]
+                    if isinstance(arr, pa.ChunkedArray):
+                        arr = arr.combine_chunks()
+                    ne = pc.fill_null(
+                        pc.not_equal(arr.slice(1), arr.slice(0, len(tbl) - 1)),
+                        True,
+                    )
+                    diff |= ne.to_numpy(zero_copy_only=False)
+                keep = np.concatenate([[True], diff])
+                tbl = tbl.filter(pa.array(keep))
             manifest = checkpoint.write_partition(
                 root,
                 str(bucket),
-                pa.Table.from_pandas(out, preserve_index=False),
+                tbl,
                 lineage={"stage": "materialize_triples", "bucket": bucket,
                          "num_buckets": num_buckets},
-                metrics={"input_rows": len(group), "deduped_rows": len(out)},
+                metrics={"input_rows": len(group), "deduped_rows": len(tbl)},
             )
-            return pd.DataFrame({"bucket": [bucket], "rows": [manifest["rows"]]})
+            return pa.table(
+                {"bucket": pa.array([bucket], pa.int64()),
+                 "rows": pa.array([manifest["rows"]], pa.int64())}
+            )
 
-        summary = (
-            ds.map_batches(tag, batch_format="pandas")
-            .groupby("__bucket")
-            .map_groups(write_bucket, batch_format="pandas")
-            .to_pandas()
+        summary_ds = (
+            ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("__bucket", num_partitions=num_buckets)
+            .map_groups(write_bucket, batch_format="pyarrow")
         )
-        written = {int(b) for b in summary["bucket"]} if len(summary) else set()
+        written = set()
+        for b in summary_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            written.update(int(x) for x in b["bucket"].to_pylist())
         # buckets with zero input rows still need an (empty) commit record
         schema = pa.schema(
             [(c, pa.string()) for c in ("subj", "pred", "obj")]

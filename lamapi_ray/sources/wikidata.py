@@ -44,7 +44,7 @@ _SKIP_DATATYPES = {"wikibase-lexeme", "wikibase-form", "wikibase-sense"}
 
 _TAGGED_SCHEMA = pa.schema(
     [
-        ("tag", pa.string()),  # item | triple | literal | type
+        ("tag", pa.string()),  # item | triple | literal | type | mapping | error
         ("entity", pa.string()),
         ("description", pa.string()),
         ("labels", pa.list_(pa.struct([("lang", pa.string()), ("value", pa.string())]))),
@@ -184,9 +184,31 @@ def _parse_lines_batch(batch: pa.Table) -> pa.Table:
             line = line[:-1]
         try:
             entity = json.loads(line)
-        except json.JSONDecodeError:  # skip malformed lines (ref :252-253)
+        except json.JSONDecodeError as err:
+            # parse-error side channel (reference logs failures to a `log`
+            # collection, parse_wikidata_dump.py:55,254-256): emit a tagged
+            # error row instead of a silent skip; the table outputs are
+            # unchanged and the error stream is a cheap filtered view
+            rows.append(
+                {
+                    "tag": "error",
+                    "entity": "",
+                    "description": f"json: {err}",
+                    "value": line[:200],
+                }
+            )
             continue
-        rows.extend(parse_entity(entity))
+        try:
+            rows.extend(parse_entity(entity))
+        except Exception as err:  # per-entity failures (ref :254-256)
+            rows.append(
+                {
+                    "tag": "error",
+                    "entity": str(entity.get("id", "")) if isinstance(entity, dict) else "",
+                    "description": f"parse: {err}",
+                    "value": line[:200],
+                }
+            )
     return pa.Table.from_pylist(rows, schema=_TAGGED_SCHEMA)
 
 
@@ -225,5 +247,9 @@ def split_tables(tagged: ray.data.Dataset) -> dict[str, ray.data.Dataset]:
         ),
         "mappings": tagged.map_batches(
             proj("mapping", ["entity", "value"]), batch_format="pyarrow"
+        ),
+        "errors": tagged.map_batches(
+            proj("error", ["entity", "description", "value"]),
+            batch_format="pyarrow",
         ),
     }

@@ -142,3 +142,11 @@ def test_read_dump_end_to_end(tmp_path):
         b for b in tables["literals"].iter_batches(batch_size=1024, batch_format="pyarrow")
     )
     assert lits.num_rows == 4  # Q42's four literal claims
+    # parse-error side channel (reference `log` collection parity): the
+    # malformed line becomes one tagged error row; table outputs unchanged
+    errs = pa.concat_tables(
+        b for b in tables["errors"].iter_batches(batch_size=1024, batch_format="pyarrow")
+    )
+    assert errs.num_rows == 1
+    assert errs["description"][0].as_py().startswith("json:")
+    assert errs["value"][0].as_py() == "{this is not json}"
