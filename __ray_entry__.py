@@ -430,6 +430,37 @@ def oracle_sql() -> dict[str, str]:
         "FROM ffinal_cands f LEFT JOIN items ti ON ti.entity = f.types AND ti.kind = 'type'"
     )
 
+    # ES BM25 relevance ordering (elastic.py:31-64; Lucene k1=1.2 b=0.75)
+    # over the surface index, per distinct pipeline mention; tie-break
+    # (popularity desc, id, surface) mirrors SurfaceIndex.bm25_hits
+    sql["candidates_bm25"] = _with(
+        SQL_PAGES, SQL_ITEMS, SQL_SURFACE_FORMS, SQL_MENTION_ROWS,
+        "distinct_mentions AS (SELECT DISTINCT mention FROM mention_rows)",
+        "sfrow AS (SELECT row_number() OVER (ORDER BY id, name) AS rid, * FROM surface_forms)",
+        "bstats AS (SELECT count(*) AS n, avg(ntoken) AS avgdl FROM sfrow)",
+        "btf AS (SELECT rid, tk, count(*) AS tf FROM\n"
+        "  (SELECT rid, unnest(str_split(surface_norm, ' ')) AS tk FROM sfrow)\n"
+        "  GROUP BY 1, 2)",
+        "bdf AS (SELECT tk, count(*) AS df FROM btf GROUP BY 1)",
+        "mtok AS (SELECT DISTINCT mention, tk FROM\n"
+        "  (SELECT mention, unnest(str_split(mention, ' ')) AS tk FROM distinct_mentions))",
+        "bscores AS (SELECT m.mention, t.rid,\n"
+        "  sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))\n"
+        "      * t.tf * 2.2 / (t.tf + 1.2 * (0.25 + 0.75 * r.ntoken / s.avgdl))) AS sc\n"
+        "  FROM mtok m JOIN btf t ON t.tk = m.tk JOIN bdf d ON d.tk = t.tk\n"
+        "  JOIN sfrow r ON r.rid = t.rid CROSS JOIN bstats s GROUP BY 1, 2)",
+        "branked AS (SELECT b.mention, r.id, r.name, b.sc,\n"
+        "  row_number() OVER (PARTITION BY b.mention\n"
+        "    ORDER BY b.sc DESC, r.popularity DESC, r.id ASC, r.surface_norm ASC) AS rank\n"
+        f"  FROM bscores b JOIN sfrow r USING (rid) QUALIFY rank <= {LIMIT})",
+        "bw AS (SELECT *, count(*) OVER (PARTITION BY mention) AS nh,\n"
+        "  max(sc) OVER (PARTITION BY mention) AS mx FROM branked)",
+    ) + (
+        "SELECT mention, id, name, rank, round_even(sc, 6) AS bm25,\n"
+        "  round_even(rank / nh, 3) AS pos_score, round_even(sc / mx, 3) AS es_score\n"
+        "FROM bw"
+    )
+
     # J6 _check_ids forced-candidate union: requested ids per mention,
     # anti-join found, id-lookup the remainder as the en non-alias label
     # row, score with F1-F3 + deterministic rank scores, append
@@ -1158,6 +1189,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return extras.bow_similarity(pages, r["linked"], r["_ctx"].surface_forms)
 
     out["bow_similarity"] = bow
+
+    def candidates_bm25(sf_dir: str):
+        r = _results(sf_dir)
+        return extras.candidates_bm25(r["mentions"], r["_ctx"], LIMIT)
+
+    out["candidates_bm25"] = candidates_bm25
 
     def candidates_filtered(sf_dir: str):
         r = _results(sf_dir)

@@ -149,11 +149,17 @@ class SurfaceIndex:
             self.grow = np.arange(len(self.ids), dtype=np.int64)
         self.type_names = type_names
 
+        from collections import Counter
+
         postings: dict[str, list[int]] = {}
+        tfs: dict[str, list[int]] = {}
         for i, norm in enumerate(self.norms):
-            for tok in set(norm.split(" ")):
+            for tok, cnt in Counter(norm.split(" ")).items():
                 postings.setdefault(tok, []).append(i)
+                tfs.setdefault(tok, []).append(cnt)
         self.postings = {t: np.asarray(ix, dtype=np.int64) for t, ix in postings.items()}
+        # term frequency per (token, row) aligned with postings — BM25 input
+        self.postings_tf = {t: np.asarray(v, dtype=np.int64) for t, v in tfs.items()}
         # per-row type-name strings resolved once (J2) — constant per surface
         self.type_names_joined = np.asarray(
             [
@@ -303,6 +309,102 @@ class SurfaceIndex:
                 )
             idx, shared = idx[mask], shared[mask]
         return idx, shared
+
+    BM25_K1 = 1.2
+    BM25_B = 0.75
+
+    def bm25_hits(self, mention: str, limit: int = 1000):
+        """ES/Lucene BM25 relevance ordering over the whitespace+lowercase-
+        analyzed name field — the reference's actual hit order
+        (api/model/elastic.py:31-64 returns ES-scored hits; ES default
+        similarity is BM25 with k1=1.2, b=0.75).
+
+        score(row) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+        with idf = ln(1 + (N−df+0.5)/(df+0.5)), tf = term count in the name,
+        dl = name token length, df = #rows containing t, N = #rows. The
+        match query's ``boost: 2`` (lookup_retriever.py:283) scales every
+        score uniformly and cancels in ``es_score = score/max_score``, so it
+        is omitted. ES breaks score ties by internal doc order; we use the
+        deterministic (popularity desc, id, surface) order instead —
+        documented deviation, stable across runs. Lucene's lossy 1-byte
+        norm encoding of dl is NOT reproduced (exact dl instead).
+
+        → (hit_idx ordered, bm25 score per hit)."""
+        mset = sorted(set(mention.split(" ")))
+        nrows = len(self.ids)
+        if nrows == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        avgdl = float(self.ntoken.mean()) if nrows else 1.0
+        score = np.zeros(nrows, dtype=np.float64)
+        hit = np.zeros(nrows, dtype=bool)
+        k1, b = self.BM25_K1, self.BM25_B
+        for t in mset:
+            rows = self.postings.get(t)
+            if rows is None:
+                continue
+            tf = self.postings_tf[t].astype(np.float64)
+            dl = self.ntoken[rows].astype(np.float64)
+            df = len(rows)
+            idf = np.log(1.0 + (nrows - df + 0.5) / (df + 0.5))
+            score[rows] += idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+            hit[rows] = True
+        idx = np.nonzero(hit)[0].astype(np.int64)
+        if len(idx) == 0:
+            return idx, np.empty(0, np.float64)
+        sc = score[idx]
+        order = np.lexsort(
+            (self.norms[idx], self.ids[idx], -self.popularity[idx], -sc)
+        )[:limit]
+        return idx[order], sc[order]
+
+    def _hit_masks(
+        self,
+        mention: str,
+        fuzzy: bool = False,
+        kind: str | None = None,
+        nertype: str | None = None,
+        types: str | None = None,
+    ):
+        """→ (idx, mask) — like :meth:`_hit_set` but per hit row an int64
+        BITMASK of which of the mention's sorted-distinct tokens matched
+        (bit i ↔ ``sorted(set(tokens))[i]``). popcount(mask) equals the
+        broadcast ``shared`` count, and masks OR across index shards
+        without double counting a (row, token) match found in two shards —
+        the property the sharded FUZZY path needs (one mention token can
+        match two different vocabulary tokens owned by different shards)."""
+        mset = sorted(set(mention.split(" ")))
+        if len(mset) > 63:
+            raise ValueError("mention has more than 63 distinct tokens")
+        nrows = len(self.ids)
+        masks = np.zeros(nrows, dtype=np.int64)
+        for i, t in enumerate(mset):
+            if fuzzy:
+                matched = self._fuzzy_vocab_matches(t)
+                lists = [self.postings[v] for v in matched if v in self.postings]
+            else:
+                lists = [self.postings[t]] if t in self.postings else []
+            if not lists:
+                continue
+            hit = np.unique(np.concatenate(lists))
+            masks[hit] |= np.int64(1 << i)
+        idx = np.nonzero(masks)[0].astype(np.int64)
+        if len(idx) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        mask = masks[idx]
+        if kind is not None or nertype is not None or types is not None:
+            keep = np.ones(len(idx), dtype=bool)
+            if kind is not None:
+                keep &= self.kinds[idx] == kind
+            if nertype is not None:
+                keep &= self.nertypes[idx] == nertype
+            if types is not None:
+                wanted = set(types.split(" "))
+                keep &= np.asarray(
+                    [bool(wanted & set(ts.split(" "))) for ts in self.types_str[idx]],
+                    dtype=bool,
+                )
+            idx, mask = idx[keep], mask[keep]
+        return idx, mask
 
     def hit_rows(self, idx: np.ndarray, shared: np.ndarray) -> dict:
         """Materialize hit rows (column → numpy array) for scoring."""

@@ -869,6 +869,19 @@ def wikidata_literals(sf_dir: str) -> pa.Table:
     return _collect(_dump_tables(sf_dir)["literals"])
 
 
+def candidates_bm25(mentions_tbl: pa.Table, ctx, limit: int) -> pa.Table:
+    """ES BM25 relevance-ordered retrieval for every distinct pipeline
+    mention (the reference's actual hit order — elastic.py:31-64; see
+    SurfaceIndex.bm25_hits for the formula and documented tie-break)."""
+    from lamapi_ray.stages.candidates import generate_candidates_bm25
+
+    dm = sorted(set(mentions_tbl["mention"].to_pylist()))
+    ds = ray.data.from_arrow(pa.table({"mention": pa.array(dm, pa.string())}))
+    return _collect(
+        generate_candidates_bm25(ds, ctx.surface_forms, ctx.type_names, limit)
+    )
+
+
 # --- fuzzy + filtered retrieval (F8 parity) and forced candidates (J6) ----
 
 

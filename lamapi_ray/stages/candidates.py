@@ -145,6 +145,60 @@ def generate_candidates(
     )
 
 
+def generate_candidates_bm25(
+    distinct_mentions: ray.data.Dataset,
+    surface_forms: pa.Table,
+    type_names: dict[str, str],
+    limit: int = 1000,
+) -> ray.data.Dataset:
+    """BM25-ranked retrieval (ES relevance-order parity — see
+    :meth:`SurfaceIndex.bm25_hits`) → (mention, id, name, rank, bm25,
+    pos_score, es_score). Same broadcast-index/memoized-worker dataflow as
+    :func:`generate_candidates`."""
+    from lamapi_ray.functions.text import round_ref
+
+    surface_ref = ray.put(surface_forms)
+    type_names_ref = ray.put(type_names)
+
+    def score(batch: pa.Table) -> pa.Table:
+        gen = CandidateGenerator(surface_ref, type_names_ref, limit)
+        index = gen.index
+        cols: dict[str, list] = {
+            "mention": [], "id": [], "name": [], "rank": [], "bm25": [],
+            "pos_score": [], "es_score": [],
+        }
+        for mention in batch["mention"].to_pylist():
+            idx, sc = index.bm25_hits(mention, limit)
+            n = len(idx)
+            if n == 0:
+                continue
+            mx = float(sc[0]) if sc[0] else 1.0
+            for r in range(n):
+                cols["mention"].append(mention)
+                cols["id"].append(index.ids[idx[r]])
+                cols["name"].append(index.names[idx[r]])
+                cols["rank"].append(r + 1)
+                cols["bm25"].append(round_ref(float(sc[r]), 6))
+                # O4 rank scores over the BM25-ordered list
+                cols["pos_score"].append(round_ref((r + 1) / n, 3))
+                cols["es_score"].append(round_ref(float(sc[r]) / mx, 3))
+        return pa.table(
+            {
+                "mention": pa.array(cols["mention"], pa.string()),
+                "id": pa.array(cols["id"], pa.string()),
+                "name": pa.array(cols["name"], pa.string()),
+                "rank": pa.array(cols["rank"], pa.int64()),
+                "bm25": pa.array(cols["bm25"], pa.float64()),
+                "pos_score": pa.array(cols["pos_score"], pa.float64()),
+                "es_score": pa.array(cols["es_score"], pa.float64()),
+            }
+        )
+
+    return distinct_mentions.map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True, batch_size=256
+    )
+
+
 def link_best(candidates: ray.data.Dataset) -> ray.data.Dataset:
     """mention → linked entity id (the per-mention argmax rows).
 

@@ -27,10 +27,16 @@ individually; a worker materializes only the shards routed to it, cached
 per process. At full Wikidata scale the shard build becomes a Ray job
 writing shard parquet — the query-side dataflow is unchanged by that swap.
 
-Fuzzy retrieval is broadcast-only for now: AUTO-fuzziness matches a query
-token against *other* vocabulary tokens, which live in other shards; the
-sharded fuzzy design (deletion-neighborhood routing) is documented here as
-future work and the entry point raises on ``fuzzy=True``.
+Fuzzy retrieval shards by the SymSpell symmetric-delete neighborhood:
+a surface row is replicated to every shard owning a ≤2-delete variant of
+one of its tokens, and a query token visits every shard owning a variant
+within its AUTO edit budget — if ``lev(q, v) ≤ k`` the two share a common
+≤k-delete variant, so the pair meets in ≥1 shard (exhaustive routing).
+Because one mention token can match two vocabulary tokens owned by
+DIFFERENT shards, fuzzy partials carry per-mention-token bitmasks
+(:meth:`SurfaceIndex._hit_masks`) and the merge ORs + popcounts instead of
+summing — identical shared counts to the broadcast path (asserted in
+tests/test_sharded_index.py).
 """
 
 from __future__ import annotations
@@ -68,6 +74,66 @@ def build_shard_tables(
         for s in {token_shard(t, num_shards) for t in set(norm.split(" "))}:
             shard_rows[s].append(i)
     return [tagged.take(pa.array(rows, pa.int64())) for rows in shard_rows]
+
+
+def delete_variants(token: str, k: int) -> set[str]:
+    """All strings reachable by deleting ≤k characters (includes the token
+    itself) — the SymSpell symmetric-delete neighborhood. If
+    ``lev(a, b) ≤ k`` then a and b share a common ≤k-delete variant, which
+    is the routing guarantee for sharded fuzzy retrieval."""
+    out = {token}
+    frontier = {token}
+    for _ in range(k):
+        nxt = set()
+        for s in frontier:
+            for i in range(len(s)):
+                nxt.add(s[:i] + s[i + 1 :])
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+_MAX_FUZZ = 2  # max AUTO edit budget (SurfaceIndex.auto_fuzz)
+
+
+def fuzzy_token_shards(token: str, budget: int, num_shards: int) -> set[int]:
+    """Shards a fuzzy query token must visit: every shard owning a
+    ≤budget-delete variant of it."""
+    return {token_shard(d, num_shards) for d in delete_variants(token, budget)}
+
+
+def build_fuzzy_shard_tables(
+    surface_forms: pa.Table, num_shards: int
+) -> list[pa.Table]:
+    """Replicate each surface row to every shard owning a ≤_MAX_FUZZ-delete
+    variant of ≥1 of its tokens. Replication factor is bounded by
+    min(#variants, num_shards) per token — the price of fuzzy matching
+    without a broadcast index; with the symmetric-delete property this
+    routing is exhaustive: any (query token, vocab token) pair within the
+    AUTO edit budget meets in at least one shard."""
+    norms = surface_forms["surface_norm"].to_pylist()
+    tagged = surface_forms.append_column(
+        "_grow", pa.array(np.arange(len(surface_forms)), pa.int64())
+    )
+    shard_rows: list[list[int]] = [[] for _ in range(num_shards)]
+    for i, norm in enumerate(norms):
+        shards: set[int] = set()
+        for t in set(norm.split(" ")):
+            shards.update(
+                token_shard(d, num_shards) for d in delete_variants(t, _MAX_FUZZ)
+            )
+            if len(shards) == num_shards:
+                break
+        for s in shards:
+            shard_rows[s].append(i)
+    return [tagged.take(pa.array(rows, pa.int64())) for rows in shard_rows]
+
+
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+
+def _popcount64(arr: np.ndarray) -> np.ndarray:
+    return _POPCOUNT8[arr.view(np.uint8).reshape(len(arr), 8)].sum(axis=1)
 
 
 _SHARD_CACHE: list = [None, None]  # (key, {shard_id: SurfaceIndex})
@@ -113,11 +179,17 @@ def generate_candidates_sharded(
     hash(token)-sharded index. Output is identical to
     :func:`~lamapi_ray.stages.candidates.generate_candidates`."""
     rk = dict(retrieve_kwargs or {})
-    if rk.pop("fuzzy", False):
-        raise NotImplementedError(
-            "fuzzy retrieval is broadcast-only (see module docstring)"
-        )
-    shard_tables = build_shard_tables(surface_forms, num_shards)
+    fuzzy = bool(rk.pop("fuzzy", False))
+    # fuzzy shards route by the symmetric-delete neighborhood (a query
+    # token must reach every shard owning a vocab token within its AUTO
+    # edit budget); partial hits then carry per-mention-token BITMASKS so
+    # the merge ORs instead of sums — one token matching two vocab tokens
+    # owned by different shards must count once
+    shard_tables = (
+        build_fuzzy_shard_tables(surface_forms, num_shards)
+        if fuzzy
+        else build_shard_tables(surface_forms, num_shards)
+    )
     shard_refs = [ray.put(t) for t in shard_tables]
     type_names_ref = ray.put(type_names)
     refs_key = "".join(
@@ -125,9 +197,19 @@ def generate_candidates_sharded(
     )
 
     def route(batch: pa.Table) -> pa.Table:
+        from lamapi_ray.index.surface import SurfaceIndex
+
         out_s, out_m = [], []
         for m in batch["mention"].to_pylist():
-            for s in sorted({token_shard(t, num_shards) for t in set(m.split(" "))}):
+            if fuzzy:
+                shards: set[int] = set()
+                for t in set(m.split(" ")):
+                    shards |= fuzzy_token_shards(
+                        t, SurfaceIndex.auto_fuzz(t), num_shards
+                    )
+            else:
+                shards = {token_shard(t, num_shards) for t in set(m.split(" "))}
+            for s in sorted(shards):
                 out_s.append(s)
                 out_m.append(m)
         return pa.table(
@@ -146,8 +228,13 @@ def generate_candidates_sharded(
         index = _shard_index(refs_key, shard_refs, type_names_ref, s)
         cols: dict[str, list] = {n: [] for n, _ in _PARTIAL_FIELDS}
         for m in group["mention"].to_pylist():
-            own = {t for t in set(m.split(" ")) if token_shard(t, num_shards) == s}
-            idx, shared = index._hit_set(m, own_tokens=own, **rk)
+            if fuzzy:
+                # full local matching; the shared slot carries the token
+                # BITMASK (OR-mergeable across shards, no double counting)
+                idx, shared = index._hit_masks(m, fuzzy=True, **rk)
+            else:
+                own = {t for t in set(m.split(" ")) if token_shard(t, num_shards) == s}
+                idx, shared = index._hit_set(m, own_tokens=own, **rk)
             if len(idx) == 0:
                 continue
             rows = index.hit_rows(idx, shared)
@@ -191,10 +278,14 @@ def generate_candidates_sharded(
         key = np.asarray(group["grow"].to_pylist(), dtype=np.int64)
         uniq, first_idx, inv = np.unique(key, return_index=True, return_inverse=True)
         merged_shared = np.zeros(len(uniq), dtype=np.int64)
-        np.add.at(merged_shared, inv, shared)
+        if fuzzy:
+            np.bitwise_or.at(merged_shared, inv, shared)
+            merged_shared = _popcount64(merged_shared)
+        else:
+            np.add.at(merged_shared, inv, shared)
         rows = {k: v[first_idx] for k, v in arrs.items()}
         rows["shared"] = merged_shared
-        cands = score_hit_rows(mention, rows, limit)
+        cands = score_hit_rows(mention, rows, limit, fuzzy=fuzzy)
         if not cands:
             return pa.table(
                 {n: pa.array(out[n], t) for n, t in CANDIDATE_FIELDS}

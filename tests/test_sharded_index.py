@@ -118,11 +118,101 @@ def test_sharded_keeps_norm_colliding_surface_rows_separate(ray_session):
     assert bc.equals(sh)
 
 
-def test_sharded_rejects_fuzzy(ray_session):
+def test_delete_variant_routing_guarantee():
+    # symmetric-delete property: tokens within edit distance k share a
+    # common <=k-delete variant, so their shard sets intersect
+    from lamapi_ray.functions.text import levenshtein
+    from lamapi_ray.stages.candidates_sharded import (
+        _MAX_FUZZ,
+        delete_variants,
+        fuzzy_token_shards,
+        token_shard,
+    )
+
+    assert "plate" in delete_variants("plate", 2)
+    assert "pate" in delete_variants("plate", 1)
+    pairs = [("plate", "xplate"), ("plate", "platte"), ("plate", "plte"),
+             ("bolt", "bolts"), ("widget", "widgett"), ("widget", "wdget")]
+    for a, b in pairs:
+        k = max(1, levenshtein(a, b))
+        # guarantee: a's query shards (budget k) include a shard where b's
+        # index-side (<=_MAX_FUZZ-delete) replication lands
+        idx_shards = {token_shard(d, 4) for d in delete_variants(b, _MAX_FUZZ)}
+        assert fuzzy_token_shards(a, k, 4) & idx_shards
+
+
+def test_sharded_fuzzy_matches_broadcast(ray_session):
+    # fuzzy + term filters: the sharded deletion-neighborhood path must
+    # reproduce the broadcast fuzzy candidate table exactly (incl. scores,
+    # which depend on correctly OR-merged shared counts)
     kg = synth.build_kg_tables(SF)
     ctx = KGContext(kg["items"], kg["triples"])
-    dm = ray.data.from_arrow(pa.table({"mention": pa.array(["red plate"])}))
-    with pytest.raises(NotImplementedError):
-        generate_candidates_sharded(
-            dm, ctx.surface_forms, ctx.type_names, retrieve_kwargs={"fuzzy": True}
+    base = [m for m in ctx.surface_forms["surface_norm"].to_pylist()[:12]]
+    typo = sorted({("x" + m) for m in base})  # 1-edit typos (prepended char)
+    dm = ray.data.from_arrow(pa.table({"mention": pa.array(typo)}))
+    bc = _sorted(
+        _collect(
+            generate_candidates(
+                dm, ctx.surface_forms, ctx.type_names, limit=5000,
+                retrieve_kwargs={"fuzzy": True},
+            )
         )
+    )
+    dm2 = ray.data.from_arrow(pa.table({"mention": pa.array(typo)}))
+    sh = _sorted(
+        _collect(
+            generate_candidates_sharded(
+                dm2, ctx.surface_forms, ctx.type_names, limit=5000,
+                num_shards=4, retrieve_kwargs={"fuzzy": True},
+            )
+        )
+    )
+    assert bc.num_rows > 0  # typos actually retrieve fuzzy hits
+    assert bc.num_rows == sh.num_rows
+    assert bc.equals(sh), "sharded fuzzy must reproduce broadcast fuzzy exactly"
+
+
+def test_bm25_formula_and_ordering(ray_session):
+    # hand-built index: tf>1, df variation, dl variation — check the exact
+    # Lucene BM25 value and the relevance ordering
+    import math
+
+    import numpy as np
+
+    from lamapi_ray.index.surface import SurfaceIndex
+
+    sf = pa.table(
+        {
+            "id": pa.array(["Q1", "Q2", "Q3"]),
+            "name": pa.array(["apple apple pie", "apple", "banana split pie"]),
+            "surface_norm": pa.array(["apple apple pie", "apple", "banana split pie"]),
+            "is_alias": pa.array([False, False, False]),
+            "description": pa.array(["", "", ""]),
+            "kind": pa.array(["entity"] * 3),
+            "NERtype": pa.array(["OTHERS"] * 3),
+            "types": pa.array([""] * 3),
+            "ntoken": pa.array([3, 1, 3], pa.int64()),
+            "length": pa.array([15, 5, 16], pa.int64()),
+            "popularity": pa.array([0.1, 0.9, 0.5], pa.float64()),
+        }
+    )
+    index = SurfaceIndex(sf, {})
+    idx, sc = index.bm25_hits("apple pie", limit=10)
+    ids = [index.ids[i] for i in idx]
+    assert set(ids) == {"Q1", "Q2", "Q3"}
+    N, avgdl, k1, b = 3, 7 / 3, 1.2, 0.75
+
+    def bm25(tf, df, dl):
+        idf = math.log(1 + (N - df + 0.5) / (df + 0.5))
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    want = {
+        "Q1": bm25(2, 2, 3) + bm25(1, 2, 3),  # apple tf=2 + pie tf=1
+        "Q2": bm25(1, 2, 1),
+        "Q3": bm25(1, 2, 3),
+    }
+    got = dict(zip(ids, sc))
+    for q in want:
+        assert got[q] == pytest.approx(want[q], rel=1e-12), q
+    # ordering: scores descending
+    assert list(sc) == sorted(sc, reverse=True)
