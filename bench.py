@@ -231,11 +231,15 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scale-lo", type=int, default=8,
+                    help="low cpu count for --scaling (use 2 with --scale-hi 8 "
+                         "for the below-DRAM-saturation pair)")
+    ap.add_argument("--scale-hi", type=int, default=32)
     ap.add_argument("--only", default=None, help="run a single named pipeline")
     args = ap.parse_args()
 
     if args.scaling:
-        out = run_scaling(args.sf_dir)
+        out = run_scaling(args.sf_dir, lo=args.scale_lo, hi=args.scale_hi)
     else:
         out = run_suite(args.sf_dir, args.cpus, only=args.only)
         import ray

@@ -199,7 +199,7 @@ def window_events(sf_dir: str) -> pa.Table:
 
     agg = (
         ev.map_batches(add_window, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["event_type", "window_us"])
+        .groupby(["event_type", "window_us"], num_partitions=16)
         .aggregate(Count(alias_name="n_events"), Sum("cents", alias_name="sum_value_cents"))
         .to_pandas()
     )
@@ -295,7 +295,7 @@ def curation_pipeline(sf_dir: str) -> pa.Table:
     ds = _dup_corpus(sf_dir, modify=False)
     agg = (
         ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__h")
+        .groupby("__h", num_partitions=32)
         .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
     )
 
@@ -388,7 +388,7 @@ def literal_classify(sf_dir: str) -> pa.Table:
     li_ds = li.map_batches(li_vals, batch_format="pyarrow", zero_copy_batch=True)
 
     distinct = (
-        tok_ds.union(orders).union(li_ds).groupby("value").count().select_columns(["value"])
+        tok_ds.union(orders).union(li_ds).groupby("value", num_partitions=16).count().select_columns(["value"])
     )
     tbl = _collect(distinct)
     labels = classify_array(tbl["value"])
@@ -554,7 +554,7 @@ def predicates_pairs(sf_dir: str, adjacency: pa.Table) -> pa.Table:
         li.map_batches(coarse_key, batch_format="pyarrow")
         .groupby("__pk", num_partitions=16)
         .map_groups(partition_pairs, batch_format="pyarrow")
-        .groupby(["px", "py"])
+        .groupby(["px", "py"], num_partitions=16)
         .count()
     )
     pairs_tbl = _collect(distinct.select_columns(["px", "py"]))

@@ -131,7 +131,7 @@ def distinct_mentions(page_rows: ray.data.Dataset) -> ray.data.Dataset:
 
     return (
         page_rows.map_batches(batch_distinct, batch_format="pyarrow")
-        .groupby("mention")
+        .groupby("mention", num_partitions=16)
         .count()
         .select_columns(["mention"])
     )
@@ -235,7 +235,7 @@ def page_entity_pairs(linked_rows: ray.data.Dataset) -> ray.data.Dataset:
 
     pairs_ds = linked_rows.map_batches(emit_pairs, batch_format="pyarrow")
     # global distinct — vocabulary² upper bound, tiny vs page count
-    return pairs_ds.groupby(["subj", "obj"]).count().select_columns(["subj", "obj"])
+    return pairs_ds.groupby(["subj", "obj"], num_partitions=16).count().select_columns(["subj", "obj"])
 
 
 def _batch_pairs(batch: pa.Table) -> list[tuple[str, str]]:
@@ -299,7 +299,7 @@ def cooccurrence_tables(linked_rows: ray.data.Dataset) -> tuple[pa.Table, pa.Tab
 
     both = (
         linked_rows.map_batches(emit_both, batch_format="pyarrow")
-        .groupby(["tag", "subj", "obj", "value", "datatype"])
+        .groupby(["tag", "subj", "obj", "value", "datatype"], num_partitions=16)
         .count()
     )
     tbl = pa.concat_tables(

@@ -252,7 +252,7 @@ def generate_candidates_sharded(
             {n: pa.array(cols[n], t) for n, t in _PARTIAL_FIELDS}
         )
 
-    partials = routed.groupby("shard").map_groups(
+    partials = routed.groupby("shard", num_partitions=num_shards).map_groups(
         partial_hits, batch_format="pyarrow"
     )
 
@@ -314,6 +314,6 @@ def generate_candidates_sharded(
                     out[name].append(cand[name])
         return pa.table({n: pa.array(out[n], t) for n, t in CANDIDATE_FIELDS})
 
-    return partials.groupby("mention").map_groups(
+    return partials.groupby("mention", num_partitions=16).map_groups(
         score_group, batch_format="pyarrow"
     )

@@ -84,7 +84,7 @@ def exact_dedup(ds: ray.data.Dataset, id_col: str, text_col: str) -> ray.data.Da
         )
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
-    agg = hashed.groupby("__h").aggregate(Min(id_col), Count())
+    agg = hashed.groupby("__h", num_partitions=32).aggregate(Min(id_col), Count())
 
     def project(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -1050,7 +1050,7 @@ def simhash_near_pairs(
     pairs = rows.groupby("pkey", num_partitions=num_partitions).map_groups(
         partition_pairs, batch_format="pyarrow"
     )
-    agg = pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    agg = pairs.groupby(["id_a", "id_b"], num_partitions=16).aggregate(Min("hamming", alias_name="hamming"))
     out = _collect(agg)
     return out.select(["id_a", "id_b", "hamming"]).sort_by(
         [("id_a", "ascending"), ("id_b", "ascending")]

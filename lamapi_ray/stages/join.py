@@ -123,4 +123,4 @@ def bucketed_hash_join(
             )
         return lpart.join(rpart, keys=on, join_type="inner").select(all_cols)
 
-    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
+    return both.groupby("__bucket", num_partitions=num_buckets).map_groups(join_bucket, batch_format="pyarrow")

@@ -46,7 +46,7 @@ def salted_count(
 
     partial = (
         ds.map_batches(add_salt, batch_format="pyarrow")
-        .groupby([key, "__salt"])
+        .groupby([key, "__salt"], num_partitions=16)
         .count()
     )
 
@@ -55,7 +55,7 @@ def salted_count(
 
     merged = (
         partial.map_batches(drop_salt, batch_format="pyarrow")
-        .groupby(key)
+        .groupby(key, num_partitions=16)
         .sum("n")
     )
 
@@ -79,7 +79,7 @@ def combined_count(ds: ray.data.Dataset, key: str) -> ray.data.Dataset:
             {key: vc.field("values"), "n": vc.field("counts").cast(pa.int64())}
         )
 
-    merged = ds.map_batches(partial, batch_format="pyarrow").groupby(key).sum("n")
+    merged = ds.map_batches(partial, batch_format="pyarrow").groupby(key, num_partitions=16).sum("n")
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.table(

@@ -350,7 +350,7 @@ def build_kg_tables(sf_dir: str) -> dict[str, pa.Table]:
     # Co-order (P1) edges: distinct (order, part) → hash self-join on order —
     # the one genuinely wide step of the synth build, expressed as Ray Data's
     # native shuffle hash join rather than a per-group Python loop.
-    op = li.groupby(["l_orderkey", "l_partkey"]).count().select_columns(
+    op = li.groupby(["l_orderkey", "l_partkey"], num_partitions=32).count().select_columns(
         ["l_orderkey", "l_partkey"]
     )
     joined = op.join(
