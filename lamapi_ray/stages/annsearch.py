@@ -333,7 +333,11 @@ def exact_cosine_near_pairs(
                 _emit_pairs(ids[a], m[a], ids[b], m[b], threshold, False, out)
         return _pairs_table(out)
 
-    pairs = rows.groupby("bucket", num_partitions=16).map_groups(bucket_pairs, batch_format="pyarrow")
+    from lamapi_ray.stages.dedup import scaled_partitions
+
+    pairs = rows.groupby(
+        "bucket", num_partitions=scaled_partitions(0.5, 16)
+    ).map_groups(bucket_pairs, batch_format="pyarrow")
     tabs = [b for b in pairs.iter_batches(batch_size=65536, batch_format="pyarrow")]
     out = pa.concat_tables(tabs) if tabs else _EMPTY_PAIRS
     return out.select(["id_a", "id_b", "cosine"]).sort_by(
@@ -432,9 +436,11 @@ def cosine_near_pairs(
         _emit_pairs(ids, m, ids, m, threshold, True, out)
         return _pairs_table(out)
 
-    pairs = rows.groupby(["band", "bcode"], num_partitions=32).map_groups(
-        bucket_pairs, batch_format="pyarrow"
-    )
+    from lamapi_ray.stages.dedup import scaled_partitions
+
+    pairs = rows.groupby(
+        ["band", "bcode"], num_partitions=scaled_partitions(1.0, 32)
+    ).map_groups(bucket_pairs, batch_format="pyarrow")
     agg = pairs.groupby(["id_a", "id_b"], num_partitions=16).aggregate(Min("cosine", alias_name="cosine"))
     tabs = [b for b in agg.iter_batches(batch_size=65536, batch_format="pyarrow")]
     out = pa.concat_tables(tabs) if tabs else _EMPTY_PAIRS

@@ -70,6 +70,20 @@ def _collect(ds: ray.data.Dataset) -> pa.Table:
     )
 
 
+def scaled_partitions(per_cpu: float, floor_: int, cap: int = 65536) -> int:
+    """Grouped-exchange width sized to the CLUSTER, not a constant: the
+    partition counts that are optimal on one 32-core box (16-64) would
+    throttle a 256-node cluster, so corpus-scale shuffles derive their
+    width from total cluster CPUs at call time."""
+    import ray as _ray
+
+    try:
+        cpus = int(_ray.cluster_resources().get("CPU", 32))
+    except Exception:
+        cpus = 32
+    return int(min(cap, max(floor_, round(cpus * per_cpu))))
+
+
 def exact_dedup(ds: ray.data.Dataset, id_col: str, text_col: str) -> ray.data.Dataset:
     """→ one row per distinct text: (id_col = min id, n_copies)."""
     from ray.data.aggregate import Count, Min
@@ -84,7 +98,7 @@ def exact_dedup(ds: ray.data.Dataset, id_col: str, text_col: str) -> ray.data.Da
         )
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
-    agg = hashed.groupby("__h", num_partitions=32).aggregate(Min(id_col), Count())
+    agg = hashed.groupby("__h", num_partitions=scaled_partitions(1.0, 32)).aggregate(Min(id_col), Count())
 
     def project(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -303,17 +317,17 @@ def _pairs_in_runs(starts: np.ndarray, lens: np.ndarray):
         yield grid[:, iu[0]].reshape(-1), grid[:, iu[1]].reshape(-1)
 
 
-_CC_P = 16
+_CC_P_FLOOR = 16  # floor for the CC exchange width (scaled_partitions)
 _CC_MULT = np.uint64(0x9E3779B97F4A7C15)
 # row kinds in the connected-components exchange
 _K_EDGE, _K_CARRY, _K_LABEL = 0, 1, 2
 
 
-def _cc_pkey(arr: np.ndarray) -> np.ndarray:
-    return ((arr.view(np.uint64) * _CC_MULT) % np.uint64(_CC_P)).astype(np.int64)
+def _cc_pkey(arr: np.ndarray, num_partitions: int) -> np.ndarray:
+    return ((arr.view(np.uint64) * _CC_MULT) % np.uint64(num_partitions)).astype(np.int64)
 
 
-def _cc_rows_from_edges(batch: pa.Table) -> pa.Table:
+def _cc_rows_from_edges(batch: pa.Table, num_partitions: int = _CC_P_FLOOR) -> pa.Table:
     """(id_a, id_b) edges → bidirectional CC rows keyed by hash(v)."""
     a = batch["id_a"]
     b = batch["id_b"]
@@ -327,7 +341,7 @@ def _cc_rows_from_edges(batch: pa.Table) -> pa.Table:
     w = np.concatenate([bn, an])
     return pa.table(
         {
-            "pkey": pa.array(_cc_pkey(v), pa.int64()),
+            "pkey": pa.array(_cc_pkey(v, num_partitions), pa.int64()),
             "kind": pa.array(np.zeros(len(v), np.int8), pa.int8()),
             "v": pa.array(v, pa.int64()),
             "w": pa.array(w, pa.int64()),
@@ -352,7 +366,7 @@ class _CCChangeCounter:
         return self.rounds.get(round_id, 0)
 
 
-def _cc_round(group: pa.Table, round_id: int = -1, counter=None) -> pa.Table:
+def _cc_round(group: pa.Table, round_id: int = -1, counter=None, num_partitions: int = _CC_P_FLOOR) -> pa.Table:
     """One CC round for one hash(v) partition.
 
     Rows: kind 0 = edge (v,u), re-emitted (deduped) every round; kind 1 =
@@ -423,7 +437,7 @@ def _cc_round(group: pa.Table, round_id: int = -1, counter=None) -> pa.Table:
     )
     return pa.table(
         {
-            "pkey": pa.array(_cc_pkey(out_v), pa.int64()),
+            "pkey": pa.array(_cc_pkey(out_v, num_partitions), pa.int64()),
             "kind": pa.array(out_kind, pa.int8()),
             "v": pa.array(out_v, pa.int64()),
             "w": pa.array(out_w, pa.int64()),
@@ -432,7 +446,10 @@ def _cc_round(group: pa.Table, round_id: int = -1, counter=None) -> pa.Table:
 
 
 def _cc_min_labels(
-    edge_rows: ray.data.Dataset, max_iters: int = 64, pre_round: bool = False
+    edge_rows: ray.data.Dataset,
+    max_iters: int = 64,
+    pre_round: bool = False,
+    num_partitions: int | None = None,
 ) -> pa.Table:
     """Distributed connected components over an (id_a, id_b) edge list
     (duplicates and self-loops welcome) → (node, label=min id of component).
@@ -447,16 +464,22 @@ def _cc_min_labels(
     """
     import functools
 
+    P = num_partitions or scaled_partitions(0.5, _CC_P_FLOOR)
     counter = _CCChangeCounter.remote()
     state = edge_rows
     if not pre_round:
-        state = state.map_batches(_cc_rows_from_edges, batch_format="pyarrow")
+        state = state.map_batches(
+            _cc_rows_from_edges, batch_format="pyarrow",
+            fn_kwargs={"num_partitions": P},
+        )
     try:
         for rid in range(max_iters):
             state = (
-                state.groupby("pkey", num_partitions=_CC_P)
+                state.groupby("pkey", num_partitions=P)
                 .map_groups(
-                    functools.partial(_cc_round, round_id=rid, counter=counter),
+                    functools.partial(
+                        _cc_round, round_id=rid, counter=counter, num_partitions=P
+                    ),
                     batch_format="pyarrow",
                 )
                 .materialize()
@@ -484,16 +507,17 @@ def _cc_min_labels(
         ray.kill(counter)
 
 
-_LSH_PARTITIONS = 64
+_LSH_P_FLOOR = 64  # floor for the band-shuffle width (scaled_partitions)
 
 
 def _band_rows_batch(
-    batch: pa.Table, id_col: str, text_col: str, bands: int, carry_sig: bool
+    batch: pa.Table, id_col: str, text_col: str, bands: int, carry_sig: bool,
+    num_partitions: int = _LSH_P_FLOOR,
 ) -> pa.Table:
     """corpus batch → band rows (pkey, band, bh, id, sd [, sig]) in ONE map
     (signatures never materialize separately in inline mode). ``pkey`` is a
     coarse partition key — (band, bh) buckets are recovered in-process by
-    sorting, so the shuffle has ~``_LSH_PARTITIONS`` groups, not millions."""
+    sorting, so the shuffle has ~``num_partitions`` groups, not millions."""
     ids, sigs = _sig_matrix(batch, id_col, text_col)
     n = len(ids)
     rows_per_band = MinHasher.NUM_PERM // bands
@@ -507,7 +531,7 @@ def _band_rows_batch(
     pkey = (
         bh_all.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
         + band_all.astype(np.uint64)
-    ) % np.uint64(_LSH_PARTITIONS)
+    ) % np.uint64(num_partitions)
     cols = {
         "pkey": pa.array(pkey.astype(np.int64), pa.int64()),
         "band": pa.array(band_all, pa.int32()),
@@ -648,6 +672,8 @@ def minhash_clusters(
         raise ValueError(f"verify must be 'inline' or 'cogroup', got {verify!r}")
     inline = verify == "inline"
     exact = threshold_rows >= MinHasher.NUM_PERM
+    L = scaled_partitions(2.0, _LSH_P_FLOOR)
+    P = scaled_partitions(0.5, _CC_P_FLOOR)
 
     if inline:
         band_rows = ds.map_batches(
@@ -660,19 +686,23 @@ def minhash_clusters(
                 "bands": bands,
                 # exact mode never verifies, so never pay the sig shuffle
                 "carry_sig": not exact,
+                "num_partitions": L,
             },
         )
         import functools
 
-        edges = band_rows.groupby("pkey", num_partitions=_LSH_PARTITIONS).map_groups(
+        edges = band_rows.groupby("pkey", num_partitions=L).map_groups(
             functools.partial(
                 _bucket_edges, threshold_rows=threshold_rows, inline_verify=True
             ),
             batch_format="pyarrow",
         )
         # chain straight into CC round 1 — one execution end to end
-        cc_rows = edges.map_batches(_cc_rows_from_edges, batch_format="pyarrow")
-        labels = _cc_min_labels(cc_rows, pre_round=True)
+        cc_rows = edges.map_batches(
+            _cc_rows_from_edges, batch_format="pyarrow",
+            fn_kwargs={"num_partitions": P},
+        )
+        labels = _cc_min_labels(cc_rows, pre_round=True, num_partitions=P)
     else:
         import functools
 
@@ -705,7 +735,7 @@ def minhash_clusters(
                 bh_all.to_numpy(zero_copy_only=False).view(np.uint64)
                 * np.uint64(0x9E3779B97F4A7C15)
                 + band_all.astype(np.uint64)
-            ) % np.uint64(_LSH_PARTITIONS)
+            ) % np.uint64(L)
             return pa.table(
                 {
                     "pkey": pa.array(pkey.astype(np.int64), pa.int64()),
@@ -719,7 +749,7 @@ def minhash_clusters(
         all_edges = (
             sig_ds.drop_columns(["sig"])
             .map_batches(explode_bands, batch_format="pyarrow")
-            .groupby("pkey", num_partitions=_LSH_PARTITIONS)
+            .groupby("pkey", num_partitions=L)
             .map_groups(
                 functools.partial(
                     _bucket_edges, threshold_rows=threshold_rows, inline_verify=False
@@ -751,7 +781,7 @@ def minhash_clusters(
             )
             verified = _cogroup_verify(unsure, sig_ds, threshold_rows)
             edges = sure_edges.union(verified)
-        labels = _cc_min_labels(edges)
+        labels = _cc_min_labels(edges, num_partitions=P)
 
     return (
         pa.table({"id": labels["node"], "cluster": labels["label"]})
@@ -977,7 +1007,7 @@ def simhash_near_pairs(
 
     fp_ds = simhash_fingerprints(ds, id_col, text_col)
 
-    num_partitions = 64
+    num_partitions = scaled_partitions(2.0, 64)
 
     def explode(batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -1084,7 +1114,7 @@ def ngram_jaccard_pairs(
     if isinstance(ds, pa.Table):
         ds = ray.data.from_arrow(ds)
 
-    num_partitions = 64
+    num_partitions = scaled_partitions(2.0, 64)
 
     def explode(batch: pa.Table) -> pa.Table:
         # vectorized distinct-shingle hashing (one md5 per distinct TOKEN,
