@@ -580,8 +580,7 @@ def oracle_sql() -> dict[str, str]:
         f"({i}, {int(a)}, {int(b)})" for i, (a, b) in enumerate(zip(mh.a, mh.b))
     )
     _P61 = "2305843009213693951"
-    sql["dedup_minhash_exact"] = _with(
-        SQL_DUP_EXACT,
+    _MINHASH_SIG_CTES = (
         "tk AS (SELECT doc_id, str_split(text, ' ') AS toks FROM dup)",
         "tkh AS (SELECT doc_id, list_transform(toks, t ->\n"
         "    CAST(list_reduce(list_prepend(0::HUGEINT,\n"
@@ -602,9 +601,38 @@ def oracle_sql() -> dict[str, str]:
         f"  min((p.a::HUGEINT * (h.shl % 4294967296) + p.b) % {_P61}) AS mn\n"
         "  FROM h CROSS JOIN perms p GROUP BY 1, 2)",
         "sigs AS (SELECT doc_id, list(mn ORDER BY i) AS sig FROM m GROUP BY doc_id)",
-    ) + (
+    )
+    sql["dedup_minhash_exact"] = _with(SQL_DUP_EXACT, *_MINHASH_SIG_CTES) + (
         "SELECT doc_id AS id,\n"
         "  min(doc_id) OVER (PARTITION BY sig) AS cluster\nFROM sigs"
+    )
+
+    # full LSH clustering at threshold 48/64, relationally: candidate pair
+    # iff SOME 4-slot band agrees exactly (the banding rule — the engine's
+    # band-hash equality modulo a 2^-61 fold-collision), verified iff >=48
+    # of 64 slots agree, clusters = connected components via a recursive
+    # min-label closure. Validates the WHOLE distributed LSH dataflow, not
+    # just the exact-signature sub-case.
+    sql["dedup_minhash"] = (
+        "WITH RECURSIVE "
+        + ",\n".join(
+            (
+                SQL_DUP_NEAR,
+                *_MINHASH_SIG_CTES,
+                "cand AS (SELECT a.doc_id AS ia, b.doc_id AS ib, a.sig AS sa, b.sig AS sb\n"
+                "  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id\n"
+                "  WHERE list_contains(list_transform(range(0, 16),\n"
+                "    bb -> a.sig[4*bb+1:4*bb+4] = b.sig[4*bb+1:4*bb+4]), true))",
+                "ver AS (SELECT ia, ib FROM cand\n"
+                "  WHERE len(list_filter(range(1, 65), i -> sa[i] = sb[i])) >= 48)",
+                "edges(a, b) AS (SELECT ia, ib FROM ver UNION ALL SELECT ib, ia FROM ver)",
+                "reach(id, lab) AS (\n"
+                "  SELECT doc_id, doc_id FROM sigs\n"
+                "  UNION\n"
+                "  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.id)",
+            )
+        )
+        + "\nSELECT id, min(lab) AS cluster FROM reach GROUP BY id"
     )
 
     sql["ngram_jaccard_dup"] = _with(SQL_DUP_NEAR, SQL_SHINGLES) + (
@@ -685,6 +713,34 @@ def oracle_sql() -> dict[str, str]:
         "FROM bits GROUP BY doc_id"
     )
 
+    # SimHash Hamming-near pairs: with 4 rotations x disjoint 16-bit
+    # prefix blocks, any pair within Hamming<=3 leaves >=1 block untouched
+    # (pigeonhole), so the rotated-prefix bucketing is EXHAUSTIVE and the
+    # exact all-pairs SQL is a true oracle, not an approximation check.
+    _SIMHASH_FP = (
+        "tok AS (SELECT doc_id, tok, count(*) AS cnt\n"
+        "  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM dup)\n"
+        "  GROUP BY 1, 2),\n"
+        "th AS (SELECT doc_id, cnt, CAST(list_reduce(list_prepend(0::HUGEINT,\n"
+        "    list_transform(range(0, 8),\n"
+        "      i -> ((strpos('0123456789abcdef', substr(md5(tok), 2*i+1, 1)) - 1) * 16\n"
+        "          + (strpos('0123456789abcdef', substr(md5(tok), 2*i+2, 1)) - 1))::HUGEINT\n"
+        "           * (1::HUGEINT << (8*i)))),\n"
+        "    (a, b) -> a + b) AS UBIGINT) AS h FROM tok),\n"
+        "bits AS (SELECT doc_id, bb.b AS bit,\n"
+        "  sum(CASE WHEN (h >> bb.b) & 1 = 1 THEN cnt ELSE -cnt END) AS acc\n"
+        "  FROM th, (SELECT unnest(range(0, 64)) AS b) bb(b) GROUP BY 1, 2),\n"
+        "fp AS (SELECT doc_id AS id, CAST(sum(CASE WHEN acc > 0\n"
+        "  THEN 1::HUGEINT << bit ELSE 0::HUGEINT END) AS UBIGINT) AS f\n"
+        "  FROM bits GROUP BY doc_id)"
+    )
+    sql["simhash_near_dup"] = _with(SQL_DUP_NEAR, _SIMHASH_FP) + (
+        "SELECT a.id AS id_a, b.id AS id_b,\n"
+        "  CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming\n"
+        "FROM fp a JOIN fp b ON a.id < b.id\n"
+        "WHERE bit_count(xor(a.f, b.f)) <= 3"
+    )
+
     # polynomial rolling hash (base 257 mod 2^61-1) over the text bytes;
     # the corpus is ASCII (verified at every sf), so per-char code points ==
     # utf-8 bytes and the HUGEINT fold reproduces the engine exactly
@@ -706,6 +762,38 @@ def oracle_sql() -> dict[str, str]:
         "  WHERE q.vec_id < 8 AND c.vec_id >= 8) WHERE rank <= 10"
     )
 
+    # sign-LSH bucketed ANN: the seeded hyperplanes are deterministic, so
+    # they inline as literals; multi-probe over Hamming-1 neighbor buckets
+    # == candidate iff bit_count(xor(codes)) <= 1; exact-cosine rerank with
+    # the engine's (cos desc, id asc) tie-break. Fully relational mirror of
+    # stages/annsearch.py::lsh_topk.
+    import numpy as _np
+
+    _hp = _np.random.RandomState(42).standard_normal((64, 8))
+    _hp_rows = ", ".join(
+        f"({j}, {i}, {_hp[i, j]!r})" for j in range(8) for i in range(64)
+    )
+    sql["ann_lsh"] = (
+        f"WITH hp(j, i, v) AS (VALUES {_hp_rows}),\n"
+        "qv AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 8),\n"
+        "cv AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 8),\n"
+        "qc AS (SELECT q.vec_id, CAST(sum(CASE WHEN d.dot > 0 THEN 1 << d.j ELSE 0 END) AS BIGINT) AS code\n"
+        "  FROM qv q JOIN (SELECT q2.vec_id, hp.j, sum(q2.e[hp.i + 1] * hp.v) AS dot\n"
+        "                  FROM qv q2, hp GROUP BY 1, 2) d ON d.vec_id = q.vec_id\n"
+        "  GROUP BY 1),\n"
+        "cc AS (SELECT c.vec_id, CAST(sum(CASE WHEN d.dot > 0 THEN 1 << d.j ELSE 0 END) AS BIGINT) AS code\n"
+        "  FROM cv c JOIN (SELECT c2.vec_id, hp.j, sum(c2.e[hp.i + 1] * hp.v) AS dot\n"
+        "                  FROM cv c2, hp GROUP BY 1, 2) d ON d.vec_id = c.vec_id\n"
+        "  GROUP BY 1)\n"
+        "SELECT query_id, neighbor_id, rank FROM (\n"
+        "  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,\n"
+        "    row_number() OVER (PARTITION BY q.vec_id ORDER BY\n"
+        "      list_cosine_similarity(cv.e, qv.e) DESC, c.vec_id ASC) AS rank\n"
+        "  FROM qc q JOIN cc c ON bit_count(xor(q.code, c.code)) <= 1\n"
+        "  JOIN qv ON qv.vec_id = q.vec_id JOIN cv ON cv.vec_id = c.vec_id\n"
+        ") WHERE rank <= 10"
+    )
+
     sql["embedding_near_dup"] = (
         "WITH dupe AS (\n"
         "  SELECT vec_id, embedding FROM embeddings\n"
@@ -716,6 +804,34 @@ def oracle_sql() -> dict[str, str]:
         "  round_even(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine\n"
         "FROM dupe a JOIN dupe b ON a.vec_id < b.vec_id\n"
         "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.999"
+    )
+
+    # the sign-LSH scale path at pinned planes=16: candidate pair iff the
+    # two 8-bit bands agree on band 0 OR band 1 (the engine's banding rule,
+    # modulo nothing — codes are compared directly here), then exact-cosine
+    # verify. Mirrors stages/annsearch.py::cosine_near_pairs relationally.
+    _hp16 = _np.random.RandomState(42).standard_normal((64, 16))
+    _hp16_rows = ", ".join(
+        f"({j}, {i}, {_hp16[i, j]!r})" for j in range(16) for i in range(64)
+    )
+    sql["embedding_near_dup_lsh"] = (
+        f"WITH hp(j, i, v) AS (VALUES {_hp16_rows}),\n"
+        "dupe AS (\n"
+        "  SELECT vec_id, embedding FROM embeddings\n"
+        "  UNION ALL\n"
+        "  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 5 = 0\n"
+        "),\n"
+        "dv AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM dupe),\n"
+        "codes AS (SELECT d.vec_id, CAST(sum(CASE WHEN s.dot > 0 THEN 1 << s.j ELSE 0 END) AS BIGINT) AS code\n"
+        "  FROM dv d JOIN (SELECT d2.vec_id, hp.j, sum(d2.e[hp.i + 1] * hp.v) AS dot\n"
+        "                  FROM dv d2, hp GROUP BY 1, 2) s ON s.vec_id = d.vec_id\n"
+        "  GROUP BY 1)\n"
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b,\n"
+        "  round_even(list_cosine_similarity(av.e, bv.e), 6) AS cosine\n"
+        "FROM codes a JOIN codes b ON a.vec_id < b.vec_id\n"
+        "  AND ((a.code & 255) = (b.code & 255) OR (a.code >> 8) = (b.code >> 8))\n"
+        "JOIN dv av ON av.vec_id = a.vec_id JOIN dv bv ON bv.vec_id = b.vec_id\n"
+        "WHERE list_cosine_similarity(av.e, bv.e) >= 0.999"
     )
 
     sql["window_events"] = (

@@ -1071,10 +1071,13 @@ def embedding_near_dup(sf_dir: str) -> pa.Table:
 def embedding_near_dup_lsh(sf_dir: str) -> pa.Table:
     """Sub-quadratic sign-LSH near-duplicate pairs over the same corpus —
     the scale path (approximate: ≥2-bit code-distance borderline pairs can
-    be missed; exact duplicates never are). Rows-only driver check; a
-    pytest asserts equality to the exact path on the fixture corpus."""
+    be missed; exact duplicates never are). ``planes`` is pinned to 16 here
+    so the seeded hyperplanes inline into the relational oracle (the
+    banding rule is mirrored exactly in SQL); production callers use
+    ``planes=None`` → :func:`auto_planes` corpus-size scaling (unit-tested
+    + asserted equal to the exact path on fixtures)."""
     from lamapi_ray.stages.annsearch import cosine_near_pairs
 
     return _round_pairs(
-        cosine_near_pairs(_dup_embeddings(sf_dir), threshold=0.999, planes=None)
+        cosine_near_pairs(_dup_embeddings(sf_dir), threshold=0.999, planes=16)
     )

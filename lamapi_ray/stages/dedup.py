@@ -995,14 +995,20 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     num_rotations: int = 4,
 ) -> pa.Table:
-    """Hamming-close SimHash pairs via rotated prefix buckets — distributed.
+    """Hamming-close SimHash pairs via rotated prefix buckets — distributed
+    and, at the defaults, EXACT.
 
     Classic Charikar trick: for each of ``num_rotations`` bit-rotations of
-    the 64-bit fingerprint, bucket by the top-16-bit prefix — any pair
-    within ``max_hamming`` bits collides in at least one rotation with high
-    probability. Fingerprints stream; (rotation, prefix) rows shuffle
-    through ONE ``groupby``; each bucket verifies with a vectorized
-    XOR-popcount. Pair dedup is a native Min aggregate."""
+    the 64-bit fingerprint, bucket by the top-16-bit prefix. With the
+    default 4 rotations the four prefixes are the four DISJOINT 16-bit
+    blocks of the fingerprint, and ``max_hamming=3`` flips can't touch all
+    four (pigeonhole) — every qualifying pair collides in ≥1 rotation, so
+    the output is the exact Hamming-≤3 pair set (oracle-checked by the
+    all-pairs SQL in ``simhash_near_dup``). For ``max_hamming ≥
+    num_rotations`` the guarantee degrades to high-probability recall.
+    Fingerprints stream; (rotation, prefix) rows shuffle through ONE
+    ``groupby``; each bucket verifies with a vectorized XOR-popcount. Pair
+    dedup is a native Min aggregate."""
     from ray.data.aggregate import Min
 
     fp_ds = simhash_fingerprints(ds, id_col, text_col)
