@@ -156,3 +156,50 @@ def test_simhash_near_pairs():
     assert all(h <= 3 for h in got.values())
     # unrelated doc must not pair with anything
     assert not any(4 in pair for pair in got)
+
+
+def test_cc_min_labels_matches_union_find():
+    # randomized graphs (chains, stars, cliques, isolated self-loops)
+    # against a reference union-find — exercises multi-round convergence,
+    # shortcut edges, and the counter-actor stop rule
+    import numpy as np
+
+    from lamapi_ray.stages.dedup import _cc_min_labels
+
+    rng = np.random.RandomState(7)
+    for trial in range(3):
+        n = 300
+        edges = []
+        # random pairs
+        for _ in range(150):
+            a, b = rng.randint(0, n, 2)
+            edges.append((int(a), int(b)))
+        # a long chain (diameter stress)
+        chain = rng.permutation(n)[:40]
+        edges += [(int(chain[i]), int(chain[i + 1])) for i in range(39)]
+        # self-loops for isolated nodes so every node appears
+        edges += [(i, i) for i in range(n)]
+        ea = pa.array([e[0] for e in edges], pa.int64())
+        eb = pa.array([e[1] for e in edges], pa.int64())
+        ds = ray.data.from_arrow(pa.table({"id_a": ea, "id_b": eb}))
+        got = _cc_min_labels(ds)
+        got_map = dict(zip(got["node"].to_pylist(), got["label"].to_pylist()))
+        # reference union-find
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp_min: dict[int, int] = {}
+        for v in range(n):
+            r = find(v)
+            comp_min[r] = min(comp_min.get(r, v), v)
+        want = {v: comp_min[find(v)] for v in range(n)}
+        assert got_map == want, f"trial {trial}"
