@@ -24,6 +24,7 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _MONTHS = (
     "january|february|march|april|may|june|july|august|september|october"
@@ -155,15 +156,34 @@ def classify_value_cb(value) -> str:
     return "STRING"
 
 
+# Every non-STRING pattern above needs at least one digit (DATETIME / TIME /
+# FLOAT / INTEGER / DATE alternatives all contain ``\d``) or a literal dot
+# (URL's ``\.tld``, EMAIL's ``\.[A-Za-z]{2,}``), and all alternatives are
+# left-anchored — so a token with neither character is STRING without running
+# the Python regex chain. Checked vectorized via arrow's RE2 kernel.
+_PREFILTER_RE = r"[0-9.]"
+
+
 def classify_array(values) -> np.ndarray:
     """Vectorized classifier over a pyarrow array / numpy array / list.
 
-    Dedups within the batch before running the regex chain — the cost is
-    per-distinct-value, not per-row (hot-path for map_batches stages).
+    Dedups within the batch, prefilters digit/dot-free tokens straight to
+    STRING with one arrow ``match_substring_regex`` kernel, and runs the
+    Python regex chain only on the surviving distinct values — the cost is
+    per-distinct-candidate, not per-row (hot-path for map_batches stages).
     """
-    if isinstance(values, (pa.Array, pa.ChunkedArray)):
-        values = values.to_pylist()
-    values = np.asarray(values, dtype=object)
-    uniq, inv = np.unique(values, return_inverse=True)
-    labels = np.array([check_literal(v) for v in uniq], dtype=object)
+    if isinstance(values, pa.ChunkedArray):
+        arr = values.combine_chunks().cast(pa.string())
+    elif isinstance(values, pa.Array):
+        arr = values.cast(pa.string())
+    else:
+        arr = pa.array(list(values), pa.string())
+    uniq = pc.unique(arr)
+    cand = pc.match_substring_regex(uniq, _PREFILTER_RE).to_numpy(
+        zero_copy_only=False
+    )
+    uniq_np = np.asarray(uniq.to_pylist(), dtype=object)
+    labels = np.full(len(uniq_np), "STRING", dtype=object)
+    labels[cand] = [check_literal(v) for v in uniq_np[cand]]
+    inv = pc.index_in(arr, value_set=uniq).to_numpy(zero_copy_only=False)
     return labels[inv]

@@ -357,10 +357,13 @@ def literal_classify(sf_dir: str) -> pa.Table:
     docs = _docs(sf_dir, ("text",))
 
     def doc_tokens(batch: pa.Table) -> pa.Table:
-        vals = set()
-        for t in batch["text"].to_pylist():
-            vals.update(t.split(" "))
-        return pa.table({"value": pa.array(sorted(vals), pa.string())})
+        # per-batch distinct combiner, all arrow kernels: split → flatten →
+        # unique (space-split matches the reference's value tokenization)
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.unique(pc.list_flatten(pc.split_pattern(col, " ")))
+        return pa.table({"value": toks.cast(pa.string())})
 
     tok_ds = docs.map_batches(doc_tokens, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -94,3 +94,23 @@ def test_totality():
         assert check_literal(v) in {
             "DATETIME", "TIME", "URL", "EMAIL", "FLOAT", "INTEGER", "DATE", "STRING",
         }
+
+
+def test_classify_array_prefilter_parity():
+    # the digit/dot RE2 prefilter must agree with the scalar regex chain on
+    # adversarial inputs (property-based: random strings over the charset
+    # the patterns care about)
+    import random
+    import string
+
+    import numpy as np
+    import pyarrow as pa
+
+    rng = random.Random(20260817)
+    charset = string.ascii_letters + string.digits + ".@:/-–, \t\n"
+    vals = ["", ".", "@", "a@b", "example.com", "2000–present", "9.9.9.9"]
+    for _ in range(400):
+        vals.append("".join(rng.choices(charset, k=rng.randint(0, 16))))
+    got = classify_array(pa.array(vals, pa.string()))
+    want = np.array([check_literal(v) for v in vals], dtype=object)
+    assert (got == want).all()
