@@ -14,6 +14,7 @@ pipeline's shuffle volume is independent of page count.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -225,45 +226,116 @@ def page_entity_pairs(linked_rows: ray.data.Dataset) -> ray.data.Dataset:
     """
 
     def emit_pairs(batch: pa.Table) -> pa.Table:
-        pairs = _batch_pairs(batch)
-        return pa.table(
-            {
-                "subj": pa.array([p[0] for p in pairs], pa.string()),
-                "obj": pa.array([p[1] for p in pairs], pa.string()),
-            }
-        )
+        subj, obj = _batch_pairs_arrays(batch)
+        return pa.table({"subj": subj, "obj": obj})
 
     pairs_ds = linked_rows.map_batches(emit_pairs, batch_format="pyarrow")
     # global distinct — vocabulary² upper bound, tiny vs page count
     return pairs_ds.groupby(["subj", "obj"], num_partitions=16).count().select_columns(["subj", "obj"])
 
 
-def _batch_pairs(batch: pa.Table) -> list[tuple[str, str]]:
-    """Distinct ordered co-link pairs within one batch (both directions)."""
-    pairs: set[tuple[str, str]] = set()
-    for ids in batch["ids"].to_pylist():
-        uids = sorted(set(ids))
-        for i, x in enumerate(uids):
-            for y in uids[i + 1 :]:
-                pairs.add((x, y))
-    return sorted(pairs) + sorted((b, a) for a, b in pairs)
+def _col(col):
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
 
 
-def _batch_litrows(batch: pa.Table) -> list[tuple[str, str, str]]:
-    """Distinct (subj, value, datatype) literal rows within one batch."""
-    out: set[tuple[str, str, str]] = set()
-    for ms, ids, vals, dts in zip(
-        batch["linked_mentions"].to_pylist(),
-        batch["ids"].to_pylist(),
-        batch["lit_values"].to_pylist(),
-        batch["lit_datatypes"].to_pylist(),
-    ):
-        if not ids or not vals:
-            continue
-        subj = min(zip(ms, ids))[1]
-        for v, dt in zip(vals, dts):
-            out.add((subj, v, dt))
-    return sorted(out)
+def _string_ranks(flat: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Dictionary-encode a flat string array → (per-element rank, vocab
+    sorted by rank). Ranks follow Python string order, so integer-rank
+    comparisons reproduce tuple/string ``sorted()`` semantics while all the
+    per-element work stays numeric (the only per-string cost is sorting the
+    DISTINCT vocab)."""
+    enc = _col(flat).dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+    order = np.argsort(vocab)
+    rank_of = np.empty(len(vocab), dtype=np.int64)
+    rank_of[order] = np.arange(len(vocab))
+    return rank_of[codes], vocab[order]
+
+
+def _batch_pairs_arrays(batch: pa.Table) -> tuple[pa.Array, pa.Array]:
+    """Distinct ordered co-link pairs within one batch (both directions),
+    fully vectorized: per-row sorted-unique ids via one np.unique over
+    (row, rank) keys, per-row upper-triangle fan-out via repeat/cumsum
+    index arithmetic — no Python loop over rows or pairs."""
+    ids = _col(batch["ids"])
+    flat = pc.list_flatten(ids)
+    empty = pa.array([], pa.string())
+    if len(flat) == 0:
+        return empty, empty
+    parents = pc.list_parent_indices(ids).to_numpy(zero_copy_only=False)
+    ranks, vocab = _string_ranks(flat)
+    nv = len(vocab)
+    # per-row sorted unique ranks (np.unique sorts → rows contiguous,
+    # ranks ascending within each row)
+    uk = np.unique(parents.astype(np.int64) * nv + ranks)
+    row = uk // nv
+    rnk = uk % nv
+    # upper-triangle fan-out: element p of a row segment pairs with every
+    # later element of the same segment
+    seg_change = np.nonzero(np.diff(row))[0] + 1
+    starts = np.concatenate(([0], seg_change))
+    ends = np.concatenate((seg_change, [len(row)]))
+    end_per = np.repeat(ends, ends - starts)
+    pos = np.arange(len(row), dtype=np.int64)
+    reps = end_per - pos - 1
+    total = int(reps.sum())
+    if total == 0:
+        return empty, empty
+    left = np.repeat(pos, reps)
+    grp_starts = np.concatenate(([0], np.cumsum(reps)))[:-1]
+    right = np.arange(total, dtype=np.int64) - np.repeat(grp_starts, reps) + left + 1
+    # batch-level distinct over (lo, hi); np.unique order == sorted(pairs)
+    upk = np.unique(rnk[left] * nv + rnk[right])
+    a = upk // nv
+    b = upk % nv
+    rev = np.lexsort((a, b))  # reversed pairs in sorted((b, a)) order
+    subj = pa.array(np.concatenate((vocab[a], vocab[b[rev]])), pa.string())
+    obj = pa.array(np.concatenate((vocab[b], vocab[a[rev]])), pa.string())
+    return subj, obj
+
+
+def _batch_litrows_arrays(
+    batch: pa.Table,
+) -> tuple[pa.Array, pa.Array, pa.Array]:
+    """Distinct (subj, value, datatype) literal rows within one batch,
+    vectorized: the per-row subject is the id of the lexicographically
+    smallest (mention, id) pair, found by an integer lexsort over joint
+    (mention-rank, id-rank) keys; the literal fan-out is a parent-index
+    gather; the batch distinct is one np.unique over packed rank keys."""
+    ids = _col(batch["ids"])
+    lv = _col(batch["lit_values"])
+    flat_ids = pc.list_flatten(ids)
+    flat_vals = pc.list_flatten(lv)
+    empty = pa.array([], pa.string())
+    if len(flat_ids) == 0 or len(flat_vals) == 0:
+        return empty, empty, empty
+    id_par = pc.list_parent_indices(ids).to_numpy(zero_copy_only=False)
+    m_ranks, _ = _string_ranks(pc.list_flatten(_col(batch["linked_mentions"])))
+    i_ranks, i_vocab = _string_ranks(flat_ids)
+    # subj per row = id at the per-parent argmin of (mention, id)
+    joint = m_ranks * len(i_vocab) + i_ranks
+    order = np.lexsort((joint, id_par))
+    spar = id_par[order]
+    first = np.concatenate(([True], spar[1:] != spar[:-1]))
+    subj_rank = np.full(len(batch), -1, dtype=np.int64)
+    subj_rank[spar[first]] = i_ranks[order[first]]
+    # literal fan-out: gather the row subject onto each flat literal
+    lit_par = pc.list_parent_indices(lv).to_numpy(zero_copy_only=False)
+    v_ranks, v_vocab = _string_ranks(flat_vals)
+    d_ranks, d_vocab = _string_ranks(pc.list_flatten(_col(batch["lit_datatypes"])))
+    s_lit = subj_rank[lit_par]
+    keep = s_lit >= 0  # rows with no linked ids contribute nothing
+    if not keep.any():
+        return empty, empty, empty
+    nv, nd = len(v_vocab), len(d_vocab)
+    key = (s_lit[keep] * nv + v_ranks[keep]) * nd + d_ranks[keep]
+    uk = np.unique(key)  # order == sorted (subj, value, datatype) tuples
+    return (
+        pa.array(i_vocab[uk // (nv * nd)], pa.string()),
+        pa.array(v_vocab[(uk // nd) % nv], pa.string()),
+        pa.array(d_vocab[uk % nd], pa.string()),
+    )
 
 
 def cooccurrence_tables(linked_rows: ray.data.Dataset) -> tuple[pa.Table, pa.Table]:
@@ -277,23 +349,23 @@ def cooccurrence_tables(linked_rows: ray.data.Dataset) -> tuple[pa.Table, pa.Tab
     """
 
     def emit_both(batch: pa.Table) -> pa.Table:
-        pairs = _batch_pairs(batch)
-        lits = _batch_litrows(batch)
+        p_subj, p_obj = _batch_pairs_arrays(batch)
+        l_subj, l_val, l_dt = _batch_litrows_arrays(batch)
+        np_, nl = len(p_subj), len(l_subj)
+        blank_p = pa.nulls(np_, pa.string()).fill_null("")
+        blank_l = pa.nulls(nl, pa.string()).fill_null("")
         return pa.table(
             {
-                "tag": pa.array(["P"] * len(pairs) + ["L"] * len(lits), pa.string()),
-                "subj": pa.array(
-                    [p[0] for p in pairs] + [r[0] for r in lits], pa.string()
+                "tag": pa.concat_arrays(
+                    [
+                        pa.nulls(np_, pa.string()).fill_null("P"),
+                        pa.nulls(nl, pa.string()).fill_null("L"),
+                    ]
                 ),
-                "obj": pa.array(
-                    [p[1] for p in pairs] + ["" for _ in lits], pa.string()
-                ),
-                "value": pa.array(
-                    ["" for _ in pairs] + [r[1] for r in lits], pa.string()
-                ),
-                "datatype": pa.array(
-                    ["" for _ in pairs] + [r[2] for r in lits], pa.string()
-                ),
+                "subj": pa.concat_arrays([_col(p_subj), _col(l_subj)]),
+                "obj": pa.concat_arrays([_col(p_obj), blank_l]),
+                "value": pa.concat_arrays([blank_p, _col(l_val)]),
+                "datatype": pa.concat_arrays([blank_p, _col(l_dt)]),
             }
         )
 
