@@ -78,6 +78,16 @@ class MentionScanner:
         self.vocab_arrays = {
             n: pa.array(sorted(v), pa.string()) for n, v in by_width.items()
         }
+        # first tokens of all multi-token surfaces — the width>=2 prefilter:
+        # an n-gram can only match if its first token starts SOME multi-token
+        # surface, so the expensive join+is_in runs only at those (rare)
+        # start positions instead of every token position
+        firsts = {
+            s.split(" ", 1)[0] for s in vocab if " " in s
+        }
+        self.first_tokens = (
+            pa.array(sorted(firsts), pa.string()) if firsts else None
+        )
 
     @classmethod
     def for_ref(cls, vocab_ref, max_n: int) -> "MentionScanner":
@@ -102,51 +112,79 @@ class MentionScanner:
         parents = pc.list_parent_indices(toks_list).to_numpy(zero_copy_only=False)
         nflat = len(flat)
 
+        # ONE hash pass over the token stream: dictionary-encode, then run
+        # every membership test (width-1 vocab, width>=2 first-token
+        # prefilter, literal classification) on the DISTINCT dictionary and
+        # broadcast the verdicts back with integer gathers — the old scan
+        # paid a full string-hash pass per test
+        if nflat:
+            enc = flat.dictionary_encode()
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            dictv = enc.dictionary
+
         # hits: (page_idx, surface) accumulated over all window widths
         hit_pages: list[np.ndarray] = []
         hit_vals: list[pa.Array] = []
-        grams = flat
-        for width in range(1, self.max_n + 1):
-            vocab_arr = self.vocab_arrays.get(width)
-            if width > 1:
-                if nflat < width:
-                    break
-                grams = pc.binary_join_element_wise(
-                    grams.slice(0, nflat - width + 1),
-                    flat.slice(width - 1, nflat - width + 1),
-                    " ",
-                )
-            if vocab_arr is None:
-                continue
-            mask = pc.is_in(grams, value_set=vocab_arr).to_numpy(
+        # width 1: dictionary-level is_in + integer gather
+        vocab1 = self.vocab_arrays.get(1)
+        if vocab1 is not None and nflat:
+            dmask = pc.is_in(dictv, value_set=vocab1).to_numpy(
                 zero_copy_only=False
             )
-            # window must not cross a page boundary
-            if width > 1:
-                mask &= parents[: nflat - width + 1] == parents[width - 1 :]
-            idx = np.nonzero(mask)[0]
+            idx = np.nonzero(dmask[codes])[0]
             if len(idx):
                 hit_pages.append(parents[idx])
-                hit_vals.append(pc.take(grams, pa.array(idx)))
+                hit_vals.append(pc.take(flat, pa.array(idx)))
+        # widths >= 2: prefilter to positions whose token STARTS some
+        # multi-token surface — only those few positions pay the n-gram
+        # join + membership probe (vs materializing full-length gram
+        # arrays per width, the dominant memory traffic of the old scan)
+        if self.first_tokens is not None and nflat >= 2:
+            fdict = pc.is_in(dictv, value_set=self.first_tokens).to_numpy(
+                zero_copy_only=False
+            )
+            starts = np.nonzero(fdict[codes])[0]
+            for width in range(2, self.max_n + 1):
+                vocab_arr = self.vocab_arrays.get(width)
+                if vocab_arr is None or len(starts) == 0:
+                    continue
+                cand = starts[starts + width - 1 < nflat]
+                # window must not cross a page boundary
+                cand = cand[parents[cand] == parents[cand + width - 1]]
+                if len(cand) == 0:
+                    continue
+                parts = [
+                    pc.take(flat, pa.array(cand + k)) for k in range(width)
+                ]
+                grams = pc.binary_join_element_wise(*parts, " ")
+                mask = pc.is_in(grams, value_set=vocab_arr).to_numpy(
+                    zero_copy_only=False
+                )
+                idx = np.nonzero(mask)[0]
+                if len(idx):
+                    hit_pages.append(parents[cand[idx]])
+                    hit_vals.append(pc.take(grams, pa.array(idx)))
 
         page_mentions: list[set] = [set() for _ in range(npages)]
         for pages_arr, vals in zip(hit_pages, hit_vals):
             for p, v in zip(pages_arr, vals.to_pylist()):
                 page_mentions[p].add(v)
 
-        # literal tokens: classify batch-distinct tokens (memoized), then
-        # locate the (rare) non-STRING tokens back in the flat array
-        uniq = pc.unique(flat)
-        lit_tokens = [
-            t for t in uniq.to_pylist() if t and _classify(t) != "STRING"
-        ]
+        # literal tokens: classify the (memoized) dictionary values, then
+        # locate the (rare) non-STRING tokens via an integer gather on codes
         page_lits: list[set] = [set() for _ in range(npages)]
-        if lit_tokens:
-            lmask = pc.is_in(flat, value_set=pa.array(lit_tokens, pa.string()))
-            lidx = np.nonzero(lmask.to_numpy(zero_copy_only=False))[0]
-            lvals = pc.take(flat, pa.array(lidx)).to_pylist()
-            for p, v in zip(parents[lidx], lvals):
-                page_lits[p].add(v)
+        if nflat:
+            dvals = dictv.to_pylist()
+            ldict = np.fromiter(
+                (bool(t) and _classify(t) != "STRING" for t in dvals),
+                dtype=bool,
+                count=len(dvals),
+            )
+            if ldict.any():
+                lidx = np.nonzero(ldict[codes])[0]
+                lvals = pc.take(flat, pa.array(lidx)).to_pylist()
+                for p, v in zip(parents[lidx], lvals):
+                    page_lits[p].add(v)
 
         mentions_col = [sorted(s) for s in page_mentions]
         lit_sorted = [sorted(s) for s in page_lits]
