@@ -347,41 +347,54 @@ def build_kg_tables(sf_dir: str) -> dict[str, pa.Table]:
                500000, [n["n_regionkey"] for n in nation]),
     ]
 
-    # Co-order (P1) edges: distinct (order, part) → hash self-join on order —
-    # the one genuinely wide step of the synth build, expressed as Ray Data's
-    # native shuffle hash join rather than a per-group Python loop.
-    op = li.groupby(["l_orderkey", "l_partkey"], num_partitions=32).count().select_columns(
-        ["l_orderkey", "l_partkey"]
-    )
-    joined = op.join(
-        op,
-        join_type="inner",
-        num_partitions=8,
-        on=("l_orderkey",),
-        left_suffix="",
-        right_suffix="_r",
-    )
-
-    # Pair keys shuffle as packed int64 (a·2^24 + b), per-batch distinct
-    # combiner; final dedup is a numpy unique over ints — strings are built
-    # exactly once, for the already-distinct keys.
+    # Co-order (P1) edges: distinct (order, part) pairs sharing an order —
+    # the one genuinely wide step of the synth build. ONE bucket exchange:
+    # per-batch distinct packed (order·2^24 + part) int64 keys tagged with a
+    # bucket derived from the order key, groupby(bucket), then a vectorized
+    # within-run cartesian expansion per bucket (an order never straddles
+    # buckets). Replaces a groupby-distinct + Dataset.join self-join: one
+    # shuffle instead of two, no join aggregator actor pool (which cannot
+    # even start below ~4 CPUs), and only 8-byte keys on the wire.
     import numpy as np
 
     _PACK = 1 << 24  # part keys < 16M at any tested sf
+    _NBUCK = 32
+    _MIX = np.uint64(0x9E3779B97F4A7C15)
 
-    def pair_keys(batch: pa.Table) -> pa.Table:
-        a = batch["l_partkey"]
-        b = batch["l_partkey_r"]
-        keep = pc.not_equal(a, b)
-        a = pc.filter(a, keep).cast(pa.int64())
-        b = pc.filter(b, keep).cast(pa.int64())
-        key = pc.add(pc.multiply(a, _PACK), b)
-        return pa.table({"k": pc.unique(key.combine_chunks())})
+    def co_batch(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        pk = batch["l_partkey"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        k = np.unique(ok * _PACK + pk)
+        buck = (
+            ((k // _PACK).astype(np.uint64) * _MIX) >> np.uint64(56)
+        ).astype(np.int64) % _NBUCK
+        return pa.table({"k": k, "__bucket": buck})
 
+    def co_pairs(group: pa.Table) -> pa.Table:
+        k = np.unique(group["k"].to_numpy(zero_copy_only=False))
+        if len(k) == 0:
+            return pa.table({"k": pa.array([], pa.int64())})
+        ok = k // _PACK
+        pk = k % _PACK
+        bounds = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1], True])
+        counts = np.diff(bounds)  # run length per order
+        starts = bounds[:-1]
+        rep = np.repeat(counts, counts)  # output-block length per row
+        a_idx = np.repeat(np.arange(len(k)), rep)
+        total = int(rep.sum())
+        block_start = np.cumsum(rep) - rep
+        seg = np.arange(total) - np.repeat(block_start, rep)
+        b_idx = np.repeat(np.repeat(starts, counts), rep) + seg
+        keep = a_idx != b_idx
+        return pa.table({"k": np.unique(pk[a_idx[keep]] * _PACK + pk[b_idx[keep]])})
+
+    co_ds = (
+        li.map_batches(co_batch, batch_format="pyarrow")
+        .groupby("__bucket", num_partitions=_NBUCK)
+        .map_groups(co_pairs, batch_format="pyarrow")
+    )
     co_keys = np.unique(
-        _collect_arrow(joined.map_batches(pair_keys, batch_format="pyarrow"))[
-            "k"
-        ].to_numpy(zero_copy_only=False)
+        _collect_arrow(co_ds)["k"].to_numpy(zero_copy_only=False)
     )
     edge_tables.append(
         _edges(100000, co_keys // _PACK, "P1", 100000, co_keys % _PACK)
