@@ -99,6 +99,34 @@ def _collect_arrow(ds: ray.data.Dataset) -> pa.Table:
     )
 
 
+def run_cartesian_pairs(k, pack: int):
+    """Distinct ordered within-group pairs from sorted packed int64 keys.
+
+    ``k`` is a SORTED, DISTINCT array of ``group·pack + member`` keys. For
+    every run of equal group ids, emit all ordered member pairs (a, b) with
+    a ≠ b, packed as ``a·pack + b``, deduplicated. Fully vectorized: the
+    per-run cartesian expansion is built with repeat/tile index arithmetic
+    (no Python loop over groups) — the synth build's widest kernel.
+    """
+    import numpy as np
+
+    if len(k) == 0:
+        return np.empty(0, dtype=np.int64)
+    grp = k // pack
+    mem = k % pack
+    bounds = np.flatnonzero(np.r_[True, grp[1:] != grp[:-1], True])
+    counts = np.diff(bounds)  # run length per group
+    starts = bounds[:-1]
+    rep = np.repeat(counts, counts)  # output-block length per row
+    a_idx = np.repeat(np.arange(len(k)), rep)
+    total = int(rep.sum())
+    block_start = np.cumsum(rep) - rep
+    seg = np.arange(total) - np.repeat(block_start, rep)
+    b_idx = np.repeat(np.repeat(starts, counts), rep) + seg
+    keep = a_idx != b_idx
+    return np.unique(mem[a_idx[keep]] * pack + mem[b_idx[keep]])
+
+
 def _counts(ds: ray.data.Dataset, key: str) -> dict[int, int]:
     """key → row count: per-batch partial counts (combiner inside
     map_batches), merged driver-side — one streaming pass, no shuffle.
@@ -372,21 +400,7 @@ def build_kg_tables(sf_dir: str) -> dict[str, pa.Table]:
 
     def co_pairs(group: pa.Table) -> pa.Table:
         k = np.unique(group["k"].to_numpy(zero_copy_only=False))
-        if len(k) == 0:
-            return pa.table({"k": pa.array([], pa.int64())})
-        ok = k // _PACK
-        pk = k % _PACK
-        bounds = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1], True])
-        counts = np.diff(bounds)  # run length per order
-        starts = bounds[:-1]
-        rep = np.repeat(counts, counts)  # output-block length per row
-        a_idx = np.repeat(np.arange(len(k)), rep)
-        total = int(rep.sum())
-        block_start = np.cumsum(rep) - rep
-        seg = np.arange(total) - np.repeat(block_start, rep)
-        b_idx = np.repeat(np.repeat(starts, counts), rep) + seg
-        keep = a_idx != b_idx
-        return pa.table({"k": np.unique(pk[a_idx[keep]] * _PACK + pk[b_idx[keep]])})
+        return pa.table({"k": run_cartesian_pairs(k, _PACK)})
 
     co_ds = (
         li.map_batches(co_batch, batch_format="pyarrow")

@@ -90,3 +90,59 @@ def test_extract_text_equals_full_derivation(sf_dir):
     assert set(ext) == set(raw)
     for url, (text, body) in raw.items():
         assert ext[url] == (text if text is not None else body)
+
+
+# --- run_cartesian_pairs: the synth co-order pair kernel ---------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+def _naive_pairs(keys, pack):
+    """Reference implementation: per-group itertools product, a != b."""
+    from collections import defaultdict
+    import itertools
+
+    groups = defaultdict(set)
+    for k in keys:
+        groups[k // pack].add(k % pack)
+    out = set()
+    for members in groups.values():
+        for a, b in itertools.permutations(sorted(members), 2):
+            out.add(a * pack + b)
+    return sorted(out)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 30)),
+        min_size=0,
+        max_size=120,
+    )
+)
+def test_run_cartesian_pairs_matches_naive(pairs):
+    import numpy as np
+
+    from lamapi_ray import synth
+
+    pack = 1 << 24
+    keys = np.unique(
+        np.array([g * pack + m for g, m in pairs], dtype=np.int64)
+    )
+    got = synth.run_cartesian_pairs(keys, pack)
+    assert got.tolist() == _naive_pairs(keys.tolist(), pack)
+
+
+def test_run_cartesian_pairs_empty_and_singletons():
+    import numpy as np
+
+    from lamapi_ray import synth
+
+    pack = 1 << 24
+    assert synth.run_cartesian_pairs(np.empty(0, np.int64), pack).tolist() == []
+    # singleton groups emit nothing
+    keys = np.array([0 * pack + 5, 1 * pack + 9, 2 * pack + 5], np.int64)
+    assert synth.run_cartesian_pairs(keys, pack).tolist() == []
+    # one group of three: 6 ordered pairs
+    keys = np.array([7 * pack + 1, 7 * pack + 2, 7 * pack + 3], np.int64)
+    assert len(synth.run_cartesian_pairs(keys, pack)) == 6
