@@ -794,6 +794,34 @@ def oracle_sql() -> dict[str, str]:
         ") WHERE rank <= 10"
     )
 
+    # IVF ANN: centroids are the first 16 corpus vectors (deterministic),
+    # so assignment (argmax cosine, tie -> smaller centroid id) and probing
+    # (top-4 centroids per query) are plain window functions. Relational
+    # mirror of stages/annsearch.py::ivf_topk.
+    sql["ann_ivf"] = (
+        "WITH cv AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 8),\n"
+        "qv AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 8),\n"
+        "cent AS (SELECT vec_id - 8 AS cid, e FROM cv WHERE vec_id < 8 + 16),\n"
+        "assign AS (SELECT vec_id, cid FROM (\n"
+        "  SELECT c.vec_id, cent.cid,\n"
+        "    row_number() OVER (PARTITION BY c.vec_id ORDER BY\n"
+        "      list_cosine_similarity(c.e, cent.e) DESC, cent.cid ASC) AS rn\n"
+        "  FROM cv c CROSS JOIN cent) WHERE rn = 1),\n"
+        "probe AS (SELECT vec_id AS query_id, cid FROM (\n"
+        "  SELECT q.vec_id, cent.cid,\n"
+        "    row_number() OVER (PARTITION BY q.vec_id ORDER BY\n"
+        "      list_cosine_similarity(q.e, cent.e) DESC, cent.cid ASC) AS rn\n"
+        "  FROM qv q CROSS JOIN cent) WHERE rn <= 4)\n"
+        "SELECT query_id, neighbor_id, rank, round_even(cos, 6) AS cosine FROM (\n"
+        "  SELECT p.query_id, a.vec_id AS neighbor_id,\n"
+        "    row_number() OVER (PARTITION BY p.query_id ORDER BY\n"
+        "      list_cosine_similarity(cv.e, qv.e) DESC, a.vec_id ASC) AS rank,\n"
+        "    list_cosine_similarity(cv.e, qv.e) AS cos\n"
+        "  FROM probe p JOIN assign a ON a.cid = p.cid\n"
+        "  JOIN cv ON cv.vec_id = a.vec_id JOIN qv ON qv.vec_id = p.query_id\n"
+        ") WHERE rank <= 10"
+    )
+
     sql["embedding_near_dup"] = (
         "WITH dupe AS (\n"
         "  SELECT vec_id, embedding FROM embeddings\n"
@@ -1195,6 +1223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint",
         "ann_cosine",
         "ann_lsh",
+        "ann_ivf",
         "embedding_near_dup",
         "embedding_near_dup_lsh",
         "window_events",

@@ -16,7 +16,7 @@ import ray.data
 
 from lamapi_ray.functions.literals import XML_DATATYPES, classify_array
 from lamapi_ray.functions.text import round_ref
-from lamapi_ray.stages.annsearch import cosine_topk, lsh_topk
+from lamapi_ray.stages.annsearch import cosine_topk, ivf_topk, lsh_topk
 from lamapi_ray.stages.dedup import (
     exact_dedup,
     minhash_clusters,
@@ -170,6 +170,29 @@ def ann_cosine(sf_dir: str) -> pa.Table:
 def ann_lsh(sf_dir: str) -> pa.Table:
     q, qids = _queries_matrix(sf_dir)
     return lsh_topk(_corpus_ds(sf_dir), q, qids, k=10)
+
+
+def ann_ivf(sf_dir: str, n_centroids: int = 16, n_probe: int = 4) -> pa.Table:
+    """IVF ANN over the embeddings corpus; centroids = the first
+    ``n_centroids`` corpus vectors (deterministic, so the DuckDB oracle
+    reproduces assignment + probing exactly)."""
+    import pyarrow.parquet as pq
+
+    q, qids = _queries_matrix(sf_dir)
+    n_q = 8
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cent_tbl = tbl.filter(
+        pc.and_(
+            pc.greater_equal(tbl["vec_id"], n_q),
+            pc.less(tbl["vec_id"], n_q + n_centroids),
+        )
+    ).sort_by("vec_id")
+    centroids = np.asarray(cent_tbl["embedding"].to_pylist(), dtype=np.float64)
+    return ivf_topk(
+        _corpus_ds(sf_dir), q, qids, centroids, k=10, n_probe=n_probe
+    )
 
 
 # --- windowed aggregate ---------------------------------------------------

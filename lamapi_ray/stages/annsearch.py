@@ -5,10 +5,14 @@
   matmul against it and emits its LOCAL top-k per query; the driver merges
   the per-batch top-k lists (k × #queries × #blocks rows — tiny). The
   corpus streams; nothing corpus-sized is materialized.
-* :func:`lsh_topk` — the scale path: 16 seeded random hyperplanes bucket
+* :func:`lsh_topk` — a scale path: 16 seeded random hyperplanes bucket
   both corpus and queries by sign pattern; candidates probe only matching
   buckets (multi-probe over Hamming-1 neighbors), then exact cosine on the
-  candidate set. Approximate by construction → rows-only check.
+  candidate set.
+* :func:`ivf_topk` — the other scale path: inverted-file coarse
+  quantization (assign each corpus vector to its nearest centroid, probe
+  the queries' ``n_probe`` nearest lists, exact rerank inside probed
+  lists). Deterministic centroids make it fully oracle-checkable.
 """
 
 from __future__ import annotations
@@ -172,6 +176,116 @@ def lsh_topk(
 
 
 _PLANE_CACHE: dict = {}
+
+
+def ivf_topk(
+    corpus: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """IVF-bucketed approximate top-k: coarse quantize, probe, exact rerank.
+
+    The classic inverted-file ANN layout (Jégou et al., "Product
+    quantization for nearest neighbor search", the IVF part): every corpus
+    vector is ASSIGNED to its nearest centroid by cosine (tie → smaller
+    centroid index); each query PROBES its ``n_probe`` nearest centroids and
+    reranks only vectors assigned to a probed list with exact cosine.
+
+    Scale shape: centroids (a few KB–MB) broadcast once via ``ray.put``;
+    the corpus streams through one ``map_batches`` that does two dense
+    matmuls per batch (assign + query scores) and emits per-batch local
+    top-k; the driver merges k × #queries × #blocks rows. At 10⁹ vectors,
+    grow ``n_centroids ∝ √n`` so each inverted list stays ~√n — the probed
+    fraction (and thus rerank work) drops as n grows, unlike brute force.
+    Centroid choice here is deterministic (caller passes them; the bench/
+    query wrappers use the first-C corpus vectors) so the DuckDB oracle can
+    reproduce assignment and probing relationally.
+    """
+    qn = _normalize_rows(queries.astype(np.float64))
+    cn = _normalize_rows(centroids.astype(np.float64))
+    # top-n_probe centroids per query, ties to the smaller centroid index:
+    # lexsort on (-sim, idx) gives the engine/SQL-identical probe order.
+    q_cent = qn @ cn.T  # (Q, C)
+    n_c = cn.shape[0]
+    probe = np.zeros((n_c, qn.shape[0]), dtype=bool)  # centroid -> queries
+    for qi in range(qn.shape[0]):
+        order = np.lexsort((np.arange(n_c), -q_cent[qi]))
+        probe[order[: min(n_probe, n_c)], qi] = True
+    refs = (ray.put(cn), ray.put(qn), ray.put(probe))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        cn_l, qn_l, probe_l = (ray.get(r) for r in refs)
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        m = _normalize_rows(_batch_matrix(batch, vec_col))
+        assign = np.argmax(m @ cn_l.T, axis=1)  # first max = smaller cid
+        hit_any = probe_l[assign].any(axis=1)
+        if not hit_any.any():
+            return pa.table(
+                {
+                    "qi": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "cos": pa.array([], pa.float64()),
+                }
+            )
+        ids = ids[hit_any]
+        m = m[hit_any]
+        assign = assign[hit_any]
+        sims = m @ qn_l.T  # (n_kept, Q)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(qn_l.shape[0]):
+            cand = np.flatnonzero(probe_l[assign, qi])
+            if len(cand) == 0:
+                continue
+            col = sims[cand, qi]
+            top = min(k, len(cand))
+            sel = (
+                cand[np.argpartition(-col, top - 1)[:top]]
+                if top < len(cand)
+                else cand
+            )
+            out_q.extend([qi] * len(sel))
+            out_n.extend(ids[sel].tolist())
+            out_s.extend(sims[sel, qi].tolist())
+        return pa.table(
+            {
+                "qi": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cos": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partial = corpus.map_batches(
+        local_topk, batch_format="pyarrow", zero_copy_batch=True
+    )
+    merged: dict[int, list] = {}
+    for b in partial.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for qi, nid, cos in zip(
+            b["qi"].to_pylist(), b["neighbor_id"].to_pylist(), b["cos"].to_pylist()
+        ):
+            heapq.heappush(merged.setdefault(qi, []), (cos, -nid))
+            if len(merged[qi]) > k:
+                heapq.heappop(merged[qi])
+    rows_q, rows_n, rows_r, rows_c = [], [], [], []
+    for qi in sorted(merged):
+        ordered = sorted(merged[qi], key=lambda t: (-t[0], -t[1]))
+        for rank, (cos, neg_nid) in enumerate(ordered, 1):
+            rows_q.append(int(query_ids[qi]))
+            rows_n.append(-neg_nid)
+            rows_r.append(rank)
+            rows_c.append(round_ref(cos, 6))
+    return pa.table(
+        {
+            "query_id": pa.array(rows_q, pa.int64()),
+            "neighbor_id": pa.array(rows_n, pa.int64()),
+            "rank": pa.array(rows_r, pa.int64()),
+            "cosine": pa.array(rows_c, pa.float64()),
+        }
+    )
 
 
 def _hyperplanes(dim: int, planes: int, seed: int) -> np.ndarray:

@@ -255,3 +255,53 @@ def test_resize_and_frame_sample_stages():
         assert fr["mean_pixel"][row].as_py() == pytest.approx(
             float(clip[f].mean()), abs=1e-4
         )
+
+
+def test_ivf_topk_probed_rerank_matches_naive():
+    """IVF result == naive recompute of the same contract (assign to argmax
+    centroid, probe top-n_probe lists per query, exact cosine rerank)."""
+    from lamapi_ray.stages.annsearch import ivf_topk
+
+    tbl, emb = _corpus(n=80, d=12, seed=11)
+    ds = ray.data.from_arrow(tbl)
+    queries = emb[:3] + 0.002
+    qids = np.array([100, 101, 102])
+    centroids = emb[:8]  # deterministic: first 8 corpus vectors
+    got = ivf_topk(ds, queries, qids, centroids, k=5, n_probe=3)
+
+    def norm(m):
+        m = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
+        return m
+
+    cn, qn, mn = norm(centroids.astype(float)), norm(queries.astype(float)), norm(emb.astype(float))
+    assign = np.argmax(mn @ cn.T, axis=1)
+    rows = []
+    for qi in range(3):
+        sims = qn[qi] @ cn.T
+        probed = np.lexsort((np.arange(len(cn)), -sims))[:3]
+        cand = np.flatnonzero(np.isin(assign, probed))
+        cos = mn[cand] @ qn[qi]
+        order = sorted(zip(-cos, cand))[:5]
+        for rank, (negc, ci) in enumerate(order, 1):
+            rows.append((int(qids[qi]), int(ci), rank))
+    got_rows = list(
+        zip(
+            got["query_id"].to_pylist(),
+            got["neighbor_id"].to_pylist(),
+            got["rank"].to_pylist(),
+        )
+    )
+    assert sorted(got_rows) == sorted(rows)
+
+
+def test_ivf_topk_probe_wider_than_centroids_is_exact():
+    """n_probe >= n_centroids degrades to exact brute force."""
+    from lamapi_ray.stages.annsearch import cosine_topk, ivf_topk
+
+    tbl, emb = _corpus(n=50, d=10, seed=5)
+    ds = ray.data.from_arrow(tbl)
+    queries = emb[:2] + 0.001
+    qids = np.array([0, 1])
+    exact = cosine_topk(ds, queries, qids, k=5)
+    ivf = ivf_topk(ds, queries, qids, emb[:4], k=5, n_probe=4)
+    assert exact.to_pylist() == ivf.to_pylist()
