@@ -411,7 +411,12 @@ def literal_classify(sf_dir: str) -> pa.Table:
         ).to_pylist()
         return pa.table({"value": pa.array(sorted(set(qty + dates)), pa.string())})
 
-    li_ds = li.map_batches(li_vals, batch_format="pyarrow", zero_copy_batch=True)
+    # 64k-row batches: the combiner's output is (distinct domain) × (#batches),
+    # so bigger batches shrink the distinct shuffle ~40× (160k → 4k rows at
+    # sf0.1) for the same streaming memory envelope (2 narrow columns).
+    li_ds = li.map_batches(
+        li_vals, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
+    )
 
     distinct = (
         tok_ds.union(orders).union(li_ds).groupby("value", num_partitions=16).count().select_columns(["value"])
