@@ -86,7 +86,7 @@ def classify_columns(
             batch_format="pyarrow",
             zero_copy_batch=True,
             fn_constructor_kwargs={"model_type": model_type},
-            concurrency=concurrency,
+            concurrency=(1, concurrency),
             batch_size=batch_size,
         )
         .groupby(["column", "datatype"])

@@ -160,12 +160,17 @@ def decode_payloads(
     batch_size: int = 64,
     mode: str = "fake",
 ) -> ray.data.Dataset:
+    # (1, N) autoscaling pool, not a fixed N: a fixed pool reserves all its
+    # CPUs up front and can starve the upstream read operator into a
+    # deadlock when the cluster has <= N CPUs (observed at num_cpus=2);
+    # min=1 always leaves room for the producer, max=N keeps full-width
+    # decode throughput on big nodes.
     return payloads.map_batches(
         PayloadDecoder,
         batch_format="pyarrow",
         zero_copy_batch=True,
         fn_constructor_kwargs={"mode": mode},
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
         batch_size=batch_size,
     )
 
@@ -237,7 +242,7 @@ def resize_payloads(payloads: ray.data.Dataset, width=224, height=224,
         batch_format="pyarrow",
         zero_copy_batch=True,
         fn_constructor_kwargs={"width": width, "height": height},
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
         batch_size=batch_size,
     )
 
@@ -249,6 +254,6 @@ def sample_frames(payloads: ray.data.Dataset, stride=2,
         batch_format="pyarrow",
         zero_copy_batch=True,
         fn_constructor_kwargs={"stride": stride},
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
         batch_size=batch_size,
     )

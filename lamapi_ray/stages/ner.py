@@ -134,6 +134,6 @@ def ner_pages(
         NERActor,
         batch_format="pyarrow",
         fn_constructor_args=(gz_ref,),
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
         batch_size=512,
     )
