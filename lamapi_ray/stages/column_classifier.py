@@ -23,6 +23,7 @@ import pyarrow as pa
 import ray.data
 
 from lamapi_ray.functions.literals import XML_DATATYPES, check_literal
+from lamapi_ray.stages.pool import pool_width
 
 
 class ColumnClassifierModel:
@@ -86,7 +87,7 @@ def classify_columns(
             batch_format="pyarrow",
             zero_copy_batch=True,
             fn_constructor_kwargs={"model_type": model_type},
-            concurrency=(1, concurrency),
+            concurrency=pool_width(concurrency),
             batch_size=batch_size,
         )
         .groupby(["column", "datatype"])

@@ -32,6 +32,7 @@ from lamapi_ray.functions.imagecodec import (
     resize_nearest,
     sniff_format,
 )
+from lamapi_ray.stages.pool import pool_width
 
 
 class PayloadDecoder:
@@ -160,17 +161,17 @@ def decode_payloads(
     batch_size: int = 64,
     mode: str = "fake",
 ) -> ray.data.Dataset:
-    # (1, N) autoscaling pool, not a fixed N: a fixed pool reserves all its
-    # CPUs up front and can starve the upstream read operator into a
-    # deadlock when the cluster has <= N CPUs (observed at num_cpus=2);
-    # min=1 always leaves room for the producer, max=N keeps full-width
-    # decode throughput on big nodes.
+    # Cluster-aware pool bounds (see stages/pool.py): a fixed-width pool
+    # reserves all its CPUs up front and can starve the upstream read
+    # operator into a deadlock when the cluster has <= N CPUs (observed at
+    # num_cpus=2); pool_width caps the floor at cpus-1 so the producer
+    # always has a slot while big nodes still start at full width.
     return payloads.map_batches(
         PayloadDecoder,
         batch_format="pyarrow",
         zero_copy_batch=True,
         fn_constructor_kwargs={"mode": mode},
-        concurrency=(1, concurrency),
+        concurrency=pool_width(concurrency),
         batch_size=batch_size,
     )
 
@@ -242,7 +243,7 @@ def resize_payloads(payloads: ray.data.Dataset, width=224, height=224,
         batch_format="pyarrow",
         zero_copy_batch=True,
         fn_constructor_kwargs={"width": width, "height": height},
-        concurrency=(1, concurrency),
+        concurrency=pool_width(concurrency),
         batch_size=batch_size,
     )
 
@@ -254,6 +255,6 @@ def sample_frames(payloads: ray.data.Dataset, stride=2,
         batch_format="pyarrow",
         zero_copy_batch=True,
         fn_constructor_kwargs={"stride": stride},
-        concurrency=(1, concurrency),
+        concurrency=pool_width(concurrency),
         batch_size=batch_size,
     )

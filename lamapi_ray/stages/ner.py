@@ -23,6 +23,7 @@ from __future__ import annotations
 import pyarrow as pa
 import ray
 import ray.data
+from lamapi_ray.stages.pool import pool_width
 
 SPACY_LABEL_MAP = {
     "PERSON": "PERS",
@@ -134,6 +135,6 @@ def ner_pages(
         NERActor,
         batch_format="pyarrow",
         fn_constructor_args=(gz_ref,),
-        concurrency=(1, concurrency),
+        concurrency=pool_width(concurrency),
         batch_size=512,
     )
