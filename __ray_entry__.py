@@ -559,6 +559,18 @@ def oracle_sql() -> dict[str, str]:
         "QUALIFY row_number() OVER (ORDER BY g.cnt DESC, g.predicate ASC) <= 3"
     )
 
+    # O3 rank_order="asc" branch (summary_retriever.py:17-21)
+    sql["summary_topk_asc"] = _with(
+        SQL_ITEMS,
+        SQL_ADJACENCY,
+        "g AS (SELECT pred AS predicate, count(*) AS cnt FROM adjacency GROUP BY 1)",
+    ) + (
+        "SELECT g.predicate, coalesce(i.label, 'Unknown Label') AS label,\n"
+        '       g.cnt AS "count"\n'
+        "FROM g LEFT JOIN items i ON i.entity = g.predicate\n"
+        "QUALIFY row_number() OVER (ORDER BY g.cnt ASC, g.predicate ASC) <= 3"
+    )
+
     # --- training-data operators ------------------------------------------
 
     sql["dedup_exact"] = _with(SQL_DUP_EXACT) + (
@@ -1302,15 +1314,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def summary_topk(sf_dir: str):
         """Top-3 predicates by usage (desc, id tie-break) — O3 semantics."""
+        from lamapi_ray.pipelines.summary import summary_topk as _topk
+
         r = _results(sf_dir)
         tbl = r["summary_objects"].select(["predicate", "label", "count"])
-        order = pa.compute.sort_indices(
-            tbl,
-            sort_keys=[("count", "descending"), ("predicate", "ascending")],
-        )
-        return tbl.take(order[:3])
+        return _topk(tbl, k=3, rank_order="desc")
 
     out["summary_topk"] = summary_topk
+
+    def summary_topk_asc(sf_dir: str):
+        """Bottom-3 predicates — the reference's ``rank_order="asc"`` branch
+        (summary_retriever.py:17-21; api/server.py:689-699)."""
+        from lamapi_ray.pipelines.summary import summary_topk as _topk
+
+        r = _results(sf_dir)
+        tbl = r["summary_objects"].select(["predicate", "label", "count"])
+        return _topk(tbl, k=3, rank_order="asc")
+
+    out["summary_topk_asc"] = summary_topk_asc
 
     def mention_counts(sf_dir: str):
         """Salted two-stage groupby over the skewed surface-form key."""

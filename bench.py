@@ -61,16 +61,24 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     dctx.enable_progress_bars = False
     dctx.execution_options.preserve_order = False
 
-    # warm the OS page cache + worker import graph (untimed)
+    # warm the OS page cache + worker import graph + Ray's groupby/aggregate
+    # machinery (untimed) — the first shuffle in a fresh session otherwise
+    # pays actor-pool spawn + import inside a timed query (dedup_minhash was
+    # ~0.9 s slower on the cold first run than steady-state before this)
     import ray.data as _rd
 
     def _warm(b):
+        import lamapi_ray.pipelines.extras  # noqa: F401
         import lamapi_ray.pipelines.kg  # noqa: F401
+        import lamapi_ray.stages.annsearch  # noqa: F401
+        import lamapi_ray.stages.dedup  # noqa: F401
         return b
 
-    _rd.range(2 * num_cpus, override_num_blocks=2 * num_cpus).map_batches(
+    warm = _rd.range(2 * num_cpus, override_num_blocks=2 * num_cpus).map_batches(
         _warm
-    ).materialize()
+    )
+    # a tiny groupby drives the all-to-all/aggregator path once
+    warm.groupby("id").count().materialize()
     _rd.read_parquet(f"{sf_dir}/documents.parquet").materialize()
 
     from lamapi_ray import synth

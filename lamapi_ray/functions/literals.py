@@ -161,7 +161,11 @@ def classify_value_cb(value) -> str:
 # (URL's ``\.tld``, EMAIL's ``\.[A-Za-z]{2,}``), and all alternatives are
 # left-anchored — so a token with neither character is STRING without running
 # the Python regex chain. Checked vectorized via arrow's RE2 kernel.
-_PREFILTER_RE = r"[0-9.]"
+# NB: the Python patterns use ``\d`` == Unicode decimal digits (re.UNICODE
+# default), so the RE2 prefilter must include ``\p{Nd}`` too — plain
+# ``[0-9.]`` would misroute e.g. '٤٢' or fullwidth '４２' to STRING while
+# check_literal calls them INTEGER.
+_PREFILTER_RE = r"[0-9.\p{Nd}]"
 
 
 def classify_array(values) -> np.ndarray:

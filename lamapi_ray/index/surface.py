@@ -460,10 +460,40 @@ class SurfaceIndex:
             mention, self.hit_rows(idx, shared), limit, fuzzy=fuzzy
         )
 
+    def candidate_arrays(
+        self,
+        mention: str,
+        limit: int = 1000,
+        fuzzy: bool = False,
+        kind: str | None = None,
+        nertype: str | None = None,
+        types: str | None = None,
+    ) -> dict | None:
+        """Column-array variant of :meth:`candidates` (same kernel) — one
+        numpy array per candidate field, for batch assemblers that
+        concatenate instead of appending per-candidate dicts."""
+        idx, shared = self._hit_set(
+            mention, fuzzy=fuzzy, kind=kind, nertype=nertype, types=types
+        )
+        if len(idx) == 0:
+            return None
+        return score_hit_rows_arrays(
+            mention, self.hit_rows(idx, shared), limit, fuzzy=fuzzy
+        )
 
-def score_hit_rows(
+
+def _round_arr(a: np.ndarray, nd: int) -> np.ndarray:
+    """Vectorized :func:`round_ref` — same ``%.NDf`` correctly-rounded
+    formatting applied element-wise (np.char.mod uses CPython's ``%``), so
+    values are bit-identical to the scalar path / DuckDB printf oracle."""
+    if len(a) == 0:
+        return a.astype(np.float64)
+    return np.char.mod(f"%.{nd}f", a.astype(np.float64)).astype(np.float64)
+
+
+def score_hit_rows_arrays(
     mention: str, rows: dict, limit: int = 1000, fuzzy: bool = False
-) -> list[dict]:
+) -> dict | None:
     """Order + score an UNORDERED hit-row set for one mention — the shared
     scoring kernel of the broadcast path (:meth:`SurfaceIndex.candidates`)
     and the sharded path (stages/candidates_sharded.py), guaranteeing the
@@ -475,7 +505,12 @@ def score_hit_rows(
     (popularity, match, id, surface) order, the ``limit`` truncation, A5
     ambiguity features, F1-F3 scores, O4 rank scores, and A6 per-entity
     dedup — formulas per reference lookup_retriever.py:118-182 +
-    elastic.py:49-63."""
+    elastic.py:49-63.
+
+    Returns column → numpy array (one element per surviving candidate, in
+    the reference's first-occurrence-of-id order), or ``None`` when the
+    hit set is empty — so batch assemblers can concatenate arrays instead
+    of appending per-candidate Python dicts."""
     mtokens = mention.split(" ")
     shared = rows["shared"].astype(np.float64)
     denom = np.maximum(rows["ntoken"], max(len(mtokens), 1)).astype(np.float64)
@@ -488,10 +523,10 @@ def score_hit_rows(
     r = {k: v[order] for k, v in rows.items()}
     match = score[order]
     n = len(order)
+    if n == 0:
+        return None
 
     mset = set(mtokens)
-    ntoken_mention = len(mtokens)
-    length_mention = len(mention)
 
     # A5 ambiguity features over the (ordered, truncated) hit list
     exact = r["norm"] == mention
@@ -504,33 +539,73 @@ def score_hit_rows(
     corrects = round_ref(len(mset & hit_tokens) / len(mset), 3)
 
     max_match = float(match.max())
-    history: dict[str, dict] = {}
+
+    # F1-F3 per rank (scored_pair is lru-cached on the (surface, mention)
+    # pair, so repeated surfaces cost one DP each)
+    eds = np.empty(n, np.float64)
+    jacs = np.empty(n, np.float64)
+    jac3s = np.empty(n, np.float64)
+    norms = r["norm"]
     for rank in range(n):
-        label_clean = r["norm"][rank]
-        ed, jac, jac3 = scored_pair(label_clean, mention)
-        eid = r["id"][rank]
-        prev = history.get(eid)
-        if prev is not None and (ed + jac) <= (prev["ed_score"] + prev["jaccard_score"]):
-            continue
-        history[eid] = {
-            "id": eid,
-            "name": r["name"][rank],
-            "description": r["description"][rank],
-            "types": r["types_str"][rank],
-            "type_names": r["type_names"][rank],
-            "kind": r["kind"][rank],
-            "NERtype": r["nertype"][rank],
-            "ambiguity_mention": ambiguity,
-            "corrects_tokens": corrects,
-            "ntoken_mention": ntoken_mention,
-            "ntoken_entity": int(r["ntoken"][rank]),
-            "length_mention": length_mention,
-            "length_entity": int(r["length"][rank]),
-            "popularity": float(r["popularity"][rank]),
-            "pos_score": round_ref((rank + 1) / n, 3),
-            "es_score": round_ref(float(match[rank]) / max_match, 3),
-            "ed_score": ed,
-            "jaccard_score": jac,
-            "jaccardNgram_score": jac3,
-        }
-    return list(history.values())
+        eds[rank], jacs[rank], jac3s[rank] = scored_pair(norms[rank], mention)
+
+    # A6 per-entity dedup: keep max (ed+jac) per id, FIRST rank on ties;
+    # output order = first-occurrence order of ids (the reference's
+    # history-dict insertion-order semantics, lookup_retriever.py:177-180)
+    key = eds + jacs
+    ids = r["id"]
+    sel: dict = {}
+    for rank in range(n):
+        prev = sel.get(ids[rank])
+        if prev is None or key[rank] > key[prev]:
+            sel[ids[rank]] = rank
+    w = np.fromiter(sel.values(), dtype=np.int64, count=len(sel))
+    nw = len(w)
+    return {
+        "id": ids[w],
+        "name": r["name"][w],
+        "description": r["description"][w],
+        "types": r["types_str"][w],
+        "type_names": r["type_names"][w],
+        "kind": r["kind"][w],
+        "NERtype": r["nertype"][w],
+        "ambiguity_mention": np.full(nw, float(ambiguity), np.float64),
+        "corrects_tokens": np.full(nw, float(corrects), np.float64),
+        "ntoken_mention": np.full(nw, len(mtokens), np.int64),
+        "ntoken_entity": r["ntoken"][w].astype(np.int64, copy=False),
+        "length_mention": np.full(nw, len(mention), np.int64),
+        "length_entity": r["length"][w].astype(np.int64, copy=False),
+        "popularity": r["popularity"][w].astype(np.float64, copy=False),
+        "pos_score": _round_arr((w + 1).astype(np.float64) / n, 3),
+        "es_score": _round_arr(match[w] / max_match, 3),
+        "ed_score": eds[w],
+        "jaccard_score": jacs[w],
+        "jaccardNgram_score": jac3s[w],
+    }
+
+
+def score_hit_rows(
+    mention: str, rows: dict, limit: int = 1000, fuzzy: bool = False
+) -> list[dict]:
+    """List-of-dicts view of :func:`score_hit_rows_arrays` (same kernel)."""
+    cols = score_hit_rows_arrays(mention, rows, limit, fuzzy=fuzzy)
+    if cols is None:
+        return []
+    keys = list(cols.keys())
+    out = []
+    for i in range(len(cols["id"])):
+        d = {k: cols[k][i] for k in keys}
+        d["ntoken_entity"] = int(d["ntoken_entity"])
+        d["length_entity"] = int(d["length_entity"])
+        d["popularity"] = float(d["popularity"])
+        d["pos_score"] = float(d["pos_score"])
+        d["es_score"] = float(d["es_score"])
+        d["ed_score"] = float(d["ed_score"])
+        d["jaccard_score"] = float(d["jaccard_score"])
+        d["jaccardNgram_score"] = float(d["jaccardNgram_score"])
+        d["ambiguity_mention"] = float(d["ambiguity_mention"])
+        d["corrects_tokens"] = float(d["corrects_tokens"])
+        d["ntoken_mention"] = int(d["ntoken_mention"])
+        d["length_mention"] = int(d["length_mention"])
+        out.append(d)
+    return out

@@ -146,8 +146,10 @@ def _queries_matrix(sf_dir: str, n: int = 8):
 
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     flt = tbl.filter(pc.less(tbl["vec_id"], n)).sort_by("vec_id")
-    q = np.asarray(flt["embedding"].to_pylist(), dtype=np.float64)
-    qids = np.asarray(flt["vec_id"].to_pylist(), dtype=np.int64)
+    from lamapi_ray.stages.annsearch import _emb_matrix, _ids_array
+
+    q = _emb_matrix(flt, "embedding")
+    qids = _ids_array(flt, "vec_id")
     return q, qids
 
 
@@ -189,7 +191,9 @@ def ann_ivf(sf_dir: str, n_centroids: int = 16, n_probe: int = 4) -> pa.Table:
             pc.less(tbl["vec_id"], n_q + n_centroids),
         )
     ).sort_by("vec_id")
-    centroids = np.asarray(cent_tbl["embedding"].to_pylist(), dtype=np.float64)
+    from lamapi_ray.stages.annsearch import _emb_matrix
+
+    centroids = _emb_matrix(cent_tbl, "embedding")
     return ivf_topk(
         _corpus_ds(sf_dir), q, qids, centroids, k=10, n_probe=n_probe
     )
@@ -220,22 +224,21 @@ def window_events(sf_dir: str) -> pa.Table:
 
     from ray.data.aggregate import Count, Sum
 
-    agg = (
+    # finish streams through Arrow batches (the house `_collect` path) —
+    # group count = event_types × hours grows with the corpus time span, so
+    # no driver-side pandas materialization; at 100 TB swap `_collect` for a
+    # `write_parquet` of the same Dataset.
+    agg = _collect(
         ev.map_batches(add_window, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["event_type", "window_us"], num_partitions=16)
         .aggregate(Count(alias_name="n_events"), Sum("cents", alias_name="sum_value_cents"))
-        .to_pandas()
     )
     return pa.table(
         {
-            "event_type": pa.array(agg["event_type"], pa.string()),
-            "window_start": pa.array(
-                agg["window_us"].astype("int64"), pa.int64()
-            ).cast(pa.timestamp("us")),
-            "n_events": pa.array(agg["n_events"].astype("int64"), pa.int64()),
-            "sum_value_cents": pa.array(
-                agg["sum_value_cents"].astype("int64"), pa.int64()
-            ),
+            "event_type": agg["event_type"].cast(pa.string()),
+            "window_start": agg["window_us"].cast(pa.int64()).cast(pa.timestamp("us")),
+            "n_events": agg["n_events"].cast(pa.int64()),
+            "sum_value_cents": agg["sum_value_cents"].cast(pa.int64()),
         }
     )
 
@@ -549,8 +552,8 @@ def predicates_pairs(sf_dir: str, adjacency: pa.Table) -> pa.Table:
             return pa.table(
                 {"px": pa.array([], pa.int64()), "py": pa.array([], pa.int64())}
             )
-        ok = np.asarray(group["l_orderkey"].to_pylist(), dtype=np.int64)
-        pk = np.asarray(group["l_partkey"].to_pylist(), dtype=np.int64)
+        ok = group["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        pk = group["l_partkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
         order = np.lexsort((pk, ok))
         ok, pk = ok[order], pk[order]
         keep = np.concatenate([[True], (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])])

@@ -77,3 +77,25 @@ def predicate_summary(
         ("countNormZScore", pa.float64()),
     ]
     return pa.table({k: pa.array(out[k], t) for k, t in fields})
+
+
+def summary_topk(
+    summary: pa.Table, k: int = 10, rank_order: str = "desc"
+) -> pa.Table:
+    """Top-k summary rows by ``count`` — O3 parity with the reference's
+    ``summary_retriever.py:17-21`` / ``api/server.py:689-699``, which take
+    ``rank_order`` ∈ {"asc", "desc"} (Mongo sort on ``count``) and a row
+    limit ``k``. Tie-break: predicate ascending (deterministic stand-in for
+    Mongo's unspecified tie order — documented deviation)."""
+    if rank_order not in ("asc", "desc"):
+        raise ValueError(f"rank_order must be 'asc' or 'desc', got {rank_order!r}")
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(
+        summary,
+        sort_keys=[
+            ("count", "ascending" if rank_order == "asc" else "descending"),
+            ("predicate", "ascending"),
+        ],
+    )
+    return summary.take(order[:k])

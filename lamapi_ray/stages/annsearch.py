@@ -33,9 +33,21 @@ def _normalize_rows(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
-def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+def _ids_array(batch: pa.Table, col: str) -> np.ndarray:
+    """Int id column → numpy without per-element Python objects."""
     arr = batch[col]
-    return np.asarray(arr.to_pylist(), dtype=np.float64)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return arr.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+
+
+_EMPTY_TOPK = pa.table(
+    {
+        "qi": pa.array([], pa.int64()),
+        "neighbor_id": pa.array([], pa.int64()),
+        "cos": pa.array([], pa.float64()),
+    }
+)
 
 
 def cosine_topk(
@@ -52,23 +64,32 @@ def cosine_topk(
 
     def local_topk(batch: pa.Table) -> pa.Table:
         q = ray.get(q_ref)
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-        m = _normalize_rows(_batch_matrix(batch, vec_col))
+        n = len(batch)
+        if n == 0:
+            return _EMPTY_TOPK
+        ids = _ids_array(batch, id_col)
+        m = _normalize_rows(_emb_matrix(batch, vec_col))
         sims = m @ q.T  # (n_batch, n_queries)
         out_q, out_n, out_s = [], [], []
-        top = min(k, len(ids))
+        top = min(k, n)
         for qi in range(q.shape[0]):
             col = sims[:, qi]
-            sel = np.argpartition(-col, top - 1)[:top] if top < len(ids) else np.arange(len(ids))
-            for j in sel:
-                out_q.append(qi)
-                out_n.append(ids[j])
-                out_s.append(col[j])
+            # keep boundary TIES too (col >= kth largest) so local pruning
+            # never drops a candidate the (cos DESC, id ASC) merge/oracle
+            # would have preferred over an equal-cosine survivor
+            sel = (
+                np.flatnonzero(col >= np.partition(col, n - top)[n - top])
+                if top < n
+                else np.arange(n)
+            )
+            out_q.append(np.full(len(sel), qi, np.int64))
+            out_n.append(ids[sel])
+            out_s.append(col[sel])
         return pa.table(
             {
-                "qi": pa.array(out_q, pa.int64()),
-                "neighbor_id": pa.array(out_n, pa.int64()),
-                "cos": pa.array(out_s, pa.float64()),
+                "qi": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "cos": pa.array(np.concatenate(out_s), pa.float64()),
             }
         )
 
@@ -132,21 +153,32 @@ def lsh_topk(
 
     def candidates(batch: pa.Table) -> pa.Table:
         hp_l, qn_l, wanted_l = (ray.get(r) for r in refs)
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-        m = _normalize_rows(_batch_matrix(batch, vec_col))
+        if len(batch) == 0:
+            return _EMPTY_TOPK
+        ids = _ids_array(batch, id_col)
+        m = _normalize_rows(_emb_matrix(batch, vec_col))
         sig = (m @ hp_l > 0).astype(np.uint32)
         codes = (sig << np.arange(hp_l.shape[1], dtype=np.uint32)).sum(axis=1)
         out_q, out_n, out_s = [], [], []
-        for j, code in enumerate(codes):
-            for qi in wanted_l.get(int(code), ()):
-                out_q.append(qi)
-                out_n.append(ids[j])
-                out_s.append(float(m[j] @ qn_l[qi]))
+        # loop over the (small, Q×(planes+1)-bounded) probe-code set, not
+        # over corpus rows: each probe code selects its rows vectorized and
+        # scores them in one matmul against the probing queries
+        for code, qis in wanted_l.items():
+            rows = np.flatnonzero(codes == np.uint32(code))
+            if len(rows) == 0:
+                continue
+            sub = m[rows] @ qn_l[qis].T  # (n_rows, n_probing_queries)
+            for t, qi in enumerate(qis):
+                out_q.append(np.full(len(rows), qi, np.int64))
+                out_n.append(ids[rows])
+                out_s.append(sub[:, t])
+        if not out_q:
+            return _EMPTY_TOPK
         return pa.table(
             {
-                "qi": pa.array(out_q, pa.int64()),
-                "neighbor_id": pa.array(out_n, pa.int64()),
-                "cos": pa.array(out_s, pa.float64()),
+                "qi": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "cos": pa.array(np.concatenate(out_s), pa.float64()),
             }
         )
 
@@ -220,18 +252,18 @@ def ivf_topk(
 
     def local_topk(batch: pa.Table) -> pa.Table:
         cn_l, qn_l, probe_l = (ray.get(r) for r in refs)
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-        m = _normalize_rows(_batch_matrix(batch, vec_col))
-        assign = np.argmax(m @ cn_l.T, axis=1)  # first max = smaller cid
+        if len(batch) == 0:
+            return _EMPTY_TOPK
+        ids = _ids_array(batch, id_col)
+        m = _normalize_rows(_emb_matrix(batch, vec_col))
+        # NB: assignment assumes non-degenerate data — argmax over float64
+        # cosines; if a corpus vector is exactly equidistant (to the ulp)
+        # from two centroids, engine and oracle could disagree on its
+        # inverted list. First-max = smaller centroid index on exact ties.
+        assign = np.argmax(m @ cn_l.T, axis=1)
         hit_any = probe_l[assign].any(axis=1)
         if not hit_any.any():
-            return pa.table(
-                {
-                    "qi": pa.array([], pa.int64()),
-                    "neighbor_id": pa.array([], pa.int64()),
-                    "cos": pa.array([], pa.float64()),
-                }
-            )
+            return _EMPTY_TOPK
         ids = ids[hit_any]
         m = m[hit_any]
         assign = assign[hit_any]
@@ -239,23 +271,27 @@ def ivf_topk(
         out_q, out_n, out_s = [], [], []
         for qi in range(qn_l.shape[0]):
             cand = np.flatnonzero(probe_l[assign, qi])
-            if len(cand) == 0:
+            nc = len(cand)
+            if nc == 0:
                 continue
             col = sims[cand, qi]
-            top = min(k, len(cand))
+            top = min(k, nc)
+            # keep boundary ties (col >= kth largest) — see cosine_topk
             sel = (
-                cand[np.argpartition(-col, top - 1)[:top]]
-                if top < len(cand)
+                cand[np.flatnonzero(col >= np.partition(col, nc - top)[nc - top])]
+                if top < nc
                 else cand
             )
-            out_q.extend([qi] * len(sel))
-            out_n.extend(ids[sel].tolist())
-            out_s.extend(sims[sel, qi].tolist())
+            out_q.append(np.full(len(sel), qi, np.int64))
+            out_n.append(ids[sel])
+            out_s.append(sims[sel, qi])
+        if not out_q:
+            return _EMPTY_TOPK
         return pa.table(
             {
-                "qi": pa.array(out_q, pa.int64()),
-                "neighbor_id": pa.array(out_n, pa.int64()),
-                "cos": pa.array(out_s, pa.float64()),
+                "qi": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "cos": pa.array(np.concatenate(out_s), pa.float64()),
             }
         )
 
@@ -399,7 +435,7 @@ def exact_cosine_near_pairs(
                 {"bucket": pa.array([], pa.int32()), "side": pa.array([], pa.int8()),
                  "id": pa.array([], pa.int64()), "emb": pa.array([], pa.list_(pa.float64()))}
             )
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        ids = _ids_array(batch, id_col)
         mn = _normalize_rows(_emb_matrix(batch, emb_col))
         # chunk from a mixed hash of the id (plain mod would correlate with
         # any id-assignment pattern)
@@ -432,9 +468,9 @@ def exact_cosine_near_pairs(
             return _EMPTY_PAIRS
         bucket = int(group["bucket"][0].as_py())
         i, j = divmod(bucket, B)
-        ids = np.asarray(group["id"].to_pylist(), dtype=np.int64)
+        ids = _ids_array(group, "id")
         m = _emb_matrix(group, "emb")  # already normalized
-        side = np.asarray(group["side"].to_pylist(), dtype=np.int8)
+        side = group["side"].combine_chunks().to_numpy(zero_copy_only=False)
         out: list = []
         if i == j:
             order = np.argsort(ids, kind="stable")
@@ -523,7 +559,7 @@ def cosine_near_pairs(
         codes = (sig << np.arange(planes, dtype=np.uint64)).sum(axis=1)
         b0 = (codes & np.uint64((1 << half) - 1)).astype(np.int64)
         b1 = (codes >> np.uint64(half)).astype(np.int64)
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        ids = _ids_array(batch, id_col)
         return pa.table(
             {
                 "band": pa.array(
@@ -542,7 +578,7 @@ def cosine_near_pairs(
         g = len(group)
         if g < 2:
             return _EMPTY_PAIRS
-        ids = np.asarray(group["id"].to_pylist(), dtype=np.int64)
+        ids = _ids_array(group, "id")
         m = _emb_matrix(group, "emb")  # already normalized
         order = np.argsort(ids, kind="stable")
         ids, m = ids[order], m[order]

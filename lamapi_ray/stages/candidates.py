@@ -81,38 +81,33 @@ class CandidateGenerator:
         self.retrieve_kwargs = retrieve_kwargs or {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        cols: dict[str, list] = {name: [] for name, _ in CANDIDATE_FIELDS}
+        import numpy as np
+
+        parts: dict[str, list] = {name: [] for name, _ in CANDIDATE_FIELDS}
         for mention in batch["mention"].to_pylist():
-            cands = self.index.candidates(mention, self.limit, **self.retrieve_kwargs)
-            if not cands:
+            cols = self.index.candidate_arrays(
+                mention, self.limit, **self.retrieve_kwargs
+            )
+            if cols is None:
                 continue
+            n = len(cols["id"])
             # linking rule: argmax (ed+jaccard+jaccardNgram, popularity, id asc)
             # — computed here because a mention's candidates are guaranteed
             # local to the actor (no downstream batch-boundary hazard).
-            best = 0
-            best_key = None
-            for k, c in enumerate(cands):
-                key = (
-                    c["ed_score"] + c["jaccard_score"] + c["jaccardNgram_score"],
-                    c["popularity"],
-                )
-                if (
-                    best_key is None
-                    or key > best_key
-                    or (key == best_key and c["id"] < cands[best]["id"])
-                ):
-                    best, best_key = k, key
-            for k, cand in enumerate(cands):
-                for name, _ in CANDIDATE_FIELDS:
-                    if name == "mention":
-                        cols["mention"].append(mention)
-                    elif name == "is_best":
-                        cols["is_best"].append(k == best)
-                    else:
-                        cols[name].append(cand[name])
+            total = cols["ed_score"] + cols["jaccard_score"] + cols["jaccardNgram_score"]
+            best = np.lexsort((cols["id"], -cols["popularity"], -total))[0]
+            is_best = np.zeros(n, dtype=bool)
+            is_best[best] = True
+            parts["mention"].append(np.full(n, mention, dtype=object))
+            parts["is_best"].append(is_best)
+            for name, _ in CANDIDATE_FIELDS:
+                if name not in ("mention", "is_best"):
+                    parts[name].append(cols[name])
         return pa.table(
             {
-                name: pa.array(cols[name], type=typ)
+                name: pa.array(
+                    np.concatenate(parts[name]) if parts[name] else [], type=typ
+                )
                 for name, typ in CANDIDATE_FIELDS
             }
         )
@@ -155,7 +150,9 @@ def generate_candidates_bm25(
     :meth:`SurfaceIndex.bm25_hits`) → (mention, id, name, rank, bm25,
     pos_score, es_score). Same broadcast-index/memoized-worker dataflow as
     :func:`generate_candidates`."""
-    from lamapi_ray.functions.text import round_ref
+    import numpy as np
+
+    from lamapi_ray.index.surface import _round_arr
 
     surface_ref = ray.put(surface_forms)
     type_names_ref = ray.put(type_names)
@@ -163,7 +160,7 @@ def generate_candidates_bm25(
     def score(batch: pa.Table) -> pa.Table:
         gen = CandidateGenerator(surface_ref, type_names_ref, limit)
         index = gen.index
-        cols: dict[str, list] = {
+        parts: dict[str, list] = {
             "mention": [], "id": [], "name": [], "rank": [], "bm25": [],
             "pos_score": [], "es_score": [],
         }
@@ -172,25 +169,28 @@ def generate_candidates_bm25(
             n = len(idx)
             if n == 0:
                 continue
+            sc = np.asarray(sc, dtype=np.float64)
             mx = float(sc[0]) if sc[0] else 1.0
-            for r in range(n):
-                cols["mention"].append(mention)
-                cols["id"].append(index.ids[idx[r]])
-                cols["name"].append(index.names[idx[r]])
-                cols["rank"].append(r + 1)
-                cols["bm25"].append(round_ref(float(sc[r]), 6))
-                # O4 rank scores over the BM25-ordered list
-                cols["pos_score"].append(round_ref((r + 1) / n, 3))
-                cols["es_score"].append(round_ref(float(sc[r]) / mx, 3))
+            ranks = np.arange(1, n + 1, dtype=np.int64)
+            parts["mention"].append(np.full(n, mention, dtype=object))
+            parts["id"].append(index.ids[idx])
+            parts["name"].append(index.names[idx])
+            parts["rank"].append(ranks)
+            parts["bm25"].append(_round_arr(sc, 6))
+            # O4 rank scores over the BM25-ordered list
+            parts["pos_score"].append(_round_arr(ranks.astype(np.float64) / n, 3))
+            parts["es_score"].append(_round_arr(sc / mx, 3))
+        types = {
+            "mention": pa.string(), "id": pa.string(), "name": pa.string(),
+            "rank": pa.int64(), "bm25": pa.float64(),
+            "pos_score": pa.float64(), "es_score": pa.float64(),
+        }
         return pa.table(
             {
-                "mention": pa.array(cols["mention"], pa.string()),
-                "id": pa.array(cols["id"], pa.string()),
-                "name": pa.array(cols["name"], pa.string()),
-                "rank": pa.array(cols["rank"], pa.int64()),
-                "bm25": pa.array(cols["bm25"], pa.float64()),
-                "pos_score": pa.array(cols["pos_score"], pa.float64()),
-                "es_score": pa.array(cols["es_score"], pa.float64()),
+                name: pa.array(
+                    np.concatenate(parts[name]) if parts[name] else [], type=typ
+                )
+                for name, typ in types.items()
             }
         )
 

@@ -39,6 +39,14 @@ import ray.data
 _MERSENNE = (1 << 61) - 1
 
 
+def _npcol(tbl: pa.Table, col: str, dtype) -> "np.ndarray":
+    """Numeric column -> numpy, no per-element Python objects."""
+    arr = tbl[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return arr.to_numpy(zero_copy_only=False).astype(dtype, copy=False)
+
+
 def _token_shingles(text: str, k: int = 3) -> list[str]:
     toks = text.split(" ")
     if len(toks) < k:
@@ -149,7 +157,7 @@ def _doc_shingle_hashes(
     windows, dedup and folds are numpy over the whole batch."""
     from lamapi_ray.functions.inthash import fold_mod61, mulmod61
 
-    ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+    ids = _npcol(batch, id_col, np.int64)
     n = len(ids)
     if n == 0:
         return ids, np.zeros(0, np.int64), np.zeros(0, np.uint64)
@@ -386,9 +394,9 @@ def _cc_round(group: pa.Table, round_id: int = -1, counter=None, num_partitions:
             {"pkey": pa.array([], pa.int64()), "kind": pa.array([], pa.int8()),
              "v": pa.array([], pa.int64()), "w": pa.array([], pa.int64())}
         )
-    kind = np.asarray(group["kind"].to_pylist(), dtype=np.int8)
-    v = np.asarray(group["v"].to_pylist(), dtype=np.int64)
-    w = np.asarray(group["w"].to_pylist(), dtype=np.int64)
+    kind = _npcol(group, "kind", np.int8)
+    v = _npcol(group, "v", np.int64)
+    w = _npcol(group, "w", np.int64)
     is_e = kind == _K_EDGE
     is_l = kind == _K_LABEL
     ev, ew = v[is_e], w[is_e]
@@ -567,10 +575,10 @@ def _bucket_edges(
     empty = pa.table(schema_cols)
     if len(group) == 0:
         return empty
-    band = np.asarray(group["band"].to_pylist(), dtype=np.int64)
-    bh = np.asarray(group["bh"].to_pylist(), dtype=np.int64)
-    ids = np.asarray(group["id"].to_pylist(), dtype=np.int64)
-    sds = np.asarray(group["sd"].to_pylist(), dtype=np.int64)
+    band = _npcol(group, "band", np.int64)
+    bh = _npcol(group, "bh", np.int64)
+    ids = _npcol(group, "id", np.int64)
+    sds = _npcol(group, "sd", np.int64)
     order = np.lexsort((ids, sds, bh, band))
     band, bh, ids, sds = band[order], bh[order], ids[order], sds[order]
     sd_starts, _ = _run_bounds([band, bh, sds])
@@ -805,8 +813,8 @@ def _cogroup_verify(
         return ((arr.view(np.uint64) * MULT) % np.uint64(P)).astype(np.int64)
 
     def pair_halves(batch: pa.Table) -> pa.Table:
-        a = np.asarray(batch["id_a"].to_pylist(), dtype=np.int64)
-        b = np.asarray(batch["id_b"].to_pylist(), dtype=np.int64)
+        a = _npcol(batch, "id_a", np.int64)
+        b = _npcol(batch, "id_b", np.int64)
         key = np.concatenate([a, b])
         return pa.table(
             {
@@ -819,7 +827,7 @@ def _cogroup_verify(
         )
 
     def sig_rows(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch["id"].to_pylist(), dtype=np.int64)
+        ids = _npcol(batch, "id", np.int64)
         sig = batch["sig"]
         if isinstance(sig, pa.ChunkedArray):
             sig = sig.combine_chunks()
@@ -841,7 +849,7 @@ def _cogroup_verify(
 
     def attach_sig(group: pa.Table) -> pa.Table:
         is_sig = pc.is_valid(group["sig"]).to_numpy(zero_copy_only=False)
-        keys = np.asarray(group["key"].to_pylist(), dtype=np.int64)
+        keys = _npcol(group, "key", np.int64)
         s_keys = keys[is_sig]
         s_sigs = np.asarray(
             group.filter(pa.array(is_sig))["sig"].to_pylist(), dtype=object
@@ -857,8 +865,8 @@ def _cogroup_verify(
                  "sig": pa.array([], pa.binary())}
             )
         h_key = keys[~is_sig]
-        ha = np.asarray(halves["id_a"].to_pylist(), dtype=np.int64)
-        hb = np.asarray(halves["id_b"].to_pylist(), dtype=np.int64)
+        ha = _npcol(halves, "id_a", np.int64)
+        hb = _npcol(halves, "id_b", np.int64)
         # dedup duplicate halves (same pair discovered in several band
         # partitions): all copies carry identical (key, id_a, id_b)
         trip = np.stack([h_key, ha, hb], axis=1)
@@ -884,8 +892,8 @@ def _cogroup_verify(
         )
         if len(group) == 0:
             return empty
-        a = np.asarray(group["id_a"].to_pylist(), dtype=np.int64)
-        b = np.asarray(group["id_b"].to_pylist(), dtype=np.int64)
+        a = _npcol(group, "id_a", np.int64)
+        b = _npcol(group, "id_b", np.int64)
         sigs = np.frombuffer(
             b"".join(group["sig"].to_pylist()), dtype=np.uint64
         ).reshape(len(group), MinHasher.NUM_PERM)
@@ -1017,7 +1025,7 @@ def simhash_near_pairs(
 
     def explode(batch: pa.Table) -> pa.Table:
         n = len(batch)
-        ids = np.asarray(batch["id"].to_pylist(), dtype=np.int64)
+        ids = _npcol(batch, "id", np.int64)
         fps = np.array([int(h, 16) for h in batch["simhash"].to_pylist()], dtype=np.uint64)
         rots, prefixes, out_ids, out_fps = [], [], [], []
         for r in range(num_rotations):
@@ -1058,10 +1066,10 @@ def simhash_near_pairs(
         )
         if len(group) < 2:
             return empty
-        rot = np.asarray(group["rot"].to_pylist(), dtype=np.int64)
-        pre = np.asarray(group["prefix"].to_pylist(), dtype=np.int64)
-        ids = np.asarray(group["id"].to_pylist(), dtype=np.int64)
-        fps = np.asarray(group["fp"].to_pylist(), dtype=np.int64).view(np.uint64)
+        rot = _npcol(group, "rot", np.int64)
+        pre = _npcol(group, "prefix", np.int64)
+        ids = _npcol(group, "id", np.int64)
+        fps = _npcol(group, "fp", np.int64).view(np.uint64)
         order = np.lexsort((ids, pre, rot))
         rot, pre, ids, fps = rot[order], pre[order], ids[order], fps[order]
         starts, lens = _run_bounds([rot, pre])
@@ -1154,9 +1162,9 @@ def ngram_jaccard_pairs(
         )
         if len(group) < 2:
             return empty
-        sh = np.asarray(group["sh"].to_pylist(), dtype=np.int64)
-        ids = np.asarray(group["id"].to_pylist(), dtype=np.int64)
-        ns = np.asarray(group["nsh"].to_pylist(), dtype=np.int64)
+        sh = _npcol(group, "sh", np.int64)
+        ids = _npcol(group, "id", np.int64)
+        ns = _npcol(group, "nsh", np.int64)
         order = np.lexsort((ids, sh))
         sh, ids, ns = sh[order], ids[order], ns[order]
         starts, lens = _run_bounds([sh])
@@ -1199,10 +1207,10 @@ def ngram_jaccard_pairs(
         )
         if len(group) == 0:
             return empty
-        a = np.asarray(group["id_a"].to_pylist(), dtype=np.int64)
-        b = np.asarray(group["id_b"].to_pylist(), dtype=np.int64)
-        na = np.asarray(group["na"].to_pylist(), dtype=np.float64)
-        nb = np.asarray(group["nb"].to_pylist(), dtype=np.float64)
+        a = _npcol(group, "id_a", np.int64)
+        b = _npcol(group, "id_b", np.int64)
+        na = _npcol(group, "na", np.float64)
+        nb = _npcol(group, "nb", np.float64)
         order = np.lexsort((b, a))
         a, b, na, nb = a[order], b[order], na[order], nb[order]
         starts, lens = _run_bounds([a, b])

@@ -107,8 +107,11 @@ def test_classify_array_prefilter_parity():
     import pyarrow as pa
 
     rng = random.Random(20260817)
-    charset = string.ascii_letters + string.digits + ".@:/-–, \t\n"
-    vals = ["", ".", "@", "a@b", "example.com", "2000–present", "9.9.9.9"]
+    # include Unicode decimal digits: Python \d matches them, so the RE2
+    # prefilter must route them to the scalar chain (\p{Nd}), not to STRING
+    charset = string.ascii_letters + string.digits + ".@:/-–, \t\n" + "٤٢４２߃"
+    vals = ["", ".", "@", "a@b", "example.com", "2000–present", "9.9.9.9",
+            "٤٢", "４２", "١٢:٣٠", "a٤b"]
     for _ in range(400):
         vals.append("".join(rng.choices(charset, k=rng.randint(0, 16))))
     got = classify_array(pa.array(vals, pa.string()))
