@@ -909,6 +909,94 @@ def oracle_sql() -> dict[str, str]:
         "FROM dd"
     )
 
+    # --- corpus-curation operators (stages/curation.py) --------------------
+    # Shared n-gram hash machinery, relational: per-token md5-fold hash
+    # (identical to _MINHASH_SIG_CTES' tkh), word-k-gram = Horner fold of
+    # the window's token hashes (base 1000003 mod 2^61-1), docs shorter
+    # than k folding all tokens into one gram — the engine's
+    # _doc_shingle_hashes semantics exactly.
+    def _tkh_cte(name: str, src: str) -> str:
+        return (
+            f"{name} AS (SELECT doc_id, list_transform(str_split(text, ' '), t ->\n"
+            "    CAST(list_reduce(list_prepend(0::HUGEINT,\n"
+            "      list_transform(range(0, 8),\n"
+            "        i -> ((strpos('0123456789abcdef', substr(md5(t), 2*i+1, 1)) - 1) * 16\n"
+            "            + (strpos('0123456789abcdef', substr(md5(t), 2*i+2, 1)) - 1))::HUGEINT\n"
+            "             * (1::HUGEINT << (8*i)))),\n"
+            f"      (a, b) -> a + b) % {_P61} AS HUGEINT)) AS th FROM {src})"
+        )
+
+    def _horner_expr(k: int) -> str:
+        e = "th[i]"
+        for j in range(1, k):
+            e = f"(({e}) * 1000003 + th[i+{j}]) % {_P61}"
+        return e
+
+    def _grams_cte(name: str, tkh: str, k: int, distinct: bool) -> str:
+        body = (
+            f"CASE WHEN len(th) < {k} THEN "
+            f"[list_reduce(th, (a, b) -> (a * 1000003 + b) % {_P61})]\n"
+            f"     ELSE list_transform(range(1, len(th) - {k} + 2), "
+            f"i -> {_horner_expr(k)}) END"
+        )
+        inner = f"list_distinct({body})" if distinct else body
+        return f"{name} AS (SELECT doc_id, unnest({inner}) AS g FROM {tkh})"
+
+    # decontaminate: corpus doc k-grams ∩ benchmark k-gram set, k=4,
+    # benchmark = every 50th doc (stages/curation.py::decontaminate)
+    sql["decontaminate"] = _with(
+        "corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0)",
+        "bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0)",
+        _tkh_cte("ctk", "corp"),
+        _tkh_cte("btk", "bench"),
+        _grams_cte("cg", "ctk", 4, True),
+        _grams_cte("bg0", "btk", 4, True),
+        "bg AS (SELECT DISTINCT g FROM bg0)",
+        "hits AS (SELECT c.doc_id, count(*) AS n FROM cg c JOIN bg USING (g) GROUP BY 1)",
+    ) + (
+        "SELECT corp.doc_id, coalesce(h.n, 0) AS n_hits,\n"
+        "       coalesce(h.n, 0) > 0 AS contaminated\n"
+        "FROM corp LEFT JOIN hits h ON h.doc_id = corp.doc_id"
+    )
+
+    # repetition_stats: Gopher-style repetition fractions; the flag applies
+    # to the ROUNDED (6 dp printf) fractions on both sides
+    _TOP2 = "coalesce(a2.mx * 1.0 / a2.tot, 0.0)"
+    _DUP3 = "coalesce((a3.tot - a3.dst) * 1.0 / a3.tot, 0.0)"
+    sql["repetition_stats"] = _with(
+        _tkh_cte("tkh", "documents"),
+        _grams_cte("g2", "tkh", 2, False),
+        _grams_cte("g3", "tkh", 3, False),
+        "c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2)",
+        "a2 AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM c2 GROUP BY 1)",
+        "a3 AS (SELECT doc_id, count(*) AS tot, count(DISTINCT g) AS dst FROM g3 GROUP BY 1)",
+    ) + (
+        "SELECT d.doc_id,\n"
+        f" round_even({_TOP2}, 6) AS top2gram_frac,\n"
+        f" round_even({_DUP3}, 6) AS dup3gram_frac,\n"
+        f" (round_even({_TOP2}, 6) > 0.08 OR round_even({_DUP3}, 6) > 0.02) AS flagged\n"
+        "FROM documents d\n"
+        "LEFT JOIN a2 ON a2.doc_id = d.doc_id\n"
+        "LEFT JOIN a3 ON a3.doc_id = d.doc_id"
+    )
+
+    # rebalance_sources: all-integer hash-threshold mix rebalancing —
+    # keep iff (h % 10000)·cnt_s·W < w_s·total·10000, weights: src<odd>=2,
+    # src<even>=1 (stages/curation.py::rebalance_sources; REBALANCE_MULT)
+    from lamapi_ray.stages.curation import REBALANCE_MULT  # noqa: E402
+
+    _W_EXPR = "CASE WHEN CAST(substr({t}.source, 4) AS BIGINT) % 2 = 1 THEN 2 ELSE 1 END"
+    sql["rebalance_sources"] = _with(
+        "cnt AS (SELECT source, count(*) AS c FROM documents GROUP BY 1)",
+        "tot AS (SELECT count(*) AS t FROM documents)",
+        "ws AS (SELECT sum(" + _W_EXPR.format(t="cnt") + ") AS wsum FROM cnt)",
+    ) + (
+        "SELECT d.doc_id, d.source\n"
+        "FROM documents d JOIN cnt ON cnt.source = d.source CROSS JOIN tot CROSS JOIN ws\n"
+        f"WHERE ((CAST(d.doc_id AS HUGEINT) * {REBALANCE_MULT}) % {_P61} + 1) % {_P61} % 10000\n"
+        "      * cnt.c * ws.wsum < (" + _W_EXPR.format(t="d") + ") * tot.t * 10000"
+    )
+
     # stable multiplicative hash split, HUGEINT mirror of
     # functions/inthash (h = (id * K % p + 1) % p, bucket = h % 100)
     sql["dataset_split"] = (
@@ -1245,6 +1333,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_frames",
         "dataset_split",
         "curation_pipeline",
+        "decontaminate",
+        "repetition_stats",
+        "rebalance_sources",
         "literal_classify",
         "lookup_labels_lang",
         "lookup_sameas",

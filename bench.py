@@ -162,6 +162,9 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("ann_lsh", lambda: extras.ann_lsh(sf_dir))
     timed("ann_ivf", lambda: extras.ann_ivf(sf_dir))
     timed("window_events", lambda: extras.window_events(sf_dir))
+    timed("decontaminate", lambda: extras.decontaminate(sf_dir))
+    timed("repetition_stats", lambda: extras.repetition_stats(sf_dir))
+    timed("rebalance_sources", lambda: extras.rebalance_sources(sf_dir))
     timed("multimodal_decode", lambda: extras.multimodal_decode(sf_dir))
     timed("literal_classify", lambda: extras.literal_classify(sf_dir))
 

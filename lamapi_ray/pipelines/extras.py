@@ -279,6 +279,57 @@ def dataset_split(sf_dir: str) -> pa.Table:
 # --- composed curation pipeline (training-data flow end to end) -----------
 
 
+def decontaminate(sf_dir: str) -> pa.Table:
+    """Benchmark n-gram decontamination (the GPT-3 appendix-C / PaLM rule):
+    every 50th document plays the held-out benchmark; corpus docs sharing
+    any word-4-gram with it are flagged. Benchmark 4-gram hash set is
+    broadcast (``ray.put``); the corpus streams through one map_batches.
+    See :func:`lamapi_ray.stages.curation.decontaminate`."""
+    import pyarrow.parquet as pq
+
+    from lamapi_ray.stages import curation
+
+    full = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    did = full["doc_id"].to_numpy()
+    bench = full.filter(pa.array(did % 50 == 0))
+
+    def corp_only(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(d % 50 != 0))
+
+    corpus = _docs(sf_dir, ("doc_id", "text")).map_batches(
+        corp_only, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return curation.decontaminate(corpus, bench, k=4)
+
+
+def repetition_stats(sf_dir: str) -> pa.Table:
+    """Gopher-style repetition quality signals per document (top-2-gram
+    fraction, duplicate-3-gram fraction, threshold flag). One streamed
+    map_batches; see :func:`lamapi_ray.stages.curation.repetition_stats`."""
+    from lamapi_ray.stages import curation
+
+    return curation.repetition_stats(
+        _docs(sf_dir), top2_threshold=0.08, dup3_threshold=0.02
+    )
+
+
+def rebalance_sources(sf_dir: str) -> pa.Table:
+    """Deterministic source-mix rebalancing: odd-numbered sources get
+    twice the target share of even ones (weights 2 vs 1); keep test is an
+    all-integer hash threshold. Two-pass: tiny per-source count groupby,
+    then a streamed filter. See
+    :func:`lamapi_ray.stages.curation.rebalance_sources`."""
+    from lamapi_ray.stages import curation
+
+    # weight rule: source "src<i>" → 2 if i is odd else 1 (covers any
+    # source cardinality; unknown names default to weight 1 in the stage)
+    weights = {f"src{i}": (2 if i % 2 else 1) for i in range(1000)}
+    return curation.rebalance_sources(
+        _docs(sf_dir, ("doc_id", "source")), weights
+    )
+
+
 def curation_pipeline(sf_dir: str) -> pa.Table:
     """The LLM-data curation flow as ONE streaming composition:
     documents → language-ID → quality scoring → filter (predicted English

@@ -1,0 +1,227 @@
+"""Corpus-curation operators a large-scale training-data pipeline needs:
+benchmark decontamination, repetition-based quality filtering, and
+deterministic source-mix rebalancing.
+
+These have no analogue in the reference (lamAPI is a KG lookup service);
+they are first-class engine operators in the style the training-data
+literature standardized:
+
+* **decontaminate** — flag training documents sharing any k-token n-gram
+  with a held-out benchmark set (the GPT-3 appendix-C / PaLM
+  decontamination rule). The benchmark's n-gram set is tiny relative to
+  the corpus (benchmarks are MBs; the corpus is TBs), so it is hashed once
+  and broadcast via ``ray.put``; the corpus streams through one
+  ``map_batches`` doing a vectorized sorted-set membership per batch.
+  Nothing corpus-sized shuffles or lands on the driver.
+* **repetition_stats** — Gopher-style (Rae et al. 2021, table A1)
+  repetition signals: the fraction of all word-2-grams taken by the most
+  frequent 2-gram, and the fraction of duplicated word-3-grams. Pure
+  per-doc map — one ``map_batches``, no shuffle; the n-gram counting is
+  one lexsort + run-length encode over the whole batch (no per-doc loop).
+* **rebalance_sources** — deterministic hash-threshold downsampling to
+  target per-source mix proportions (the "domain mixing" step of corpus
+  assembly). Two-pass: a per-source count groupby (output is
+  source-cardinality-bounded, i.e. tiny), then a streamed filter whose
+  keep test is a PURE INTEGER comparison — ``(h % 10000) · cnt_s · W <
+  w_s · total · 10000`` — so engine and SQL oracle agree exactly with no
+  float thresholds.
+
+Shared machinery: token/shingle hashing reuses
+:func:`lamapi_ray.stages.dedup._doc_shingle_hashes` (one md5 per distinct
+token, numpy Horner fold mod 2^61-1 for windows) so the DuckDB oracle can
+reproduce every hash relationally (same CTE pattern as the MinHash
+oracle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from lamapi_ray.functions.text import round_ref
+from lamapi_ray.stages.dedup import _doc_shingle_hashes, _npcol
+
+
+def benchmark_shingles(bench: pa.Table, k: int, id_col: str = "doc_id",
+                       text_col: str = "text") -> np.ndarray:
+    """Sorted distinct k-gram hash set of the benchmark table (driver-side;
+    the benchmark side is small by definition)."""
+    _, _, sh = _doc_shingle_hashes(bench, id_col, text_col, k=k)
+    return np.unique(sh)
+
+
+def decontaminate(
+    corpus: ray.data.Dataset,
+    bench: pa.Table,
+    k: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """→ (doc_id, n_hits, contaminated) for every corpus doc.
+
+    ``n_hits`` counts the doc's DISTINCT k-gram hashes that appear in the
+    benchmark's k-gram set; ``contaminated`` = n_hits > 0. Hashes are the
+    house 2^61-1 Horner fold (collision odds ~|corpus n-grams|·|bench
+    n-grams|/2^61 — negligible, and the oracle reproduces the identical
+    hash so both sides agree by construction)."""
+    bset = benchmark_shingles(bench, k, id_col, text_col)
+    bref = ray.put(bset)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        bs = ray.get(bref)
+        ids, par, sh = _doc_shingle_hashes(batch, id_col, text_col, k=k)
+        if len(ids) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_hits": pa.array([], pa.int64()),
+                 "contaminated": pa.array([], pa.bool_())}
+            )
+        # sorted-set membership: searchsorted beats isin on a broadcast set
+        if len(bs) == 0 or len(sh) == 0:
+            nh = np.zeros(len(ids), np.int64)
+        else:
+            pos = np.minimum(np.searchsorted(bs, sh), len(bs) - 1)
+            hit = bs[pos] == sh
+            nh = np.bincount(par[hit], minlength=len(ids)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_hits": pa.array(nh, pa.int64()),
+                "contaminated": pa.array(nh > 0, pa.bool_()),
+            }
+        )
+
+    batches = [
+        b
+        for b in corpus.map_batches(
+            flag, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_size=65536, batch_format="pyarrow")
+    ]
+    out = pa.concat_tables(batches)
+    return out.sort_by("doc_id")
+
+
+def _gram_stats(batch: pa.Table, k: int, id_col: str, text_col: str):
+    """Per-doc (total, distinct, top_count) of word k-grams — one lexsort +
+    run-length encode across the whole batch, no per-doc Python."""
+    ids, par, g = _doc_shingle_hashes(batch, id_col, text_col, k=k, distinct=False)
+    n = len(ids)
+    total = np.bincount(par, minlength=n).astype(np.int64)
+    if len(par) == 0:
+        z = np.zeros(n, np.int64)
+        return ids, total, z, z
+    newseg = np.concatenate([[True], (par[1:] != par[:-1]) | (g[1:] != g[:-1])])
+    seg = np.cumsum(newseg) - 1
+    seg_counts = np.bincount(seg)
+    seg_doc = par[newseg]
+    distinct = np.bincount(seg_doc, minlength=n).astype(np.int64)
+    top = np.zeros(n, np.int64)
+    np.maximum.at(top, seg_doc, seg_counts)
+    return ids, total, distinct, top
+
+
+def repetition_stats(
+    corpus: ray.data.Dataset,
+    top2_threshold: float = 0.08,
+    dup3_threshold: float = 0.02,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """→ (doc_id, top2gram_frac, dup3gram_frac, flagged) per doc.
+
+    top2gram_frac = occurrences of the most frequent word-2-gram / total
+    2-grams; dup3gram_frac = (total − distinct) word-3-grams / total.
+    Both 0.0 for docs with no grams. ``flagged`` compares the ROUNDED
+    (6 dp, printf semantics) fractions to the thresholds so the engine and
+    the SQL oracle apply the cut to bit-identical values. Docs shorter
+    than k tokens contribute their single all-token fold as one "gram"
+    (``_doc_shingle_hashes`` short-doc parity, mirrored in the oracle)."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids, tot2, _, top = _gram_stats(batch, 2, id_col, text_col)
+        _, tot3, dst3, _ = _gram_stats(batch, 3, id_col, text_col)
+        top2 = np.where(tot2 > 0, top / np.maximum(tot2, 1), 0.0)
+        dup3 = np.where(tot3 > 0, (tot3 - dst3) / np.maximum(tot3, 1), 0.0)
+        from lamapi_ray.index.surface import _round_arr
+
+        top2r = _round_arr(top2, 6)
+        dup3r = _round_arr(dup3, 6)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "top2gram_frac": pa.array(top2r, pa.float64()),
+                "dup3gram_frac": pa.array(dup3r, pa.float64()),
+                "flagged": pa.array(
+                    (top2r > top2_threshold) | (dup3r > dup3_threshold), pa.bool_()
+                ),
+            }
+        )
+
+    batches = [
+        b
+        for b in corpus.map_batches(
+            stats, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_size=65536, batch_format="pyarrow")
+    ]
+    return pa.concat_tables(batches).sort_by("doc_id")
+
+
+# multiplicative mix constant (xxhash64 prime 2 mod 2^61-1) — distinct from
+# dataset_split's golden-ratio constant so the two samplers are independent
+REBALANCE_MULT = 0xC2B2AE3D27D4EB4F % ((1 << 61) - 1)
+
+
+def rebalance_sources(
+    corpus: ray.data.Dataset,
+    weights: dict[str, int],
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> pa.Table:
+    """Deterministic mix rebalancing: downsample each source group toward
+    target share ``w_s / ΣW`` of the corpus.
+
+    Pass 1: per-source counts (``groupby(source).count()`` — output is
+    source-cardinality-bounded, so collecting it to the driver and
+    broadcasting is the right shape at any corpus size). Pass 2: streamed
+    filter keeping doc iff ``(h % 10000) · cnt_s · W < w_s · total ·
+    10000`` with h = ((doc_id · REBALANCE_MULT) mod 2^61-1 + 1) mod
+    2^61-1 — an all-integer comparison (keep-rate = min(1,
+    w_s·total/(cnt_s·W)) with no float round-off), reproducible in
+    HUGEINT SQL. → kept (doc_id, source) rows."""
+    import pyarrow.compute as pc
+
+    from lamapi_ray.functions.inthash import fold_mod61, mulmod61
+
+    counts = {
+        r[group_col]: int(r["count()"])
+        for r in corpus.groupby(group_col).count().take_all()
+    }
+    total = sum(counts.values())
+    W = sum(weights.get(s, 1) for s in counts)
+    srcs = sorted(counts)
+    src_arr = pa.array(srcs, pa.string())
+    cnt_np = np.asarray([counts[s] for s in srcs], dtype=np.int64)
+    w_np = np.asarray([weights.get(s, 1) for s in srcs], dtype=np.int64)
+    MULT = np.uint64(REBALANCE_MULT)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = _npcol(batch, id_col, np.int64)
+        if len(ids) == 0:
+            return batch.select([id_col, group_col])
+        h = fold_mod61(mulmod61(ids.view(np.uint64), np.full(len(ids), MULT)) + np.uint64(1))
+        u = (h % np.uint64(10000)).astype(np.int64)
+        code = pc.index_in(batch[group_col], value_set=src_arr).to_numpy(
+            zero_copy_only=False
+        )
+        mask = u * cnt_np[code] * W < w_np[code] * total * 10000
+        return batch.select([id_col, group_col]).filter(pa.array(mask))
+
+    batches = [
+        b
+        for b in corpus.map_batches(
+            keep, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_size=65536, batch_format="pyarrow")
+    ]
+    return pa.concat_tables(batches).sort_by("doc_id")

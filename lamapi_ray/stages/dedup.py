@@ -145,9 +145,12 @@ def shingle_fold(token_hashes: np.ndarray) -> int:
 
 
 def _doc_shingle_hashes(
-    batch: pa.Table, id_col: str, text_col: str, k: int = 3
+    batch: pa.Table, id_col: str, text_col: str, k: int = 3, distinct: bool = True
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Vectorized distinct-shingle hashing for a batch of documents.
+
+    ``distinct=False`` keeps every window occurrence (sorted by (doc, sh))
+    instead of deduping — for per-gram frequency stats.
 
     → (ids, doc_idx, sh): per distinct (doc, shingle) one row — ``doc_idx``
     indexes ``ids``, rows grouped by doc in ascending (doc, sh) order.
@@ -206,7 +209,7 @@ def _doc_shingle_hashes(
     par_all = np.concatenate(par_parts) if par_parts else np.zeros(0, np.int64)
     order = np.lexsort((sh_all, par_all))
     par_s, sh_s = par_all[order], sh_all[order]
-    if len(par_s):
+    if distinct and len(par_s):
         keep = np.concatenate(
             [[True], (par_s[1:] != par_s[:-1]) | (sh_s[1:] != sh_s[:-1])]
         )

@@ -1,0 +1,105 @@
+"""Corpus-curation operators: decontamination, repetition stats, mix
+rebalancing (lamapi_ray/stages/curation.py)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from lamapi_ray.stages.curation import (
+    decontaminate,
+    rebalance_sources,
+    repetition_stats,
+)
+
+
+def _ds(rows):
+    return ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+
+def test_decontaminate_flags_shared_4gram():
+    bench = pa.Table.from_pylist(
+        [{"doc_id": 100, "text": "alpha beta gamma delta epsilon"}]
+    )
+    corpus = _ds(
+        [
+            # shares the 4-grams "alpha beta gamma delta" AND
+            # "beta gamma delta epsilon" (distinct hits = 2)
+            {"doc_id": 1, "text": "xx alpha beta gamma delta epsilon yy"},
+            # shares only a 3-gram — below k=4, clean
+            {"doc_id": 2, "text": "alpha beta gamma zz ww vv uu"},
+            # disjoint vocabulary
+            {"doc_id": 3, "text": "one two three four five six seven"},
+        ]
+    )
+    out = decontaminate(corpus, bench, k=4)
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    assert rows[1]["contaminated"] and rows[1]["n_hits"] == 2
+    assert not rows[2]["contaminated"] and rows[2]["n_hits"] == 0
+    assert not rows[3]["contaminated"]
+
+
+def test_decontaminate_short_doc_whole_text_gram():
+    # a benchmark doc shorter than k folds ALL its tokens into one gram;
+    # a corpus doc that IS that text (same short length) matches it
+    bench = pa.Table.from_pylist([{"doc_id": 9, "text": "aa bb"}])
+    corpus = _ds(
+        [{"doc_id": 1, "text": "aa bb"}, {"doc_id": 2, "text": "aa bb cc dd"}]
+    )
+    out = decontaminate(corpus, bench, k=4)
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    assert rows[1]["contaminated"]
+    # doc 2 has >=k tokens so it yields only true 4-grams, none equal to
+    # the benchmark's short fold
+    assert not rows[2]["contaminated"]
+
+
+def test_repetition_stats_flags_repetitive_doc():
+    corpus = _ds(
+        [
+            {"doc_id": 1, "text": "spam spam spam spam spam spam"},
+            {"doc_id": 2, "text": "the quick brown fox jumps over dogs"},
+        ]
+    )
+    out = repetition_stats(corpus, top2_threshold=0.5, dup3_threshold=0.5)
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    # all five 2-grams identical -> top2 frac 1.0; 3-grams all dupes
+    assert rows[1]["top2gram_frac"] == 1.0
+    assert rows[1]["dup3gram_frac"] == 0.75  # 4 total, 1 distinct
+    assert rows[1]["flagged"]
+    # all distinct
+    assert rows[2]["top2gram_frac"] == 1.0 / 6.0 or rows[2]["top2gram_frac"] < 0.2
+    assert rows[2]["dup3gram_frac"] == 0.0
+    assert not rows[2]["flagged"]
+
+
+def test_rebalance_sources_deterministic_and_weighted():
+    rng = np.random.RandomState(7)
+    rows = [
+        {"doc_id": int(i), "source": f"src{i % 4}"} for i in range(4000)
+    ]
+    corpus = _ds(rows)
+    weights = {"src0": 1, "src1": 2, "src2": 1, "src3": 2}
+    out1 = rebalance_sources(corpus, weights)
+    out2 = rebalance_sources(_ds(rows), weights)
+    assert out1.equals(out2)  # deterministic
+    kept = {}
+    for r in out1.to_pylist():
+        kept[r["source"]] = kept.get(r["source"], 0) + 1
+    # equal input counts (1000 each), weight-2 sources keep ~2x weight-1;
+    # weight-2 rate = min(1, 2*4000/(1000*6)) > 1 -> all kept
+    assert kept["src1"] == 1000 and kept["src3"] == 1000
+    # weight-1 rate = 4000/(1000*6) = 2/3 -> binomial around 667
+    for s in ("src0", "src2"):
+        assert 560 <= kept[s] <= 780, kept
+    del rng
+
+
+def test_rebalance_equal_weights_keeps_everything():
+    rows = [{"doc_id": int(i), "source": f"src{i % 3}"} for i in range(300)]
+    out = rebalance_sources(_ds(rows), {f"src{i}": 1 for i in range(3)})
+    # uniform counts + uniform weights -> every rate is exactly 1... but the
+    # keep test is strict (<), so u*cnt*W < w*total*10000 with cnt*W ==
+    # total*w keeps u in [0, 9999) i.e. everything except exact u==... none;
+    # equality only when u == 10000 which cannot happen -> all kept iff
+    # u*total*... strictly below; u max 9999 < 10000 -> all kept
+    assert out.num_rows == 300
