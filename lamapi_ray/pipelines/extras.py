@@ -300,7 +300,7 @@ def decontaminate(sf_dir: str) -> pa.Table:
     corpus = _docs(sf_dir, ("doc_id", "text")).map_batches(
         corp_only, batch_format="pyarrow", zero_copy_batch=True
     )
-    return curation.decontaminate(corpus, bench, k=4)
+    return _collect(curation.decontaminate(corpus, bench, k=4)).sort_by("doc_id")
 
 
 def repetition_stats(sf_dir: str) -> pa.Table:
@@ -309,9 +309,11 @@ def repetition_stats(sf_dir: str) -> pa.Table:
     map_batches; see :func:`lamapi_ray.stages.curation.repetition_stats`."""
     from lamapi_ray.stages import curation
 
-    return curation.repetition_stats(
-        _docs(sf_dir), top2_threshold=0.08, dup3_threshold=0.02
-    )
+    return _collect(
+        curation.repetition_stats(
+            _docs(sf_dir), top2_threshold=0.08, dup3_threshold=0.02
+        )
+    ).sort_by("doc_id")
 
 
 def rebalance_sources(sf_dir: str) -> pa.Table:
@@ -325,9 +327,9 @@ def rebalance_sources(sf_dir: str) -> pa.Table:
     # weight rule: source "src<i>" → 2 if i is odd else 1 (covers any
     # source cardinality; unknown names default to weight 1 in the stage)
     weights = {f"src{i}": (2 if i % 2 else 1) for i in range(1000)}
-    return curation.rebalance_sources(
-        _docs(sf_dir, ("doc_id", "source")), weights
-    )
+    return _collect(
+        curation.rebalance_sources(_docs(sf_dir, ("doc_id", "source")), weights)
+    ).sort_by("doc_id")
 
 
 def curation_pipeline(sf_dir: str) -> pa.Table:

@@ -40,7 +40,6 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from lamapi_ray.functions.text import round_ref
 from lamapi_ray.stages.dedup import _doc_shingle_hashes, _npcol
 
 
@@ -58,8 +57,8 @@ def decontaminate(
     k: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> pa.Table:
-    """→ (doc_id, n_hits, contaminated) for every corpus doc.
+) -> ray.data.Dataset:
+    """→ Dataset of (doc_id, n_hits, contaminated), one row per corpus doc.
 
     ``n_hits`` counts the doc's DISTINCT k-gram hashes that appear in the
     benchmark's k-gram set; ``contaminated`` = n_hits > 0. Hashes are the
@@ -68,6 +67,7 @@ def decontaminate(
     hash so both sides agree by construction)."""
     bset = benchmark_shingles(bench, k, id_col, text_col)
     bref = ray.put(bset)
+    del bset
 
     def flag(batch: pa.Table) -> pa.Table:
         bs = ray.get(bref)
@@ -93,14 +93,10 @@ def decontaminate(
             }
         )
 
-    batches = [
-        b
-        for b in corpus.map_batches(
-            flag, batch_format="pyarrow", zero_copy_batch=True
-        ).iter_batches(batch_size=65536, batch_format="pyarrow")
-    ]
-    out = pa.concat_tables(batches)
-    return out.sort_by("doc_id")
+    # streamed: one row per corpus doc — corpus-sized, so the operator
+    # returns the Dataset (write_parquet / aggregate downstream at scale);
+    # test-scale callers collect
+    return corpus.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _gram_stats(batch: pa.Table, k: int, id_col: str, text_col: str):
@@ -128,8 +124,8 @@ def repetition_stats(
     dup3_threshold: float = 0.02,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> pa.Table:
-    """→ (doc_id, top2gram_frac, dup3gram_frac, flagged) per doc.
+) -> ray.data.Dataset:
+    """→ Dataset of (doc_id, top2gram_frac, dup3gram_frac, flagged) per doc.
 
     top2gram_frac = occurrences of the most frequent word-2-gram / total
     2-grams; dup3gram_frac = (total − distinct) word-3-grams / total.
@@ -159,13 +155,7 @@ def repetition_stats(
             }
         )
 
-    batches = [
-        b
-        for b in corpus.map_batches(
-            stats, batch_format="pyarrow", zero_copy_batch=True
-        ).iter_batches(batch_size=65536, batch_format="pyarrow")
-    ]
-    return pa.concat_tables(batches).sort_by("doc_id")
+    return corpus.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # multiplicative mix constant (xxhash64 prime 2 mod 2^61-1) — distinct from
@@ -178,7 +168,7 @@ def rebalance_sources(
     weights: dict[str, int],
     id_col: str = "doc_id",
     group_col: str = "source",
-) -> pa.Table:
+) -> ray.data.Dataset:
     """Deterministic mix rebalancing: downsample each source group toward
     target share ``w_s / ΣW`` of the corpus.
 
@@ -218,10 +208,4 @@ def rebalance_sources(
         mask = u * cnt_np[code] * W < w_np[code] * total * 10000
         return batch.select([id_col, group_col]).filter(pa.array(mask))
 
-    batches = [
-        b
-        for b in corpus.map_batches(
-            keep, batch_format="pyarrow", zero_copy_batch=True
-        ).iter_batches(batch_size=65536, batch_format="pyarrow")
-    ]
-    return pa.concat_tables(batches).sort_by("doc_id")
+    return corpus.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

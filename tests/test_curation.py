@@ -16,6 +16,11 @@ def _ds(rows):
     return ray.data.from_arrow(pa.Table.from_pylist(rows))
 
 
+def _tbl(ds):
+    batches = list(ds.iter_batches(batch_size=65536, batch_format="pyarrow"))
+    return pa.concat_tables(batches).sort_by("doc_id")
+
+
 def test_decontaminate_flags_shared_4gram():
     bench = pa.Table.from_pylist(
         [{"doc_id": 100, "text": "alpha beta gamma delta epsilon"}]
@@ -31,7 +36,7 @@ def test_decontaminate_flags_shared_4gram():
             {"doc_id": 3, "text": "one two three four five six seven"},
         ]
     )
-    out = decontaminate(corpus, bench, k=4)
+    out = _tbl(decontaminate(corpus, bench, k=4))
     rows = {r["doc_id"]: r for r in out.to_pylist()}
     assert rows[1]["contaminated"] and rows[1]["n_hits"] == 2
     assert not rows[2]["contaminated"] and rows[2]["n_hits"] == 0
@@ -45,7 +50,7 @@ def test_decontaminate_short_doc_whole_text_gram():
     corpus = _ds(
         [{"doc_id": 1, "text": "aa bb"}, {"doc_id": 2, "text": "aa bb cc dd"}]
     )
-    out = decontaminate(corpus, bench, k=4)
+    out = _tbl(decontaminate(corpus, bench, k=4))
     rows = {r["doc_id"]: r for r in out.to_pylist()}
     assert rows[1]["contaminated"]
     # doc 2 has >=k tokens so it yields only true 4-grams, none equal to
@@ -60,7 +65,7 @@ def test_repetition_stats_flags_repetitive_doc():
             {"doc_id": 2, "text": "the quick brown fox jumps over dogs"},
         ]
     )
-    out = repetition_stats(corpus, top2_threshold=0.5, dup3_threshold=0.5)
+    out = _tbl(repetition_stats(corpus, top2_threshold=0.5, dup3_threshold=0.5))
     rows = {r["doc_id"]: r for r in out.to_pylist()}
     # all five 2-grams identical -> top2 frac 1.0; 3-grams all dupes
     assert rows[1]["top2gram_frac"] == 1.0
@@ -79,8 +84,8 @@ def test_rebalance_sources_deterministic_and_weighted():
     ]
     corpus = _ds(rows)
     weights = {"src0": 1, "src1": 2, "src2": 1, "src3": 2}
-    out1 = rebalance_sources(corpus, weights)
-    out2 = rebalance_sources(_ds(rows), weights)
+    out1 = _tbl(rebalance_sources(corpus, weights))
+    out2 = _tbl(rebalance_sources(_ds(rows), weights))
     assert out1.equals(out2)  # deterministic
     kept = {}
     for r in out1.to_pylist():
@@ -96,7 +101,7 @@ def test_rebalance_sources_deterministic_and_weighted():
 
 def test_rebalance_equal_weights_keeps_everything():
     rows = [{"doc_id": int(i), "source": f"src{i % 3}"} for i in range(300)]
-    out = rebalance_sources(_ds(rows), {f"src{i}": 1 for i in range(3)})
+    out = _tbl(rebalance_sources(_ds(rows), {f"src{i}": 1 for i in range(3)}))
     # uniform counts + uniform weights -> every rate is exactly 1... but the
     # keep test is strict (<), so u*cnt*W < w*total*10000 with cnt*W ==
     # total*w keeps u in [0, 9999) i.e. everything except exact u==... none;
