@@ -997,6 +997,17 @@ def oracle_sql() -> dict[str, str]:
         "      * cnt.c * ws.wsum < (" + _W_EXPR.format(t="d") + ") * tot.t * 10000"
     )
 
+    # top_ngrams: global most-frequent word-3-grams (combiner → groupby-sum
+    # → sort/limit); gram hash = the same Horner fold, cast to BIGINT
+    sql["top_ngrams"] = _with(
+        _tkh_cte("tkh3", "documents"),
+        _grams_cte("gall", "tkh3", 3, False),
+        'cnt AS (SELECT g, count(*) AS "count" FROM gall GROUP BY 1)',
+    ) + (
+        'SELECT CAST(g AS BIGINT) AS g, "count" FROM cnt\n'
+        'ORDER BY "count" DESC, g ASC LIMIT 20'
+    )
+
     # stable multiplicative hash split, HUGEINT mirror of
     # functions/inthash (h = (id * K % p + 1) % p, bucket = h % 100)
     sql["dataset_split"] = (
@@ -1336,6 +1347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate",
         "repetition_stats",
         "rebalance_sources",
+        "top_ngrams",
         "literal_classify",
         "lookup_labels_lang",
         "lookup_sameas",

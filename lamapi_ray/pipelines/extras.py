@@ -332,6 +332,43 @@ def rebalance_sources(sf_dir: str) -> pa.Table:
     ).sort_by("doc_id")
 
 
+def top_ngrams(sf_dir: str) -> pa.Table:
+    """Corpus-level most-frequent word-3-grams (vocabulary statistics) —
+    the canonical pre-aggregate/combiner dataflow: every batch emits
+    (gram-hash, partial count) pairs (one ``np.unique`` per batch), ONE
+    vocabulary-bounded ``groupby.sum`` merges the partials, and a
+    distributed sort + ``limit`` yields the global top 20 with a
+    deterministic (count desc, gram asc) tie-break. The shuffle carries
+    one row per DISTINCT gram per batch — occurrence counts never cross
+    the wire individually, which is what keeps this viable at 100 TB."""
+    from ray.data.aggregate import Sum
+
+    from lamapi_ray.stages.dedup import _doc_shingle_hashes
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        _, _, g = _doc_shingle_hashes(batch, "doc_id", "text", k=3, distinct=False)
+        vals, cnts = np.unique(g, return_counts=True)
+        return pa.table(
+            {
+                "g": pa.array(vals.astype(np.int64), pa.int64()),
+                "c": pa.array(cnts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        _docs(sf_dir)
+        .map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("g", num_partitions=16)
+        .aggregate(Sum("c", alias_name="count"))
+        .sort(["count", "g"], descending=[True, False])
+        .limit(20)
+    )
+    out = _collect(agg)
+    return pa.table(
+        {"g": out["g"].cast(pa.int64()), "count": out["count"].cast(pa.int64())}
+    )
+
+
 def curation_pipeline(sf_dir: str) -> pa.Table:
     """The LLM-data curation flow as ONE streaming composition:
     documents → language-ID → quality scoring → filter (predicted English

@@ -108,3 +108,39 @@ def test_rebalance_equal_weights_keeps_everything():
     # equality only when u == 10000 which cannot happen -> all kept iff
     # u*total*... strictly below; u max 9999 < 10000 -> all kept
     assert out.num_rows == 300
+
+
+def test_top_ngrams_combiner_matches_naive(tmp_path):
+    # the distributed combiner/groupby/sort path must equal a naive count
+    import collections
+
+    from lamapi_ray.pipelines import extras
+
+    rows = [
+        {"doc_id": 0, "text": "a b c a b c a b c", "lang": "en",
+         "source": "src0", "n_chars": 17},
+        {"doc_id": 1, "text": "a b c d e f", "lang": "en",
+         "source": "src1", "n_chars": 11},
+        {"doc_id": 2, "text": "x y", "lang": "en", "source": "src0",
+         "n_chars": 3},
+    ]
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pylist(rows), tmp_path / "documents.parquet")
+    out = extras.top_ngrams(str(tmp_path))
+    # naive: 3-gram hash counts via the same hasher
+    from lamapi_ray.stages.dedup import _doc_shingle_hashes
+
+    _, _, g = _doc_shingle_hashes(
+        pa.Table.from_pylist(rows), "doc_id", "text", k=3, distinct=False
+    )
+    want = collections.Counter(int(x) for x in g)
+    got = list(zip(out["g"].to_pylist(), out["count"].to_pylist()))
+    assert len(got) == min(20, len(want))
+    # top entry: "a b c" appears 3x in doc 0 + 1x in doc 1
+    assert got[0][1] == 4 and want[got[0][0]] == 4
+    # ordering: count desc then hash asc, and counts match the naive counter
+    for (g1, c1), (g2, c2) in zip(got, got[1:]):
+        assert (c1, -g1) >= (c2, -g2) or c1 > c2 or (c1 == c2 and g1 < g2)
+    for gh, c in got:
+        assert want[gh] == c
