@@ -355,17 +355,35 @@ def top_ngrams(sf_dir: str) -> pa.Table:
             }
         )
 
-    agg = (
+    def local_topk(batch: pa.Table) -> pa.Table:
+        # per-block top-20 after the groupby (each gram lives in exactly one
+        # partition post-shuffle) — avoids a second global all-to-all sort;
+        # the driver merges blocks × 20 rows
+        if len(batch) <= 20:
+            return batch
+        cnt = batch["count"].combine_chunks().to_numpy(zero_copy_only=False)
+        g = batch["g"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((g, -cnt))[:20]
+        return batch.take(pa.array(np.sort(order)))
+
+    from lamapi_ray.stages.dedup import scaled_partitions
+
+    partial = (
         _docs(sf_dir)
         .map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("g", num_partitions=16)
+        .groupby("g", num_partitions=scaled_partitions(0.25, 4))
         .aggregate(Sum("c", alias_name="count"))
-        .sort(["count", "g"], descending=[True, False])
-        .limit(20)
+        .map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
     )
-    out = _collect(agg)
+    out = _collect(partial)
+    cnt = out["count"].combine_chunks().to_numpy(zero_copy_only=False)
+    g = out["g"].combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.lexsort((g, -cnt))[:20]
     return pa.table(
-        {"g": out["g"].cast(pa.int64()), "count": out["count"].cast(pa.int64())}
+        {
+            "g": pa.array(g[order].astype(np.int64), pa.int64()),
+            "count": pa.array(cnt[order].astype(np.int64), pa.int64()),
+        }
     )
 
 
