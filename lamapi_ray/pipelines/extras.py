@@ -529,8 +529,16 @@ def literal_classify(sf_dir: str) -> pa.Table:
         li_vals, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
     )
 
+    from lamapi_ray.stages.dedup import scaled_partitions
+
     distinct = (
-        tok_ds.union(orders).union(li_ds).groupby("value", num_partitions=16).count().select_columns(["value"])
+        tok_ds.union(orders)
+        .union(li_ds)
+        # combiner output is domain-bounded (~4k rows at sf0.1), so the
+        # distinct shuffle width scales with the cluster, not a constant
+        .groupby("value", num_partitions=scaled_partitions(0.25, 4))
+        .count()
+        .select_columns(["value"])
     )
     tbl = _collect(distinct)
     labels = classify_array(tbl["value"])
