@@ -48,7 +48,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from lamapi_ray.index.surface import SurfaceIndex, score_hit_rows
+from lamapi_ray.index.surface import SurfaceIndex, score_hit_rows_arrays
 from lamapi_ray.stages.candidates import CANDIDATE_FIELDS
 
 
@@ -285,34 +285,21 @@ def generate_candidates_sharded(
             np.add.at(merged_shared, inv, shared)
         rows = {k: v[first_idx] for k, v in arrs.items()}
         rows["shared"] = merged_shared
-        cands = score_hit_rows(mention, rows, limit, fuzzy=fuzzy)
-        if not cands:
+        cols = score_hit_rows_arrays(mention, rows, limit, fuzzy=fuzzy)
+        if cols is None:
             return pa.table(
                 {n: pa.array(out[n], t) for n, t in CANDIDATE_FIELDS}
             )
-        # per-mention argmax — same rule as CandidateGenerator.__call__
-        best = 0
-        best_key = None
-        for k, c in enumerate(cands):
-            bk = (
-                c["ed_score"] + c["jaccard_score"] + c["jaccardNgram_score"],
-                c["popularity"],
-            )
-            if (
-                best_key is None
-                or bk > best_key
-                or (bk == best_key and c["id"] < cands[best]["id"])
-            ):
-                best, best_key = k, bk
-        for k, cand in enumerate(cands):
-            for name, _ in CANDIDATE_FIELDS:
-                if name == "mention":
-                    out["mention"].append(mention)
-                elif name == "is_best":
-                    out["is_best"].append(k == best)
-                else:
-                    out[name].append(cand[name])
-        return pa.table({n: pa.array(out[n], t) for n, t in CANDIDATE_FIELDS})
+        # per-mention argmax — same rule as CandidateGenerator.__call__,
+        # vectorized over the candidate arrays
+        n_c = len(cols["id"])
+        total = cols["ed_score"] + cols["jaccard_score"] + cols["jaccardNgram_score"]
+        best = np.lexsort((cols["id"], -cols["popularity"], -total))[0]
+        is_best = np.zeros(n_c, dtype=bool)
+        is_best[best] = True
+        data = {"mention": np.full(n_c, mention, dtype=object), "is_best": is_best}
+        data.update(cols)
+        return pa.table({n: pa.array(data[n], t) for n, t in CANDIDATE_FIELDS})
 
     return partials.groupby("mention", num_partitions=16).map_groups(
         score_group, batch_format="pyarrow"
