@@ -1008,6 +1008,37 @@ def oracle_sql() -> dict[str, str]:
         'ORDER BY "count" DESC, g ASC LIMIT 20'
     )
 
+    # event_percentiles: nearest-rank order statistics — percentile is the
+    # ceil(q·n)-th element, a pure SELECTION (no interpolation arithmetic),
+    # so both engines return the identical stored double
+    sql["event_percentiles"] = _with(
+        "r AS (SELECT event_type, value,\n"
+        "  row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,\n"
+        "  count(*) OVER (PARTITION BY event_type) AS cnt FROM events)",
+    ) + (
+        "SELECT event_type, max(cnt) AS n_events,\n"
+        "  max(CASE WHEN rn = CAST(ceil(0.50 * cnt) AS BIGINT) THEN value END) AS p50,\n"
+        "  max(CASE WHEN rn = CAST(ceil(0.95 * cnt) AS BIGINT) THEN value END) AS p95,\n"
+        "  max(CASE WHEN rn = CAST(ceil(0.99 * cnt) AS BIGINT) THEN value END) AS p99\n"
+        "FROM r GROUP BY event_type"
+    )
+
+    # sessionize: 30-min-gap sessions per user (extras.py::sessionize);
+    # session breaks depend only on the sorted ts sequence
+    sql["sessionize"] = _with(
+        "e AS (SELECT user_id, event_id, ts,\n"
+        "  CASE WHEN lag(ts) OVER w IS NULL\n"
+        "         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk\n"
+        "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))",
+        "s AS (SELECT user_id, ts,\n"
+        "  sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id\n"
+        "                 ROWS UNBOUNDED PRECEDING) AS session_id FROM e)",
+    ) + (
+        "SELECT user_id, CAST(session_id AS BIGINT) AS session_id,\n"
+        "  count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts\n"
+        "FROM s GROUP BY 1, 2"
+    )
+
     # stable multiplicative hash split, HUGEINT mirror of
     # functions/inthash (h = (id * K % p + 1) % p, bucket = h % 100)
     sql["dataset_split"] = (
@@ -1348,6 +1379,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats",
         "rebalance_sources",
         "top_ngrams",
+        "event_percentiles",
+        "sessionize",
         "literal_classify",
         "lookup_labels_lang",
         "lookup_sameas",

@@ -166,6 +166,8 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("repetition_stats", lambda: extras.repetition_stats(sf_dir))
     timed("rebalance_sources", lambda: extras.rebalance_sources(sf_dir))
     timed("top_ngrams", lambda: extras.top_ngrams(sf_dir))
+    timed("event_percentiles", lambda: extras.event_percentiles(sf_dir))
+    timed("sessionize", lambda: extras.sessionize(sf_dir))
     timed("multimodal_decode", lambda: extras.multimodal_decode(sf_dir))
     timed("literal_classify", lambda: extras.literal_classify(sf_dir))
 

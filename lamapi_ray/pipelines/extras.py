@@ -202,6 +202,102 @@ def ann_ivf(sf_dir: str, n_centroids: int = 16, n_probe: int = 4) -> pa.Table:
 # --- windowed aggregate ---------------------------------------------------
 
 
+def event_percentiles(sf_dir: str) -> pa.Table:
+    """Per-event-type order statistics (nearest-rank p50/p95/p99 of
+    ``value``) — exact selection, NO float interpolation, so engine and
+    SQL pick the identical element (percentile = the ceil(q·n)-th order
+    statistic). Distributed shape: ``groupby(event_type).map_groups`` with
+    a vectorized numpy sort per group; event-type cardinality is tiny so
+    groups co-locate cheaply. (At 100 TB with huge groups the same
+    nearest-rank contract is served by a distributed selection — sort +
+    global index probe — without changing results; documented trade.)"""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    QS = (0.50, 0.95, 0.99)
+
+    def group_stats(group: pa.Table) -> pa.Table:
+        n = len(group)
+        if n == 0:
+            return pa.table(
+                {"event_type": pa.array([], pa.string()),
+                 "n_events": pa.array([], pa.int64()),
+                 "p50": pa.array([], pa.float64()),
+                 "p95": pa.array([], pa.float64()),
+                 "p99": pa.array([], pa.float64())}
+            )
+        vals = np.sort(
+            group["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        import math
+
+        picks = [float(vals[min(n - 1, math.ceil(q * n) - 1)]) for q in QS]
+        return pa.table(
+            {
+                "event_type": pa.array([group["event_type"][0].as_py()], pa.string()),
+                "n_events": pa.array([n], pa.int64()),
+                "p50": pa.array([picks[0]], pa.float64()),
+                "p95": pa.array([picks[1]], pa.float64()),
+                "p99": pa.array([picks[2]], pa.float64()),
+            }
+        )
+
+    return _collect(
+        ev.groupby("event_type").map_groups(group_stats, batch_format="pyarrow")
+    ).sort_by("event_type")
+
+
+def sessionize(sf_dir: str) -> pa.Table:
+    """Gap-based sessionization of the event stream: per user, events
+    sorted by (ts, event_id); a gap > 30 min starts a new session; one
+    output row per session with count and bounds. The canonical
+    "streaming window" re-expressed batch-native: ``groupby(user_id)``
+    co-locates each user's history, the per-group kernel is numpy diff +
+    cumsum (no per-event Python). Session bounds/counts are independent
+    of tie order at equal ts (gap 0), so results are deterministic."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+    GAP_US = 30 * 60 * 1_000_000
+
+    def sessions(group: pa.Table) -> pa.Table:
+        n = len(group)
+        if n == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "session_id": pa.array([], pa.int64()),
+                 "n_events": pa.array([], pa.int64()),
+                 "start_ts": pa.array([], pa.timestamp("us")),
+                 "end_ts": pa.array([], pa.timestamp("us"))}
+            )
+        ts = group["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ts = ts[order]
+        uid = int(group["user_id"][0].as_py())
+        brk = np.concatenate([[True], (ts[1:] - ts[:-1]) > GAP_US])
+        sid = np.cumsum(brk)  # 1-based session ids in time order
+        starts = np.flatnonzero(brk)
+        counts = np.diff(np.concatenate([starts, [n]]))
+        ends = starts + counts - 1
+        return pa.table(
+            {
+                "user_id": pa.array(np.full(len(starts), uid), pa.int64()),
+                "session_id": pa.array(sid[starts].astype(np.int64), pa.int64()),
+                "n_events": pa.array(counts.astype(np.int64), pa.int64()),
+                "start_ts": pa.array(ts[starts], pa.int64()).cast(pa.timestamp("us")),
+                "end_ts": pa.array(ts[ends], pa.int64()).cast(pa.timestamp("us")),
+            }
+        )
+
+    return _collect(
+        ev.groupby("user_id", num_partitions=16).map_groups(
+            sessions, batch_format="pyarrow"
+        )
+    ).sort_by([("user_id", "ascending"), ("session_id", "ascending")])
+
+
 def window_events(sf_dir: str) -> pa.Table:
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]

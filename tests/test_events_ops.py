@@ -1,0 +1,72 @@
+"""Event-stream operators: nearest-rank percentiles + gap sessionization."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_events(tmp_path, rows):
+    tbl = pa.Table.from_pylist(rows).cast(
+        pa.schema(
+            [("event_id", pa.int64()), ("user_id", pa.int64()),
+             ("event_type", pa.string()), ("ts", pa.timestamp("us")),
+             ("value", pa.float64())]
+        )
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+
+
+def test_event_percentiles_nearest_rank(tmp_path):
+    from lamapi_ray.pipelines import extras
+
+    rows = [
+        {"event_id": i, "user_id": 0, "event_type": "a",
+         "ts": 1_000_000 * i, "value": float(v)}
+        for i, v in enumerate([5.0, 1.0, 3.0, 2.0, 4.0])
+    ]
+    _write_events(tmp_path, rows)
+    out = extras.event_percentiles(str(tmp_path))
+    r = out.to_pylist()[0]
+    # sorted values 1..5, n=5: p50 -> ceil(2.5)=3rd -> 3.0;
+    # p95 -> ceil(4.75)=5th -> 5.0; p99 -> 5th -> 5.0
+    assert r["n_events"] == 5 and r["p50"] == 3.0
+    assert r["p95"] == 5.0 and r["p99"] == 5.0
+
+
+def test_sessionize_gap_breaks(tmp_path):
+    from lamapi_ray.pipelines import extras
+
+    MIN = 60 * 1_000_000
+    rows = []
+    # user 1: 3 events close together, then a 31-min gap, then 2 events
+    for i, t in enumerate([0, 5 * MIN, 10 * MIN, 41 * MIN, 45 * MIN]):
+        rows.append({"event_id": i, "user_id": 1, "event_type": "a",
+                     "ts": t, "value": 0.0})
+    # user 2: single event
+    rows.append({"event_id": 99, "user_id": 2, "event_type": "a",
+                 "ts": 7 * MIN, "value": 0.0})
+    _write_events(tmp_path, rows)
+    out = extras.sessionize(str(tmp_path))
+    got = [(r["user_id"], r["session_id"], r["n_events"]) for r in out.to_pylist()]
+    assert got == [(1, 1, 3), (1, 2, 2), (2, 1, 1)]
+    ts = {(r["user_id"], r["session_id"]): (r["start_ts"], r["end_ts"])
+          for r in out.to_pylist()}
+    import datetime as dt
+
+    epoch = dt.datetime(1970, 1, 1)
+    assert ts[(1, 2)] == (epoch + dt.timedelta(minutes=41),
+                          epoch + dt.timedelta(minutes=45))
+
+
+def test_sessionize_exact_30min_gap_same_session(tmp_path):
+    # the break condition is STRICTLY greater than 30 min
+    from lamapi_ray.pipelines import extras
+
+    MIN = 60 * 1_000_000
+    rows = [
+        {"event_id": 0, "user_id": 1, "event_type": "a", "ts": 0, "value": 0.0},
+        {"event_id": 1, "user_id": 1, "event_type": "a", "ts": 30 * MIN, "value": 0.0},
+    ]
+    _write_events(tmp_path, rows)
+    out = extras.sessionize(str(tmp_path))
+    assert [(r["session_id"], r["n_events"]) for r in out.to_pylist()] == [(1, 2)]
