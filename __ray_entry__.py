@@ -846,6 +846,26 @@ def oracle_sql() -> dict[str, str]:
         "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.999"
     )
 
+    # embedding near-dup CLUSTERS: the same exact pair set closed into
+    # connected components via a recursive min-label CTE (singletons via
+    # the identity seed row) — mirrors extras.py::embedding_dup_clusters
+    sql["embedding_dup_clusters"] = (
+        "WITH RECURSIVE dupe AS (\n"
+        "  SELECT vec_id, embedding FROM embeddings\n"
+        "  UNION ALL\n"
+        "  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 5 = 0\n"
+        "),\n"
+        "p AS (SELECT a.vec_id AS ia, b.vec_id AS ib\n"
+        "  FROM dupe a JOIN dupe b ON a.vec_id < b.vec_id\n"
+        "  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.999),\n"
+        "edges(a, b) AS (SELECT ia, ib FROM p UNION ALL SELECT ib, ia FROM p),\n"
+        "reach(id, lab) AS (\n"
+        "  SELECT vec_id, vec_id FROM dupe\n"
+        "  UNION\n"
+        "  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.id)\n"
+        "SELECT id AS vec_id, min(lab) AS cluster FROM reach GROUP BY id"
+    )
+
     # the sign-LSH scale path at pinned planes=16: candidate pair iff the
     # two 8-bit bands agree on band 0 OR band 1 (the engine's banding rule,
     # modulo nothing — codes are compared directly here), then exact-cosine
@@ -1381,6 +1401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_ngrams",
         "event_percentiles",
         "sessionize",
+        "embedding_dup_clusters",
         "literal_classify",
         "lookup_labels_lang",
         "lookup_sameas",

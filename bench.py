@@ -154,6 +154,7 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("ngram_jaccard_dup", lambda: extras.ngram_jaccard_dup(sf_dir))
     timed("embedding_near_dup", lambda: extras.embedding_near_dup(sf_dir))
     timed("embedding_near_dup_lsh", lambda: extras.embedding_near_dup_lsh(sf_dir))
+    timed("embedding_dup_clusters", lambda: extras.embedding_dup_clusters(sf_dir))
     timed("lang_id", lambda: extras.lang_id(sf_dir))
     timed("quality_score", lambda: extras.quality_score(sf_dir))
     timed("token_stats", lambda: extras.token_stats(sf_dir))

@@ -1314,6 +1314,39 @@ def embedding_near_dup(sf_dir: str) -> pa.Table:
     )
 
 
+def embedding_dup_clusters(sf_dir: str) -> pa.Table:
+    """Near-duplicate CLUSTERS over embeddings — completes the embedding
+    dedup family: the exact above-threshold pair set (chunk-pair-blocked
+    all-pairs) feeds the SAME distributed min-label connected-components
+    engine the text dedup family uses (one grouped exchange per round,
+    local fixpoints, counter-actor convergence); singleton vectors appear
+    via a self-edge union and keep their own id. → (vec_id, cluster =
+    min vec_id of the component)."""
+    from lamapi_ray.stages.annsearch import exact_cosine_near_pairs
+    from lamapi_ray.stages.dedup import _cc_min_labels
+
+    ds = _dup_embeddings(sf_dir)
+    pairs = exact_cosine_near_pairs(ds, threshold=0.999).select(["id_a", "id_b"])
+
+    def self_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        ids = ids.cast(pa.int64())
+        return pa.table({"id_a": ids, "id_b": ids})
+
+    edges = ray.data.from_arrow(pairs).union(
+        ds.map_batches(self_edges, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    labels = _cc_min_labels(edges)
+    return pa.table(
+        {
+            "vec_id": labels["node"].combine_chunks().cast(pa.int64()),
+            "cluster": labels["label"].combine_chunks().cast(pa.int64()),
+        }
+    ).sort_by("vec_id")
+
+
 def embedding_near_dup_lsh(sf_dir: str) -> pa.Table:
     """Sub-quadratic sign-LSH near-duplicate pairs over the same corpus —
     the scale path (approximate: ≥2-bit code-distance borderline pairs can

@@ -70,3 +70,29 @@ def test_sessionize_exact_30min_gap_same_session(tmp_path):
     _write_events(tmp_path, rows)
     out = extras.sessionize(str(tmp_path))
     assert [(r["session_id"], r["n_events"]) for r in out.to_pylist()] == [(1, 2)]
+
+
+def test_embedding_dup_clusters_transitive(tmp_path):
+    # identical vectors chain into ONE component labeled by the min id
+    from lamapi_ray.pipelines import extras
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    w = [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        {"vec_id": 0, "embedding": v, "label": 0},
+        {"vec_id": 1, "embedding": v, "label": 0},
+        {"vec_id": 2, "embedding": v, "label": 0},
+        {"vec_id": 3, "embedding": w, "label": 1},
+    ]
+    tbl = pa.Table.from_pylist(rows).cast(
+        pa.schema([("vec_id", pa.int64()),
+                   ("embedding", pa.list_(pa.float32())),
+                   ("label", pa.int32())])
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    out = extras.embedding_dup_clusters(str(tmp_path))
+    got = {r["vec_id"]: r["cluster"] for r in out.to_pylist()}
+    # _dup_embeddings injects a shifted copy of vec_id 0 -> 1000000
+    assert got[0] == got[1] == got[2] == 0
+    assert got[1000000] == 0  # the injected copy of v0 joins the component
+    assert got[3] == 3  # singleton keeps its own id
