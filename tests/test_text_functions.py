@@ -98,3 +98,24 @@ def test_route_entity_ids():
     out = route_entity_ids(["Q42", "P31", "dbr:Batman", "Q1", "42Q"])
     assert out["wikidata"] == ["Q42", "P31", "Q1"]
     assert out["dbpedia"] == ["dbr:Batman", "42Q"]
+
+
+def test_round_arr_matches_round_ref_elementwise():
+    # _round_arr (np.char.mod) must be bit-identical to the scalar
+    # printf-based round_ref, including knife-edge decimal ties
+    import numpy as np
+
+    from lamapi_ray.functions.text import round_ref
+    from lamapi_ray.index.surface import _round_arr
+
+    rng = np.random.RandomState(20260817)
+    vals = np.concatenate([
+        rng.uniform(-10, 10, 5000),
+        np.array([0.48624999999999996, 0.48625, 0.5, 1.0055, 2.675, 0.125,
+                  0.0, -0.0, 1e-9, -1e-9]),
+    ])
+    for nd in (2, 3, 4, 6):
+        got = _round_arr(vals, nd)
+        want = np.array([round_ref(v, nd) for v in vals])
+        assert (got == want).all()
+    assert _round_arr(np.array([]), 3).shape == (0,)
