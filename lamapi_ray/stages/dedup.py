@@ -377,6 +377,26 @@ class _CCChangeCounter:
         return self.rounds.get(round_id, 0)
 
 
+# session-cached counter handle + per-run key sequence: actor spawn costs
+# ~130 ms, so one zero-cpu actor is reused across CC invocations; rounds
+# are keyed (run_token, round_id) so runs never collide
+_CC_COUNTER_SLOT: list = [None]
+_CC_RUN_SEQ = __import__("itertools").count()
+
+
+def _cc_counter():
+    a = _CC_COUNTER_SLOT[0]
+    if a is not None:
+        try:
+            ray.get(a.get.remote((-1, -1)))
+            return a
+        except Exception:
+            _CC_COUNTER_SLOT[0] = None
+    a = _CCChangeCounter.remote()
+    _CC_COUNTER_SLOT[0] = a
+    return a
+
+
 def _cc_round(group: pa.Table, round_id: int = -1, counter=None, num_partitions: int = _CC_P_FLOOR) -> pa.Table:
     """One CC round for one hash(v) partition.
 
@@ -476,7 +496,8 @@ def _cc_min_labels(
     import functools
 
     P = num_partitions or scaled_partitions(0.5, _CC_P_FLOOR)
-    counter = _CCChangeCounter.remote()
+    counter = _cc_counter()
+    tok = next(_CC_RUN_SEQ)
     state = edge_rows
     if not pre_round:
         state = state.map_batches(
@@ -489,13 +510,14 @@ def _cc_min_labels(
                 state.groupby("pkey", num_partitions=P)
                 .map_groups(
                     functools.partial(
-                        _cc_round, round_id=rid, counter=counter, num_partitions=P
+                        _cc_round, round_id=(tok, rid), counter=counter,
+                        num_partitions=P,
                     ),
                     batch_format="pyarrow",
                 )
                 .materialize()
             )
-            if ray.get(counter.get.remote(rid)) == 0:
+            if ray.get(counter.get.remote((tok, rid))) == 0:
                 break
 
         def labels_only(batch: pa.Table) -> pa.Table:
@@ -515,7 +537,7 @@ def _cc_min_labels(
             )
         return pa.concat_tables(batches)
     finally:
-        ray.kill(counter)
+        pass  # counter is session-cached (zero-cpu) — reused, not killed
 
 
 # floor for the band-shuffle width (scaled_partitions): binds only below
