@@ -1292,13 +1292,14 @@ def _dup_embeddings(sf_dir: str) -> ray.data.Dataset:
 
 
 def _round_pairs(out: pa.Table) -> pa.Table:
+    from lamapi_ray.index.surface import _round_arr
+
+    cos = out["cosine"].combine_chunks().to_numpy(zero_copy_only=False)
     return pa.table(
         {
             "id_a": out["id_a"],
             "id_b": out["id_b"],
-            "cosine": pa.array(
-                [round_ref(c, 6) for c in out["cosine"].to_pylist()], pa.float64()
-            ),
+            "cosine": pa.array(_round_arr(cos, 6), pa.float64()),
         }
     )
 
