@@ -144,3 +144,36 @@ def test_top_ngrams_combiner_matches_naive(tmp_path):
         assert (c1, -g1) >= (c2, -g2) or c1 > c2 or (c1 == c2 and g1 < g2)
     for gh, c in got:
         assert want[gh] == c
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "dd"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_gram_stats_invariants(docs_tokens):
+    # total = n_tokens-k+1 for docs with >=k tokens, 1 for short non-empty
+    # docs, 0 for empty; distinct <= total; top <= total; top >= 1 iff total>0
+    from lamapi_ray.stages.curation import _gram_stats
+
+    k = 2
+    rows = [
+        {"doc_id": i, "text": " ".join(toks)} for i, toks in enumerate(docs_tokens)
+    ]
+    batch = pa.Table.from_pylist(rows)
+    ids, total, distinct, top = _gram_stats(batch, k, "doc_id", "text")
+    assert list(ids) == list(range(len(docs_tokens)))
+    for i, toks in enumerate(docs_tokens):
+        # "" splits to [''] — one token — so n_tok is max(len, 1)
+        n_tok = max(len(toks), 1)
+        want_total = n_tok - k + 1 if n_tok >= k else 1
+        assert total[i] == want_total, (i, toks, total[i])
+        assert 0 <= distinct[i] <= total[i]
+        assert (top[i] >= 1) == (total[i] > 0)
+        assert top[i] <= total[i]
