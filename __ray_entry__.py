@@ -546,6 +546,70 @@ def oracle_sql() -> dict[str, str]:
         "FROM g CROSS JOIN st LEFT JOIN items i ON i.entity = g.predicate"
     )
 
+    # --- KG graph analytics (stages/graph.py) — engine-first operators the
+    # reference's summary endpoint stops short of ---------------------------
+    sql["kg_degrees"] = _with(
+        SQL_ITEMS,
+        SQL_ADJACENCY,
+        "o AS (SELECT subj AS entity, count(*) AS c FROM adjacency GROUP BY 1)",
+        "i AS (SELECT obj AS entity, count(*) AS c FROM adjacency GROUP BY 1)",
+    ) + (
+        "SELECT coalesce(o.entity, i.entity) AS entity,\n"
+        "       coalesce(o.c, 0) AS out_deg, coalesce(i.c, 0) AS in_deg\n"
+        "FROM o FULL OUTER JOIN i ON o.entity = i.entity"
+    )
+
+    # entity_pagerank: 3 unrolled iterations of INTEGER fixed-point PageRank
+    # (rank × 10^9; contribution rf // out_deg; update base + 85·Σ // 100) —
+    # all-integer arithmetic, so the engine's distributed scatter/gather
+    # (stages/graph.py::pagerank) and this relational unrolling agree
+    # bit-for-bit; `rank` = rank_fp / 1e9 is the same IEEE op on both sides
+    def _pr_iter(i: int) -> tuple[str, str]:
+        prev = f"r{i - 1}"
+        c = (
+            f"c{i} AS (SELECT e.obj AS entity, sum(r.rf // r.out_deg) AS s\n"
+            f"  FROM adjacency e JOIN {prev} r ON r.entity = e.subj GROUP BY 1)"
+        )
+        r = (
+            f"r{i} AS (SELECT p.entity, p.out_deg,\n"
+            f"  CAST(b.base + (85 * coalesce(c{i}.s, 0)) // 100 AS BIGINT) AS rf\n"
+            f"  FROM {prev} p CROSS JOIN b LEFT JOIN c{i} ON c{i}.entity = p.entity)"
+        )
+        return c, r
+
+    _pr_ctes = [
+        SQL_ITEMS,
+        SQL_ADJACENCY,
+        "o AS (SELECT subj AS entity, count(*) AS c FROM adjacency GROUP BY 1)",
+        "i AS (SELECT obj AS entity, count(*) AS c FROM adjacency GROUP BY 1)",
+        "deg AS (SELECT coalesce(o.entity, i.entity) AS entity,\n"
+        "  coalesce(o.c, 0) AS out_deg FROM o FULL OUTER JOIN i ON o.entity = i.entity)",
+        "n AS (SELECT count(*) AS cnt FROM deg)",
+        "b AS (SELECT (15::BIGINT * 1000000000) // (100 * cnt) AS base FROM n)",
+        "r0 AS (SELECT entity, out_deg,\n"
+        "  CAST((SELECT 1000000000 // cnt FROM n) AS BIGINT) AS rf FROM deg)",
+    ]
+    for _i in (1, 2, 3):
+        _pr_ctes.extend(_pr_iter(_i))
+    sql["entity_pagerank"] = _with(*_pr_ctes) + (
+        "SELECT entity, rf AS rank_fp, rf / 1000000000.0 AS rank FROM r3"
+    )
+
+    # type_closure: ancestor transitive closure over the deterministic
+    # part-item binary-heap forest (child Q(100000+k) → parent
+    # Q(100000+(k-1)//2)); the engine closes it by pointer doubling
+    # (stages/graph.py::ancestor_closure), the oracle by recursion
+    sql["type_closure"] = (
+        "WITH RECURSIVE par AS (\n"
+        "  SELECT 'Q' || (100000 + p_partkey) AS child,\n"
+        "         'Q' || (100000 + (p_partkey - 1) // 2) AS parent\n"
+        "  FROM part WHERE p_partkey >= 1),\n"
+        "anc AS (SELECT child AS entity, parent AS anc FROM par\n"
+        "        UNION\n"
+        "        SELECT a.entity, p.parent FROM anc a JOIN par p ON p.child = a.anc)\n"
+        "SELECT entity, anc FROM anc"
+    )
+
     # O3: summary top-k (default 10, here 3 for a non-trivial subset) with a
     # deterministic tie-break — reference summary_retriever.py:17-21
     sql["summary_topk"] = _with(
@@ -961,6 +1025,30 @@ def oracle_sql() -> dict[str, str]:
         )
         inner = f"list_distinct({body})" if distinct else body
         return f"{name} AS (SELECT doc_id, unnest({inner}) AS g FROM {tkh})"
+
+    # pii_scrub: deterministic PII injection (mirrored in SQL concat), then
+    # the IDENTICAL RE2 pattern strings on both engines (pyarrow.compute and
+    # DuckDB both run RE2) — counts and scrubbed text match byte-for-byte
+    from lamapi_ray.stages.pii import PATTERNS as _PII_PATTERNS  # noqa: E402
+
+    _pii_counts = ",\n".join(
+        f"  len(regexp_extract_all(text, '{pat}')) AS {name}"
+        for name, pat, _tok in _PII_PATTERNS
+    )
+    _pii_scrubbed = "text"
+    for _name, _pat, _tok in _PII_PATTERNS:
+        _pii_scrubbed = f"regexp_replace({_pii_scrubbed}, '{_pat}', '{_tok}', 'g')"
+    sql["pii_scrub"] = _with(
+        "inj AS (SELECT doc_id, text\n"
+        "  || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id || '@example.com now' ELSE '' END\n"
+        "  || CASE WHEN doc_id % 11 = 0 THEN ' ip 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) ELSE '' END\n"
+        "  || CASE WHEN doc_id % 13 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END\n"
+        "  AS text FROM documents)",
+    ) + (
+        "SELECT doc_id,\n"
+        + _pii_counts
+        + f",\n  {_pii_scrubbed} AS scrubbed\nFROM inj"
+    )
 
     # decontaminate: corpus doc k-grams ∩ benchmark k-gram set, k=4,
     # benchmark = every 50th doc (stages/curation.py::decontaminate)
@@ -1402,6 +1490,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_percentiles",
         "sessionize",
         "embedding_dup_clusters",
+        "type_closure",
+        "pii_scrub",
         "literal_classify",
         "lookup_labels_lang",
         "lookup_sameas",
@@ -1424,6 +1514,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["lookup_types"] = with_kg("lookup_types", "items")
     out["lookup_labels"] = with_kg("lookup_labels", "items")
     out["lookup_objects"] = with_kg("lookup_objects", "triples")
+    out["kg_degrees"] = with_kg("kg_degrees", "triples")
+    out["entity_pagerank"] = with_kg("entity_pagerank", "triples")
     out["lookup_literals"] = with_kg("lookup_literals", "literals")
     out["predicates_pairs"] = with_kg("predicates_pairs", "triples")
 

@@ -1361,3 +1361,87 @@ def embedding_near_dup_lsh(sf_dir: str) -> pa.Table:
     return _round_pairs(
         cosine_near_pairs(_dup_embeddings(sf_dir), threshold=0.999, planes=16)
     )
+
+
+# --- KG graph analytics (stages/graph.py) ----------------------------------
+
+
+def kg_degrees(sf_dir: str, adjacency: pa.Table) -> pa.Table:
+    """Per-entity out/in degree over the KG edge list — combiner partial
+    counts per batch, ONE vocabulary-bounded groupby.sum.
+    See :func:`lamapi_ray.stages.graph.degrees`."""
+    from lamapi_ray.stages import graph
+
+    return _collect(graph.degrees(ray.data.from_arrow(adjacency))).sort_by("entity")
+
+
+def entity_pagerank(sf_dir: str, adjacency: pa.Table) -> pa.Table:
+    """Fixed-point PageRank (3 iterations, d = 85/100, scale 10^9) over the
+    KG edge list. Integer arithmetic end to end → bit-reproducible, so the
+    DuckDB oracle unrolls the same three iterations relationally and the
+    hashes match exactly. See :func:`lamapi_ray.stages.graph.pagerank`."""
+    from lamapi_ray.stages import graph
+
+    return _collect(
+        graph.pagerank(ray.data.from_arrow(adjacency), iters=3)
+    ).sort_by("entity")
+
+
+def type_closure(sf_dir: str) -> pa.Table:
+    """Ancestor transitive closure over the deterministic part-item
+    hierarchy (child Q(100000+k) → parent Q(100000+(k-1)//2), k ≥ 1 — a
+    binary-heap forest rooted at Q100000) by pointer doubling: ⌈log2 depth⌉
+    bucketed self-joins instead of depth semi-naive rounds.
+    See :func:`lamapi_ray.stages.graph.ancestor_closure`."""
+    from lamapi_ray.stages import graph
+
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        k = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = k[k >= 1]
+        ent = pc.binary_join_element_wise(
+            "Q", pc.cast(pa.array(k + 100000), pa.string()), ""
+        )
+        par = pc.binary_join_element_wise(
+            "Q", pc.cast(pa.array((k - 1) // 2 + 100000), pa.string()), ""
+        )
+        return pa.table({"entity": ent, "anc": par})
+
+    edges = part.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
+    return _collect(graph.ancestor_closure(edges)).sort_by("entity")
+
+
+# --- PII scrub (stages/pii.py) ----------------------------------------------
+
+
+def pii_scrub(sf_dir: str) -> pa.Table:
+    """Detect + redact emails / IPv4s / phone numbers. The synthetic corpus
+    is a clean word stream, so deterministic PII is INJECTED first (the
+    same fixture-injection pattern as ``_dup_corpus``): every 7th doc gains
+    an email, every 11th an IP, every 13th a phone — reproduced verbatim by
+    the oracle's SQL concatenation, after which both engines run identical
+    RE2 patterns. See :mod:`lamapi_ray.stages.pii`."""
+    from lamapi_ray.stages.pii import pii_scrub as scrub
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch["text"].combine_chunks().cast(pa.string()).to_pylist()
+        out = []
+        for k, t in zip(ids, texts):
+            k = int(k)
+            if k % 7 == 0:
+                t += f" contact user{k}@example.com now"
+            if k % 11 == 0:
+                t += f" ip 10.{k % 256}.0.{k % 100}"
+            if k % 13 == 0:
+                t += f" call 555-{k % 10000:04d}"
+            out.append(t)
+        return pa.table(
+            {"doc_id": pa.array(ids), "text": pa.array(out, pa.string())}
+        )
+
+    injected = _docs(sf_dir).map_batches(
+        inject, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _collect(scrub(injected)).sort_by("doc_id")

@@ -1,0 +1,366 @@
+"""Distributed graph analytics over KG edge lists.
+
+The KG construction pipeline ends in an edge list (``subj``, ``pred``,
+``obj`` — pipelines/kg.py, pipelines/materialize.py); these operators are
+the analysis passes a KG consumer runs next. The reference stops at lookup
+serving (its summary endpoint counts predicates only — scripts/summary.py),
+so these are engine-first operators in the Pregel/GraphX dataflow mold,
+expressed as Ray Data exchanges:
+
+* :func:`degrees` — per-entity out/in degree. Per-batch combiner (one
+  dictionary-encode + ``np.bincount`` per batch) emits partial counts, ONE
+  vocabulary-bounded ``groupby.sum`` merges them — occurrences never cross
+  the wire individually.
+* :func:`pagerank` — fixed-iteration PageRank in INTEGER fixed-point
+  (rank × 10^9 as int64): contribution = ``rank_fp // out_deg``, update =
+  ``base + (85 · Σcontrib) // 100``. All-integer arithmetic makes the
+  result bit-reproducible across engines (no float-sum ordering hazard),
+  which is what lets the DuckDB oracle check it exactly. Each iteration is
+  two grouped exchanges (the Pregel pattern): scatter shares along edges
+  grouped by source, gather sums grouped by destination. Edge rows carry
+  only (key, dst); rank state is node-sized. Dangling nodes (out_deg = 0)
+  keep the base term and emit nothing — the standard simplified variant
+  (no dangling-mass redistribution); total mass therefore decays, which is
+  fine for ranking use.
+* :func:`ancestor_closure` — transitive closure of a parent forest by
+  POINTER DOUBLING: R_{i+1} = R_i ∪ (R_i ∘ R_i) closes paths of length
+  2^i per round, so a depth-D hierarchy needs ⌈log2 D⌉ joins instead of D
+  semi-naive rounds — the right trade at cluster scale where each round is
+  a full exchange. Composition reuses :func:`bucketed_hash_join`; dedup is
+  a bucket-grouped Arrow distinct.
+
+Iterative state (ranks, closure relation) is ``materialize()``d once per
+round — deliberate: it is node-/closure-sized (≪ corpus), and without it
+each round's lineage would recompute every prior round. Edges are
+materialized once for the same reason.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from lamapi_ray.functions.inthash import hash_string_array
+from lamapi_ray.stages.dedup import scaled_partitions
+from lamapi_ray.stages.join import bucketed_hash_join
+
+PR_SCALE = 10**9  # fixed-point scale: rank 1.0 == 10^9
+PR_NUM, PR_DEN = 85, 100  # damping d = 0.85 as an integer ratio
+
+
+def _dict_codes(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, pa.Array]:
+    """→ (int64 codes, dictionary values) for a string column."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    enc = col.dictionary_encode()
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    return np.asarray(enc.indices, dtype=np.int64), enc.dictionary
+
+
+def degrees(
+    edges: ray.data.Dataset, src: str = "subj", dst: str = "obj"
+) -> ray.data.Dataset:
+    """→ Dataset (entity, out_deg, in_deg), one row per node of ``edges``."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s_codes, s_vals = _dict_codes(batch[src])
+        d_codes, d_vals = _dict_codes(batch[dst])
+        out_c = np.bincount(s_codes, minlength=len(s_vals)).astype(np.int64)
+        in_c = np.bincount(d_codes, minlength=len(d_vals)).astype(np.int64)
+        ent = pa.concat_arrays([s_vals.cast(pa.string()), d_vals.cast(pa.string())])
+        return pa.table(
+            {
+                "entity": ent,
+                "out_p": pa.array(
+                    np.concatenate([out_c, np.zeros(len(d_vals), np.int64)])
+                ),
+                "in_p": pa.array(
+                    np.concatenate([np.zeros(len(s_vals), np.int64), in_c])
+                ),
+            }
+        )
+
+    width = scaled_partitions(1.0, 8)
+    agg = (
+        edges.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("entity", num_partitions=width)
+        .aggregate(Sum("out_p"), Sum("in_p"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "entity": batch["entity"],
+                "out_deg": batch["sum(out_p)"].cast(pa.int64()),
+                "in_deg": batch["sum(in_p)"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _bucket_col(col, width: int) -> pa.Array:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    h = hash_string_array(col.cast(pa.string()))
+    return pa.array((h % np.uint64(width)).astype(np.int64))
+
+
+def pagerank(
+    edges: ray.data.Dataset,
+    iters: int = 3,
+    src: str = "subj",
+    dst: str = "obj",
+) -> ray.data.Dataset:
+    """Fixed-point PageRank → Dataset (entity, rank_fp, rank).
+
+    ``rank_fp`` is the int64 fixed-point rank (scale 10^9); ``rank`` is the
+    exact double ``rank_fp / 10^9`` (identical bits on any IEEE engine).
+    """
+    width = scaled_partitions(1.0, 8)
+    edges = edges.materialize()
+    deg = degrees(edges, src, dst)
+    n_nodes = deg.count()
+    init_fp = PR_SCALE // n_nodes
+    base_fp = ((PR_DEN - PR_NUM) * PR_SCALE) // (PR_DEN * n_nodes)
+
+    def seed(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "entity": batch["entity"],
+                "out_deg": batch["out_deg"],
+                "rf": pa.array(np.full(len(batch), init_fp, np.int64)),
+            }
+        )
+
+    # coalesce rank state to `width` blocks per round: map_groups emits many
+    # tiny blocks, and per-block overhead would dominate the node-sized state
+    ranks = (
+        deg.map_batches(seed, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(width)
+        .materialize()
+    )
+
+    def tag_edge(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        key = batch[src]
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        return pa.table(
+            {
+                "key": key.cast(pa.string()),
+                "dst": batch[dst].cast(pa.string()),
+                "rf": pa.nulls(n, pa.int64()),
+                "out_deg": pa.nulls(n, pa.int64()),
+                "__bucket": _bucket_col(key, width),
+            }
+        )
+
+    def tag_rank(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        key = batch["entity"]
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        return pa.table(
+            {
+                "key": key.cast(pa.string()),
+                "dst": pa.nulls(n, pa.string()),
+                "rf": batch["rf"].cast(pa.int64()),
+                "out_deg": batch["out_deg"].cast(pa.int64()),
+                "__bucket": _bucket_col(key, width),
+            }
+        )
+
+    def scatter(group: pa.Table) -> pa.Table:
+        # split sides by dst-null: rank rows have dst NULL
+        is_rank = pc.is_null(group["dst"]).combine_chunks()
+        rk = group.filter(is_rank)
+        eg = group.filter(pc.invert(is_rank))
+        if len(eg) == 0 or len(rk) == 0:
+            return pa.table(
+                {"entity": pa.array([], pa.string()), "s": pa.array([], pa.int64())}
+            )
+        key_all = pa.concat_arrays(
+            [
+                rk["key"].combine_chunks().cast(pa.string()),
+                eg["key"].combine_chunks().cast(pa.string()),
+            ]
+        )
+        codes, _vals = _dict_codes(key_all)
+        nr = len(rk)
+        rf = rk["rf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        od = rk["out_deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        share_by_code = np.zeros(len(_vals), np.int64)
+        share_by_code[codes[:nr]] = np.where(od > 0, rf // np.maximum(od, 1), 0)
+        contrib = share_by_code[codes[nr:]]
+        # partial-aggregate inside the bucket by destination before the
+        # gather shuffle — one row per distinct dst per bucket
+        d_codes, d_vals = _dict_codes(eg["dst"])
+        sums = np.zeros(len(d_vals), np.int64)
+        np.add.at(sums, d_codes, contrib)
+        return pa.table(
+            {"entity": d_vals.cast(pa.string()), "s": pa.array(sums)}
+        )
+
+    def tag_contrib(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        ent = batch["entity"]
+        if isinstance(ent, pa.ChunkedArray):
+            ent = ent.combine_chunks()
+        return pa.table(
+            {
+                "entity": ent.cast(pa.string()),
+                "s": batch["s"].cast(pa.int64()),
+                "out_deg": pa.nulls(n, pa.int64()),
+                "__bucket": _bucket_col(ent, width),
+            }
+        )
+
+    def tag_base(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        ent = batch["entity"]
+        if isinstance(ent, pa.ChunkedArray):
+            ent = ent.combine_chunks()
+        return pa.table(
+            {
+                "entity": ent.cast(pa.string()),
+                "s": pa.array(np.zeros(n, np.int64)),
+                "out_deg": batch["out_deg"].cast(pa.int64()),
+                "__bucket": _bucket_col(ent, width),
+            }
+        )
+
+    def gather(group: pa.Table) -> pa.Table:
+        codes, vals = _dict_codes(group["entity"])
+        s = group["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sums = np.zeros(len(vals), np.int64)
+        np.add.at(sums, codes, s)
+        od_col = group["out_deg"].to_numpy(zero_copy_only=False)
+        od = np.full(len(vals), -1, np.int64)
+        base_mask = ~pa.compute.is_null(group["out_deg"]).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        np.maximum.at(od, codes[base_mask], od_col[base_mask].astype(np.int64))
+        rf = base_fp + (PR_NUM * sums) // PR_DEN
+        return pa.table(
+            {
+                "entity": vals.cast(pa.string()),
+                "out_deg": pa.array(od),
+                "rf": pa.array(rf),
+            }
+        )
+
+    edge_tagged = edges.map_batches(
+        tag_edge, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    for _ in range(iters):
+        rank_tagged = ranks.map_batches(
+            tag_rank, batch_format="pyarrow", zero_copy_batch=True
+        )
+        contribs = (
+            edge_tagged.union(rank_tagged)
+            .groupby("__bucket", num_partitions=width)
+            .map_groups(scatter, batch_format="pyarrow")
+        )
+        both = contribs.map_batches(
+            tag_contrib, batch_format="pyarrow", zero_copy_batch=True
+        ).union(
+            ranks.map_batches(tag_base, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        ranks = (
+            both.groupby("__bucket", num_partitions=width)
+            .map_groups(gather, batch_format="pyarrow")
+            .repartition(width)
+            .materialize()
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        rf = batch["rf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "entity": batch["entity"],
+                "rank_fp": pa.array(rf),
+                "rank": pa.array(rf / float(PR_SCALE)),
+            }
+        )
+
+    return ranks.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _pair_distinct(ds: ray.data.Dataset, width: int) -> ray.data.Dataset:
+    """Distinct (entity, anc) string pairs via one bucket-grouped exchange."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ent = batch["entity"]
+        if isinstance(ent, pa.ChunkedArray):
+            ent = ent.combine_chunks()
+        anc = batch["anc"]
+        if isinstance(anc, pa.ChunkedArray):
+            anc = anc.combine_chunks()
+        joined = pc.binary_join_element_wise(
+            ent.cast(pa.string()), anc.cast(pa.string()), "\x1f"
+        )
+        return pa.table(
+            {
+                "entity": ent.cast(pa.string()),
+                "anc": anc.cast(pa.string()),
+                "__bucket": _bucket_col(joined, width),
+            }
+        )
+
+    def distinct(group: pa.Table) -> pa.Table:
+        return group.select(["entity", "anc"]).group_by(["entity", "anc"]).aggregate([])
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket", num_partitions=width)
+        .map_groups(distinct, batch_format="pyarrow")
+    )
+
+
+def ancestor_closure(
+    parents: ray.data.Dataset, max_rounds: int = 32
+) -> ray.data.Dataset:
+    """Transitive closure of a parent relation (entity → anc) by pointer
+    doubling; converges in ⌈log2 depth⌉ rounds. Fixpoint = row count stable
+    (each round only ever ADDS pairs, so equal counts ⇒ closed)."""
+    width = scaled_partitions(1.0, 8)
+    # repartition before each materialize: groupby/map_groups emits many
+    # small blocks, and unioning them round over round compounds the block
+    # count 3× per round — per-block scheduling overhead then dominates a
+    # relation that is only hierarchy-sized (measured: 190 s/round at 16k
+    # pairs without the coalesce, <5 s with it)
+    rel = _pair_distinct(parents, width).repartition(width).materialize()
+    prev = rel.count()
+    for _ in range(max_rounds):
+        left = rel.map_batches(
+            lambda t: pa.table({"entity": t["entity"], "mid": t["anc"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        right = rel.map_batches(
+            lambda t: pa.table({"mid": t["entity"], "anc": t["anc"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        comp = bucketed_hash_join(left, right, on="mid", num_buckets=width)
+        comp_pairs = comp.map_batches(
+            lambda t: t.select(["entity", "anc"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        rel = (
+            _pair_distinct(rel.union(comp_pairs), width)
+            .repartition(width)
+            .materialize()
+        )
+        cur = rel.count()
+        if cur == prev:
+            break
+        prev = cur
+    return rel

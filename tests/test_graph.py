@@ -1,0 +1,140 @@
+"""Graph analytics operators (stages/graph.py) vs naive in-memory refs."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from lamapi_ray.stages.graph import (
+    PR_DEN,
+    PR_NUM,
+    PR_SCALE,
+    ancestor_closure,
+    degrees,
+    pagerank,
+)
+
+
+def _tbl(edges):
+    return pa.table(
+        {
+            "subj": pa.array([a for a, _ in edges], pa.string()),
+            "obj": pa.array([b for _, b in edges], pa.string()),
+        }
+    )
+
+
+EDGES = [
+    ("A", "B"), ("A", "C"), ("B", "C"), ("C", "A"),
+    ("D", "C"), ("B", "D"), ("E", "A"),  # E dangles in, F absent
+]
+
+
+def test_degrees_matches_counts():
+    out = (
+        pa.concat_tables(
+            degrees(ray.data.from_arrow(_tbl(EDGES))).iter_batches(
+                batch_format="pyarrow", batch_size=4096
+            )
+        )
+        .sort_by("entity")
+        .to_pydict()
+    )
+    exp_out = {"A": 2, "B": 2, "C": 1, "D": 1, "E": 1}
+    exp_in = {"A": 2, "B": 1, "C": 3, "D": 1, "E": 0}
+    assert out["entity"] == sorted(exp_out)
+    assert out["out_deg"] == [exp_out[e] for e in sorted(exp_out)]
+    assert out["in_deg"] == [exp_in[e] for e in sorted(exp_in)]
+
+
+def _naive_pagerank(edges, iters):
+    nodes = sorted({x for e in edges for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    out_deg = np.zeros(len(nodes), np.int64)
+    for a, _ in edges:
+        out_deg[idx[a]] += 1
+    n = len(nodes)
+    rf = np.full(n, PR_SCALE // n, np.int64)
+    base = ((PR_DEN - PR_NUM) * PR_SCALE) // (PR_DEN * n)
+    for _ in range(iters):
+        s = np.zeros(n, np.int64)
+        for a, b in edges:
+            s[idx[b]] += rf[idx[a]] // out_deg[idx[a]]
+        rf = base + (PR_NUM * s) // PR_DEN
+    return nodes, rf
+
+
+def test_pagerank_matches_naive_fixed_point():
+    res = (
+        pa.concat_tables(
+            pagerank(ray.data.from_arrow(_tbl(EDGES)), iters=3).iter_batches(
+                batch_format="pyarrow", batch_size=4096
+            )
+        )
+        .sort_by("entity")
+        .to_pydict()
+    )
+    nodes, rf = _naive_pagerank(EDGES, 3)
+    assert res["entity"] == nodes
+    assert res["rank_fp"] == rf.tolist()
+    assert res["rank"] == (rf / float(PR_SCALE)).tolist()
+
+
+def test_pagerank_mass_conserved_within_truncation():
+    # floor divisions only ever LOSE mass: total ≤ scale, and stays near it
+    res = pa.concat_tables(
+        pagerank(ray.data.from_arrow(_tbl(EDGES)), iters=3).iter_batches(
+            batch_format="pyarrow", batch_size=4096
+        )
+    )
+    total = sum(res["rank_fp"].to_pylist())
+    assert total <= PR_SCALE
+    assert total > PR_SCALE * 0.5  # damping + truncation, not collapse
+
+
+def _parent_tbl(pairs):
+    return pa.table(
+        {
+            "entity": pa.array([c for c, _ in pairs], pa.string()),
+            "anc": pa.array([p for _, p in pairs], pa.string()),
+        }
+    )
+
+
+def test_ancestor_closure_chain_and_forest():
+    #   0 <- 1 <- 2 <- 3   (chain: depth 3) plus separate edge X <- Y
+    pairs = [("1", "0"), ("2", "1"), ("3", "2"), ("Y", "X")]
+    out = (
+        pa.concat_tables(
+            ancestor_closure(ray.data.from_arrow(_parent_tbl(pairs))).iter_batches(
+                batch_format="pyarrow", batch_size=4096
+            )
+        )
+        .sort_by([("entity", "ascending"), ("anc", "ascending")])
+        .to_pylist()
+    )
+    expect = sorted(
+        [
+            {"entity": "1", "anc": "0"},
+            {"entity": "2", "anc": "1"},
+            {"entity": "2", "anc": "0"},
+            {"entity": "3", "anc": "2"},
+            {"entity": "3", "anc": "1"},
+            {"entity": "3", "anc": "0"},
+            {"entity": "Y", "anc": "X"},
+        ],
+        key=lambda r: (r["entity"], r["anc"]),
+    )
+    assert out == expect
+
+
+def test_ancestor_closure_binary_heap_counts():
+    # binary-heap forest over 0..14: |closure| = sum of node depths
+    n = 15
+    pairs = [(str(k), str((k - 1) // 2)) for k in range(1, n)]
+    out = pa.concat_tables(
+        ancestor_closure(ray.data.from_arrow(_parent_tbl(pairs))).iter_batches(
+            batch_format="pyarrow", batch_size=4096
+        )
+    )
+    depth = lambda k: 0 if k == 0 else 1 + depth((k - 1) // 2)  # noqa: E731
+    assert len(out) == sum(depth(k) for k in range(1, n))
