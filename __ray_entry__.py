@@ -1116,6 +1116,24 @@ def oracle_sql() -> dict[str, str]:
         'ORDER BY "count" DESC, g ASC LIMIT 20'
     )
 
+    # passage_dedup: non-overlapping 16-token passages (tail keeps the
+    # remainder), exact dedup by the same Horner hash as the shingle
+    # family; keeper = lexicographic min (doc_id, passage_idx) via one
+    # packed-integer min (stages/dedup.py::passage_dedup)
+    sql["passage_dedup"] = _with(
+        SQL_DUP_EXACT,
+        _tkh_cte("tkh", "dup"),
+        "seg AS (SELECT doc_id,\n"
+        "  unnest(list_transform(range(0, CAST(ceil(len(th) / 16.0) AS BIGINT)),\n"
+        f"    i -> list_reduce(th[i*16+1 : least((i+1)*16, len(th))], (a, b) -> (a * 1000003 + b) % {_P61}))) AS g,\n"
+        "  unnest(range(0, CAST(ceil(len(th) / 16.0) AS BIGINT))) AS pidx FROM tkh)",
+        "agg AS (SELECT CAST(g AS BIGINT) AS g, count(*) AS n_copies,\n"
+        "  min(doc_id * 1000000 + pidx) AS pk FROM seg GROUP BY 1)",
+    ) + (
+        "SELECT g, n_copies, pk // 1000000 AS keep_doc, pk % 1000000 AS keep_idx\n"
+        "FROM agg"
+    )
+
     # event_percentiles: nearest-rank order statistics — percentile is the
     # ceil(q·n)-th element, a pure SELECTION (no interpolation arithmetic),
     # so both engines return the identical stored double
@@ -1492,6 +1510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_clusters",
         "type_closure",
         "pii_scrub",
+        "passage_dedup",
         "literal_classify",
         "lookup_labels_lang",
         "lookup_sameas",

@@ -1445,3 +1445,15 @@ def pii_scrub(sf_dir: str) -> pa.Table:
         inject, batch_format="pyarrow", zero_copy_batch=True
     )
     return _collect(scrub(injected)).sort_by("doc_id")
+
+
+def passage_dedup(sf_dir: str) -> pa.Table:
+    """Sub-document exact dedup: non-overlapping 16-token passages hashed
+    corpus-wide, keeper = min (doc_id, passage_idx); run over the
+    exact-duplicate-injected corpus so real cross-doc repeats exist.
+    See :func:`lamapi_ray.stages.dedup.passage_dedup`."""
+    from lamapi_ray.stages.dedup import passage_dedup as pd_
+
+    return _collect(
+        pd_(_dup_corpus(sf_dir, modify=False), "doc_id", "text", k=16)
+    ).sort_by("g")

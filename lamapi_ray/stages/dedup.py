@@ -1262,3 +1262,118 @@ def ngram_jaccard_pairs(
         .map_groups(count_pairs, batch_format="pyarrow")
     )
     return out.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+
+# --- passage-level exact dedup ---------------------------------------------
+
+
+def _doc_passage_hashes(
+    batch: pa.Table, id_col: str, text_col: str, k: int = 16
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Non-overlapping k-token passage hashes per document.
+
+    → (ids, seg_doc_idx, seg_pidx, seg_hash): one row per passage; the
+    tail passage keeps the remainder tokens (<k-token docs yield ONE
+    passage). Token hashing and the Horner fold are identical to
+    :func:`_doc_shingle_hashes`, so the DuckDB oracle reproduces every
+    hash with ``list_reduce`` over list slices."""
+    from lamapi_ray.functions.inthash import fold_mod61, mulmod61
+
+    ids = _npcol(batch, id_col, np.int64)
+    n = len(ids)
+    if n == 0:
+        z = np.zeros(0, np.int64)
+        return ids, z, z, np.zeros(0, np.uint64)
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern(text.cast(pa.string()), " ")
+    flat = pc.list_flatten(toks)
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    th = _vocab_token_hashes(enc.dictionary.to_pylist())[codes]
+    mlen = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+    doc_off = np.concatenate([[0], np.cumsum(mlen)[:-1]])
+    nseg = (mlen + k - 1) // k  # ceil; mlen >= 1 always ('' splits to [''])
+    total_segs = int(nseg.sum())
+    seg_doc = np.repeat(np.arange(n), nseg)
+    seg_off = np.concatenate([[0], np.cumsum(nseg)[:-1]])
+    pidx = np.arange(total_segs) - np.repeat(seg_off, nseg)
+    seg_start = doc_off[seg_doc] + pidx * k
+    seg_len = np.minimum(k, mlen[seg_doc] - pidx * k)
+    C = np.full(total_segs, _SH_C, np.uint64)
+    acc = th[seg_start].copy()
+    top = len(th) - 1
+    for j in range(1, k):
+        live = j < seg_len
+        if not live.any():
+            break
+        idx = np.minimum(seg_start + j, top)
+        upd = fold_mod61(mulmod61(acc, C) + th[idx])
+        acc = np.where(live, upd, acc)
+    return ids, seg_doc, pidx, acc
+
+
+def passage_dedup(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    pack: int = 1_000_000,
+) -> ray.data.Dataset:
+    """Corpus-wide exact dedup of non-overlapping k-token passages.
+
+    → one row per DISTINCT passage: (g, n_copies, keep_doc, keep_idx) where
+    the keeper is the lexicographically smallest (doc_id, passage_idx) —
+    the sub-document analogue of :func:`exact_dedup` (near-dup boilerplate
+    and quoted blocks dedup at passage granularity even when whole docs
+    differ). Shuffle carries one PARTIAL row per distinct passage hash per
+    batch (count + min packed key combined map-side); occurrences never
+    cross the wire individually."""
+    from ray.data.aggregate import Min, Sum
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids, sdoc, pidx, h = _doc_passage_hashes(batch, id_col, text_col, k)
+        if len(h) == 0:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                    "minpk": pa.array([], pa.int64()),
+                }
+            )
+        hs = h.astype(np.int64)  # < 2^61, no wrap
+        pk = ids[sdoc] * pack + pidx
+        order = np.lexsort((pk, hs))
+        hs_s, pk_s = hs[order], pk[order]
+        new = np.concatenate([[True], hs_s[1:] != hs_s[:-1]])
+        starts = np.nonzero(new)[0]
+        cnt = np.diff(np.concatenate([starts, [len(hs_s)]]))
+        return pa.table(
+            {
+                "g": pa.array(hs_s[starts]),
+                "cnt": pa.array(cnt.astype(np.int64)),
+                "minpk": pa.array(pk_s[starts]),  # (h, pk)-sorted: run head = min
+            }
+        )
+
+    agg = (
+        ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("g", num_partitions=scaled_partitions(1.0, 32))
+        .aggregate(Sum("cnt"), Min("minpk"))
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        mp = batch["min(minpk)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "g": batch["g"].cast(pa.int64()),
+                "n_copies": batch["sum(cnt)"].cast(pa.int64()),
+                "keep_doc": pa.array(mp // pack),
+                "keep_idx": pa.array(mp % pack),
+            }
+        )
+
+    return agg.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
