@@ -172,6 +172,11 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("sessionize", lambda: extras.sessionize(sf_dir))
     timed("multimodal_decode", lambda: extras.multimodal_decode(sf_dir))
     timed("literal_classify", lambda: extras.literal_classify(sf_dir))
+    timed("pii_scrub", lambda: extras.pii_scrub(sf_dir))
+    timed("passage_dedup", lambda: extras.passage_dedup(sf_dir))
+    timed("kg_degrees", lambda: extras.kg_degrees(sf_dir, kg["triples"]))
+    timed("entity_pagerank", lambda: extras.entity_pagerank(sf_dir, kg["triples"]))
+    timed("type_closure", lambda: extras.type_closure(sf_dir))
 
     def cb_ingest():
         from lamapi_ray.sources import crunchbase

@@ -1371,8 +1371,10 @@ def kg_degrees(sf_dir: str, adjacency: pa.Table) -> pa.Table:
     counts per batch, ONE vocabulary-bounded groupby.sum.
     See :func:`lamapi_ray.stages.graph.degrees`."""
     from lamapi_ray.stages import graph
+    from lamapi_ray.stages.dedup import scaled_partitions
 
-    return _collect(graph.degrees(ray.data.from_arrow(adjacency))).sort_by("entity")
+    edges = ray.data.from_arrow(adjacency).repartition(scaled_partitions(1.0, 8))
+    return _collect(graph.degrees(edges)).sort_by("entity")
 
 
 def entity_pagerank(sf_dir: str, adjacency: pa.Table) -> pa.Table:

@@ -63,8 +63,14 @@ def _dict_codes(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, pa.Array]:
 def degrees(
     edges: ray.data.Dataset, src: str = "subj", dst: str = "obj"
 ) -> ray.data.Dataset:
-    """→ Dataset (entity, out_deg, in_deg), one row per node of ``edges``."""
-    from ray.data.aggregate import Sum
+    """→ Dataset (entity, out_deg, in_deg), one row per node of ``edges``.
+
+    Map-side combine (one dictionary-encode + bincount per batch), then ONE
+    exchange grouped by an int64 bucket of the entity hash — grouping on the
+    int bucket instead of the string key keeps the shuffle sort radix-cheap
+    (measured ~2× on a 3M-edge list); the per-bucket merge is a second
+    dictionary-encode + ``np.add.at``."""
+    width = scaled_partitions(1.0, 8)
 
     def partial(batch: pa.Table) -> pa.Table:
         s_codes, s_vals = _dict_codes(batch[src])
@@ -81,26 +87,29 @@ def degrees(
                 "in_p": pa.array(
                     np.concatenate([np.zeros(len(s_vals), np.int64), in_c])
                 ),
+                "__bucket": _bucket_col(ent, width),
             }
         )
 
-    width = scaled_partitions(1.0, 8)
-    agg = (
-        edges.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("entity", num_partitions=width)
-        .aggregate(Sum("out_p"), Sum("in_p"))
-    )
-
-    def rename(batch: pa.Table) -> pa.Table:
+    def merge(group: pa.Table) -> pa.Table:
+        codes, vals = _dict_codes(group["entity"])
+        out_s = np.zeros(len(vals), np.int64)
+        in_s = np.zeros(len(vals), np.int64)
+        np.add.at(out_s, codes, group["out_p"].to_numpy(zero_copy_only=False))
+        np.add.at(in_s, codes, group["in_p"].to_numpy(zero_copy_only=False))
         return pa.table(
             {
-                "entity": batch["entity"],
-                "out_deg": batch["sum(out_p)"].cast(pa.int64()),
-                "in_deg": batch["sum(in_p)"].cast(pa.int64()),
+                "entity": vals.cast(pa.string()),
+                "out_deg": pa.array(out_s),
+                "in_deg": pa.array(in_s),
             }
         )
 
-    return agg.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        edges.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket", num_partitions=width)
+        .map_groups(merge, batch_format="pyarrow")
+    )
 
 
 def _bucket_col(col, width: int) -> pa.Array:
@@ -110,23 +119,149 @@ def _bucket_col(col, width: int) -> pa.Array:
     return pa.array((h % np.uint64(width)).astype(np.int64))
 
 
+def _pagerank_broadcast(
+    edges: ray.data.Dataset,
+    deg: ray.data.Dataset,
+    iters: int,
+    width: int,
+    init_fp: int,
+    base_fp: int,
+    src: str,
+    dst: str,
+):
+    """Broadcast-rank PageRank iterations; None if the node-hash lookup
+    table has a collision (caller falls back to the shuffle path)."""
+    import ray as _ray
+
+    deg_tbl = pa.concat_tables(
+        deg.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    )
+    ent = deg_tbl["entity"].combine_chunks().cast(pa.string())
+    eh = hash_string_array(ent)
+    order = np.argsort(eh, kind="stable")
+    eh_sorted = eh[order]
+    if len(eh_sorted) > 1 and (eh_sorted[1:] == eh_sorted[:-1]).any():
+        return None
+    od_sorted = (
+        deg_tbl["out_deg"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    )
+    rf = np.full(len(eh_sorted), init_fp, np.int64)
+    eh_ref = _ray.put(eh_sorted)
+
+    def gather_sum(group: pa.Table) -> pa.Table:
+        codes, vals = _dict_codes(group["entity"])
+        sums = np.zeros(len(vals), np.int64)
+        np.add.at(
+            sums, codes, group["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return pa.table({"entity": vals.cast(pa.string()), "s": pa.array(sums)})
+
+    for _ in range(iters):
+        shares = np.where(od_sorted > 0, rf // np.maximum(od_sorted, 1), 0)
+        sh_ref = _ray.put(shares)
+
+        def scatter(batch: pa.Table, _sh=sh_ref) -> pa.Table:
+            keys = _ray.get(eh_ref)
+            sh = _ray.get(_sh)
+            s_col = batch[src]
+            if isinstance(s_col, pa.ChunkedArray):
+                s_col = s_col.combine_chunks()
+            h = hash_string_array(s_col.cast(pa.string()))
+            pos = np.searchsorted(keys, h)  # every src IS a node, exact hit
+            contrib = sh[pos]
+            d_codes, d_vals = _dict_codes(batch[dst])
+            sums = np.zeros(len(d_vals), np.int64)
+            np.add.at(sums, d_codes, contrib)
+            return pa.table(
+                {
+                    "entity": d_vals.cast(pa.string()),
+                    "s": pa.array(sums),
+                    "__bucket": _bucket_col(d_vals, width),
+                }
+            )
+
+        contribs = (
+            edges.map_batches(scatter, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("__bucket", num_partitions=width)
+            .map_groups(gather_sum, batch_format="pyarrow")
+        )
+        c_tbl = pa.concat_tables(
+            contribs.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        )
+        s_arr = np.zeros(len(eh_sorted), np.int64)
+        if len(c_tbl):
+            ch = hash_string_array(c_tbl["entity"].combine_chunks().cast(pa.string()))
+            cs = c_tbl["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+            s_arr[np.searchsorted(eh_sorted, ch)] = cs
+        rf = base_fp + (PR_NUM * s_arr) // PR_DEN
+
+    # un-sort back to deg_tbl's row order, emit final columns
+    inv = np.empty_like(order)
+    inv[order] = np.arange(len(order))
+    rf_out = rf[inv]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "entity": ent,
+                "rank_fp": pa.array(rf_out),
+                "rank": pa.array(rf_out / float(PR_SCALE)),
+            }
+        )
+    )
+
+
 def pagerank(
     edges: ray.data.Dataset,
     iters: int = 3,
     src: str = "subj",
     dst: str = "obj",
+    mode: str = "auto",
+    broadcast_max: int = 50_000_000,
 ) -> ray.data.Dataset:
     """Fixed-point PageRank → Dataset (entity, rank_fp, rank).
 
     ``rank_fp`` is the int64 fixed-point rank (scale 10^9); ``rank`` is the
     exact double ``rank_fp / 10^9`` (identical bits on any IEEE engine).
+
+    Two execution paths, identical output (asserted equal in tests):
+
+    * ``broadcast`` — rank state is NODE-sized (≈1000× smaller than the
+      edge list), so like the label index (ST3) it is ``ray.put`` once per
+      iteration and each iteration is ONE edge map (no edge re-shuffle) +
+      one bucket-grouped gather of combined contributions. Node lookup is
+      by 2^61 string hash, verified COLLISION-FREE at build time (falls
+      back to the shuffle path on a collision, so exactness never rests on
+      a probabilistic argument).
+    * ``shuffle`` — the Pregel-style two-exchange iteration for node sets
+      too large to broadcast (> ``broadcast_max``): scatter shares along
+      edges grouped by source, gather sums grouped by destination.
+
+    ``auto`` picks broadcast iff the node count fits ``broadcast_max``.
     """
     width = scaled_partitions(1.0, 8)
     edges = edges.materialize()
-    deg = degrees(edges, src, dst)
+    if edges.num_blocks() < width:
+        # a single-block input (e.g. from_arrow of a driver table) would
+        # serialize every map stage; real inputs arrive as many parquet
+        # blocks and skip this
+        edges = edges.repartition(width).materialize()
+    # materialized once: deg is read twice (count + seed) and its lineage
+    # (a full groupby over the edges) must not re-execute
+    deg = degrees(edges, src, dst).repartition(width).materialize()
     n_nodes = deg.count()
     init_fp = PR_SCALE // n_nodes
     base_fp = ((PR_DEN - PR_NUM) * PR_SCALE) // (PR_DEN * n_nodes)
+
+    if mode == "auto":
+        mode = "broadcast" if n_nodes <= broadcast_max else "shuffle"
+    if mode == "broadcast":
+        out = _pagerank_broadcast(
+            edges, deg, iters, width, init_fp, base_fp, src, dst
+        )
+        if out is not None:
+            return out
+        # hash collision in the node set (≈n²/2^61 odds) — shuffle path is
+        # collision-free by construction
 
     def seed(batch: pa.Table) -> pa.Table:
         return pa.table(

@@ -79,6 +79,22 @@ def test_pagerank_matches_naive_fixed_point():
     assert res["rank"] == (rf / float(PR_SCALE)).tolist()
 
 
+def test_pagerank_broadcast_equals_shuffle():
+    tbl = _tbl(EDGES)
+    res = {}
+    for mode in ("broadcast", "shuffle"):
+        res[mode] = (
+            pa.concat_tables(
+                pagerank(ray.data.from_arrow(tbl), iters=3, mode=mode).iter_batches(
+                    batch_format="pyarrow", batch_size=4096
+                )
+            )
+            .sort_by("entity")
+            .to_pydict()
+        )
+    assert res["broadcast"] == res["shuffle"]
+
+
 def test_pagerank_mass_conserved_within_truncation():
     # floor divisions only ever LOSE mass: total ≤ scale, and stays near it
     res = pa.concat_tables(
