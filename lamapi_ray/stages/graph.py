@@ -23,11 +23,10 @@ expressed as Ray Data exchanges:
   (no dangling-mass redistribution); total mass therefore decays, which is
   fine for ranking use.
 * :func:`ancestor_closure` — transitive closure of a parent forest by
-  POINTER DOUBLING: R_{i+1} = R_i ∪ (R_i ∘ R_i) closes paths of length
-  2^i per round, so a depth-D hierarchy needs ⌈log2 D⌉ joins instead of D
-  semi-naive rounds — the right trade at cluster scale where each round is
-  a full exchange. Composition reuses :func:`bucketed_hash_join`; dedup is
-  a bucket-grouped Arrow distinct.
+  PARALLEL POINTER JUMPING: batch-local pre-closure, then ⌈log2 of the
+  residual depth⌉ rounds of ONE grouped exchange each, with every new
+  ancestor pair emitted exactly once (no global distinct, no quadratic-
+  multiplicity R∘R composition — see the function docstring).
 
 Iterative state (ranks, closure relation) is ``materialize()``d once per
 round — deliberate: it is node-/closure-sized (≪ corpus), and without it
@@ -44,8 +43,6 @@ import ray.data
 
 from lamapi_ray.functions.inthash import hash_string_array
 from lamapi_ray.stages.dedup import scaled_partitions
-from lamapi_ray.stages.join import bucketed_hash_join
-
 PR_SCALE = 10**9  # fixed-point scale: rank 1.0 == 10^9
 PR_NUM, PR_DEN = 85, 100  # damping d = 0.85 as an integer ratio
 
@@ -459,43 +456,207 @@ def _pair_distinct(ds: ray.data.Dataset, width: int) -> ray.data.Dataset:
 
 
 def ancestor_closure(
-    parents: ray.data.Dataset, max_rounds: int = 32
+    parents: ray.data.Dataset, max_rounds: int = 32, width: int | None = None
 ) -> ray.data.Dataset:
-    """Transitive closure of a parent relation (entity → anc) by pointer
-    doubling; converges in ⌈log2 depth⌉ rounds. Fixpoint = row count stable
-    (each round only ever ADDS pairs, so equal counts ⇒ closed)."""
-    width = scaled_partitions(1.0, 8)
-    # repartition before each materialize: groupby/map_groups emits many
-    # small blocks, and unioning them round over round compounds the block
-    # count 3× per round — per-block scheduling overhead then dominates a
-    # relation that is only hierarchy-sized (measured: 190 s/round at 16k
-    # pairs without the coalesce, <5 s with it)
-    rel = _pair_distinct(parents, width).repartition(width).materialize()
-    prev = rel.count()
+    """Transitive closure of a parent FOREST (entity → anc, ≤1 parent per
+    entity) by parallel pointer jumping.
+
+    Three-phase PRAM-style dataflow:
+
+    1. **Batch-local pre-closure** — follow parent pointers as far as they
+       resolve within each batch (vectorized, one jump per loop turn);
+       chains that fit a block close here for free. Emits the local
+       ancestor pairs AND each entity's current TOP pointer (its farthest
+       known ancestor).
+    2. **Jump rounds** — per round ONE grouped exchange co-locates, for
+       every key k: the entities whose top is k, k's known ancestor list,
+       and k's own top. New pairs = (those entities) × (k's ancestors) —
+       emitted EXACTLY ONCE each (the naive R∘R doubling re-derives every
+       chain pair once per split point, so it needs a distinct pass and a
+       quadratic-multiplicity confirm round; this formulation needs
+       neither). Tops jump to top(top(x)). Rounds = ⌈log2 of the residual
+       cross-block depth⌉, then one cheap empty round confirms the
+       fixpoint (every top is a root ⇒ no ancestor lists ⇒ zero output).
+    3. R accumulates by plain union — no global distinct ever runs.
+
+    Default exchange width is NARROW (0.25 per cpu): the closure relation
+    is hierarchy-sized (type ontologies are vocabulary-class, ≪ corpus),
+    so per-round all-to-all latency — not data volume — dominates; wide
+    shuffles only add task overhead. Callers closing a genuinely large
+    relation pass an explicit ``width``."""
+    width = width or scaled_partitions(0.25, 8)
+
+    def local_close(batch: pa.Table) -> pa.Table:
+        # kind 'p' rows: (entity, anc) local ancestor pairs
+        # kind 't' rows: (entity, anc=current top pointer)
+        ent = batch["entity"]
+        if isinstance(ent, pa.ChunkedArray):
+            ent = ent.combine_chunks()
+        anc = batch["anc"]
+        if isinstance(anc, pa.ChunkedArray):
+            anc = anc.combine_chunks()
+        ent = ent.cast(pa.string())
+        anc = anc.cast(pa.string())
+        both = pa.concat_arrays([ent, anc])
+        codes, vals = _dict_codes(both)
+        n = len(ent)
+        e_codes, a_codes = codes[:n], codes[n:]
+        parent_of = np.full(len(vals), -1, np.int64)
+        parent_of[e_codes] = a_codes  # forest: one parent per child
+        out_x: list[np.ndarray] = []
+        out_a: list[np.ndarray] = []
+        tops = a_codes.copy()
+        node, cur, rid = e_codes, a_codes, np.arange(n)
+        for _ in range(64):  # depth cap ≫ any real hierarchy
+            out_x.append(node)
+            out_a.append(cur)
+            nxt = parent_of[cur]
+            live = nxt >= 0
+            if not live.any():
+                break
+            node, cur, rid = node[live], nxt[live], rid[live]
+            tops[rid] = cur
+        xs = np.concatenate(out_x)
+        ancs = np.concatenate(out_a)
+        vs = vals.cast(pa.string())
+        return pa.table(
+            {
+                "kind": pa.array(["p"] * len(xs) + ["t"] * n, pa.string()),
+                "entity": pa.concat_arrays(
+                    [vs.take(pa.array(xs)), vs.take(pa.array(e_codes))]
+                ),
+                "anc": pa.concat_arrays(
+                    [vs.take(pa.array(ancs)), vs.take(pa.array(tops))]
+                ),
+            }
+        )
+
+    def _split(tagged: ray.data.Dataset):
+        pairs = tagged.map_batches(
+            lambda t: t.filter(
+                pc.equal(t["kind"], "p")
+            ).select(["entity", "anc"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        tops = tagged.map_batches(
+            lambda t: t.filter(
+                pc.equal(t["kind"], "t")
+            ).select(["entity", "anc"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        return pairs, tops
+
+    seeded = parents.map_batches(
+        local_close, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    rel0, tops0 = _split(seeded)
+    # initial distinct guards against duplicate input edges; afterwards the
+    # jump rounds emit each new pair exactly once, so R grows by plain union
+    rel = _pair_distinct(rel0, width).repartition(width).materialize()
+    tops = tops0.repartition(width).materialize()
+
+    def tag(kind: str, key_from: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            key = batch[key_from]
+            if isinstance(key, pa.ChunkedArray):
+                key = key.combine_chunks()
+            key = key.cast(pa.string())
+            other = "anc" if key_from == "entity" else "entity"
+            return pa.table(
+                {
+                    "key": key,
+                    "kind": pa.array([kind] * len(batch), pa.string()),
+                    "val": batch[other].combine_chunks().cast(pa.string())
+                    if isinstance(batch[other], pa.ChunkedArray)
+                    else batch[other].cast(pa.string()),
+                    "__bucket": _bucket_col(key, width),
+                }
+            )
+
+        return fn
+
+    def jump(group: pa.Table) -> pa.Table:
+        codes, vals = _dict_codes(group["key"])
+        kind = group["kind"].combine_chunks()
+        val_codes_src = pa.concat_arrays(
+            [vals.cast(pa.string()), group["val"].combine_chunks().cast(pa.string())]
+        )
+        vcodes_all, vvals = _dict_codes(val_codes_src)
+        nv = len(vals)
+        key_v = vcodes_all[:nv]  # key k as a code in vvals space
+        val_v = vcodes_all[nv:]
+        qm = pc.equal(kind, "q").to_numpy(zero_copy_only=False)
+        rm = pc.equal(kind, "r").to_numpy(zero_copy_only=False)
+        sm = pc.equal(kind, "s").to_numpy(zero_copy_only=False)
+        qk, qx = codes[qm], val_v[qm]
+        rk, ra = codes[rm], val_v[rm]
+        sk, st = codes[sm], val_v[sm]
+        # segmented cross product per key: queries(k) × ancestors(k)
+        qo = np.argsort(qk, kind="stable")
+        ro = np.argsort(rk, kind="stable")
+        qk_s, qx_s = qk[qo], qx[qo]
+        rk_s, ra_s = rk[ro], ra[ro]
+        cq = np.bincount(qk_s, minlength=nv)
+        cr = np.bincount(rk_s, minlength=nv)
+        m = cq * cr
+        total = int(m.sum())
+        vstr = vvals.cast(pa.string())
+        if total:
+            code_of = np.repeat(np.arange(nv), m)
+            off = np.concatenate([[0], np.cumsum(m)[:-1]])
+            within = np.arange(total) - np.repeat(off, m)
+            oq = np.concatenate([[0], np.cumsum(cq)[:-1]])
+            orr = np.concatenate([[0], np.cumsum(cr)[:-1]])
+            crc = cr[code_of]
+            x_idx = oq[code_of] + within // crc
+            a_idx = orr[code_of] + within % crc
+            px = qx_s[x_idx]
+            pan = ra_s[a_idx]
+        else:
+            px = np.zeros(0, np.int64)
+            pan = np.zeros(0, np.int64)
+        # top jump: top'(x) = top(k) if k has one, else k (root-stable)
+        st_of = np.full(nv, -1, np.int64)
+        st_of[sk] = st
+        cand = st_of[qk]
+        new_top = np.where(cand >= 0, cand, key_v[qk])
+        return pa.table(
+            {
+                "kind": pa.array(
+                    ["p"] * len(px) + ["t"] * len(qx), pa.string()
+                ),
+                "entity": pa.concat_arrays(
+                    [vstr.take(pa.array(px)), vstr.take(pa.array(qx))]
+                ),
+                "anc": pa.concat_arrays(
+                    [vstr.take(pa.array(pan)), vstr.take(pa.array(new_top))]
+                ),
+            }
+        )
+
     for _ in range(max_rounds):
-        left = rel.map_batches(
-            lambda t: pa.table({"entity": t["entity"], "mid": t["anc"]}),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        right = rel.map_batches(
-            lambda t: pa.table({"mid": t["entity"], "anc": t["anc"]}),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        comp = bucketed_hash_join(left, right, on="mid", num_buckets=width)
-        comp_pairs = comp.map_batches(
-            lambda t: t.select(["entity", "anc"]),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        rel = (
-            _pair_distinct(rel.union(comp_pairs), width)
-            .repartition(width)
+        exchange = (
+            tops.map_batches(tag("q", "anc"), batch_format="pyarrow", zero_copy_batch=True)
+            .union(
+                rel.map_batches(
+                    tag("r", "entity"), batch_format="pyarrow", zero_copy_batch=True
+                )
+            )
+            .union(
+                tops.map_batches(
+                    tag("s", "entity"), batch_format="pyarrow", zero_copy_batch=True
+                )
+            )
+            .groupby("__bucket", num_partitions=width)
+            .map_groups(jump, batch_format="pyarrow")
             .materialize()
         )
-        cur = rel.count()
-        if cur == prev:
+        new_pairs, tops = _split(exchange)
+        tops = tops.repartition(width).materialize()
+        n_new = new_pairs.count()
+        if n_new == 0:
             break
-        prev = cur
+        rel = rel.union(new_pairs).repartition(width).materialize()
     return rel
