@@ -1149,6 +1149,20 @@ def oracle_sql() -> dict[str, str]:
         "FROM r GROUP BY event_type"
     )
 
+    # events_asof: purchase ← latest prior-or-equal click per user, ties →
+    # larger event_id (stages/asof.py — merged forward-fill per bucket);
+    # mirrored with an explicit LATERAL so the tie-break is pinned
+    sql["events_asof"] = (
+        "SELECT p.event_id, p.user_id, p.ts, p.value,\n"
+        "       c.event_id AS click_event_id, c.ts AS click_ts, c.value AS click_value\n"
+        "FROM events p\n"
+        "LEFT JOIN LATERAL (\n"
+        "  SELECT event_id, ts, value FROM events c\n"
+        "  WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts\n"
+        "  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) c ON true\n"
+        "WHERE p.event_type = 'purchase'"
+    )
+
     # sessionize: 30-min-gap sessions per user (extras.py::sessionize);
     # session breaks depend only on the sorted ts sequence
     sql["sessionize"] = _with(
@@ -1507,6 +1521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_ngrams",
         "event_percentiles",
         "sessionize",
+        "events_asof",
         "embedding_dup_clusters",
         "type_closure",
         "pii_scrub",

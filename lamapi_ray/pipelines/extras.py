@@ -1459,3 +1459,43 @@ def passage_dedup(sf_dir: str) -> pa.Table:
     return _collect(
         pd_(_dup_corpus(sf_dir, modify=False), "doc_id", "text", k=16)
     ).sort_by("g")
+
+
+def events_asof(sf_dir: str) -> pa.Table:
+    """AS-OF join: each purchase event attached to the same user's most
+    recent prior-or-equal click (ties → larger event_id). One bucketed
+    exchange + vectorized merged forward-fill per bucket.
+    See :mod:`lamapi_ray.stages.asof`."""
+    from lamapi_ray.stages.asof import asof_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def of_type(t):
+        def fn(batch: pa.Table) -> pa.Table:
+            m = pc.equal(batch["event_type"], t)
+            return batch.filter(m).drop_columns(["event_type"])
+
+        return fn
+
+    left = ev.map_batches(
+        of_type("purchase"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    right = ev.map_batches(
+        of_type("click"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = asof_join(
+        left,
+        right,
+        by="user_id",
+        ts="ts",
+        tiebreak="event_id",
+        right_payload={
+            "event_id": "click_event_id",
+            "ts": "click_ts",
+            "value": "click_value",
+        },
+    )
+    return _collect(out).sort_by("event_id")
