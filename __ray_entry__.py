@@ -1163,6 +1163,17 @@ def oracle_sql() -> dict[str, str]:
         "WHERE p.event_type = 'purchase'"
     )
 
+    # purchase_attribution: range join (count form) — same-user non-purchase
+    # events in (ts−30m, ts] per purchase (stages/asof.py::range_count_join)
+    sql["purchase_attribution"] = (
+        "SELECT p.event_id, p.ts, p.user_id,\n"
+        "  (SELECT count(*) FROM events o\n"
+        "   WHERE o.user_id = p.user_id AND o.event_type <> 'purchase'\n"
+        "     AND o.ts > p.ts - INTERVAL 30 MINUTE AND o.ts <= p.ts)\n"
+        "  AS n_prior_events\n"
+        "FROM events p WHERE p.event_type = 'purchase'"
+    )
+
     # sessionize: 30-min-gap sessions per user (extras.py::sessionize);
     # session breaks depend only on the sorted ts sequence
     sql["sessionize"] = _with(
@@ -1522,6 +1533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_percentiles",
         "sessionize",
         "events_asof",
+        "purchase_attribution",
         "embedding_dup_clusters",
         "type_closure",
         "pii_scrub",

@@ -171,6 +171,7 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("event_percentiles", lambda: extras.event_percentiles(sf_dir))
     timed("sessionize", lambda: extras.sessionize(sf_dir))
     timed("events_asof", lambda: extras.events_asof(sf_dir))
+    timed("purchase_attribution", lambda: extras.purchase_attribution(sf_dir))
     timed("multimodal_decode", lambda: extras.multimodal_decode(sf_dir))
     timed("literal_classify", lambda: extras.literal_classify(sf_dir))
     timed("pii_scrub", lambda: extras.pii_scrub(sf_dir))

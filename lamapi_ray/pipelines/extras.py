@@ -1499,3 +1499,35 @@ def events_asof(sf_dir: str) -> pa.Table:
         },
     )
     return _collect(out).sort_by("event_id")
+
+
+def purchase_attribution(sf_dir: str) -> pa.Table:
+    """Range join (count form): for each purchase, how many of the same
+    user's OTHER events fall in the prior 30 minutes (half-open
+    ``(ts−30m, ts]``). See :func:`lamapi_ray.stages.asof.range_count_join`."""
+    from lamapi_ray.stages.asof import range_count_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def purchases(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["event_type"], "purchase")).drop_columns(
+            ["event_type"]
+        )
+
+    def others(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.invert(pc.equal(batch["event_type"], "purchase"))
+        ).select(["user_id", "ts"])
+
+    out = range_count_join(
+        ev.map_batches(purchases, batch_format="pyarrow", zero_copy_batch=True),
+        ev.map_batches(others, batch_format="pyarrow", zero_copy_batch=True),
+        by="user_id",
+        ts="ts",
+        window_us=30 * 60 * 1_000_000,
+        out_col="n_prior_events",
+    )
+    return _collect(out).sort_by("event_id")

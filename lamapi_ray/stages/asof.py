@@ -156,3 +156,115 @@ def asof_join(
         both.groupby("__bucket", num_partitions=width)
         .map_groups(match, batch_format="pyarrow")
     )
+
+
+def range_count_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    by: str,
+    ts: str,
+    window_us: int,
+    out_col: str = "n_in_window",
+    width: int | None = None,
+) -> ray.data.Dataset:
+    """Range join reduced to a count: for every left row, the number of
+    right rows with the same key and ``ts`` in the half-open window
+    ``(left.ts − window, left.ts]``.
+
+    Same one-exchange co-location as :func:`asof_join`; per group the
+    count is two ``np.searchsorted`` probes against the key-offset right
+    timeline (no pair materialization — a genuine range join would emit
+    |matches| rows, this aggregate form ships one int per left row, which
+    is the scalable contract for attribution counts)."""
+    width = width or scaled_partitions(1.0, 8)
+    lcols = list(left.schema().names)
+
+    def tag(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            key = batch[by]
+            if isinstance(key, pa.ChunkedArray):
+                key = key.combine_chunks()
+            cols = {c: batch[c] for c in batch.column_names}
+            cols["__side"] = pa.array([side] * len(batch), pa.string())
+            cols["__bucket"] = _bucket_col(key.cast(pa.string()), width)
+            return pa.table(cols)
+
+        return fn
+
+    rkeep = [by, ts]
+    rtypes = dict(zip(right.schema().names, right.schema().types))
+    ltypes = dict(zip(left.schema().names, left.schema().types))
+    all_cols = sorted(set(lcols) | set(rkeep))
+    types = {c: ltypes.get(c, rtypes.get(c)) for c in all_cols}
+
+    def align(fn):
+        def wrapped(batch: pa.Table) -> pa.Table:
+            t = fn(batch)
+            cols = {}
+            for c in all_cols:
+                if c in t.column_names:
+                    col = t[c]
+                    cols[c] = (
+                        col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                    ).cast(types[c])
+                else:
+                    cols[c] = pa.nulls(len(t), types[c])
+            cols["__side"] = t["__side"]
+            cols["__bucket"] = t["__bucket"]
+            return pa.table(cols)
+
+        return wrapped
+
+    both = left.map_batches(
+        align(tag("l")), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        right.map_batches(
+            lambda b, _f=align(tag("r")): _f(b.select(rkeep)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+    def count(group: pa.Table) -> pa.Table:
+        side = group["__side"].combine_chunks()
+        is_left = pc.equal(side, "l").to_numpy(zero_copy_only=False)
+        key = group[by]
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        kcodes = np.asarray(
+            key.cast(pa.string()).dictionary_encode().indices, dtype=np.int64
+        )
+        tv = _np(group[ts]).astype("datetime64[us]").astype(np.int64)
+        # offset each key onto a disjoint stretch of the int64 line so one
+        # sorted array serves every key: key_code * SPAN + (ts - min_ts),
+        # SPAN > max ts spread + window
+        tmin = tv.min() if len(tv) else 0
+        rel = tv - tmin
+        span = int(rel.max()) + window_us + 2 if len(rel) else 1
+        if len(kcodes) and int(kcodes.max()) >= (1 << 62) // span:
+            # keys-per-bucket × time-span must fit the int64 line; the
+            # remedy is a wider exchange (more buckets → fewer keys each)
+            raise ValueError(
+                "range_count_join: key×span overflows the int64 timeline; "
+                "increase `width`"
+            )
+        lined = kcodes * span + rel
+        r_line = np.sort(lined[~is_left])
+        l_line = lined[is_left]
+        hi = np.searchsorted(r_line, l_line, side="right")
+        lo = np.searchsorted(r_line, l_line - window_us, side="right")
+        cnt = (hi - lo).astype(np.int64)
+        lrows = np.nonzero(is_left)[0]
+        cols = {}
+        for c in lcols:
+            col = group[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            cols[c] = col.take(pa.array(lrows))
+        cols[out_col] = pa.array(cnt)
+        return pa.table(cols)
+
+    return (
+        both.groupby("__bucket", num_partitions=width)
+        .map_groups(count, batch_format="pyarrow")
+    )

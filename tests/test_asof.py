@@ -103,3 +103,28 @@ def test_asof_matches_naive_on_random_events():
         cands = [(r[2], r[0]) for r in rrows if r[1] == u and r[2] <= ts]
         naive[eid] = max(cands)[1] if cands else None
     assert out["r_id"] == [naive[e] for e in out["event_id"]]
+
+
+def test_range_count_join_window_semantics():
+    from lamapi_ray.stages.asof import range_count_join
+
+    left = _ds([(1, 5, _ts(30), 0.0)], COLS_L)
+    right = _ds(
+        [
+            (90, 5, _ts(0), 0.0),    # exactly 30 min before -> OUTSIDE (half-open)
+            (91, 5, _ts(1), 0.0),    # inside
+            (92, 5, _ts(30), 0.0),   # equal ts -> inside (<=)
+            (93, 5, _ts(31), 0.0),   # after -> outside
+            (94, 6, _ts(29), 0.0),   # other user
+        ],
+        COLS_R,
+    )
+    out = pa.concat_tables(
+        range_count_join(
+            left, right.map_batches(
+                lambda t: t.select(["user_id", "ts"]), batch_format="pyarrow"
+            ),
+            by="user_id", ts="ts", window_us=30 * 60 * 1_000_000,
+        ).iter_batches(batch_format="pyarrow", batch_size=1024)
+    ).to_pydict()
+    assert out["n_in_window"] == [2]
