@@ -1116,6 +1116,21 @@ def oracle_sql() -> dict[str, str]:
         'ORDER BY "count" DESC, g ASC LIMIT 20'
     )
 
+    # tfidf_top_terms: per-doc top-3 terms by the all-integer tf·1e6 // df
+    # score (idf ← monotone 1/df so no float ln crosses the rank boundary);
+    # ties → smaller token hash (stages/curation.py::tfidf_top_terms)
+    sql["tfidf_top_terms"] = _with(
+        _tkh_cte("tkh1", "documents"),
+        "tok AS (SELECT doc_id, CAST(unnest(th) AS BIGINT) AS g FROM tkh1)",
+        "tf AS (SELECT doc_id, g, count(*) AS tf FROM tok GROUP BY 1, 2)",
+        "dfx AS (SELECT g, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1)",
+    ) + (
+        "SELECT doc_id, g, tf, df, CAST(tf * 1000000 // df AS BIGINT) AS score_fp\n"
+        "FROM tf JOIN dfx USING (g)\n"
+        "QUALIFY row_number() OVER (PARTITION BY doc_id\n"
+        "  ORDER BY tf * 1000000 // df DESC, g ASC) <= 3"
+    )
+
     # passage_dedup: non-overlapping 16-token passages (tail keeps the
     # remainder), exact dedup by the same Horner hash as the shingle
     # family; keeper = lexicographic min (doc_id, passage_idx) via one
@@ -1538,6 +1553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_closure",
         "pii_scrub",
         "passage_dedup",
+        "tfidf_top_terms",
         "literal_classify",
         "lookup_labels_lang",
         "lookup_sameas",

@@ -168,6 +168,7 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("repetition_stats", lambda: extras.repetition_stats(sf_dir))
     timed("rebalance_sources", lambda: extras.rebalance_sources(sf_dir))
     timed("top_ngrams", lambda: extras.top_ngrams(sf_dir))
+    timed("tfidf_top_terms", lambda: extras.tfidf_top_terms(sf_dir))
     timed("event_percentiles", lambda: extras.event_percentiles(sf_dir))
     timed("sessionize", lambda: extras.sessionize(sf_dir))
     timed("events_asof", lambda: extras.events_asof(sf_dir))

