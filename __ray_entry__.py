@@ -965,6 +965,30 @@ def oracle_sql() -> dict[str, str]:
         "FROM events GROUP BY 1, 2"
     )
 
+    # sliding_window_events: hopping windows — 1 h span, 15 min hop, each
+    # event in exactly 4 windows (clipped at epoch 0); same integer-cents
+    # idiom as window_events (extras.py::sliding_window_events)
+    sql["sliding_window_events"] = _with(
+        "f AS (SELECT event_type, value, epoch_us(ts) AS us FROM events)",
+        "w AS (SELECT event_type, value,\n"
+        "  ((us // 900000000) - unnest([0, 1, 2, 3])) * 900000000 AS wus FROM f)",
+    ) + (
+        "SELECT event_type, make_timestamp(wus) AS window_start,\n"
+        " count(*) AS n_events,\n"
+        " CAST(sum(CAST(printf('%.0f', value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents\n"
+        "FROM w WHERE wus >= 0 GROUP BY 1, 2"
+    )
+
+    # user_top_events: grouped top-k — per user top-3 by (cents desc,
+    # event_id asc); engine combines ≤k per user map-side first
+    sql["user_top_events"] = (
+        "SELECT user_id, event_id,\n"
+        "  CAST(printf('%.0f', value * 100) AS BIGINT) AS value_cents\n"
+        "FROM events\n"
+        "QUALIFY row_number() OVER (PARTITION BY user_id\n"
+        "  ORDER BY CAST(printf('%.0f', value * 100) AS BIGINT) DESC, event_id ASC) <= 3"
+    )
+
     # composed curation flow: lang-ID filter + quality filter + exact
     # dedup + split assignment, one SQL chain over the same dup corpus
     sql["curation_pipeline"] = _with(
@@ -1549,6 +1573,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize",
         "events_asof",
         "purchase_attribution",
+        "sliding_window_events",
+        "user_top_events",
         "embedding_dup_clusters",
         "type_closure",
         "pii_scrub",

@@ -173,6 +173,8 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("sessionize", lambda: extras.sessionize(sf_dir))
     timed("events_asof", lambda: extras.events_asof(sf_dir))
     timed("purchase_attribution", lambda: extras.purchase_attribution(sf_dir))
+    timed("sliding_window_events", lambda: extras.sliding_window_events(sf_dir))
+    timed("user_top_events", lambda: extras.user_top_events(sf_dir))
     timed("multimodal_decode", lambda: extras.multimodal_decode(sf_dir))
     timed("literal_classify", lambda: extras.literal_classify(sf_dir))
     timed("pii_scrub", lambda: extras.pii_scrub(sf_dir))

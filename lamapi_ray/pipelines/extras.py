@@ -1541,3 +1541,109 @@ def tfidf_top_terms(sf_dir: str) -> pa.Table:
     return _collect(curation.tfidf_top_terms(_docs(sf_dir), topk=3)).sort_by(
         [("doc_id", "ascending"), ("score_fp", "descending"), ("g", "ascending")]
     )
+
+
+def sliding_window_events(sf_dir: str) -> pa.Table:
+    """Hopping-window aggregate: 1-hour windows every 15 minutes (each
+    event lands in exactly 4 windows). The flat window fan-out happens
+    map-side (4 rows per event, keys only + integer cents), then ONE
+    groupby-sum — the hopping analogue of :func:`window_events`."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    HOP_US = 15 * 60 * 1_000_000
+    HOPS = 4  # window = 4 hops = 1 hour
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        et = batch["event_type"].combine_chunks().cast(pa.string())
+        n = len(ts_us)
+        hop = ts_us // HOP_US
+        # windows containing t start at (hop-3..hop)*HOP (clipped at 0)
+        starts = (hop[None, :] - np.arange(HOPS)[:, None]) * HOP_US
+        idx = np.tile(np.arange(n), HOPS)
+        flat = starts.reshape(-1)
+        keep = flat >= 0
+        return pa.table(
+            {
+                "event_type": et.take(pa.array(idx[keep])),
+                "window_us": pa.array(flat[keep], pa.int64()),
+                "cents": pa.array(cents[idx[keep]], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    agg = _collect(
+        ev.map_batches(fan_out, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "window_us"], num_partitions=16)
+        .aggregate(Count(alias_name="n_events"), Sum("cents", alias_name="sum_value_cents"))
+    )
+    return pa.table(
+        {
+            "event_type": agg["event_type"].cast(pa.string()),
+            "window_start": agg["window_us"].cast(pa.int64()).cast(pa.timestamp("us")),
+            "n_events": agg["n_events"].cast(pa.int64()),
+            "sum_value_cents": agg["sum_value_cents"].cast(pa.int64()),
+        }
+    )
+
+
+def user_top_events(sf_dir: str) -> pa.Table:
+    """Grouped top-k: each user's top-3 events by (value desc, event_id
+    asc). Map-side combine keeps ≤k rows per user per batch, so the ONE
+    exchange ships at most k·users·blocks rows — never the corpus."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+    K = 3
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        o = np.lexsort((eid, -cents, uid))
+        u_s = uid[o]
+        new = np.concatenate([[True], u_s[1:] != u_s[:-1]])
+        run_start = np.maximum.accumulate(np.where(new, np.arange(len(u_s)), 0))
+        keep = (np.arange(len(u_s)) - run_start) < K
+        sel = o[keep]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[sel]),
+                "event_id": pa.array(eid[sel]),
+                "cents": pa.array(cents[sel]),
+            }
+        )
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        return local_topk(
+            pa.table(
+                {
+                    "user_id": group["user_id"],
+                    "event_id": group["event_id"],
+                    "value": pc.divide(
+                        group["cents"].cast(pa.float64()), pa.scalar(100.0)
+                    ),
+                }
+            )
+        )
+
+    out = (
+        ev.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id", num_partitions=8)
+        .map_groups(merge_topk, batch_format="pyarrow")
+    )
+    agg = _collect(out)
+    return pa.table(
+        {
+            "user_id": agg["user_id"].cast(pa.int64()),
+            "event_id": agg["event_id"].cast(pa.int64()),
+            "value_cents": agg["cents"].cast(pa.int64()),
+        }
+    ).sort_by([("user_id", "ascending"), ("value_cents", "descending"), ("event_id", "ascending")])
