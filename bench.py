@@ -144,6 +144,9 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
             _ray.data.read_parquet(f"{SCRATCH}/triples")
         )
         counters["literal_triples"] = _consume(res["literal_triples"])
+        # north-rule per-stage metrics (mentions/sec, candidate fan-out,
+        # link-score latency) — accumulated by the run's metrics actor
+        counters["kg_stage_metrics"] = res["stage_metrics"]()
 
     timed("kg_e2e", kg_e2e)
 
@@ -206,6 +209,7 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
         "pages_per_sec": round(n_pages / kg_sec, 1) if kg_sec else None,
         "triples": n_triples,
         "triples_per_sec": round(n_triples / kg_sec, 1) if kg_sec else None,
+        "kg_stage_metrics": counters.get("kg_stage_metrics"),
     }
 
 

@@ -73,10 +73,12 @@ class KGContext:
         self.max_surface_tokens = max((len(s.split(" ")) for s in vocab), default=1)
 
 
-def mention_rows(pages: ray.data.Dataset, ctx: KGContext, concurrency=4):
+def mention_rows(pages: ray.data.Dataset, ctx: KGContext, concurrency=4, meter_args=None):
     """pages → one row per page (url, mentions[], lit_values[], lit_datatypes[])."""
     ext = extracted_pages(pages)
-    return scan_mentions(ext, ctx.vocab, ctx.max_surface_tokens, concurrency)
+    return scan_mentions(
+        ext, ctx.vocab, ctx.max_surface_tokens, concurrency, meter_args=meter_args
+    )
 
 
 def split_rows(page_rows: ray.data.Dataset):
@@ -143,6 +145,7 @@ def linked_pages(
     ctx: KGContext,
     limit: int = 1000,
     concurrency: int = 4,
+    meter_args=None,
 ):
     """Attach linked entity ids per page via candidate gen + broadcast map.
 
@@ -163,7 +166,8 @@ def linked_pages(
         )
     else:
         cands = generate_candidates(
-            dm, ctx.surface_forms, ctx.type_names, limit=limit, concurrency=concurrency
+            dm, ctx.surface_forms, ctx.type_names, limit=limit,
+            concurrency=concurrency, meter_args=meter_args,
         )
     lm = link_best(cands).to_pandas()  # vocabulary-bounded, small
     link_mentions = pa.array(list(lm["mention"]), pa.string())
@@ -444,11 +448,25 @@ def run_pipeline(pages: ray.data.Dataset, ctx: KGContext, limit: int = 1000,
     list-column rows, spillable) for not re-running the scan and candidate
     stages per branch.
     """
-    rows = mention_rows(pages, ctx, concurrency).materialize()
+    from lamapi_ray.state.metrics import derived, metrics_actor, new_run_key
+
+    mactor = metrics_actor()
+    mkey = new_run_key()
+    meter_args = (mactor, mkey)
+    rows = mention_rows(pages, ctx, concurrency, meter_args=meter_args).materialize()
     mentions, literals = split_rows(rows)
-    linked_rows, page_links, cands = linked_pages(rows, ctx, limit, concurrency)
+    linked_rows, page_links, cands = linked_pages(
+        rows, ctx, limit, concurrency, meter_args=meter_args
+    )
     pairs_tbl, lit_tbl = cooccurrence_tables(linked_rows)
     etriples = entity_triples(pairs_tbl, ctx)
+
+    def stage_metrics() -> dict:
+        """North-rule per-stage metrics: mentions/sec, candidate fan-out,
+        link-score latency — derived from the run's accumulated
+        (rows_in, rows_out, busy_sec) counters."""
+        return derived(ray.get(mactor.snapshot.remote(mkey)))
+
     return {
         "mentions": mentions,
         "literals": literals,
@@ -456,4 +474,5 @@ def run_pipeline(pages: ray.data.Dataset, ctx: KGContext, limit: int = 1000,
         "page_links": page_links,
         "triples": etriples,
         "literal_triples": ray.data.from_arrow(lit_tbl),
+        "stage_metrics": stage_metrics,
     }

@@ -120,17 +120,25 @@ def generate_candidates(
     limit: int = 1000,
     concurrency: int = 4,
     retrieve_kwargs: dict | None = None,
+    meter_args=None,
 ) -> ray.data.Dataset:
     """distinct mentions (col ``mention``) → scored candidate rows.
 
     ``retrieve_kwargs`` forwards the query-builder params (``fuzzy``,
     ``kind``, ``nertype``, ``types`` — reference
-    lookup_retriever.py:261-290) to :meth:`SurfaceIndex.candidates`."""
+    lookup_retriever.py:261-290) to :meth:`SurfaceIndex.candidates`.
+    ``meter_args=(actor, key)`` reports (mentions_in, candidates_out,
+    busy_sec) per batch — fan-out and link-score latency derive from it."""
     surface_ref = ray.put(surface_forms)
     type_names_ref = ray.put(type_names)
 
     def score(batch: pa.Table) -> pa.Table:
         return CandidateGenerator(surface_ref, type_names_ref, limit, retrieve_kwargs)(batch)
+
+    if meter_args is not None:
+        from lamapi_ray.state.metrics import meter
+
+        score = meter(score, "candidate_score", *meter_args)
 
     return distinct_mentions.map_batches(
         score,

@@ -32,6 +32,7 @@ object store instead of re-shipping it per batch.
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from lamapi_ray.functions.literals import check_literal
@@ -200,16 +201,29 @@ class MentionScanner:
         )
 
 
-def scan_mentions(pages, vocab: frozenset[str], max_tokens: int, concurrency=None):
+def scan_mentions(
+    pages, vocab: frozenset[str], max_tokens: int, concurrency=None, meter_args=None
+):
     """pages(url,text,…) → one row per page (url, mentions[], literals[]).
 
     ``vocab`` is put in the object store once; the scanner class re-reads it
-    per actor (not per batch).
+    per actor (not per batch). ``meter_args=(actor, key)`` reports
+    (pages_in, mentions_out, busy_sec) per batch to the run-metrics actor.
     """
     vocab_ref = ray.put(vocab)
 
     def scan(batch: pa.Table) -> pa.Table:
         return MentionScanner.for_ref(vocab_ref, max_tokens)(batch)
+
+    if meter_args is not None:
+        from lamapi_ray.state.metrics import meter
+
+        def n_mentions(out: pa.Table) -> int:
+            return int(
+                pc.sum(pc.list_value_length(out["mentions"])).as_py() or 0
+            )
+
+        scan = meter(scan, "mention_scan", *meter_args, out_rows=n_mentions)
 
     return pages.select_columns(["url", "text"]).map_batches(
         scan, batch_format="pyarrow", zero_copy_batch=True

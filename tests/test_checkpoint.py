@@ -128,3 +128,29 @@ def test_run_job_end_to_end_and_resume(tmp_path):
     assert len(r2["materialize"]["skipped"]) == 4
     first = checkpoint.read_output(os.path.join(out, "adjacency"))
     assert first.num_rows == r1["metrics"]["triples"]
+
+
+def test_run_pipeline_reports_stage_metrics(sf_dir):
+    """North-rule metrics: mentions/sec, candidate fan-out, link-score
+    latency are accumulated per run and derivable after the pipeline."""
+    from lamapi_ray import synth
+    from lamapi_ray.pipelines.kg import KGContext, run_pipeline
+
+    kg = synth.build_kg_tables(sf_dir)
+    res = run_pipeline(
+        synth.pages_dataset(sf_dir), KGContext(kg["items"], kg["triples"]), limit=100
+    )
+    # drain the triples so every metered stage has executed
+    import pyarrow as pa
+
+    pa.concat_tables(
+        res["triples"].iter_batches(batch_size=65536, batch_format="pyarrow")
+    )
+    m = res["stage_metrics"]()
+    assert m["stages"]["mention_scan"]["rows_in"] > 0
+    assert m["mentions_per_worker_sec"] > 0
+    assert m["candidate_fan_out"] > 0
+    assert m["link_score_latency_ms"] > 0
+    # fan-out is bounded by the requested candidate limit per mention... no:
+    # limit applies per mention, so fan-out <= limit
+    assert m["candidate_fan_out"] <= 100
