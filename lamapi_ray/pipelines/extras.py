@@ -33,6 +33,12 @@ from lamapi_ray.stages.textstats import (
 )
 
 
+def _scaled(per_cpu: float, floor_: int) -> int:
+    from lamapi_ray.stages.dedup import scaled_partitions
+
+    return scaled_partitions(per_cpu, floor_)
+
+
 def _collect(ds) -> pa.Table:
     batches = [b for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow")]
     if not batches:
@@ -292,7 +298,7 @@ def sessionize(sf_dir: str) -> pa.Table:
         )
 
     return _collect(
-        ev.groupby("user_id", num_partitions=16).map_groups(
+        ev.groupby("user_id", num_partitions=_scaled(0.5, 16)).map_groups(
             sessions, batch_format="pyarrow"
         )
     ).sort_by([("user_id", "ascending"), ("session_id", "ascending")])
@@ -326,7 +332,7 @@ def window_events(sf_dir: str) -> pa.Table:
     # `write_parquet` of the same Dataset.
     agg = _collect(
         ev.map_batches(add_window, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["event_type", "window_us"], num_partitions=16)
+        .groupby(["event_type", "window_us"], num_partitions=_scaled(0.5, 16))
         .aggregate(Count(alias_name="n_events"), Sum("cents", alias_name="sum_value_cents"))
     )
     return pa.table(
@@ -525,7 +531,7 @@ def curation_pipeline(sf_dir: str) -> pa.Table:
     ds = _dup_corpus(sf_dir, modify=False)
     agg = (
         ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__h", num_partitions=32)
+        .groupby("__h", num_partitions=_scaled(1.0, 32))
         .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
     )
 
@@ -798,9 +804,9 @@ def predicates_pairs(sf_dir: str, adjacency: pa.Table) -> pa.Table:
 
     distinct = (
         li.map_batches(coarse_key, batch_format="pyarrow")
-        .groupby("__pk", num_partitions=16)
+        .groupby("__pk", num_partitions=_scaled(0.5, 16))
         .map_groups(partition_pairs, batch_format="pyarrow")
-        .groupby(["px", "py"], num_partitions=16)
+        .groupby(["px", "py"], num_partitions=_scaled(0.5, 16))
         .count()
     )
     pairs_tbl = _collect(distinct.select_columns(["px", "py"]))
@@ -1579,7 +1585,7 @@ def sliding_window_events(sf_dir: str) -> pa.Table:
 
     agg = _collect(
         ev.map_batches(fan_out, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["event_type", "window_us"], num_partitions=16)
+        .groupby(["event_type", "window_us"], num_partitions=_scaled(0.5, 16))
         .aggregate(Count(alias_name="n_events"), Sum("cents", alias_name="sum_value_cents"))
     )
     return pa.table(
@@ -1636,7 +1642,7 @@ def user_top_events(sf_dir: str) -> pa.Table:
 
     out = (
         ev.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("user_id", num_partitions=8)
+        .groupby("user_id", num_partitions=_scaled(0.25, 8))
         .map_groups(merge_topk, batch_format="pyarrow")
     )
     agg = _collect(out)

@@ -21,6 +21,7 @@ import ray.data
 
 from lamapi_ray.index.surface import build_surface_forms
 from lamapi_ray.stages.candidates import generate_candidates, link_best
+from lamapi_ray.stages.dedup import scaled_partitions
 from lamapi_ray.stages.extract import extracted_pages
 from lamapi_ray.stages.join import bucketed_hash_join
 from lamapi_ray.stages.mentions import scan_mentions
@@ -134,7 +135,7 @@ def distinct_mentions(page_rows: ray.data.Dataset) -> ray.data.Dataset:
 
     return (
         page_rows.map_batches(batch_distinct, batch_format="pyarrow")
-        .groupby("mention", num_partitions=16)
+        .groupby("mention", num_partitions=scaled_partitions(0.5, 16))
         .count()
         .select_columns(["mention"])
     )
@@ -235,7 +236,7 @@ def page_entity_pairs(linked_rows: ray.data.Dataset) -> ray.data.Dataset:
 
     pairs_ds = linked_rows.map_batches(emit_pairs, batch_format="pyarrow")
     # global distinct — vocabulary² upper bound, tiny vs page count
-    return pairs_ds.groupby(["subj", "obj"], num_partitions=16).count().select_columns(["subj", "obj"])
+    return pairs_ds.groupby(["subj", "obj"], num_partitions=scaled_partitions(0.5, 16)).count().select_columns(["subj", "obj"])
 
 
 def _col(col):
@@ -375,7 +376,7 @@ def cooccurrence_tables(linked_rows: ray.data.Dataset) -> tuple[pa.Table, pa.Tab
 
     both = (
         linked_rows.map_batches(emit_both, batch_format="pyarrow")
-        .groupby(["tag", "subj", "obj", "value", "datatype"], num_partitions=16)
+        .groupby(["tag", "subj", "obj", "value", "datatype"], num_partitions=scaled_partitions(0.5, 16))
         .count()
     )
     tbl = pa.concat_tables(

@@ -591,7 +591,7 @@ def cosine_near_pairs(
     pairs = rows.groupby(
         ["band", "bcode"], num_partitions=scaled_partitions(1.0, 32)
     ).map_groups(bucket_pairs, batch_format="pyarrow")
-    agg = pairs.groupby(["id_a", "id_b"], num_partitions=16).aggregate(Min("cosine", alias_name="cosine"))
+    agg = pairs.groupby(["id_a", "id_b"], num_partitions=scaled_partitions(0.5, 16)).aggregate(Min("cosine", alias_name="cosine"))
     tabs = [b for b in agg.iter_batches(batch_size=65536, batch_format="pyarrow")]
     out = pa.concat_tables(tabs) if tabs else _EMPTY_PAIRS
     return out.select(["id_a", "id_b", "cosine"]).sort_by(

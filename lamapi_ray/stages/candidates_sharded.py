@@ -45,6 +45,7 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+from lamapi_ray.stages.dedup import scaled_partitions
 import ray
 import ray.data
 
@@ -301,6 +302,6 @@ def generate_candidates_sharded(
         data.update(cols)
         return pa.table({n: pa.array(data[n], t) for n, t in CANDIDATE_FIELDS})
 
-    return partials.groupby("mention", num_partitions=16).map_groups(
+    return partials.groupby("mention", num_partitions=scaled_partitions(0.5, 16)).map_groups(
         score_group, batch_format="pyarrow"
     )

@@ -1126,7 +1126,7 @@ def simhash_near_pairs(
     pairs = rows.groupby("pkey", num_partitions=num_partitions).map_groups(
         partition_pairs, batch_format="pyarrow"
     )
-    agg = pairs.groupby(["id_a", "id_b"], num_partitions=16).aggregate(Min("hamming", alias_name="hamming"))
+    agg = pairs.groupby(["id_a", "id_b"], num_partitions=scaled_partitions(0.5, 16)).aggregate(Min("hamming", alias_name="hamming"))
     out = _collect(agg)
     return out.select(["id_a", "id_b", "hamming"]).sort_by(
         [("id_a", "ascending"), ("id_b", "ascending")]

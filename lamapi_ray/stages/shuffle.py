@@ -28,6 +28,12 @@ import pyarrow as pa
 import ray.data
 
 
+def _scaled(per_cpu: float, floor_: int) -> int:
+    from lamapi_ray.stages.dedup import scaled_partitions
+
+    return scaled_partitions(per_cpu, floor_)
+
+
 def salted_count(
     ds: ray.data.Dataset, key: str, num_salts: int = 16
 ) -> ray.data.Dataset:
@@ -46,7 +52,7 @@ def salted_count(
 
     partial = (
         ds.map_batches(add_salt, batch_format="pyarrow")
-        .groupby([key, "__salt"], num_partitions=16)
+        .groupby([key, "__salt"], num_partitions=_scaled(0.5, 16))
         .count()
     )
 
@@ -55,7 +61,7 @@ def salted_count(
 
     merged = (
         partial.map_batches(drop_salt, batch_format="pyarrow")
-        .groupby(key, num_partitions=16)
+        .groupby(key, num_partitions=_scaled(0.5, 16))
         .sum("n")
     )
 
@@ -79,7 +85,7 @@ def combined_count(ds: ray.data.Dataset, key: str) -> ray.data.Dataset:
             {key: vc.field("values"), "n": vc.field("counts").cast(pa.int64())}
         )
 
-    merged = ds.map_batches(partial, batch_format="pyarrow").groupby(key, num_partitions=16).sum("n")
+    merged = ds.map_batches(partial, batch_format="pyarrow").groupby(key, num_partitions=_scaled(0.5, 16)).sum("n")
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.table(
