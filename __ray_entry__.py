@@ -989,6 +989,18 @@ def oracle_sql() -> dict[str, str]:
         "  ORDER BY CAST(printf('%.0f', value * 100) AS BIGINT) DESC, event_id ASC) <= 3"
     )
 
+    # running_user_totals: cumulative per-user sum/count in (ts, event_id)
+    # order — the ORDER BY window-function shape (extras.py)
+    sql["running_user_totals"] = (
+        "SELECT event_id, user_id,\n"
+        "  CAST(sum(CAST(printf('%.0f', value * 100) AS BIGINT))\n"
+        "    OVER (PARTITION BY user_id ORDER BY ts, event_id\n"
+        "          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents,\n"
+        "  CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id\n"
+        "          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_n\n"
+        "FROM events"
+    )
+
     # composed curation flow: lang-ID filter + quality filter + exact
     # dedup + split assignment, one SQL chain over the same dup corpus
     sql["curation_pipeline"] = _with(
@@ -1575,6 +1587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_attribution",
         "sliding_window_events",
         "user_top_events",
+        "running_user_totals",
         "embedding_dup_clusters",
         "type_closure",
         "pii_scrub",

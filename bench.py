@@ -178,6 +178,7 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("purchase_attribution", lambda: extras.purchase_attribution(sf_dir))
     timed("sliding_window_events", lambda: extras.sliding_window_events(sf_dir))
     timed("user_top_events", lambda: extras.user_top_events(sf_dir))
+    timed("running_user_totals", lambda: extras.running_user_totals(sf_dir))
     timed("multimodal_decode", lambda: extras.multimodal_decode(sf_dir))
     timed("literal_classify", lambda: extras.literal_classify(sf_dir))
     timed("pii_scrub", lambda: extras.pii_scrub(sf_dir))

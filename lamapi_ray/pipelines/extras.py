@@ -1653,3 +1653,50 @@ def user_top_events(sf_dir: str) -> pa.Table:
             "value_cents": agg["cents"].cast(pa.int64()),
         }
     ).sort_by([("user_id", "ascending"), ("value_cents", "descending"), ("event_id", "ascending")])
+
+
+def running_user_totals(sf_dir: str) -> pa.Table:
+    """Running (cumulative) aggregate — the ORDER BY window-function shape:
+    per user, events in (ts, event_id) order carry a running sum of integer
+    cents and a running event count. groupby(user) co-locates each user's
+    history; the per-group kernel is one lexsort + np.cumsum (no per-row
+    Python). Mirrors SUM/COUNT OVER (PARTITION BY user ORDER BY ts, id)."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    def running(group: pa.Table) -> pa.Table:
+        eid = group["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group["ts"].combine_chunks()
+        tsv = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.rint(
+            group["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        o = np.lexsort((eid, tsv, uid))
+        u_s, c_s = uid[o], cents[o]
+        csum = np.cumsum(c_s)
+        cnt = np.arange(1, len(u_s) + 1, dtype=np.int64)
+        # reset the running totals at each user boundary (segment offsets)
+        new = np.concatenate([[True], u_s[1:] != u_s[:-1]])
+        starts = np.nonzero(new)[0]
+        base_sum = np.repeat(
+            np.concatenate([[0], csum[starts[1:] - 1]]), np.diff(
+                np.concatenate([starts, [len(u_s)]])
+            ),
+        )
+        base_cnt = np.repeat(starts, np.diff(np.concatenate([starts, [len(u_s)]])))
+        return pa.table(
+            {
+                "event_id": pa.array(eid[o]),
+                "user_id": pa.array(u_s),
+                "running_cents": pa.array(csum - base_sum),
+                "running_n": pa.array(cnt - base_cnt),
+            }
+        )
+
+    out = (
+        ev.groupby("user_id", num_partitions=_scaled(0.25, 8))
+        .map_groups(running, batch_format="pyarrow")
+    )
+    return _collect(out).sort_by("event_id")

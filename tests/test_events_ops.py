@@ -132,3 +132,19 @@ def test_user_top_events_is_per_user_topk(sf_dir):
     for u, rs in by_user.items():
         vals = [(-r["value_cents"], r["event_id"]) for r in rs]
         assert vals == sorted(vals)
+
+
+def test_running_user_totals_monotone_per_user(sf_dir):
+    from lamapi_ray.pipelines.extras import running_user_totals
+
+    out = running_user_totals(sf_dir)
+    assert out.num_rows > 0
+    rows = out.to_pylist()
+    # per user: running_n is 1..k, each event's running sum >= its count
+    # (values positive in this dataset)
+    last_n = {}
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["running_n"])):
+        u = r["user_id"]
+        assert r["running_n"] == last_n.get(u, 0) + 1
+        last_n[u] = r["running_n"]
+        assert r["running_cents"] >= 0
