@@ -1001,6 +1001,48 @@ def oracle_sql() -> dict[str, str]:
         "FROM events"
     )
 
+    # kmeans_clusters: fixed-point Lloyd's k-means (k=8, 3 iterations),
+    # all-integer (vectors quantized at 10^6 with printf parity; centroid
+    # update = floor mean; ties → smaller cid) so the oracle unrolls the
+    # SAME arithmetic and hash-matches exactly (stages/kmeans.py)
+    _KM_DIST = (
+        "list_sum(list_transform(range(1, len(q.e) + 1),"
+        " i -> (q.e[i] - c.e[i]) * (q.e[i] - c.e[i])))"
+    )
+
+    def _km_iter(t: int) -> list[str]:
+        return [
+            f"a{t} AS (SELECT vec_id, cid FROM (\n"
+            f"  SELECT q.vec_id, c.cid,\n"
+            f"    row_number() OVER (PARTITION BY q.vec_id ORDER BY\n"
+            f"      {_KM_DIST} ASC, c.cid ASC) AS rn\n"
+            f"  FROM q CROSS JOIN c{t - 1} c) WHERE rn = 1)",
+            f"s{t} AS (SELECT a.cid, dim.i, sum(q.e[dim.i]) AS s, count(*) AS n\n"
+            f"  FROM a{t} a JOIN q USING (vec_id),\n"
+            f"       UNNEST(range(1, len(q.e) + 1)) AS dim(i)\n"
+            f"  GROUP BY 1, 2)",
+            f"u{t} AS (SELECT cid, list(CAST(s // n AS BIGINT) ORDER BY i) AS e\n"
+            f"  FROM s{t} GROUP BY cid)",
+            f"c{t} AS (SELECT c.cid, coalesce(u.e, c.e) AS e\n"
+            f"  FROM c{t - 1} c LEFT JOIN u{t} u USING (cid))",
+        ]
+
+    _km_ctes = [
+        "q AS (SELECT vec_id, list_transform(embedding,"
+        " x -> CAST(printf('%.0f', x * 1000000) AS BIGINT)) AS e FROM embeddings)",
+        "c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, e\n"
+        "  FROM (SELECT vec_id, e FROM q ORDER BY vec_id LIMIT 8))",
+    ]
+    for _t in (1, 2, 3):
+        _km_ctes.extend(_km_iter(_t))
+    sql["kmeans_clusters"] = _with(*_km_ctes) + (
+        "SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (\n"
+        "  SELECT q.vec_id, c.cid,\n"
+        "    row_number() OVER (PARTITION BY q.vec_id ORDER BY\n"
+        f"      {_KM_DIST} ASC, c.cid ASC) AS rn\n"
+        "  FROM q CROSS JOIN c3 c) WHERE rn = 1"
+    )
+
     # composed curation flow: lang-ID filter + quality filter + exact
     # dedup + split assignment, one SQL chain over the same dup corpus
     sql["curation_pipeline"] = _with(
@@ -1588,6 +1630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_events",
         "user_top_events",
         "running_user_totals",
+        "kmeans_clusters",
         "embedding_dup_clusters",
         "type_closure",
         "pii_scrub",

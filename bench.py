@@ -166,6 +166,7 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("ann_cosine", lambda: extras.ann_cosine(sf_dir))
     timed("ann_lsh", lambda: extras.ann_lsh(sf_dir))
     timed("ann_ivf", lambda: extras.ann_ivf(sf_dir))
+    timed("kmeans_clusters", lambda: extras.kmeans_clusters(sf_dir))
     timed("window_events", lambda: extras.window_events(sf_dir))
     timed("decontaminate", lambda: extras.decontaminate(sf_dir))
     timed("repetition_stats", lambda: extras.repetition_stats(sf_dir))

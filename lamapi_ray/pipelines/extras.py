@@ -1700,3 +1700,16 @@ def running_user_totals(sf_dir: str) -> pa.Table:
         .map_groups(running, batch_format="pyarrow")
     )
     return _collect(out).sort_by("event_id")
+
+
+def kmeans_clusters(sf_dir: str) -> pa.Table:
+    """Fixed-point Lloyd's k-means (k=8, 3 iterations) over the embeddings
+    table — integer arithmetic end to end, so the assignment is
+    bit-reproducible and the oracle unrolls the same three iterations
+    relationally. See :mod:`lamapi_ray.stages.kmeans`."""
+    from lamapi_ray.stages.kmeans import kmeans_fixed
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return _collect(kmeans_fixed(ds, k=8, iters=3)).sort_by("vec_id")
