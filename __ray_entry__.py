@@ -1183,6 +1183,62 @@ def oracle_sql() -> dict[str, str]:
         "      * cnt.c * ws.wsum < (" + _W_EXPR.format(t="d") + ") * tot.t * 10000"
     )
 
+    # url family: the raw-URL derivation mirrors weburl.synth_raw_urls
+    # term-for-term, and the normalization CTE chain runs the LITERAL same
+    # RE2 steps as weburl.normalize_urls (DuckDB regex is RE2 too) —
+    # lowercase scheme/host, strip www./default port/fragment/utm_* params
+    _RAW_URL = (
+        "(CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||"
+        " (CASE WHEN doc_id % 5 = 0 THEN 'WWW.' WHEN doc_id % 5 = 1 THEN 'www.'"
+        " ELSE '' END) ||"
+        " (CASE WHEN doc_id % 13 = 0"
+        "   THEN 'H' || CAST((doc_id // 4) % 37 AS VARCHAR) || '.EXAMPLE.COM'"
+        "   ELSE 'h' || CAST((doc_id // 4) % 37 AS VARCHAR) || '.example.com' END) ||"
+        " (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END) ||"
+        " '/p/' || CAST(doc_id // 4 AS VARCHAR) ||"
+        " (CASE WHEN doc_id % 6 = 0 THEN '?utm_source=feed&ref=home'"
+        "  WHEN doc_id % 2 = 0 THEN '?utm_source=feed'"
+        "  WHEN doc_id % 11 = 0 THEN '?ref=home' ELSE '' END) ||"
+        " (CASE WHEN doc_id % 13 = 5 THEN '#section-2' ELSE '' END)"
+    )
+    _SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.\\-]*)://"
+    _PFX = "^[A-Za-z][A-Za-z0-9+.\\-]*://"  # same prefix, no capture group
+    _URL_CTES = (
+        f"rawu AS (SELECT doc_id, {_RAW_URL} AS url_raw FROM documents)",
+        "u0 AS (SELECT doc_id, url_raw,"
+        " regexp_replace(url_raw, '#.*$', '') AS u FROM rawu)",
+        "px AS (SELECT doc_id, url_raw,"
+        f" lower(regexp_extract(u, '{_SCHEME_RE}', 1)) AS scheme,"
+        f" lower(regexp_extract(u, '{_PFX}([^/?#]*)', 1)) AS hostport,"
+        f" regexp_extract(u, '{_PFX}[^/?#]*(.*)$', 1) AS rest FROM u0)",
+        "h1 AS (SELECT *, regexp_replace(hostport, '^www\\.', '') AS hp1 FROM px)",
+        "h2 AS (SELECT doc_id, url_raw, scheme, rest, CASE"
+        " WHEN scheme = 'https' THEN regexp_replace(hp1, ':443$', '')"
+        " WHEN scheme = 'http' THEN regexp_replace(hp1, ':80$', '')"
+        " ELSE hp1 END AS hp FROM h1)",
+        "r1 AS (SELECT *, regexp_replace(rest, '\\?', '?&') AS ra FROM h2)",
+        "r2 AS (SELECT *, regexp_replace(ra, '&utm_[^&]*', '', 'g') AS rb FROM r1)",
+        "r3 AS (SELECT *, regexp_replace("
+        "regexp_replace(regexp_replace(rb, '\\?&', '?'), '\\?$', ''),"
+        " '^\\?', '/?') AS rc FROM r2)",
+        "norm AS (SELECT doc_id, url_raw,"
+        " scheme || '://' || hp || (CASE WHEN rc = '' THEN '/' ELSE rc END)"
+        " AS url_norm,"
+        " regexp_replace(hp, ':[0-9]+$', '') AS host FROM r3)",
+    )
+    sql["url_normalize"] = _with(*_URL_CTES) + (
+        "SELECT doc_id, url_raw, url_norm, host FROM norm"
+    )
+    sql["url_dedup"] = _with(*_URL_CTES) + (
+        "SELECT url_norm, min(doc_id) AS keeper_doc_id,"
+        " count(*) AS n_dups FROM norm GROUP BY 1"
+    )
+    sql["host_caps"] = _with(
+        *_URL_CTES,
+        "rk AS (SELECT host, doc_id, row_number() OVER"
+        " (PARTITION BY host ORDER BY doc_id) AS rk FROM norm)",
+    ) + "SELECT host, doc_id, rk FROM rk WHERE rk <= 3"
+
     # top_ngrams: global most-frequent word-3-grams (combiner → groupby-sum
     # → sort/limit); gram hash = the same Horner fold, cast to BIGINT
     sql["top_ngrams"] = _with(
@@ -1622,6 +1678,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate",
         "repetition_stats",
         "rebalance_sources",
+        "url_normalize",
+        "url_dedup",
+        "host_caps",
         "top_ngrams",
         "event_percentiles",
         "sessionize",

@@ -434,6 +434,53 @@ def rebalance_sources(sf_dir: str) -> pa.Table:
     ).sort_by("doc_id")
 
 
+def _url_corpus(sf_dir: str) -> ray.data.Dataset:
+    """documents → (doc_id, url_raw): the deterministic Common-Crawl-style
+    raw-URL derivation (``weburl.synth_raw_urls``; oracle mirrors it)."""
+    from lamapi_ray.stages import weburl
+
+    def add(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch["doc_id"], "url_raw": weburl.synth_raw_urls(batch)}
+        )
+
+    return _docs(sf_dir, ("doc_id",)).map_batches(
+        add, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def url_normalize(sf_dir: str) -> pa.Table:
+    """Vectorized RE2 URL canonicalization per page (lowercase scheme/host,
+    strip www./default port/fragment/utm_* params). Pure streamed map; the
+    DuckDB oracle runs the literal same regex pipeline.
+    See :func:`lamapi_ray.stages.weburl.normalize_urls`."""
+    from lamapi_ray.stages import weburl
+
+    return _collect(weburl.url_normalize(_url_corpus(sf_dir))).sort_by("doc_id")
+
+
+def url_dedup(sf_dir: str) -> pa.Table:
+    """Exact dedup on the canonical URL (keeper = min doc_id, dup count):
+    map-side combine + ONE cluster-scaled grouped exchange.
+    See :func:`lamapi_ray.stages.weburl.url_dedup`."""
+    from lamapi_ray.stages import weburl
+
+    return _collect(
+        weburl.url_dedup(weburl.url_normalize(_url_corpus(sf_dir)))
+    ).sort_by("url_norm")
+
+
+def host_caps(sf_dir: str) -> pa.Table:
+    """Per-host frequency capping (≤3 pages per registrable host, smallest
+    doc_id wins): map-side per-host top-K prune → one grouped exchange →
+    per-group final top-K. See :func:`lamapi_ray.stages.weburl.host_caps`."""
+    from lamapi_ray.stages import weburl
+
+    return _collect(
+        weburl.host_caps(weburl.url_normalize(_url_corpus(sf_dir)), k=3)
+    ).sort_by([("host", "ascending"), ("rk", "ascending")])
+
+
 def top_ngrams(sf_dir: str) -> pa.Table:
     """Corpus-level most-frequent word-3-grams (vocabulary statistics) —
     the canonical pre-aggregate/combiner dataflow: every batch emits

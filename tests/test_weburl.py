@@ -1,0 +1,117 @@
+"""URL canonicalization + per-host capping (stages/weburl.py)."""
+
+import numpy as np
+import pyarrow as pa
+
+from lamapi_ray.stages.weburl import (
+    _batch_group_min_count,
+    _prune_topk,
+    normalize_urls,
+    synth_raw_urls,
+)
+
+
+def norm1(u: str):
+    n, h = normalize_urls(pa.array([u], pa.string()))
+    return n[0].as_py(), h[0].as_py()
+
+
+def test_normalize_lowercases_scheme_and_host_only():
+    n, h = norm1("HTTPS://WWW.Example.COM/Path/To?Q=AbC")
+    assert n == "https://example.com/Path/To?Q=AbC"
+    assert h == "example.com"
+
+
+def test_normalize_strips_default_port_keeps_custom():
+    assert norm1("https://a.com:443/x")[0] == "https://a.com/x"
+    assert norm1("http://a.com:80/x")[0] == "http://a.com/x"
+    # non-default port survives in the norm, never in the host column
+    n, h = norm1("https://a.com:8443/x")
+    assert n == "https://a.com:8443/x"
+    assert h == "a.com"
+    # http's default port is NOT https' default
+    assert norm1("http://a.com:443/x")[0] == "http://a.com:443/x"
+
+
+def test_normalize_fragment_and_utm():
+    assert norm1("https://a.com/x#frag")[0] == "https://a.com/x"
+    # utm-only query: the '?' goes away entirely
+    assert norm1("https://a.com/x?utm_source=f")[0] == "https://a.com/x"
+    # mixed: utm params drop, the rest keeps the '?'
+    assert (
+        norm1("https://a.com/x?utm_source=f&ref=home&utm_campaign=c")[0]
+        == "https://a.com/x?ref=home"
+    )
+    # utm in the middle
+    assert (
+        norm1("https://a.com/x?a=1&utm_x=2&b=3")[0] == "https://a.com/x?a=1&b=3"
+    )
+
+
+def test_normalize_empty_path_and_bare_query():
+    assert norm1("https://a.com")[0] == "https://a.com/"
+    assert norm1("https://a.com?ref=1")[0] == "https://a.com/?ref=1"
+    assert norm1("https://www.a.com#f")[0] == "https://a.com/"
+
+
+def test_normalize_non_url_is_null():
+    n, h = norm1("not a url")
+    assert n is None and h is None
+
+
+def test_synth_raw_urls_deterministic_and_parseable():
+    batch = pa.table({"doc_id": pa.array(list(range(200)), pa.int64())})
+    raw = synth_raw_urls(batch)
+    norm, host = normalize_urls(raw)
+    assert norm.null_count == 0
+    # group g = doc_id // 4 collapses to one path
+    for i in (4, 5, 6, 7):
+        assert f"/p/{i // 4}" in norm[i].as_py()
+    # normalized scheme/host always canonical
+    for v in norm.to_pylist():
+        assert v.startswith("https://h")
+        assert ".example.com/p/" in v
+        assert "utm_" not in v and "#" not in v and ":443" not in v
+
+
+def test_batch_group_min_count():
+    keys = np.array(["b", "a", "b", "a", "c"], dtype=object)
+    ids = np.array([5, 2, 3, 7, 1], dtype=np.int64)
+    uniq, mins, cnt = _batch_group_min_count(keys, ids)
+    assert list(uniq) == ["a", "b", "c"]
+    assert list(mins) == [2, 3, 1]
+    assert list(cnt) == [2, 2, 1]
+
+
+def test_prune_topk_rank():
+    host = np.array(["x", "y", "x", "x", "y"], dtype=object)
+    ids = np.array([30, 1, 10, 20, 2], dtype=np.int64)
+    order, rank, _, _ = _prune_topk(host, ids, 2)
+    kept = sorted(zip(host[order[rank < 2]], ids[order[rank < 2]]))
+    assert kept == [("x", 10), ("x", 20), ("y", 1), ("y", 2)]
+
+
+def test_url_dedup_and_host_caps_end_to_end(ray_session):
+    import ray
+
+    from lamapi_ray.stages.weburl import host_caps, url_dedup, url_normalize
+
+    batch = pa.table({"doc_id": pa.array(list(range(120)), pa.int64())})
+    ds = ray.data.from_arrow(batch).map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"], "url_raw": synth_raw_urls(b)}),
+        batch_format="pyarrow",
+    )
+    normed = url_normalize(ds)
+    dd = url_dedup(normed).to_arrow_refs()
+    dd = pa.concat_tables([ray.get(r) for r in dd])
+    # every keeper is the min doc_id of its group and counts sum to input
+    assert dd.column("n_dups").to_pylist() and sum(
+        dd.column("n_dups").to_pylist()
+    ) == 120
+    caps = host_caps(url_normalize(ds), k=3)
+    capped = pa.concat_tables([ray.get(r) for r in caps.to_arrow_refs()])
+    import collections
+
+    per_host = collections.Counter(capped.column("host").to_pylist())
+    assert max(per_host.values()) <= 3
+    assert set(capped.column("rk").to_pylist()) <= {1, 2, 3}
