@@ -1183,6 +1183,32 @@ def oracle_sql() -> dict[str, str]:
         "      * cnt.c * ws.wsum < (" + _W_EXPR.format(t="d") + ") * tot.t * 10000"
     )
 
+    # inverted_index: postings-list construction; term ids are the house
+    # md5→mod-(2^61-1) token hashes (index/postings.py)
+    sql["inverted_index"] = _with(
+        _tkh_cte("tkhp", "documents"),
+        "tokp AS (SELECT DISTINCT doc_id, g FROM"
+        " (SELECT doc_id, CAST(unnest(th) AS BIGINT) AS g FROM tkhp))",
+    ) + (
+        "SELECT g, count(*) AS df,"
+        " string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings\n"
+        "FROM tokp GROUP BY 1 HAVING count(*) >= 3"
+    )
+
+    # text_clean: NFC + control-strip + whitespace collapse + trim — the
+    # literal same utf8proc/RE2 chain as stages/curation.py::clean_text
+    _CLEAN = (
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "nfc_normalize(text),"
+        " '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),"
+        " '[ \\t\\r\\n\\f\\v]+', ' ', 'g'),"
+        " '^ +', ''), ' +$', '')"
+    )
+    sql["text_clean"] = (
+        f"SELECT doc_id, {_CLEAN} AS text_clean,"
+        f" length({_CLEAN}) AS n_chars_clean FROM documents"
+    )
+
     # url family: the raw-URL derivation mirrors weburl.synth_raw_urls
     # term-for-term, and the normalization CTE chain runs the LITERAL same
     # RE2 steps as weburl.normalize_urls (DuckDB regex is RE2 too) —
@@ -1681,6 +1707,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_normalize",
         "url_dedup",
         "host_caps",
+        "inverted_index",
+        "text_clean",
         "top_ngrams",
         "event_percentiles",
         "sessionize",

@@ -434,6 +434,24 @@ def rebalance_sources(sf_dir: str) -> pa.Table:
     ).sort_by("doc_id")
 
 
+def inverted_index(sf_dir: str) -> pa.Table:
+    """Postings-list construction: distinct (term, doc) pairs map-side, ONE
+    grouped exchange, per-term (df, sorted comma-joined postings); df ≥ 3.
+    See :mod:`lamapi_ray.index.postings`."""
+    from lamapi_ray.index.postings import inverted_index as build
+
+    return _collect(build(_docs(sf_dir), min_df=3)).sort_by("g")
+
+
+def text_clean(sf_dir: str) -> pa.Table:
+    """Webtext normalization (NFC + control-char strip + whitespace
+    collapse + trim); byte-identical to the oracle's literal regex chain.
+    See :func:`lamapi_ray.stages.curation.clean_text`."""
+    from lamapi_ray.stages import curation
+
+    return _collect(curation.clean_text(_docs(sf_dir))).sort_by("doc_id")
+
+
 def _url_corpus(sf_dir: str) -> ray.data.Dataset:
     """documents → (doc_id, url_raw): the deterministic Common-Crawl-style
     raw-URL derivation (``weburl.synth_raw_urls``; oracle mirrors it)."""

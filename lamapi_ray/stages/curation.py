@@ -297,3 +297,61 @@ def tfidf_top_terms(
         )
 
     return corpus.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+WS_RE = r"[ \t\r\n\f\v]+"
+
+
+def clean_text(
+    ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> ray.data.Dataset:
+    """Webtext normalization: NFC unicode normalize, strip control chars,
+    collapse whitespace runs to single spaces, trim. The regex steps are
+    RE2 kernels DuckDB reproduces literally; NFC takes a vectorized
+    ASCII fast path (``pc.string_is_ascii`` — NFC is the identity on
+    ASCII, which is almost all of a web corpus) and falls back to
+    ``unicodedata.normalize`` only for the non-ASCII minority
+    (pyarrow 16's ``utf8_normalize(form="NFC")`` does NOT compose —
+    ``e`` + U+0301 stays decomposed — so it cannot match DuckDB's
+    ``nfc_normalize``; verified empirically). Pure streamed map.
+
+    → (doc_id, text_clean, n_chars_clean)."""
+    import unicodedata
+
+    import pyarrow.compute as pc
+
+    def _nfc(t: pa.Array) -> pa.Array:
+        ascii_mask = pc.fill_null(pc.string_is_ascii(t), True)
+        if pc.all(ascii_mask).as_py():
+            return t
+        idx = np.flatnonzero(~ascii_mask.to_numpy(zero_copy_only=False))
+        vals = t.take(pa.array(idx)).to_pylist()
+        fixed = pa.array(
+            [unicodedata.normalize("NFC", v) if v is not None else None
+             for v in vals],
+            pa.string(),
+        )
+        out = t.to_pylist()
+        for i, v in zip(idx, fixed.to_pylist()):
+            out[i] = v
+        return pa.array(out, pa.string())
+
+    def clean(batch: pa.Table) -> pa.Table:
+        t = batch[text_col]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        t = _nfc(t.cast(pa.string()))
+        t = pc.replace_substring_regex(t, CTRL_RE, "")
+        t = pc.replace_substring_regex(t, WS_RE, " ")
+        t = pc.replace_substring_regex(t, r"^ +", "")
+        t = pc.replace_substring_regex(t, r" +$", "")
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "text_clean": t,
+                "n_chars_clean": pc.cast(pc.utf8_length(t), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
