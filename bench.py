@@ -183,6 +183,10 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("multimodal_decode", lambda: extras.multimodal_decode(sf_dir))
     timed("literal_classify", lambda: extras.literal_classify(sf_dir))
     timed("pii_scrub", lambda: extras.pii_scrub(sf_dir))
+    timed("text_clean", lambda: extras.text_clean(sf_dir))
+    timed("url_dedup", lambda: extras.url_dedup(sf_dir))
+    timed("host_caps", lambda: extras.host_caps(sf_dir))
+    timed("inverted_index", lambda: extras.inverted_index(sf_dir))
     timed("passage_dedup", lambda: extras.passage_dedup(sf_dir))
     timed("kg_degrees", lambda: extras.kg_degrees(sf_dir, kg["triples"]))
     timed("entity_pagerank", lambda: extras.entity_pagerank(sf_dir, kg["triples"]))
