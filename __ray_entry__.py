@@ -1183,6 +1183,56 @@ def oracle_sql() -> dict[str, str]:
         "      * cnt.c * ws.wsum < (" + _W_EXPR.format(t="d") + ") * tot.t * 10000"
     )
 
+    # revenue_by_nation: multi-join aggregate; revenue in integer cents
+    # (floor of identical double arithmetic both sides, then int64 sums)
+    sql["revenue_by_nation"] = (
+        "SELECT n_name, count(*) AS n_items,\n"
+        "  sum(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 100.0)"
+        " AS BIGINT)) AS revenue_cents\n"
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey\n"
+        "JOIN customer ON o_custkey = c_custkey\n"
+        "JOIN nation ON c_nationkey = n_nationkey\n"
+        "GROUP BY 1"
+    )
+
+    # distinct_users_daily: exact two-exchange distinct count per day
+    sql["distinct_users_daily"] = (
+        "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,\n"
+        "  count(DISTINCT user_id) AS n_users FROM events GROUP BY 1"
+    )
+
+    # value_quartiles: nearest-rank per-type quartile thresholds (the
+    # ceil(q·n)-th order statistic), then bucket = 1 + Σ (value > q_i)
+    sql["value_quartiles"] = _with(
+        "r AS (SELECT event_type, value,"
+        " row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,"
+        " count(*) OVER (PARTITION BY event_type) AS cnt FROM events)",
+        "th AS (SELECT event_type,"
+        " max(CASE WHEN rn = CAST(ceil(0.25 * cnt) AS BIGINT) THEN value END) AS q1,"
+        " max(CASE WHEN rn = CAST(ceil(0.50 * cnt) AS BIGINT) THEN value END) AS q2,"
+        " max(CASE WHEN rn = CAST(ceil(0.75 * cnt) AS BIGINT) THEN value END) AS q3"
+        " FROM r GROUP BY 1)",
+    ) + (
+        "SELECT e.event_id, e.event_type,\n"
+        "  1 + CAST(e.value > th.q1 AS BIGINT) + CAST(e.value > th.q2 AS BIGINT)\n"
+        "    + CAST(e.value > th.q3 AS BIGINT) AS bucket\n"
+        "FROM events e JOIN th ON th.event_type = e.event_type"
+    )
+
+    # hll_user_sketch: HyperLogLog registers — same mod-(2^61-1) hash as
+    # dataset_split; rank = 26 - bitlength(rem), bitlength via bin()
+    _HLL_H = (
+        "((CAST(user_id AS HUGEINT) * 2177342782468422681)"
+        " % 2305843009213693951 + 1) % 2305843009213693951"
+    )
+    sql["hll_user_sketch"] = _with(
+        f"h AS (SELECT {_HLL_H} AS h FROM events)",
+        "br AS (SELECT CAST(h % 64 AS BIGINT) AS bucket,"
+        " CAST((h // 64) % 33554432 AS BIGINT) AS rem FROM h)",
+        "rr AS (SELECT bucket, CASE WHEN rem = 0 THEN 26"
+        " ELSE 26 - length(bin(rem)) END AS rho FROM br)",
+    ) + "SELECT bucket, CAST(max(rho) AS BIGINT) AS max_rho FROM rr GROUP BY 1"
+
     # inverted_index: postings-list construction; term ids are the house
     # md5→mod-(2^61-1) token hashes (index/postings.py)
     sql["inverted_index"] = _with(
@@ -1709,6 +1759,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_caps",
         "inverted_index",
         "text_clean",
+        "revenue_by_nation",
+        "distinct_users_daily",
+        "value_quartiles",
+        "hll_user_sketch",
         "top_ngrams",
         "event_percentiles",
         "sessionize",

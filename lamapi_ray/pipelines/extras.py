@@ -434,6 +434,243 @@ def rebalance_sources(sf_dir: str) -> pa.Table:
     ).sort_by("doc_id")
 
 
+def revenue_by_nation(sf_dir: str) -> pa.Table:
+    """Distributed multi-join aggregate over the three largest tables —
+    the canonical relational dataflow at scale: lineitem is pre-aggregated
+    map-side per order (revenue in integer cents: ``floor(ext·(1−disc)·100)``
+    — identical double arithmetic both sides, then exact int64 sums),
+    orders picks up the customer nation via a BROADCAST join (dimension
+    side `ray.put` once), the two order-keyed sides meet in ONE bucketed
+    hash-join exchange, and per-nation partial sums combine map-side before
+    a 25-row final groupby. Nothing row-level crosses more than one
+    all-to-all."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    from lamapi_ray.stages.join import bucketed_hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ext = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor((ext * (1.0 - disc)) * 100.0).astype(np.int64)
+        uniq, inv = np.unique(ok, return_inverse=True)
+        csum = np.zeros(len(uniq), np.int64)
+        np.add.at(csum, inv, cents)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(uniq, pa.int64()),
+                "cents": pa.array(csum, pa.int64()),
+                "items": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    li_agg = li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    # dimension chain: customer (custkey → nationkey) broadcast into orders
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    ck = cust["c_custkey"].to_numpy().astype(np.int64)
+    cn = cust["c_nationkey"].to_numpy().astype(np.int64)
+    o = np.argsort(ck, kind="stable")
+    cust_ref = ray.put((ck[o], cn[o]))
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+
+    def add_nation(batch: pa.Table) -> pa.Table:
+        keys, nk = ray.get(cust_ref)
+        custk = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(keys, custk)
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+                "nationkey": pa.array(nk[pos], pa.int64()),
+            }
+        )
+
+    ords = orders.map_batches(add_nation, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = bucketed_hash_join(
+        li_agg, ords, on="o_orderkey", num_buckets=_scaled(1.0, 32)
+    )
+
+    def nation_partial(batch: pa.Table) -> pa.Table:
+        nk = batch["nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = batch["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        items = batch["items"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(nk, return_inverse=True)
+        cs = np.zeros(len(uniq), np.int64)
+        its = np.zeros(len(uniq), np.int64)
+        np.add.at(cs, inv, cents)
+        np.add.at(its, inv, items)
+        return pa.table(
+            {
+                "nationkey": pa.array(uniq, pa.int64()),
+                "cents": pa.array(cs, pa.int64()),
+                "items": pa.array(its, pa.int64()),
+            }
+        )
+
+    per_nation = (
+        joined.map_batches(nation_partial, batch_format="pyarrow")
+        .groupby("nationkey")
+        .aggregate(Sum("cents"), Sum("items"))
+    )
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nk = nat["n_nationkey"].to_numpy().astype(np.int64)
+    nn = nat["n_name"].to_pylist()
+    names = {int(k): v for k, v in zip(nk, nn)}
+
+    out = _collect(per_nation)
+    keys = out["nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            "n_name": pa.array([names[int(k)] for k in keys], pa.string()),
+            "n_items": out["sum(items)"].cast(pa.int64()),
+            "revenue_cents": out["sum(cents)"].cast(pa.int64()),
+        }
+    ).sort_by("n_name")
+
+
+def distinct_users_daily(sf_dir: str) -> pa.Table:
+    """Exact distinct users per day: per-batch distinct (day, user) pairs,
+    one grouped distinct exchange, then a map-side-combined per-day count
+    (the two-exchange exact-distinct dataflow; the approximate one-exchange
+    alternative is ``hll_user_sketch``)."""
+    from lamapi_ray.stages.shuffle import combined_count
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+    DAY_US = 86_400_000_000
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = ts - ts % DAY_US
+        pair = np.stack([day, uid], axis=1)
+        uniq = np.unique(pair, axis=0)
+        return pa.table(
+            {
+                "day": pa.array(uniq[:, 0], pa.int64()),
+                "user_id": pa.array(uniq[:, 1], pa.int64()),
+            }
+        )
+
+    distinct = (
+        ev.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["day", "user_id"], num_partitions=_scaled(0.5, 16))
+        .count()
+    )
+
+    def drop(batch: pa.Table) -> pa.Table:
+        return pa.table({"day": batch["day"]})
+
+    counted = combined_count(
+        distinct.map_batches(drop, batch_format="pyarrow"), "day"
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": batch["day"].cast(pa.int64()).cast(pa.timestamp("us")),
+                "n_users": batch["n"].cast(pa.int64()),
+            }
+        )
+
+    return _collect(counted.map_batches(finish, batch_format="pyarrow")).sort_by(
+        "day"
+    )
+
+
+def value_quartiles(sf_dir: str) -> pa.Table:
+    """Quantile bucketing: per event type, exact nearest-rank quartile
+    thresholds (the ceil(q·n)-th order statistic — pure selection, no
+    interpolation float) computed once and BROADCAST, then one streamed
+    pass assigns every row its bucket. → (event_id, event_type, bucket 1..4)."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    import math
+
+    def thresholds(group: pa.Table) -> pa.Table:
+        n = len(group)
+        if n == 0:
+            return pa.table(
+                {"event_type": pa.array([], pa.string()),
+                 "q1": pa.array([], pa.float64()),
+                 "q2": pa.array([], pa.float64()),
+                 "q3": pa.array([], pa.float64())}
+            )
+        vals = np.sort(group["value"].combine_chunks().to_numpy(zero_copy_only=False))
+        picks = [float(vals[min(n - 1, math.ceil(q * n) - 1)]) for q in (0.25, 0.5, 0.75)]
+        return pa.table(
+            {
+                "event_type": pa.array([group["event_type"][0].as_py()], pa.string()),
+                "q1": pa.array([picks[0]], pa.float64()),
+                "q2": pa.array([picks[1]], pa.float64()),
+                "q3": pa.array([picks[2]], pa.float64()),
+            }
+        )
+
+    th = _collect(
+        ev.groupby("event_type").map_groups(thresholds, batch_format="pyarrow")
+    )
+    tmap = {
+        r["event_type"]: (r["q1"], r["q2"], r["q3"]) for r in th.to_pylist()
+    }
+    th_ref = ray.put(tmap)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        tm = ray.get(th_ref)
+        et = batch["event_type"].to_pylist()
+        val = batch["value"].to_numpy(zero_copy_only=False)
+        qs = np.array([tm[t] for t in et], np.float64)
+        bucket = (
+            1
+            + (val > qs[:, 0]).astype(np.int64)
+            + (val > qs[:, 1]).astype(np.int64)
+            + (val > qs[:, 2]).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "event_id": batch["event_id"].cast(pa.int64()),
+                "event_type": batch["event_type"],
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    return _collect(
+        ev.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    ).sort_by("event_id")
+
+
+def hll_user_sketch(sf_dir: str) -> pa.Table:
+    """HyperLogLog register table over events.user_id (p=6, 64 registers):
+    per-batch register fold, ONE m-row max-merge exchange — the
+    approximate-distinct sketch whose registers are exactly
+    oracle-checkable. See :mod:`lamapi_ray.stages.sketch`."""
+    from lamapi_ray.stages.sketch import hll_registers
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return _collect(hll_registers(ev, "user_id")).sort_by("bucket")
+
+
 def inverted_index(sf_dir: str) -> pa.Table:
     """Postings-list construction: distinct (term, doc) pairs map-side, ONE
     grouped exchange, per-term (df, sorted comma-joined postings); df ≥ 3.
