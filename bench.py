@@ -187,6 +187,10 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("url_dedup", lambda: extras.url_dedup(sf_dir))
     timed("host_caps", lambda: extras.host_caps(sf_dir))
     timed("inverted_index", lambda: extras.inverted_index(sf_dir))
+    timed("revenue_by_nation", lambda: extras.revenue_by_nation(sf_dir))
+    timed("distinct_users_daily", lambda: extras.distinct_users_daily(sf_dir))
+    timed("value_quartiles", lambda: extras.value_quartiles(sf_dir))
+    timed("hll_user_sketch", lambda: extras.hll_user_sketch(sf_dir))
     timed("passage_dedup", lambda: extras.passage_dedup(sf_dir))
     timed("kg_degrees", lambda: extras.kg_degrees(sf_dir, kg["triples"]))
     timed("entity_pagerank", lambda: extras.entity_pagerank(sf_dir, kg["triples"]))
