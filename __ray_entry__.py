@@ -1195,6 +1195,18 @@ def oracle_sql() -> dict[str, str]:
         "GROUP BY 1"
     )
 
+    # customers_without_orders / _with_orders: bucketed anti/semi join
+    sql["customers_without_orders"] = (
+        "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS"
+        " (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey"
+        "  AND o.o_orderpriority = '1-URGENT')"
+    )
+    sql["customers_with_orders"] = (
+        "SELECT c_custkey, c_name FROM customer c WHERE EXISTS"
+        " (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey"
+        "  AND o.o_orderpriority = '1-URGENT')"
+    )
+
     # distinct_users_daily: exact two-exchange distinct count per day
     sql["distinct_users_daily"] = (
         "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,\n"
@@ -1760,6 +1772,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index",
         "text_clean",
         "revenue_by_nation",
+        "customers_without_orders",
+        "customers_with_orders",
         "distinct_users_daily",
         "value_quartiles",
         "hll_user_sketch",

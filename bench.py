@@ -188,6 +188,7 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("host_caps", lambda: extras.host_caps(sf_dir))
     timed("inverted_index", lambda: extras.inverted_index(sf_dir))
     timed("revenue_by_nation", lambda: extras.revenue_by_nation(sf_dir))
+    timed("customers_without_orders", lambda: extras.customers_without_orders(sf_dir))
     timed("distinct_users_daily", lambda: extras.distinct_users_daily(sf_dir))
     timed("value_quartiles", lambda: extras.value_quartiles(sf_dir))
     timed("hll_user_sketch", lambda: extras.hll_user_sketch(sf_dir))

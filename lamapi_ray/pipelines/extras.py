@@ -544,6 +544,47 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
     ).sort_by("n_name")
 
 
+def _semi_anti(sf_dir: str, how: str) -> pa.Table:
+    """customer rows with(out) an URGENT order — one bucketed semi/anti
+    exchange; the orders side is row-filtered at the read and ships only
+    distinct custkeys (map-side prune).
+    See :func:`lamapi_ray.stages.join.bucketed_semi_anti_join`."""
+    from lamapi_ray.stages.join import bucketed_semi_anti_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+
+    def urgent_keys(b: pa.Table) -> pa.Table:
+        mask = pc.equal(b["o_orderpriority"], "1-URGENT")
+        return pa.table({"c_custkey": b.filter(mask)["o_custkey"]})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    ).map_batches(urgent_keys, batch_format="pyarrow", zero_copy_batch=True)
+    out = _collect(
+        bucketed_semi_anti_join(
+            cust, orders, on="c_custkey", how=how, num_buckets=_scaled(0.5, 16)
+        )
+    )
+    if out.num_rows == 0 and not out.column_names:
+        out = pa.table(
+            {"c_custkey": pa.array([], pa.int64()),
+             "c_name": pa.array([], pa.string())}
+        )
+    return out.sort_by("c_custkey")
+
+
+def customers_without_orders(sf_dir: str) -> pa.Table:
+    """Distributed ANTI join (the TPC-H "customers who never ordered")."""
+    return _semi_anti(sf_dir, "anti")
+
+
+def customers_with_orders(sf_dir: str) -> pa.Table:
+    """Distributed SEMI join (left rows having ≥1 key match)."""
+    return _semi_anti(sf_dir, "semi")
+
+
 def distinct_users_daily(sf_dir: str) -> pa.Table:
     """Exact distinct users per day: per-batch distinct (day, user) pairs,
     one grouped distinct exchange, then a map-side-combined per-day count

@@ -124,3 +124,79 @@ def bucketed_hash_join(
         return lpart.join(rpart, keys=on, join_type="inner").select(all_cols)
 
     return both.groupby("__bucket", num_partitions=num_buckets).map_groups(join_bucket, batch_format="pyarrow")
+
+
+def bucketed_semi_anti_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: list[str] | str,
+    how: str = "anti",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Semi/anti equi-join of two large Datasets via one bucket shuffle.
+
+    Returns the LEFT rows that have (semi) / don't have (anti) a key match
+    in ``right``. The right side ships only its DISTINCT key tuples —
+    per-batch distinct prune before the exchange, so an arbitrarily wide or
+    duplicated right side costs one key column per distinct key per block.
+    Per-bucket finish is pyarrow's C++ "left semi"/"left anti" hash join.
+    """
+    if how not in ("semi", "anti"):
+        raise ValueError(f"how must be 'semi' or 'anti', got {how!r}")
+    on = [on] if isinstance(on, str) else list(on)
+    lschema = left.schema()
+    lcols = list(lschema.names)
+    types = dict(zip(lschema.names, lschema.types))
+    for name, typ in zip(right.schema().names, right.schema().types):
+        types.setdefault(name, typ)
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for c in lcols:
+            col = batch[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            cols[c] = col
+        cols["__side"] = pa.array(["l"] * len(batch), pa.string())
+        cols["__bucket"] = pa.array(
+            hash_key_columns(batch, on, num_buckets), pa.int64()
+        )
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        keys = batch.select(on).group_by(on).aggregate([])  # map-side distinct
+        n = len(keys)
+        cols = {c: keys[c].combine_chunks().cast(types[c]) if isinstance(keys[c], pa.ChunkedArray) else keys[c].cast(types[c]) for c in on}
+        for c in lcols:
+            if c not in on:
+                cols[c] = _null_column(n, types[c])
+        cols["__side"] = pa.array(["r"] * n, pa.string())
+        cols["__bucket"] = pa.array(
+            hash_key_columns(keys, on, num_buckets), pa.int64()
+        )
+        return pa.table({c: cols[c] for c in lcols + ["__side", "__bucket"]})
+
+    both = left.map_batches(
+        tag_left, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        right.map_batches(tag_right, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    join_type = "left semi" if how == "semi" else "left anti"
+
+    def finish(group: pa.Table) -> pa.Table:
+        side = group["__side"]
+        lmask = pc.equal(side, "l")
+        lpart = group.filter(lmask).select(lcols)
+        rkeys = group.filter(pc.invert(lmask)).select(on)
+        if len(lpart) == 0:
+            return pa.table({c: pa.array([], types[c]) for c in lcols})
+        if len(rkeys) == 0:
+            # no right keys in this bucket: anti keeps all, semi keeps none
+            if how == "anti":
+                return lpart
+            return pa.table({c: pa.array([], types[c]) for c in lcols})
+        return lpart.join(rkeys, keys=on, join_type=join_type).select(lcols)
+
+    return both.groupby("__bucket", num_partitions=num_buckets).map_groups(
+        finish, batch_format="pyarrow"
+    )
