@@ -511,6 +511,25 @@ def oracle_sql() -> dict[str, str]:
     # partitioned write → read-back); same oracle as `triples`
     sql["triples_materialized"] = sql["triples"]
 
+    # kg_delta: incremental snapshot delta — full chain EXCEPT the chain
+    # over the pages surviving the held-out filter (doc_id % 5 <> 0)
+    _PAGES_OLD = SQL_PAGES.rstrip()[:-1] + "  WHERE d.doc_id % 5 <> 0\n)"
+    _old_triples = _with(
+        _PAGES_OLD, *_KG_CHAIN[1:], SQL_LINKED, SQL_ADJACENCY
+    ) + (
+        "SELECT DISTINCT p.subj, adj.pred, p.obj\n"
+        "FROM (SELECT DISTINCT a.id AS subj, b.id AS obj\n"
+        "      FROM (SELECT DISTINCT url, id FROM linked) a\n"
+        "      JOIN (SELECT DISTINCT url, id FROM linked) b\n"
+        "        ON a.url = b.url AND a.id <> b.id) p\n"
+        "JOIN adjacency adj ON adj.subj = p.subj AND adj.obj = p.obj"
+    )
+    sql["kg_delta"] = (
+        "SELECT subj, pred, obj FROM (\n" + sql["triples"] + "\n)\n"
+        "EXCEPT\n"
+        "SELECT subj, pred, obj FROM (\n" + _old_triples + "\n)"
+    )
+
     sql["literal_triples"] = _with(*_KG_CHAIN, SQL_LINKED) + (
         "SELECT DISTINCT ps.id AS subj, 'P90' AS pred, ns.value AS value, ns.datatype AS datatype\n"
         "FROM (SELECT url, tok AS value,\n"
@@ -1207,6 +1226,17 @@ def oracle_sql() -> dict[str, str]:
         "  AND o.o_orderpriority = '1-URGENT')"
     )
 
+    # events_pivot: per-day counts spread to one column per (bounded,
+    # known) event type — map-side fold to columns, one groupby-sum
+    sql["events_pivot"] = (
+        "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,\n"
+        + ",\n".join(
+            f"  count(*) FILTER (event_type = '{t}') AS n_{t}"
+            for t in ("click", "error", "purchase", "signup", "view")
+        )
+        + "\nFROM events GROUP BY 1"
+    )
+
     # distinct_users_daily: exact two-exchange distinct count per day
     sql["distinct_users_daily"] = (
         "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,\n"
@@ -1777,6 +1807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_daily",
         "value_quartiles",
         "hll_user_sketch",
+        "events_pivot",
         "top_ngrams",
         "event_percentiles",
         "sessionize",
@@ -1859,6 +1890,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return read_output(resolved)
 
     out["triples_materialized"] = triples_materialized
+
+    def kg_delta(sf_dir: str):
+        """Incremental KG maintenance: triples contributed by the 20%
+        held-out pages (doc_id % 5 == 0) = triples(all pages) ANTI-JOIN
+        triples(pages with doc_id % 5 != 0) on the full (subj, pred, obj)
+        key — the snapshot-delta an incremental pipeline materializes
+        instead of rewriting the graph. Both snapshots stream through the
+        distributed bucketed anti join (stages/join.py); the oracle is the
+        two full relational chains EXCEPTed."""
+        import pyarrow.compute as _pc
+
+        import ray.data as _rd
+
+        from lamapi_ray import synth
+        from lamapi_ray.pipelines.kg import run_pipeline
+        from lamapi_ray.stages.join import bucketed_semi_anti_join
+
+        r = _results(sf_dir)
+
+        def drop_heldout(batch: pa.Table) -> pa.Table:
+            ids = _pc.cast(
+                _pc.utf8_slice_codeunits(batch["url"], 6, 1 << 30), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(ids % 5 != 0))
+
+        pages_old = synth.pages_dataset(sf_dir).map_batches(
+            drop_heldout, batch_format="pyarrow", zero_copy_batch=True
+        )
+        old = _collect(run_pipeline(pages_old, r["_ctx"], limit=LIMIT)["triples"])
+        delta = bucketed_semi_anti_join(
+            _rd.from_arrow(r["triples"]),
+            _rd.from_arrow(old),
+            on=["subj", "pred", "obj"],
+            how="anti",
+            num_buckets=8,
+        )
+        got = _collect(delta)
+        if got.num_rows == 0 and not got.column_names:
+            got = pa.table(
+                {"subj": pa.array([], pa.string()),
+                 "pred": pa.array([], pa.string()),
+                 "obj": pa.array([], pa.string())}
+            )
+        return got.sort_by([("subj", "ascending"), ("pred", "ascending"),
+                            ("obj", "ascending")])
+
+    out["kg_delta"] = kg_delta
 
     def summary_topk(sf_dir: str):
         """Top-3 predicates by usage (desc, id tie-break) — O3 semantics."""

@@ -585,6 +585,50 @@ def customers_with_orders(sf_dir: str) -> pa.Table:
     return _semi_anti(sf_dir, "semi")
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(sf_dir: str) -> pa.Table:
+    """Pivot (wide aggregate): per-day event counts spread into one column
+    per event type (type domain is bounded and known). Map-side: each batch
+    emits ≤ |days| partial rows with the per-type counts already folded to
+    columns; ONE groupby-sum over day finishes. The shuffle carries
+    days × types ints — never the event stream."""
+    from ray.data.aggregate import Sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        day = ts - ts % DAY_US
+        udays, dinv = np.unique(day, return_inverse=True)
+        cols = {"day": pa.array(udays, pa.int64())}
+        for t in EVENT_TYPES:
+            cnt = np.bincount(dinv[et == t], minlength=len(udays))
+            cols[f"n_{t}"] = pa.array(cnt.astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day", num_partitions=_scaled(0.25, 8))
+        .aggregate(*[Sum(f"n_{t}") for t in EVENT_TYPES])
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cols = {"day": batch["day"].cast(pa.int64()).cast(pa.timestamp("us"))}
+        for t in EVENT_TYPES:
+            cols[f"n_{t}"] = batch[f"sum(n_{t})"].cast(pa.int64())
+        return pa.table(cols)
+
+    return _collect(agg.map_batches(finish, batch_format="pyarrow")).sort_by("day")
+
+
 def distinct_users_daily(sf_dir: str) -> pa.Table:
     """Exact distinct users per day: per-batch distinct (day, user) pairs,
     one grouped distinct exchange, then a map-side-combined per-day count
