@@ -1226,6 +1226,15 @@ def oracle_sql() -> dict[str, str]:
         "  AND o.o_orderpriority = '1-URGENT')"
     )
 
+    # table_profile: per-column audit (rows/nulls/min/max/exact distinct)
+    sql["table_profile"] = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS column, count(*) AS n_rows,"
+        f" count(*) - count({c}) AS n_nulls,"
+        f" min({c}) AS min_v, max({c}) AS max_v,"
+        f" count(DISTINCT {c}) AS n_distinct FROM lineitem"
+        for c in ("l_orderkey", "l_partkey", "l_suppkey")
+    )
+
     # events_pivot: per-day counts spread to one column per (bounded,
     # known) event type — map-side fold to columns, one groupby-sum
     sql["events_pivot"] = (
@@ -1808,6 +1817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quartiles",
         "hll_user_sketch",
         "events_pivot",
+        "table_profile",
         "top_ngrams",
         "event_percentiles",
         "sessionize",

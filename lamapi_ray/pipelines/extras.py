@@ -585,6 +585,96 @@ def customers_with_orders(sf_dir: str) -> pa.Table:
     return _semi_anti(sf_dir, "semi")
 
 
+PROFILE_COLS = ("l_orderkey", "l_partkey", "l_suppkey")
+
+
+def table_profile(sf_dir: str) -> pa.Table:
+    """Data-quality profile (the Deequ-style audit step) of lineitem's key
+    columns: per column n_rows, n_nulls, min, max, exact n_distinct.
+    Two small dataflows: (1) per-batch scalar partials (one row per
+    column per block) merged by a tiny groupby; (2) per-batch distinct
+    (col, value) pairs → ONE grouped distinct exchange → map-side-combined
+    per-col count. Shuffle volume is distinct-value-bounded."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from lamapi_ray.stages.shuffle import combined_count
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=list(PROFILE_COLS)
+    )
+
+    def scalar_partial(batch: pa.Table) -> pa.Table:
+        cols, rows, nulls, mins, maxs = [], [], [], [], []
+        for c in PROFILE_COLS:
+            col = batch[c]
+            v = col.to_numpy(zero_copy_only=False).astype(np.int64)
+            nn = col.null_count
+            ok = v[~np.isnan(v)] if v.dtype.kind == "f" else v
+            cols.append(c)
+            rows.append(len(col))
+            nulls.append(nn)
+            mins.append(int(ok.min()) if len(ok) else np.iinfo(np.int64).max)
+            maxs.append(int(ok.max()) if len(ok) else np.iinfo(np.int64).min)
+        return pa.table(
+            {
+                "column": pa.array(cols, pa.string()),
+                "rows": pa.array(rows, pa.int64()),
+                "nulls": pa.array(nulls, pa.int64()),
+                "mn": pa.array(mins, pa.int64()),
+                "mx": pa.array(maxs, pa.int64()),
+            }
+        )
+
+    scal = _collect(
+        li.map_batches(scalar_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("column")
+        .aggregate(Sum("rows"), Sum("nulls"), Min("mn"), Max("mx"))
+    )
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        outs = []
+        for c in PROFILE_COLS:
+            v = np.unique(batch[c].to_numpy(zero_copy_only=False).astype(np.int64))
+            outs.append(
+                pa.table(
+                    {
+                        "column": pa.array([c] * len(v), pa.string()),
+                        "value": pa.array(v, pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    dist = (
+        li.map_batches(distinct_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["column", "value"], num_partitions=_scaled(0.5, 16))
+        .count()
+    )
+    ndist = _collect(
+        combined_count(
+            dist.map_batches(
+                lambda b: pa.table({"column": b["column"]}), batch_format="pyarrow"
+            ),
+            "column",
+        )
+    )
+    dmap = dict(
+        zip(ndist["column"].to_pylist(),
+            ndist["n"].to_numpy(zero_copy_only=False).astype(np.int64))
+    )
+    cols = scal["column"].to_pylist()
+    return pa.table(
+        {
+            "column": pa.array(cols, pa.string()),
+            "n_rows": scal["sum(rows)"].cast(pa.int64()),
+            "n_nulls": scal["sum(nulls)"].cast(pa.int64()),
+            "min_v": scal["min(mn)"].cast(pa.int64()),
+            "max_v": scal["max(mx)"].cast(pa.int64()),
+            "n_distinct": pa.array([int(dmap[c]) for c in cols], pa.int64()),
+        }
+    ).sort_by("column")
+
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
