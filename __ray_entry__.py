@@ -530,6 +530,10 @@ def oracle_sql() -> dict[str, str]:
         "SELECT subj, pred, obj FROM (\n" + _old_triples + "\n)"
     )
 
+    # range-partitioned sorted export: content equals `triples` (the
+    # global-ordering property is asserted in tests/test_checkpoint.py)
+    sql["triples_sorted_export"] = sql["triples"]
+
     sql["literal_triples"] = _with(*_KG_CHAIN, SQL_LINKED) + (
         "SELECT DISTINCT ps.id AS subj, 'P90' AS pred, ns.value AS value, ns.datatype AS datatype\n"
         "FROM (SELECT url, tok AS value,\n"
@@ -1947,6 +1951,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
                             ("obj", "ascending")])
 
     out["kg_delta"] = kg_delta
+
+    def triples_sorted_export(sf_dir: str):
+        """Range-partitioned SORTED export (TeraSort-style): exact key-mass
+        cut points, one grouped exchange, per-partition sort/dedup commit
+        with [lo, hi] key-range lineage; partitions concatenate in id order
+        to a globally sorted table. Content must equal `triples` — same
+        oracle."""
+        import shutil
+
+        from lamapi_ray.pipelines.materialize import materialize_sorted_range
+        from lamapi_ray.state.checkpoint import read_output
+
+        r = _results(sf_dir)
+        root = "/tmp/lamapi_sorted_export"
+        shutil.rmtree(root, ignore_errors=True)
+        materialize_sorted_range(r["triples"], root, num_partitions=6)
+        return read_output(root)
+
+    out["triples_sorted_export"] = triples_sorted_export
 
     def summary_topk(sf_dir: str):
         """Top-3 predicates by usage (desc, id tie-break) — O3 semantics."""

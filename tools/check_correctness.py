@@ -73,7 +73,10 @@ def main():
     sys.path.insert(0, "/root/repo")
     import ray
 
-    ray.init(address="local", num_cpus=16, include_dashboard=False,
+    import os
+
+    cpus = int(os.environ.get("GRAFT_CHECK_CPUS", "16"))
+    ray.init(address="local", num_cpus=cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     import ray.data
 
