@@ -115,3 +115,32 @@ def test_url_dedup_and_host_caps_end_to_end(ray_session):
     per_host = collections.Counter(capped.column("host").to_pylist())
     assert max(per_host.values()) <= 3
     assert set(capped.column("rk").to_pylist()) <= {1, 2, 3}
+
+
+def test_normalize_idempotent_property():
+    """normalize(normalize(u)) == normalize(u) — the canonicalizer fixed
+    point — over a generated grid of URL shapes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    scheme = st.sampled_from(["http", "HTTPS", "https", "HtTp"])
+    host = st.from_regex(r"(WWW\.|www\.)?[A-Za-z][A-Za-z0-9\-]{0,10}\.(com|ORG|net)", fullmatch=True)
+    port = st.sampled_from(["", ":443", ":80", ":8080"])
+    path = st.from_regex(r"(/[A-Za-z0-9._~\-]{0,8}){0,3}", fullmatch=True)
+    query = st.sampled_from(
+        ["", "?a=1", "?utm_source=x", "?utm_a=1&b=2", "?b=2&utm_a=1&c=3",
+         "?utm_x=1&utm_y=2"]
+    )
+    frag = st.sampled_from(["", "#f", "#sec-2"])
+
+    @settings(max_examples=200, deadline=None)
+    @given(scheme, host, port, path, query, frag)
+    def check(s, h, p, pth, q, f):
+        u = f"{s}://{h}{p}{pth}{q}{f}"
+        n1, _ = normalize_urls(pa.array([u], pa.string()))
+        v1 = n1[0].as_py()
+        assert v1 is not None
+        n2, _ = normalize_urls(pa.array([v1], pa.string()))
+        assert n2[0].as_py() == v1
+
+    check()
