@@ -1051,8 +1051,11 @@ def oracle_sql() -> dict[str, str]:
         ]
 
     _km_ctes = [
+        # DOUBLE promotion before the multiply (same rationale as
+        # label_centroids: FLOAT-precision products round differently)
         "q AS (SELECT vec_id, list_transform(embedding,"
-        " x -> CAST(printf('%.0f', x * 1000000) AS BIGINT)) AS e FROM embeddings)",
+        " x -> CAST(printf('%.0f', CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+        " AS e FROM embeddings)",
         "c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, e\n"
         "  FROM (SELECT vec_id, e FROM q ORDER BY vec_id LIMIT 8))",
     ]
@@ -1228,6 +1231,24 @@ def oracle_sql() -> dict[str, str]:
         "SELECT c_custkey, c_name FROM customer c WHERE EXISTS"
         " (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey"
         "  AND o.o_orderpriority = '1-URGENT')"
+    )
+
+    # label_centroids: grouped vector aggregate — fixed-point mean per
+    # label; `//` is DuckDB truncating int division, mirrored exactly
+    sql["label_centroids"] = _with(
+        # NB: promote to DOUBLE before the multiply — embedding elements
+        # are FLOAT and DuckDB would otherwise round the product in
+        # float32 (158/32000 values land on the other side of .5)
+        "qe AS (SELECT label, list_transform(embedding,"
+        " x -> CAST(printf('%.0f', CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+        " AS e FROM embeddings)",
+        "ue AS (SELECT label, unnest(range(1, len(e) + 1)) AS dim,"
+        " unnest(e) AS v FROM qe)",
+    ) + (
+        "SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,\n"
+        "  CAST(sum(v) // count(*) AS BIGINT) AS centroid_q,\n"
+        "  count(*) AS n_vecs\n"
+        "FROM ue GROUP BY 1, 2"
     )
 
     # table_profile: per-column audit (rows/nulls/min/max/exact distinct)
@@ -1822,6 +1843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_user_sketch",
         "events_pivot",
         "table_profile",
+        "label_centroids",
         "top_ngrams",
         "event_percentiles",
         "sessionize",

@@ -585,6 +585,65 @@ def customers_with_orders(sf_dir: str) -> pa.Table:
     return _semi_anti(sf_dir, "semi")
 
 
+def label_centroids(sf_dir: str) -> pa.Table:
+    """Grouped VECTOR aggregate: per-label mean embedding in fixed point
+    (quantize ×10⁶ with printf parity, element-wise truncating integer
+    division — matches SQL ``//`` exactly, so the centroid table is
+    hash-checkable). Per-batch partial (label, dim, Σ, n) rows — the
+    exchange is |labels|·d-bounded, never corpus-sized — then ONE
+    groupby-sum. The distributed embedding-statistics primitive under
+    class prototypes / domain centroids. Reuses the kmeans quantizer
+    (:mod:`lamapi_ray.stages.kmeans`)."""
+    from ray.data.aggregate import Sum
+
+    from lamapi_ray.stages.kmeans import Q_SCALE, _int_matrix
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        V = _int_matrix(batch, "embedding")
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n, d = V.shape
+        ulab, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(ulab), d), np.int64)
+        np.add.at(sums, inv, V)
+        cnt = np.bincount(inv, minlength=len(ulab)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(ulab, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), len(ulab)), pa.int64()),
+                "s": pa.array(sums.ravel(), pa.int64()),
+                "c": pa.array(np.repeat(cnt, d), pa.int64()),
+            }
+        )
+
+    agg = (
+        emb.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["label", "dim"], num_partitions=_scaled(0.25, 8))
+        .aggregate(Sum("s"), Sum("c"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch["sum(s)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = batch["sum(c)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # truncating integer division (SQL `//` semantics)
+        cq = np.where(s >= 0, s // c, -((-s) // c))
+        return pa.table(
+            {
+                "label": batch["label"].cast(pa.int64()),
+                "dim": batch["dim"].cast(pa.int64()),
+                "centroid_q": pa.array(cq, pa.int64()),
+                "n_vecs": pa.array(c, pa.int64()),
+            }
+        )
+
+    return _collect(agg.map_batches(finish, batch_format="pyarrow")).sort_by(
+        [("label", "ascending"), ("dim", "ascending")]
+    )
+
+
 PROFILE_COLS = ("l_orderkey", "l_partkey", "l_suppkey")
 
 
