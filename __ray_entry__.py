@@ -1233,6 +1233,19 @@ def oracle_sql() -> dict[str, str]:
         "  AND o.o_orderpriority = '1-URGENT')"
     )
 
+    # knn_neighbors: exact kNN self-join — same cosine/tie conventions as
+    # ann_cosine (unrounded order, id tie-break, 6-dp output)
+    sql["knn_neighbors"] = (
+        "SELECT query_id, neighbor_id, rank, round_even(cos, 6) AS cosine FROM (\n"
+        "  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,\n"
+        "    row_number() OVER (PARTITION BY q.vec_id ORDER BY\n"
+        "      list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,\n"
+        "      c.vec_id ASC) AS rank,\n"
+        "    list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cos\n"
+        "  FROM embeddings q CROSS JOIN embeddings c\n"
+        "  WHERE q.vec_id <> c.vec_id) WHERE rank <= 3"
+    )
+
     # label_centroids: grouped vector aggregate — fixed-point mean per
     # label; `//` is DuckDB truncating int division, mirrored exactly
     sql["label_centroids"] = _with(
@@ -1844,6 +1857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot",
         "table_profile",
         "label_centroids",
+        "knn_neighbors",
         "top_ngrams",
         "event_percentiles",
         "sessionize",

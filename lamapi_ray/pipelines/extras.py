@@ -585,6 +585,19 @@ def customers_with_orders(sf_dir: str) -> pa.Table:
     return _semi_anti(sf_dir, "semi")
 
 
+def knn_neighbors(sf_dir: str) -> pa.Table:
+    """Exact kNN self-join (top-3 cosine neighbors per vector): chunk-pair
+    blocked all-pairs with per-bucket local top-k (+boundary ties) and a
+    grouped per-id final merge.
+    See :func:`lamapi_ray.stages.annsearch.knn_join`."""
+    from lamapi_ray.stages.annsearch import knn_join
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return knn_join(emb, k=3)
+
+
 def label_centroids(sf_dir: str) -> pa.Table:
     """Grouped VECTOR aggregate: per-label mean embedding in fixed point
     (quantize ×10⁶ with printf parity, element-wise truncating integer

@@ -597,3 +597,143 @@ def cosine_near_pairs(
     return out.select(["id_a", "id_b", "cosine"]).sort_by(
         [("id_a", "ascending"), ("id_b", "ascending")]
     )
+
+
+def knn_join(
+    ds: "ray.data.Dataset",
+    k: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    num_chunks: int = 4,
+) -> pa.Table:
+    """Exact kNN SELF-join: every vector's top-k nearest neighbors by
+    cosine (ties → smaller neighbor id). → (query_id, neighbor_id, rank,
+    cosine·1e-6-rounded).
+
+    Same chunk-pair blocking as :func:`exact_cosine_near_pairs` (each
+    chunk pair meets in exactly one bucket), but each bucket emits
+    PER-ROW local top-k candidates (boundary ties kept so pruning can
+    never drop an id-preferred equal-cosine neighbor) and one grouped
+    exchange per query id finishes the global top-k. Work is the exact
+    contract's Θ(n²/2); the sub-quadratic scale path is the IVF/LSH
+    family above."""
+    from lamapi_ray.functions.inthash import fold_mod61, mulmod61
+    from lamapi_ray.functions.text import round_ref
+    from lamapi_ray.stages.dedup import scaled_partitions
+
+    B = int(num_chunks)
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {"bucket": pa.array([], pa.int32()),
+                 "side": pa.array([], pa.int8()),
+                 "id": pa.array([], pa.int64()),
+                 "emb": pa.array([], pa.list_(pa.float64()))}
+            )
+        ids = _ids_array(batch, id_col)
+        mn = _normalize_rows(_emb_matrix(batch, emb_col))
+        h = mulmod61(
+            fold_mod61(ids.view(np.uint64)),
+            np.full(n, np.uint64(0x9E3779B97F4A7C15 % ((1 << 61) - 1))),
+        )
+        chunk = (h % np.uint64(B)).astype(np.int64)
+        reps_bucket = np.empty(n * B, dtype=np.int32)
+        reps_side = np.empty(n * B, dtype=np.int8)
+        for j in range(B):
+            lo = np.minimum(chunk, j)
+            hi = np.maximum(chunk, j)
+            reps_bucket[j::B] = (lo * B + hi).astype(np.int32)
+            reps_side[j::B] = (chunk > j).astype(np.int8)
+        rep_idx = np.repeat(np.arange(n), B)
+        return pa.table(
+            {
+                "bucket": pa.array(reps_bucket, pa.int32()),
+                "side": pa.array(reps_side, pa.int8()),
+                "id": pa.array(ids[rep_idx], pa.int64()),
+                "emb": _pack_emb(mn[rep_idx]),
+            }
+        )
+
+    rows = ds.map_batches(replicate, batch_format="pyarrow", zero_copy_batch=True)
+
+    _EMPTY_CAND = pa.table(
+        {"id": pa.array([], pa.int64()),
+         "neighbor_id": pa.array([], pa.int64()),
+         "cos": pa.array([], pa.float64())}
+    )
+
+    def _local_topk(qids, qm, cids, cm, out):
+        """top-k (+boundary ties) of every q row against the c rows."""
+        if len(cids) == 0 or len(qids) == 0:
+            return
+        sims = qm @ cm.T  # (nq, nc)
+        same = qids[:, None] == cids[None, :]
+        sims[same] = -np.inf  # exclude self
+        nc = sims.shape[1]
+        top = min(k, nc)
+        kth = np.partition(sims, nc - top, axis=1)[:, nc - top]
+        keep = sims >= kth[:, None]
+        qi, ci = np.nonzero(keep)
+        out.append((qids[qi], cids[ci], sims[qi, ci]))
+
+    def bucket_topk(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return _EMPTY_CAND
+        bucket = int(group["bucket"][0].as_py())
+        i, j = divmod(bucket, B)
+        ids = _ids_array(group, "id")
+        m = _emb_matrix(group, "emb")  # normalized
+        side = group["side"].combine_chunks().to_numpy(zero_copy_only=False)
+        out: list = []
+        if i == j:
+            _local_topk(ids, m, ids, m, out)
+        else:
+            a = side == 0
+            b = ~a
+            _local_topk(ids[a], m[a], ids[b], m[b], out)
+            _local_topk(ids[b], m[b], ids[a], m[a], out)
+        if not out:
+            return _EMPTY_CAND
+        q = np.concatenate([o[0] for o in out])
+        c = np.concatenate([o[1] for o in out])
+        s = np.concatenate([o[2] for o in out])
+        ok = np.isfinite(s)
+        return pa.table(
+            {"id": pa.array(q[ok], pa.int64()),
+             "neighbor_id": pa.array(c[ok], pa.int64()),
+             "cos": pa.array(s[ok], pa.float64())}
+        )
+
+    cand = rows.groupby(
+        "bucket", num_partitions=scaled_partitions(0.5, 16)
+    ).map_groups(bucket_topk, batch_format="pyarrow")
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "neighbor_id": pa.array([], pa.int64()),
+                 "rank": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        qid = int(group["id"][0].as_py())
+        nid = group["neighbor_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        cos = group["cos"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((nid, -cos))[:k]
+        return pa.table(
+            {
+                "query_id": pa.array(np.full(len(order), qid), pa.int64()),
+                "neighbor_id": pa.array(nid[order], pa.int64()),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64), pa.int64()),
+                "cosine": pa.array([round_ref(float(c), 6) for c in cos[order]], pa.float64()),
+            }
+        )
+
+    out_ds = cand.groupby("id", num_partitions=scaled_partitions(0.5, 16)).map_groups(
+        final_topk, batch_format="pyarrow"
+    )
+    tabs = [b for b in out_ds.iter_batches(batch_size=65536, batch_format="pyarrow")]
+    out = pa.concat_tables(tabs) if tabs else final_topk(_EMPTY_CAND.rename_columns(["id", "neighbor_id", "cos"]))
+    return out.sort_by([("query_id", "ascending"), ("rank", "ascending")])
