@@ -1233,6 +1233,28 @@ def oracle_sql() -> dict[str, str]:
         "  AND o.o_orderpriority = '1-URGENT')"
     )
 
+    # term_pmi: co-occurrence counts + all-integer PMI surrogate over the
+    # top-30 df vocabulary (stages/cooccur.py)
+    sql["term_pmi"] = _with(
+        _tkh_cte("tkc", "documents"),
+        "tokc AS (SELECT DISTINCT doc_id, g FROM"
+        " (SELECT doc_id, CAST(unnest(th) AS BIGINT) AS g FROM tkc))",
+        "dfc AS (SELECT g, count(*) AS df FROM tokc GROUP BY 1)",
+        "topv AS (SELECT g, df FROM (SELECT g, df,"
+        " row_number() OVER (ORDER BY df DESC, g ASC) AS rn FROM dfc)"
+        " WHERE rn <= 30)",
+        "nn AS (SELECT count(*) AS n FROM documents)",
+        "prs AS (SELECT a.g AS g1, b.g AS g2, count(*) AS n_both"
+        " FROM tokc a JOIN tokc b ON a.doc_id = b.doc_id AND a.g < b.g"
+        " JOIN topv ta ON ta.g = a.g JOIN topv tb ON tb.g = b.g"
+        " GROUP BY 1, 2)",
+    ) + (
+        "SELECT g1, g2, n_both,\n"
+        "  n_both * nn.n * 1000000 // (ta.df * tb.df) AS score_fp\n"
+        "FROM prs JOIN topv ta ON ta.g = g1 JOIN topv tb ON tb.g = g2\n"
+        "CROSS JOIN nn WHERE n_both >= 2"
+    )
+
     # knn_neighbors: exact kNN self-join — same cosine/tie conventions as
     # ann_cosine (unrounded order, id tie-break, 6-dp output)
     sql["knn_neighbors"] = (
@@ -1858,6 +1880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_profile",
         "label_centroids",
         "knn_neighbors",
+        "term_pmi",
         "top_ngrams",
         "event_percentiles",
         "sessionize",

@@ -585,6 +585,16 @@ def customers_with_orders(sf_dir: str) -> pa.Table:
     return _semi_anti(sf_dir, "semi")
 
 
+def term_pmi(sf_dir: str) -> pa.Table:
+    """Term association mining: co-occurrence counts + integer PMI
+    surrogate over the top-30 df vocabulary — per-batch docs×V presence
+    matrix folded to a V×V block by one integer MᵀM, blocks merged by one
+    groupby-sum. See :mod:`lamapi_ray.stages.cooccur`."""
+    from lamapi_ray.stages.cooccur import term_pmi as run
+
+    return run(_docs(sf_dir), top_v=30, min_both=2)
+
+
 def knn_neighbors(sf_dir: str) -> pa.Table:
     """Exact kNN self-join (top-3 cosine neighbors per vector): chunk-pair
     blocked all-pairs with per-bucket local top-k (+boundary ties) and a
