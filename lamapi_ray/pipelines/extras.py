@@ -818,55 +818,67 @@ def events_pivot(sf_dir: str) -> pa.Table:
 
 
 def distinct_users_daily(sf_dir: str) -> pa.Table:
-    """Exact distinct users per day: per-batch distinct (day, user) pairs,
-    one grouped distinct exchange, then a map-side-combined per-day count
-    (the two-exchange exact-distinct dataflow; the approximate one-exchange
-    alternative is ``hll_user_sketch``)."""
-    from lamapi_ray.stages.shuffle import combined_count
-
+    """Exact distinct users per day: packed (day, user) keys through ONE
+    hash-bucket exchange, per-bucket numpy distinct, driver merge of the
+    tiny per-day partials (the approximate one-exchange alternative is
+    ``hll_user_sketch``)."""
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
     )
     DAY_US = 86_400_000_000
+
+    # (day, user) packed into ONE int64 key; distinct via a hash-bucket
+    # exchange + per-bucket np.unique (a key lands in exactly one bucket,
+    # so per-bucket per-day distinct counts sum exactly) — same dataflow
+    # as table_profile's distinct counter, ~2.5× the generic aggregate
+    PACK = 1 << 24  # user_id < 2^24 here; lineage-checked below
+
+    P = _scaled(1.0, 32)
 
     def pairs(batch: pa.Table) -> pa.Table:
         ts = batch["ts"].combine_chunks().cast(pa.int64()).to_numpy(
             zero_copy_only=False
         )
         uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        day = ts - ts % DAY_US
-        pair = np.stack([day, uid], axis=1)
-        uniq = np.unique(pair, axis=0)
+        if len(uid) and int(uid.max()) >= PACK:
+            raise ValueError("user_id exceeds pack width — widen PACK")
+        day_idx = ts // DAY_US
+        k = np.unique(day_idx * PACK + uid)
+        mix = (k.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
         return pa.table(
             {
-                "day": pa.array(uniq[:, 0], pa.int64()),
-                "user_id": pa.array(uniq[:, 1], pa.int64()),
+                "k": pa.array(k, pa.int64()),
+                "__b": pa.array((mix % np.uint64(P)).astype(np.int64), pa.int64()),
             }
         )
 
-    distinct = (
+    def bucket_daily(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return pa.table(
+                {"day": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        k = np.unique(group["k"].to_numpy(zero_copy_only=False).astype(np.int64))
+        day, n = np.unique(k // PACK, return_counts=True)
+        return pa.table(
+            {"day": pa.array(day * DAY_US, pa.int64()),
+             "n": pa.array(n.astype(np.int64), pa.int64())}
+        )
+
+    partials = _collect(
         ev.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["day", "user_id"], num_partitions=_scaled(0.5, 16))
-        .count()
+        .groupby("__b", num_partitions=P)
+        .map_groups(bucket_daily, batch_format="pyarrow")
     )
-
-    def drop(batch: pa.Table) -> pa.Table:
-        return pa.table({"day": batch["day"]})
-
-    counted = combined_count(
-        distinct.map_batches(drop, batch_format="pyarrow"), "day"
-    )
-
-    def finish(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "day": batch["day"].cast(pa.int64()).cast(pa.timestamp("us")),
-                "n_users": batch["n"].cast(pa.int64()),
-            }
-        )
-
-    return _collect(counted.map_batches(finish, batch_format="pyarrow")).sort_by(
-        "day"
+    day = partials["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = partials["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    uday, inv = np.unique(day, return_inverse=True)
+    tot = np.zeros(len(uday), np.int64)
+    np.add.at(tot, inv, n)
+    return pa.table(
+        {
+            "day": pa.array(uday, pa.int64()).cast(pa.timestamp("us")),
+            "n_users": pa.array(tot, pa.int64()),
+        }
     )
 
 
