@@ -1233,6 +1233,26 @@ def oracle_sql() -> dict[str, str]:
         "  AND o.o_orderpriority = '1-URGENT')"
     )
 
+    # events_rollup: GROUPING SETS in one pass — engine emits all three
+    # levels map-side; cents = rint(value·100) ≡ printf('%.0f') parity
+    sql["events_rollup"] = _with(
+        "er AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,"
+        " event_type, CAST(printf('%.0f', value * 100) AS BIGINT) AS cents"
+        " FROM events)",
+    ) + (
+        "SELECT day, event_type, count(*) AS n_events,"
+        " sum(cents) AS sum_cents FROM er GROUP BY ROLLUP (day, event_type)"
+    )
+
+    # event_transitions: per-user next-event transition matrix
+    sql["event_transitions"] = _with(
+        "sq AS (SELECT user_id, event_type, lead(event_type) OVER"
+        " (PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events)",
+    ) + (
+        "SELECT event_type AS from_type, nxt AS to_type, count(*) AS n\n"
+        "FROM sq WHERE nxt IS NOT NULL GROUP BY 1, 2"
+    )
+
     # term_pmi: co-occurrence counts + all-integer PMI surrogate over the
     # top-30 df vocabulary (stages/cooccur.py)
     sql["term_pmi"] = _with(
@@ -1881,6 +1901,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids",
         "knn_neighbors",
         "term_pmi",
+        "events_rollup",
+        "event_transitions",
         "top_ngrams",
         "event_percentiles",
         "sessionize",

@@ -197,6 +197,8 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("label_centroids", lambda: extras.label_centroids(sf_dir))
     timed("knn_neighbors", lambda: extras.knn_neighbors(sf_dir))
     timed("term_pmi", lambda: extras.term_pmi(sf_dir))
+    timed("events_rollup", lambda: extras.events_rollup(sf_dir))
+    timed("event_transitions", lambda: extras.event_transitions(sf_dir))
     timed("passage_dedup", lambda: extras.passage_dedup(sf_dir))
     timed("kg_degrees", lambda: extras.kg_degrees(sf_dir, kg["triples"]))
     timed("entity_pagerank", lambda: extras.entity_pagerank(sf_dir, kg["triples"]))

@@ -585,6 +585,145 @@ def customers_with_orders(sf_dir: str) -> pa.Table:
     return _semi_anti(sf_dir, "semi")
 
 
+def events_rollup(sf_dir: str) -> pa.Table:
+    """OLAP ROLLUP (grouping sets): event counts + value cents at
+    (day, type), (day), and grand-total levels in ONE pass — each batch
+    emits its partials for all three levels map-side (3× a days×types-
+    bounded output), one groupby-sum merges. NULL key = aggregated-out
+    level, SQL ROLLUP semantics."""
+    from ray.data.aggregate import Sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    DAY_US = 86_400_000_000
+
+    TYPES = np.array(sorted(EVENT_TYPES))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        val = batch["value"].to_numpy(zero_copy_only=False)
+        cents = np.rint(val * 100).astype(np.int64)  # printf('%.0f') parity
+        day_idx = ts // DAY_US
+        tid = np.searchsorted(TYPES, et)
+        key2 = day_idx * 8 + tid
+        u2, inv2 = np.unique(key2, return_inverse=True)
+        n2 = np.bincount(inv2).astype(np.int64)
+        c2 = np.zeros(len(u2), np.int64)
+        np.add.at(c2, inv2, cents)
+        d2 = (u2 // 8) * DAY_US
+        t2 = TYPES[u2 % 8]
+        # level 1 (per day) and level 0 (grand total) fold from the level-2
+        # partials (exact ints); sentinels (-1 day, "" type) stand in for
+        # the rolled-up keys through the exchange — converted to NULL after
+        ud, dinv = np.unique(d2, return_inverse=True)
+        n1 = np.zeros(len(ud), np.int64)
+        c1 = np.zeros(len(ud), np.int64)
+        np.add.at(n1, dinv, n2)
+        np.add.at(c1, dinv, c2)
+        day_col = np.concatenate([d2, ud, [-1]])
+        type_col = list(t2) + [""] * len(ud) + [""]
+        n_col = np.concatenate([n2, n1, [n1.sum()]])
+        c_col = np.concatenate([c2, c1, [c1.sum()]])
+        return pa.table(
+            {
+                "day": pa.array(day_col.astype(np.int64), pa.int64()),
+                "event_type": pa.array(type_col, pa.string()),
+                "n": pa.array(n_col.astype(np.int64), pa.int64()),
+                "cents": pa.array(c_col.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["day", "event_type"], num_partitions=_scaled(0.25, 8))
+        .aggregate(Sum("n"), Sum("cents"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        day = batch["day"].cast(pa.int64())
+        day = pc.if_else(pc.equal(day, -1), pa.scalar(None, pa.int64()), day)
+        et = batch["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        et = pc.if_else(pc.equal(et, ""), pa.scalar(None, pa.string()), et)
+        return pa.table(
+            {
+                "day": day.cast(pa.timestamp("us")),
+                "event_type": et,
+                "n_events": batch["sum(n)"].cast(pa.int64()),
+                "sum_cents": batch["sum(cents)"].cast(pa.int64()),
+            }
+        )
+
+    return _collect(agg.map_batches(finish, batch_format="pyarrow")).sort_by(
+        [("day", "ascending"), ("event_type", "ascending")]
+    )
+
+
+def event_transitions(sf_dir: str) -> pa.Table:
+    """Sequence analytics: the next-event transition matrix — counts of
+    (event_type → next event_type) per user in (ts, event_id) order.
+    ``groupby(user_id)`` co-locates each user's history; the per-group
+    kernel is one lexsort + shifted compare (no per-event Python); the
+    |types|²-bounded pair counts merge in one tiny groupby-sum."""
+    from ray.data.aggregate import Sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "event_type"]
+    )
+
+    def transitions(group: pa.Table) -> pa.Table:
+        if len(group) < 2:
+            return pa.table(
+                {"from_type": pa.array([], pa.string()),
+                 "to_type": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        ts = group["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(group["event_type"].to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts))
+        seq = et[order]
+        pairs = np.char.add(
+            np.char.add(seq[:-1].astype("U16"), "|"), seq[1:].astype("U16")
+        )
+        up, cnt = np.unique(pairs, return_counts=True)
+        fr, to = zip(*(p.split("|") for p in up))
+        return pa.table(
+            {
+                "from_type": pa.array(list(fr), pa.string()),
+                "to_type": pa.array(list(to), pa.string()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        ev.groupby("user_id", num_partitions=_scaled(0.5, 16))
+        .map_groups(transitions, batch_format="pyarrow")
+        .groupby(["from_type", "to_type"], num_partitions=4)
+        .aggregate(Sum("n"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "from_type": batch["from_type"],
+                "to_type": batch["to_type"],
+                "n": batch["sum(n)"].cast(pa.int64()),
+            }
+        )
+
+    return _collect(agg.map_batches(finish, batch_format="pyarrow")).sort_by(
+        [("from_type", "ascending"), ("to_type", "ascending")]
+    )
+
+
 def term_pmi(sf_dir: str) -> pa.Table:
     """Term association mining: co-occurrence counts + integer PMI
     surrogate over the top-30 df vocabulary — per-batch docs×V presence
