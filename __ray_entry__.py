@@ -1233,6 +1233,18 @@ def oracle_sql() -> dict[str, str]:
         "  AND o.o_orderpriority = '1-URGENT')"
     )
 
+    # typo_pairs: edit-distance-≤1 token pairs (SymSpell variant blocking
+    # + exact DP verify); DuckDB levenshtein is the same classic DP
+    sql["typo_pairs"] = _with(
+        SQL_PAGES,
+        "tp0 AS (SELECT DISTINCT t FROM (SELECT unnest(str_split(text, ' '))"
+        " AS t FROM pages))",
+        "tpf AS (SELECT t FROM tp0 WHERE length(t) >= 3)",
+    ) + (
+        "SELECT x.t AS a, y.t AS b FROM tpf x JOIN tpf y\n"
+        "ON x.t < y.t AND levenshtein(x.t, y.t) <= 1"
+    )
+
     # events_rollup: GROUPING SETS in one pass — engine emits all three
     # levels map-side; cents = rint(value·100) ≡ printf('%.0f') parity
     sql["events_rollup"] = _with(
@@ -1903,6 +1915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_pmi",
         "events_rollup",
         "event_transitions",
+        "typo_pairs",
         "top_ngrams",
         "event_percentiles",
         "sessionize",

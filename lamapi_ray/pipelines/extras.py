@@ -585,6 +585,40 @@ def customers_with_orders(sf_dir: str) -> pa.Table:
     return _semi_anti(sf_dir, "semi")
 
 
+def typo_pairs(sf_dir: str) -> pa.Table:
+    """String similarity self-join: all distinct page-token pairs within
+    edit distance 1, via SymSpell deletion-variant blocking (every
+    qualifying pair shares a ≤1-delete variant, so one variant-keyed
+    exchange co-locates it) + exact DP verify + one grouped pair-distinct.
+    Vocabulary = tokens of the synthetic WEB PAGES (part names + numeric
+    tokens give a dense near-pair set; the raw documents vocabulary has
+    none). See :mod:`lamapi_ray.stages.stringjoin`."""
+    from lamapi_ray import synth
+    from lamapi_ray.stages.extract import extracted_pages
+    from lamapi_ray.stages.stringjoin import similarity_self_join
+
+    def toks(batch: pa.Table) -> pa.Table:
+        t = batch["text"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        flat = pc.list_flatten(pc.split_pattern(t.cast(pa.string()), " "))
+        vals = np.unique(np.asarray(flat.to_pylist(), dtype=object))
+        return pa.table({"t": pa.array(list(vals), pa.string())})
+
+    vocab = (
+        extracted_pages(synth.pages_dataset(sf_dir))
+        .map_batches(toks, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("t", num_partitions=_scaled(0.25, 8))
+        .count()
+        .map_batches(
+            lambda b: pa.table({"t": b["t"]}), batch_format="pyarrow"
+        )
+    )
+    return _collect(
+        similarity_self_join(vocab, "t", max_dist=1, min_len=3)
+    ).sort_by([("a", "ascending"), ("b", "ascending")])
+
+
 def events_rollup(sf_dir: str) -> pa.Table:
     """OLAP ROLLUP (grouping sets): event counts + value cents at
     (day, type), (day), and grand-total levels in ONE pass — each batch
