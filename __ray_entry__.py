@@ -1376,6 +1376,29 @@ def oracle_sql() -> dict[str, str]:
         " ELSE 26 - length(bin(rem)) END AS rho FROM br)",
     ) + "SELECT bucket, CAST(max(rho) AS BIGINT) AS max_rho FROM rr GROUP BY 1"
 
+    # bloom_users: Bloom sketch words — double hashing with the two house
+    # mixers; words built in HUGEINT, folded to two's-complement BIGINT
+    _B_H1 = (
+        "((CAST(user_id AS HUGEINT) * 2177342782468422681)"
+        " % 2305843009213693951 + 1) % 2305843009213693951"
+    )
+    _B_H2 = (
+        "((CAST(user_id AS HUGEINT) * 194409311614856021)"
+        " % 2305843009213693951 + 3) % 2305843009213693951"
+    )
+    sql["bloom_users"] = _with(
+        f"bh AS (SELECT {_B_H1} AS h1, {_B_H2} AS h2 FROM events)",
+        "bbits AS (SELECT h1 % 4096 AS bit FROM bh"
+        " UNION ALL SELECT (h1 + h2) % 4096 AS bit FROM bh)",
+        "bwords AS (SELECT CAST(bit // 64 AS BIGINT) AS word_idx,"
+        " bit_or(1::HUGEINT << CAST(bit % 64 AS INTEGER)) AS v"
+        " FROM bbits GROUP BY 1)",
+    ) + (
+        "SELECT word_idx, CAST(CASE WHEN v >= 9223372036854775808::HUGEINT\n"
+        "  THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT) AS bits\n"
+        "FROM bwords"
+    )
+
     # inverted_index: postings-list construction; term ids are the house
     # md5→mod-(2^61-1) token hashes (index/postings.py)
     sql["inverted_index"] = _with(
@@ -1916,6 +1939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup",
         "event_transitions",
         "typo_pairs",
+        "bloom_users",
         "top_ngrams",
         "event_percentiles",
         "sessionize",

@@ -1129,6 +1129,18 @@ def hll_user_sketch(sf_dir: str) -> pa.Table:
     return _collect(hll_registers(ev, "user_id")).sort_by("bucket")
 
 
+def bloom_users(sf_dir: str) -> pa.Table:
+    """Bloom-filter sketch of events.user_id (m=4096 bits, k=2 double
+    hashing): per-batch word-OR partials, ONE ≤64-row grouped OR-merge —
+    the membership sketch a distributed semi-join prefilter broadcasts.
+    Packed words are integer-exact (SQL builds them in HUGEINT and folds
+    to two's-complement BIGINT). See :mod:`lamapi_ray.stages.sketch`."""
+    from lamapi_ray.stages.sketch import bloom_filter
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return _collect(bloom_filter(ev, "user_id")).sort_by("word_idx")
+
+
 def inverted_index(sf_dir: str) -> pa.Table:
     """Postings-list construction: distinct (term, doc) pairs map-side, ONE
     grouped exchange, per-term (df, sorted comma-joined postings); df ≥ 3.

@@ -102,3 +102,77 @@ def hll_estimate(registers: pa.Table) -> float:
     if raw <= 2.5 * m and zeros > 0:
         return m * float(np.log(m / zeros))
     return float(raw)
+
+
+BLOOM_M = 4096               # bits (64 words)
+BLOOM_K = 2                  # hash functions (double hashing)
+_BLOOM_MULT2 = np.uint64(0xC2B2AE3D27D4EB4F % MOD61)  # second mixer
+
+
+def bloom_bits(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """→ (word_idx, or_bits) partial Bloom words of one batch.
+
+    Double hashing: bit_i = (h1 + i·h2) mod m for i in 0..k-1, with h1/h2
+    the two house multiplicative mod-(2^61-1) mixes — integer-exact, so
+    the packed 64-bit words are reproducible in SQL (``bit_or(1 << bit)``;
+    both sides view the word as a two's-complement int64)."""
+    h = ids.astype(np.int64).view(np.uint64)
+    h1 = fold_mod61(mulmod61(fold_mod61(h), np.full(len(h), HLL_MULT)) + np.uint64(1))
+    h2 = fold_mod61(mulmod61(fold_mod61(h), np.full(len(h), _BLOOM_MULT2)) + np.uint64(3))
+    words = np.zeros(BLOOM_M // 64, np.uint64)
+    for i in range(BLOOM_K):
+        bit = ((h1 + np.uint64(i) * h2) % np.uint64(BLOOM_M)).astype(np.int64)
+        w, b = bit // 64, bit % 64
+        np.bitwise_or.at(words, w, np.uint64(1) << b.astype(np.uint64))
+    nz = np.flatnonzero(words)
+    return nz.astype(np.int64), words[nz].view(np.int64)
+
+
+def bloom_filter(ds: ray.data.Dataset, id_col: str) -> ray.data.Dataset:
+    """→ (word_idx, bits): the merged Bloom filter of ``id_col`` — per-batch
+    word-OR partials, ONE ≤64-row grouped OR-merge exchange."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        w, bits = bloom_bits(ids)
+        return pa.table(
+            {"word_idx": pa.array(w, pa.int64()),
+             "bits": pa.array(bits, pa.int64())}
+        )
+
+    def or_merge(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return pa.table(
+                {"word_idx": pa.array([], pa.int64()),
+                 "bits": pa.array([], pa.int64())}
+            )
+        w = int(group["word_idx"][0].as_py())
+        bits = group["bits"].to_numpy(zero_copy_only=False).view(np.uint64)
+        return pa.table(
+            {"word_idx": pa.array([w], pa.int64()),
+             "bits": pa.array([int(np.bitwise_or.reduce(bits).view(np.int64))],
+                              pa.int64())}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("word_idx")
+        .map_groups(or_merge, batch_format="pyarrow")
+    )
+
+
+def bloom_contains(filter_tbl: pa.Table, ids: np.ndarray) -> np.ndarray:
+    """Membership probe (no false negatives by construction)."""
+    words = np.zeros(BLOOM_M // 64, np.uint64)
+    words[filter_tbl["word_idx"].to_numpy(zero_copy_only=False)] = (
+        filter_tbl["bits"].to_numpy(zero_copy_only=False).view(np.uint64)
+    )
+    h = ids.astype(np.int64).view(np.uint64)
+    h1 = fold_mod61(mulmod61(fold_mod61(h), np.full(len(h), HLL_MULT)) + np.uint64(1))
+    h2 = fold_mod61(mulmod61(fold_mod61(h), np.full(len(h), _BLOOM_MULT2)) + np.uint64(3))
+    out = np.ones(len(ids), bool)
+    for i in range(BLOOM_K):
+        bit = ((h1 + np.uint64(i) * h2) % np.uint64(BLOOM_M)).astype(np.int64)
+        w, b = bit // 64, bit % 64
+        out &= (words[w] >> b.astype(np.uint64)) & np.uint64(1) == 1
+    return out

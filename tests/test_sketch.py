@@ -57,3 +57,37 @@ def test_estimate_small_range_linear_counting():
     )
     est = hll_estimate(tbl)
     assert 4 <= est <= 25
+
+
+def test_bloom_no_false_negatives_and_low_fp():
+    import pyarrow as pa
+
+    from lamapi_ray.stages.sketch import bloom_bits, bloom_contains
+
+    present = np.arange(100, dtype=np.int64) * 13 + 7
+    w, bits = bloom_bits(present)
+    tbl = pa.table(
+        {"word_idx": pa.array(w, pa.int64()),
+         "bits": pa.array(bits, pa.int64())}
+    )
+    assert bloom_contains(tbl, present).all()  # no false negatives
+    absent = np.arange(5_000, dtype=np.int64) + 1_000_000
+    fp = bloom_contains(tbl, absent).mean()
+    # m=4096, k=2, n=100 -> theoretical fp ~ (1-e^(-2*100/4096))^2 ~ 0.2%
+    assert fp < 0.02
+
+
+def test_bloom_word_merge_is_or():
+    from lamapi_ray.stages.sketch import BLOOM_M, bloom_bits
+
+    a = np.arange(0, 300, dtype=np.int64)
+    b = np.arange(150, 450, dtype=np.int64)
+
+    def full(ids):
+        w, bits = bloom_bits(ids)
+        regs = np.zeros(BLOOM_M // 64, np.int64)
+        regs[w] = bits
+        return regs.view(np.uint64)
+
+    merged = full(a) | full(b)
+    assert np.array_equal(merged, full(np.arange(0, 450, dtype=np.int64)))
