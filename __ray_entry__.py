@@ -436,7 +436,14 @@ def oracle_sql() -> dict[str, str]:
     sql["candidates_bm25"] = _with(
         SQL_PAGES, SQL_ITEMS, SQL_SURFACE_FORMS, SQL_MENTION_ROWS,
         "distinct_mentions AS (SELECT DISTINCT mention FROM mention_rows)",
-        "sfrow AS (SELECT row_number() OVER (ORDER BY id, name) AS rid, * FROM surface_forms)",
+        # ntoken_b4 = Lucene SmallFloat intToByte4/byte4ToInt round-trip
+        # (surface.py::lucene_byte4_roundtrip): raw below 24, else keep the
+        # top 4 significant bits. avgdl stays exact (sumTotalTermFreq/docCount).
+        "sfrow AS (SELECT row_number() OVER (ORDER BY id, name) AS rid, *,\n"
+        "  CASE WHEN ntoken < 24 THEN ntoken ELSE\n"
+        "    (ntoken >> (CAST(floor(log2(greatest(ntoken, 24))) AS INT) - 3))\n"
+        "    << (CAST(floor(log2(greatest(ntoken, 24))) AS INT) - 3) END AS ntoken_b4\n"
+        "  FROM surface_forms)",
         "bstats AS (SELECT count(*) AS n, avg(ntoken) AS avgdl FROM sfrow)",
         "btf AS (SELECT rid, tk, count(*) AS tf FROM\n"
         "  (SELECT rid, unnest(str_split(surface_norm, ' ')) AS tk FROM sfrow)\n"
@@ -446,7 +453,7 @@ def oracle_sql() -> dict[str, str]:
         "  (SELECT mention, unnest(str_split(mention, ' ')) AS tk FROM distinct_mentions))",
         "bscores AS (SELECT m.mention, t.rid,\n"
         "  sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))\n"
-        "      * t.tf * 2.2 / (t.tf + 1.2 * (0.25 + 0.75 * r.ntoken / s.avgdl))) AS sc\n"
+        "      * t.tf * 2.2 / (t.tf + 1.2 * (0.25 + 0.75 * r.ntoken_b4 / s.avgdl))) AS sc\n"
         "  FROM mtok m JOIN btf t ON t.tk = m.tk JOIN bdf d ON d.tk = t.tk\n"
         "  JOIN sfrow r ON r.rid = t.rid CROSS JOIN bstats s GROUP BY 1, 2)",
         "branked AS (SELECT b.mention, r.id, r.name, b.sc,\n"

@@ -31,6 +31,30 @@ import ray.data
 from lamapi_ray.functions.text import clean_str, dot_abbreviations, round_ref, scored_pair
 
 
+def lucene_byte4_roundtrip(n: np.ndarray) -> np.ndarray:
+    """Lucene ``SmallFloat.intToByte4`` → ``byte4ToInt`` round-trip, i.e.
+    the doc length a BM25 scorer actually sees after the 1-byte norm
+    encoding (Lucene core ``util/SmallFloat.java``): values below
+    NUM_FREE_VALUES=24 are stored raw (exact); larger values keep only
+    their top 4 significant bits (the leading bit implicit), so e.g.
+    25→24, 31→30, 100→96, 1000→960. Vectorized, exact integer math (no
+    float log2 — bit-length by binary descent)."""
+    n = np.asarray(n, dtype=np.int64)
+    out = n.copy()
+    big = n >= 24
+    if big.any():
+        v = n[big]
+        bits = np.zeros_like(v)
+        x = v.copy()
+        for s in (32, 16, 8, 4, 2, 1):
+            m = x >= (np.int64(1) << s)
+            bits[m] += s
+            x[m] >>= s
+        shift = bits - 3  # bit_length = bits+1; shift = bit_length - 4
+        out[big] = (v >> shift) << shift
+    return out
+
+
 def _fan_out_items(batch: pa.Table, max_popularity: int) -> pa.Table:
     """items batch → surface-form rows (M6 + M7 + M8)."""
     out = {
@@ -137,6 +161,9 @@ class SurfaceIndex:
         self.nertypes = np.asarray(surface_forms["NERtype"].to_pylist(), dtype=object)
         self.types_str = np.asarray(surface_forms["types"].to_pylist(), dtype=object)
         self.ntoken = np.asarray(surface_forms["ntoken"].to_pylist(), dtype=np.int64)
+        # BM25 dl after Lucene's lossy 1-byte norm encoding (identity for
+        # names under 24 tokens — i.e. for virtually every label/alias)
+        self.ntoken_lucene = lucene_byte4_roundtrip(self.ntoken)
         self.length = np.asarray(surface_forms["length"].to_pylist(), dtype=np.int64)
         self.popularity = np.asarray(surface_forms["popularity"].to_pylist(), dtype=np.float64)
         # global physical row id: lets sharded retrieval merge partials per
@@ -326,8 +353,10 @@ class SurfaceIndex:
         score uniformly and cancels in ``es_score = score/max_score``, so it
         is omitted. ES breaks score ties by internal doc order; we use the
         deterministic (popularity desc, id, surface) order instead —
-        documented deviation, stable across runs. Lucene's lossy 1-byte
-        norm encoding of dl is NOT reproduced (exact dl instead).
+        documented deviation, stable across runs. dl goes through Lucene's
+        lossy 1-byte norm encoding (:func:`lucene_byte4_roundtrip` — raw
+        below 24 tokens, top-4-significant-bits above); avgdl stays exact
+        (Lucene computes it as sumTotalTermFreq/docCount, not from norms).
 
         → (hit_idx ordered, bm25 score per hit)."""
         mset = sorted(set(mention.split(" ")))
@@ -343,7 +372,7 @@ class SurfaceIndex:
             if rows is None:
                 continue
             tf = self.postings_tf[t].astype(np.float64)
-            dl = self.ntoken[rows].astype(np.float64)
+            dl = self.ntoken_lucene[rows].astype(np.float64)
             df = len(rows)
             idf = np.log(1.0 + (nrows - df + 0.5) / (df + 0.5))
             score[rows] += idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
