@@ -1383,6 +1383,34 @@ def oracle_sql() -> dict[str, str]:
         " ELSE 26 - length(bin(rem)) END AS rho FROM br)",
     ) + "SELECT bucket, CAST(max(rho) AS BIGINT) AS max_rho FROM rr GROUP BY 1"
 
+    # quantile_sketch: equi-width-histogram quantile estimates — bin
+    # assignment and lower-edge arithmetic are the literal same IEEE-double
+    # expressions as stages/sketch.py::histogram_quantiles, so estimates are
+    # bit-identical; quantile bin = first bin with cum count >= ceil(q*n)
+    _QBIN = (
+        "CASE WHEN hi > lo THEN CAST(least(127.0, greatest(0.0,"
+        " floor((value - lo) * 128.0 / (hi - lo)))) AS BIGINT) ELSE 0 END"
+    )
+    sql["quantile_sketch"] = _with(
+        "qrng AS (SELECT min(value) AS lo, max(value) AS hi FROM events)",
+        f"qb AS (SELECT event_type, {_QBIN} AS bin FROM events CROSS JOIN qrng)",
+        "qhist AS (SELECT event_type, bin, count(*) AS c FROM qb GROUP BY 1, 2)",
+        "qcum AS (SELECT event_type, bin,\n"
+        "  sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,\n"
+        "  sum(c) OVER (PARTITION BY event_type) AS n FROM qhist)",
+        "qpick AS (SELECT event_type, max(n) AS n_events,\n"
+        "  min(CASE WHEN cum >= CAST(ceil(0.50 * n) AS BIGINT) THEN bin END) AS b50,\n"
+        "  min(CASE WHEN cum >= CAST(ceil(0.95 * n) AS BIGINT) THEN bin END) AS b95,\n"
+        "  min(CASE WHEN cum >= CAST(ceil(0.99 * n) AS BIGINT) THEN bin END) AS b99\n"
+        "  FROM qcum GROUP BY event_type)",
+    ) + (
+        "SELECT event_type, n_events,\n"
+        "  lo + b50 * ((hi - lo) / 128.0) AS p50_est,\n"
+        "  lo + b95 * ((hi - lo) / 128.0) AS p95_est,\n"
+        "  lo + b99 * ((hi - lo) / 128.0) AS p99_est\n"
+        "FROM qpick CROSS JOIN qrng"
+    )
+
     # bloom_users: Bloom sketch words — double hashing with the two house
     # mixers; words built in HUGEINT, folded to two's-complement BIGINT
     _B_H1 = (
@@ -1938,6 +1966,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_daily",
         "value_quartiles",
         "hll_user_sketch",
+        "quantile_sketch",
         "events_pivot",
         "table_profile",
         "label_centroids",

@@ -1141,6 +1141,23 @@ def bloom_users(sf_dir: str) -> pa.Table:
     return _collect(bloom_filter(ev, "user_id")).sort_by("word_idx")
 
 
+def quantile_sketch(sf_dir: str) -> pa.Table:
+    """Mergeable equi-width-histogram quantile sketch per event_type
+    (p50/p95/p99 lower-bin-edge estimates, 128 bins): per-batch (group,
+    bin) count partials, ONE tiny grouped exchange — the approximate
+    sibling of the exact ``event_percentiles`` selection, sized for value
+    streams too large to sort. See
+    :func:`lamapi_ray.stages.sketch.histogram_quantiles`."""
+    from lamapi_ray.stages.sketch import histogram_quantiles
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return _collect(histogram_quantiles(ev, "event_type", "value")).sort_by(
+        "event_type"
+    )
+
+
 def inverted_index(sf_dir: str) -> pa.Table:
     """Postings-list construction: distinct (term, doc) pairs map-side, ONE
     grouped exchange, per-term (df, sorted comma-joined postings); df ≥ 3.

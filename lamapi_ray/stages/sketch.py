@@ -176,3 +176,86 @@ def bloom_contains(filter_tbl: pa.Table, ids: np.ndarray) -> np.ndarray:
         w, b = bit // 64, bit % 64
         out &= (words[w] >> b.astype(np.uint64)) & np.uint64(1) == 1
     return out
+
+
+HIST_BINS = 128              # equi-width histogram resolution
+
+
+def histogram_quantiles(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    bins: int = HIST_BINS,
+    qs: tuple[float, ...] = (0.50, 0.95, 0.99),
+) -> ray.data.Dataset:
+    """Mergeable equi-width-histogram quantile sketch — the third sketch in
+    the family (HLL = distinct, Bloom = membership, this = quantiles).
+
+    Where an exact per-group percentile (``event_percentiles``) sorts full
+    value streams, the sketch folds each batch into per-(group, bin) counts
+    — histogram partials merge by SUM (associative/commutative), so ONE
+    grouped exchange of ≤ groups×bins tiny rows finishes the job at any
+    corpus size. The estimate for quantile q is the LOWER EDGE of the first
+    bin whose cumulative count reaches ceil(q·n): deterministic integer +
+    IEEE-double arithmetic, so the estimates are exactly oracle-checkable
+    (error bound: one bin width = (hi−lo)/bins).
+
+    Two passes: a global min/max aggregate pins [lo, hi] (at 100 TB the
+    bounds usually come from schema/config metadata instead — then it is
+    one pass). Binning: clip(floor((v−lo)·bins/(hi−lo)), 0, bins−1), the
+    literal same expression the SQL mirror uses, so bin assignment is
+    bit-identical. All-equal groups (hi == lo) land in bin 0.
+    """
+    import math
+
+    from ray.data.aggregate import Max, Min
+
+    stats = ds.aggregate(Min(value_col), Max(value_col))
+    lo = float(stats[f"min({value_col})"])
+    hi = float(stats[f"max({value_col})"])
+    fbins = float(bins)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch[value_col].to_numpy(zero_copy_only=False)
+        if hi > lo:
+            b = np.floor((vals - lo) * fbins / (hi - lo))
+            b = np.clip(b, 0.0, fbins - 1.0).astype(np.int64)
+        else:
+            b = np.zeros(len(vals), np.int64)
+        groups, ginv = np.unique(
+            batch[group_col].to_numpy(zero_copy_only=False), return_inverse=True
+        )
+        key, cnt = np.unique(ginv * bins + b, return_counts=True)
+        return pa.table(
+            {
+                group_col: pa.array(groups[key // bins]),
+                "bin": pa.array(key % bins, pa.int64()),
+                "c": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    width = (hi - lo) / fbins
+
+    def finish(group: pa.Table) -> pa.Table:
+        hist = np.zeros(bins, np.int64)
+        np.add.at(
+            hist,
+            group["bin"].to_numpy(zero_copy_only=False),
+            group["c"].to_numpy(zero_copy_only=False),
+        )
+        n = int(hist.sum())
+        cum = np.cumsum(hist)
+        row = {group_col: [group[group_col][0].as_py()],
+               "n_events": pa.array([n], pa.int64())}
+        for q in qs:
+            bq = int(np.searchsorted(cum, math.ceil(q * n)))
+            row[f"p{int(q * 100)}_est"] = pa.array(
+                [lo + float(bq) * width], pa.float64()
+            )
+        return pa.table(row)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group_col)
+        .map_groups(finish, batch_format="pyarrow")
+    )

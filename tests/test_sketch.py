@@ -91,3 +91,51 @@ def test_bloom_word_merge_is_or():
 
     merged = full(a) | full(b)
     assert np.array_equal(merged, full(np.arange(0, 450, dtype=np.int64)))
+
+
+def test_histogram_quantiles_sandwich_and_merge(ray_session):
+    # the q-estimate is the lower edge of the bin holding the ceil(q·n)-th
+    # order statistic: exact_pq ∈ [est, est + width] (one-bin error bound);
+    # batch-split invariance = histogram partials merge by sum
+    import math
+
+    import ray.data
+
+    from lamapi_ray.stages.sketch import histogram_quantiles
+
+    rng = np.random.default_rng(7)
+    vals = np.round(rng.gamma(2.0, 50.0, 4000), 2)
+    types = np.array(["a", "b", "c"])[rng.integers(0, 3, 4000)]
+    tbl = pa.table({"event_type": pa.array(types), "value": pa.array(vals)})
+    for nblocks in (1, 7):
+        ds = ray.data.from_arrow(tbl).repartition(nblocks)
+        out = histogram_quantiles(ds, "event_type", "value").take_all()
+        assert len(out) == 3
+        lo, hi = float(vals.min()), float(vals.max())
+        width = (hi - lo) / 128.0
+        for row in out:
+            sub = np.sort(vals[types == row["event_type"]])
+            assert row["n_events"] == len(sub)
+            for q, est in ((0.50, row["p50_est"]), (0.95, row["p95_est"]),
+                           (0.99, row["p99_est"])):
+                exact = sub[math.ceil(q * len(sub)) - 1]
+                assert est - 1e-9 <= exact <= est + width + 1e-9, (
+                    row["event_type"], q, est, exact)
+
+
+def test_histogram_quantiles_all_equal_values(ray_session):
+    # hi == lo: every value lands in bin 0 and all estimates equal the value
+    import ray.data
+
+    from lamapi_ray.stages.sketch import histogram_quantiles
+
+    tbl = pa.table(
+        {"event_type": pa.array(["x"] * 10), "value": pa.array([3.5] * 10)}
+    )
+    out = histogram_quantiles(
+        ray.data.from_arrow(tbl), "event_type", "value"
+    ).take_all()
+    assert out == [
+        {"event_type": "x", "n_events": 10,
+         "p50_est": 3.5, "p95_est": 3.5, "p99_est": 3.5}
+    ]
