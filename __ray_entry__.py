@@ -1383,6 +1383,23 @@ def oracle_sql() -> dict[str, str]:
         " ELSE 26 - length(bin(rem)) END AS rho FROM br)",
     ) + "SELECT bucket, CAST(max(rho) AS BIGINT) AS max_rho FROM rr GROUP BY 1"
 
+    # stratified_sample: deterministic bottom-k-by-hash sample per
+    # event_type (extras.py::stratified_sample) — same mod-(2^61-1)
+    # HUGEINT hash as hll_user_sketch, ties broken by event_id
+    _SAMP_H = (
+        "((CAST(event_id AS HUGEINT) * 2177342782468422681)"
+        " % 2305843009213693951 + 1) % 2305843009213693951"
+    )
+    sql["stratified_sample"] = _with(
+        f"sh AS (SELECT event_type, event_id, user_id, value, {_SAMP_H} AS hv"
+        " FROM events)",
+        "sr AS (SELECT *, row_number() OVER (PARTITION BY event_type\n"
+        "  ORDER BY hv, event_id) AS sample_rank FROM sh)",
+    ) + (
+        "SELECT event_type, event_id, user_id, value, sample_rank\n"
+        "FROM sr WHERE sample_rank <= 20"
+    )
+
     # quantile_sketch: equi-width-histogram quantile estimates — bin
     # assignment and lower-edge arithmetic are the literal same IEEE-double
     # expressions as stages/sketch.py::histogram_quantiles, so estimates are
@@ -1967,6 +1984,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quartiles",
         "hll_user_sketch",
         "quantile_sketch",
+        "stratified_sample",
         "events_pivot",
         "table_profile",
         "label_centroids",

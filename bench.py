@@ -194,6 +194,7 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("hll_user_sketch", lambda: extras.hll_user_sketch(sf_dir))
     timed("bloom_users", lambda: extras.bloom_users(sf_dir))
     timed("quantile_sketch", lambda: extras.quantile_sketch(sf_dir))
+    timed("stratified_sample", lambda: extras.stratified_sample(sf_dir))
     timed("events_pivot", lambda: extras.events_pivot(sf_dir))
     timed("table_profile", lambda: extras.table_profile(sf_dir))
     timed("label_centroids", lambda: extras.label_centroids(sf_dir))

@@ -434,6 +434,50 @@ def rebalance_sources(sf_dir: str) -> pa.Table:
     ).sort_by("doc_id")
 
 
+def stratified_sample(sf_dir: str, k: int = 20) -> pa.Table:
+    """Deterministic fixed-size stratified sample: per event_type, the k
+    events with the SMALLEST house hash of event_id (bottom-k sampling —
+    the mergeable uniform-sample primitive: local bottom-k per batch is a
+    combiner, so the ONE grouped exchange ships ≤ k·strata·blocks rows
+    regardless of corpus size, and re-running on any superset keeps the
+    sample stable for the surviving rows). sample_rank = position by
+    (hash, event_id) within the stratum. The mod-(2^61-1) hash is
+    HUGEINT-reproducible, so the sample is exactly oracle-checkable."""
+    from lamapi_ray.stages.sketch import _hash_ids
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "user_id", "value"],
+    )
+
+    def local_bottomk(batch: pa.Table, final: bool = False) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _hash_ids(eid).astype(np.int64)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((eid, h, et))
+        et_s = et[o]
+        new = np.concatenate([[True], et_s[1:] != et_s[:-1]])
+        run_start = np.maximum.accumulate(np.where(new, np.arange(len(et_s)), 0))
+        pos = np.arange(len(et_s)) - run_start
+        keep = pos < k
+        sel = o[keep]
+        cols = {
+            "event_type": pa.array(et[sel]),
+            "event_id": pa.array(eid[sel]),
+            "user_id": batch["user_id"].take(pa.array(sel)),
+            "value": batch["value"].take(pa.array(sel)),
+        }
+        if final:
+            cols["sample_rank"] = pa.array(pos[keep] + 1, pa.int64())
+        return pa.table(cols)
+
+    return _collect(
+        ev.map_batches(local_bottomk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .map_groups(lambda g: local_bottomk(g, final=True), batch_format="pyarrow")
+    ).sort_by([("event_type", "ascending"), ("sample_rank", "ascending")])
+
+
 def revenue_by_nation(sf_dir: str) -> pa.Table:
     """Distributed multi-join aggregate over the three largest tables —
     the canonical relational dataflow at scale: lineitem is pre-aggregated

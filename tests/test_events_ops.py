@@ -148,3 +148,31 @@ def test_running_user_totals_monotone_per_user(sf_dir):
         assert r["running_n"] == last_n.get(u, 0) + 1
         last_n[u] = r["running_n"]
         assert r["running_cents"] >= 0
+
+
+def test_stratified_sample_bottomk_matches_bruteforce(sf_dir):
+    import pyarrow.parquet as pq
+
+    from lamapi_ray.pipelines.extras import stratified_sample
+    from lamapi_ray.stages.sketch import _hash_ids
+
+    out = stratified_sample(sf_dir)
+    ev = pq.read_table(f"{sf_dir}/events.parquet",
+                       columns=["event_id", "event_type"])
+    eid = ev["event_id"].to_numpy().astype(np.int64)
+    et = np.asarray(ev["event_type"].to_pylist(), dtype=object)
+    h = _hash_ids(eid).astype(np.int64)
+    for t in np.unique(et):
+        m = et == t
+        order = np.lexsort((eid[m], h[m]))
+        want = eid[m][order][:20].tolist()
+        got_rows = out.filter(
+            pa.compute.equal(out["event_type"], str(t))
+        ).sort_by("sample_rank")
+        assert got_rows["event_id"].to_pylist() == want
+        assert got_rows["sample_rank"].to_pylist() == list(
+            range(1, len(want) + 1)
+        )
+    # sample is a deterministic function of ids: stable across re-runs
+    again = stratified_sample(sf_dir)
+    assert out.equals(again)
