@@ -176,3 +176,36 @@ def test_stratified_sample_bottomk_matches_bruteforce(sf_dir):
     # sample is a deterministic function of ids: stable across re-runs
     again = stratified_sample(sf_dir)
     assert out.equals(again)
+
+
+def test_bottomk_sample_stable_under_corpus_growth(tmp_path, ray_session):
+    # the docstring's stability claim: growing the corpus only ever
+    # DISPLACES sample members from the bottom (never reorders survivors),
+    # because membership is "k smallest hashes" — verify on two nested
+    # corpora through the real operator
+    from lamapi_ray.pipelines.extras import stratified_sample
+
+    base = [
+        {"event_id": i, "user_id": i % 7, "event_type": "click",
+         "ts": 1_700_000_000_000_000 + i, "value": float(i)}
+        for i in range(200)
+    ]
+    _write_events(tmp_path, base)
+    small = stratified_sample(str(tmp_path))
+    grown_dir = tmp_path / "grown"
+    grown_dir.mkdir()
+    _write_events(
+        grown_dir,
+        base + [
+            {"event_id": 10_000 + i, "user_id": 1, "event_type": "click",
+             "ts": 1_700_009_000_000_000 + i, "value": 0.0}
+            for i in range(300)
+        ],
+    )
+    big = stratified_sample(str(grown_dir))
+    small_ids = small["event_id"].to_pylist()
+    big_ids = big["event_id"].to_pylist()
+    # survivors keep their relative order (subsequence property)
+    surv = [e for e in small_ids if e in set(big_ids)]
+    it = iter(big_ids)
+    assert all(e in it for e in surv)
