@@ -1220,8 +1220,8 @@ def oracle_sql() -> dict[str, str]:
     # (floor of identical double arithmetic both sides, then int64 sums)
     sql["revenue_by_nation"] = (
         "SELECT n_name, count(*) AS n_items,\n"
-        "  sum(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 100.0)"
-        " AS BIGINT)) AS revenue_cents\n"
+        "  CAST(sum(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 100.0)"
+        " AS BIGINT)) AS BIGINT) AS revenue_cents\n"
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey\n"
         "JOIN customer ON o_custkey = c_custkey\n"
         "JOIN nation ON c_nationkey = n_nationkey\n"
@@ -1260,7 +1260,8 @@ def oracle_sql() -> dict[str, str]:
         " FROM events)",
     ) + (
         "SELECT day, event_type, count(*) AS n_events,"
-        " sum(cents) AS sum_cents FROM er GROUP BY ROLLUP (day, event_type)"
+        " CAST(sum(cents) AS BIGINT) AS sum_cents"
+        " FROM er GROUP BY ROLLUP (day, event_type)"
     )
 
     # event_transitions: per-user next-event transition matrix
@@ -1415,7 +1416,7 @@ def oracle_sql() -> dict[str, str]:
         "qcum AS (SELECT event_type, bin,\n"
         "  sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,\n"
         "  sum(c) OVER (PARTITION BY event_type) AS n FROM qhist)",
-        "qpick AS (SELECT event_type, max(n) AS n_events,\n"
+        "qpick AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,\n"
         "  min(CASE WHEN cum >= CAST(ceil(0.50 * n) AS BIGINT) THEN bin END) AS b50,\n"
         "  min(CASE WHEN cum >= CAST(ceil(0.95 * n) AS BIGINT) THEN bin END) AS b95,\n"
         "  min(CASE WHEN cum >= CAST(ceil(0.99 * n) AS BIGINT) THEN bin END) AS b99\n"
@@ -2219,7 +2220,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     out["cb_items"] = cb_items
     out["cb_literals"] = cb_literals
-    return out
+
+    # The driver's correctness gate samples the FIRST ~50 entries of this
+    # dict. Rounds 1-4 never sampled 25 of the 97 queries; put those first
+    # (plus the three whose oracle SQL changed this round:
+    # revenue_by_nation / quantile_sketch / events_rollup) so every entry
+    # has at least one driver-green record across rounds.
+    priority = [
+        "knn_neighbors", "term_pmi", "events_rollup", "event_transitions",
+        "typo_pairs", "bloom_users", "top_ngrams", "event_percentiles",
+        "sessionize", "events_asof", "purchase_attribution",
+        "sliding_window_events", "user_top_events", "running_user_totals",
+        "kmeans_clusters", "embedding_dup_clusters", "type_closure",
+        "pii_scrub", "passage_dedup", "tfidf_top_terms", "kg_degrees",
+        "entity_pagerank", "kg_delta", "triples_sorted_export",
+        "summary_topk_asc", "revenue_by_nation", "quantile_sketch",
+    ]
+    ordered = {n: out[n] for n in priority}
+    ordered.update((n, f) for n, f in out.items() if n not in ordered)
+    return ordered
 
 
 def entry() -> Any:
