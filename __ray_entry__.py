@@ -437,12 +437,14 @@ def oracle_sql() -> dict[str, str]:
         SQL_PAGES, SQL_ITEMS, SQL_SURFACE_FORMS, SQL_MENTION_ROWS,
         "distinct_mentions AS (SELECT DISTINCT mention FROM mention_rows)",
         # ntoken_b4 = Lucene SmallFloat intToByte4/byte4ToInt round-trip
-        # (surface.py::lucene_byte4_roundtrip): raw below 24, else keep the
-        # top 4 significant bits. avgdl stays exact (sumTotalTermFreq/docCount).
+        # (surface.py::lucene_byte4_roundtrip): raw below 24, else
+        # 24 + top-4-significant-bits of (ntoken-24); bit-length via
+        # length(bin(m)) — exact integer math, no float log2.
+        # avgdl stays exact (sumTotalTermFreq/docCount).
         "sfrow AS (SELECT row_number() OVER (ORDER BY id, name) AS rid, *,\n"
         "  CASE WHEN ntoken < 24 THEN ntoken ELSE\n"
-        "    (ntoken >> (CAST(floor(log2(greatest(ntoken, 24))) AS INT) - 3))\n"
-        "    << (CAST(floor(log2(greatest(ntoken, 24))) AS INT) - 3) END AS ntoken_b4\n"
+        "    24 + (((ntoken - 24) >> greatest(length(bin(ntoken - 24)) - 4, 0))\n"
+        "          << greatest(length(bin(ntoken - 24)) - 4, 0)) END AS ntoken_b4\n"
         "  FROM surface_forms)",
         "bstats AS (SELECT count(*) AS n, avg(ntoken) AS avgdl FROM sfrow)",
         "btf AS (SELECT rid, tk, count(*) AS tf FROM\n"

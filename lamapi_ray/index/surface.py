@@ -35,23 +35,26 @@ def lucene_byte4_roundtrip(n: np.ndarray) -> np.ndarray:
     """Lucene ``SmallFloat.intToByte4`` → ``byte4ToInt`` round-trip, i.e.
     the doc length a BM25 scorer actually sees after the 1-byte norm
     encoding (Lucene core ``util/SmallFloat.java``): values below
-    NUM_FREE_VALUES=24 are stored raw (exact); larger values keep only
-    their top 4 significant bits (the leading bit implicit), so e.g.
-    25→24, 31→30, 100→96, 1000→960. Vectorized, exact integer math (no
-    float log2 — bit-length by binary descent)."""
+    NUM_FREE_VALUES=24 are stored raw (exact); larger values encode
+    ``m = n - 24`` with ``longToInt4`` (top 4 significant bits of m,
+    leading bit implicit, so m < 16 is exact) and decode back to
+    ``24 + int4ToLong(...)`` — e.g. 25→25, 39→39 (exact up to 39),
+    40→40, 43→42, 100→96, 1000→984. Vectorized, exact integer math
+    (no float log2 — bit-length by binary descent)."""
     n = np.asarray(n, dtype=np.int64)
     out = n.copy()
     big = n >= 24
     if big.any():
-        v = n[big]
-        bits = np.zeros_like(v)
-        x = v.copy()
+        m = n[big] - 24
+        bits = np.zeros_like(m)
+        x = m.copy()
         for s in (32, 16, 8, 4, 2, 1):
-            m = x >= (np.int64(1) << s)
-            bits[m] += s
-            x[m] >>= s
-        shift = bits - 3  # bit_length = bits+1; shift = bit_length - 4
-        out[big] = (v >> shift) << shift
+            mask = x >= (np.int64(1) << s)
+            bits[mask] += s
+            x[mask] >>= s
+        # bit_length(m) = bits+1 for m>=1; shift = max(bit_length-4, 0)
+        shift = np.maximum(bits - 3, 0)
+        out[big] = 24 + ((m >> shift) << shift)
     return out
 
 

@@ -226,11 +226,12 @@ def test_lucene_byte4_roundtrip_golden():
 
     from lamapi_ray.index.surface import lucene_byte4_roundtrip
 
-    raw = np.arange(0, 24, dtype=np.int64)
+    # 0..23 raw, and 24..39 exact too (m = n-24 < 16 has <= 4 sig bits)
+    raw = np.arange(0, 40, dtype=np.int64)
     assert (lucene_byte4_roundtrip(raw) == raw).all()
-    golden = {24: 24, 25: 24, 26: 26, 27: 26, 31: 30, 32: 32, 33: 32,
-              39: 36, 40: 40, 43: 40, 44: 44, 100: 96, 127: 120,
-              128: 128, 1000: 960, 2**20 + 12345: 2**20}
+    golden = {24: 24, 25: 25, 31: 31, 39: 39, 40: 40, 41: 40, 43: 42,
+              44: 44, 55: 54, 56: 56, 100: 96, 127: 120, 128: 128,
+              152: 152, 1000: 984, 2**20 + 12345: 2**20 + 24}
     got = lucene_byte4_roundtrip(np.array(sorted(golden), dtype=np.int64))
     assert dict(zip(sorted(golden), got.tolist())) == golden
     # monotone non-decreasing (order-preserving encoding)
@@ -240,13 +241,14 @@ def test_lucene_byte4_roundtrip_golden():
 
 
 def test_bm25_dl_uses_lucene_norm_quantization(ray_session):
-    # a 25-token name must be scored with dl=24 (byte4 round-trip), while
-    # avgdl stays the exact mean — mirrors Lucene BM25Similarity
+    # a 43-token name must be scored with dl=42 (byte4 round-trip: m=19
+    # keeps top 4 significant bits → 18), while avgdl stays the exact
+    # mean — mirrors Lucene BM25Similarity
     import math
 
     from lamapi_ray.index.surface import SurfaceIndex
 
-    long_name = " ".join(["w%d" % i for i in range(24)] + ["apple"])
+    long_name = " ".join(["w%d" % i for i in range(42)] + ["apple"])
     sf = pa.table(
         {
             "id": pa.array(["Q1", "Q2"]),
@@ -257,7 +259,7 @@ def test_bm25_dl_uses_lucene_norm_quantization(ray_session):
             "kind": pa.array(["entity"] * 2),
             "NERtype": pa.array(["OTHERS"] * 2),
             "types": pa.array([""] * 2),
-            "ntoken": pa.array([25, 1], pa.int64()),
+            "ntoken": pa.array([43, 1], pa.int64()),
             "length": pa.array([len(long_name), 5], pa.int64()),
             "popularity": pa.array([0.1, 0.9], pa.float64()),
         }
@@ -265,9 +267,9 @@ def test_bm25_dl_uses_lucene_norm_quantization(ray_session):
     index = SurfaceIndex(sf, {})
     idx, sc = index.bm25_hits("apple", limit=10)
     got = {index.ids[i]: s for i, s in zip(idx, sc)}
-    N, avgdl, k1, b = 2, 13.0, 1.2, 0.75  # avgdl exact: (25+1)/2
+    N, avgdl, k1, b = 2, 22.0, 1.2, 0.75  # avgdl exact: (43+1)/2
     idf = math.log(1 + (N - 2 + 0.5) / (2 + 0.5))
-    want_q1 = idf * 1 * (k1 + 1) / (1 + k1 * (1 - b + b * 24.0 / avgdl))  # dl 25→24
+    want_q1 = idf * 1 * (k1 + 1) / (1 + k1 * (1 - b + b * 42.0 / avgdl))  # dl 43→42
     want_q2 = idf * 1 * (k1 + 1) / (1 + k1 * (1 - b + b * 1.0 / avgdl))
     assert got["Q1"] == pytest.approx(want_q1, rel=1e-12)
     assert got["Q2"] == pytest.approx(want_q2, rel=1e-12)
