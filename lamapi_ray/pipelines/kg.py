@@ -24,7 +24,7 @@ from lamapi_ray.stages.candidates import generate_candidates, link_best
 from lamapi_ray.stages.dedup import scaled_partitions
 from lamapi_ray.stages.extract import extracted_pages
 from lamapi_ray.stages.join import bucketed_hash_join
-from lamapi_ray.stages.mentions import scan_mentions
+from lamapi_ray.stages.mentions import VocabHashes, scan_mentions
 from lamapi_ray.synth import TYPE_LABELS
 
 LITERAL_PRED = "P90"
@@ -61,17 +61,24 @@ class KGContext:
             ]
         )
         self.type_names = dict(TYPE_LABELS)
-        # en labels of kind="type" items (J2 — lookup_retriever.py:236-240)
-        kindcol = items["kind"].to_pylist()
-        for ent, label, kind in zip(
-            items["entity"].to_pylist(), items["label"].to_pylist(), kindcol
-        ):
-            if kind == "type":
-                self.type_names[ent] = label
+        # en labels of kind="type" items (J2 — lookup_retriever.py:236-240),
+        # vectorized: arrow filter on kind, zip only the (small) type subset
+        tmask = pc.equal(items["kind"], "type")
+        self.type_names.update(
+            zip(
+                items["entity"].filter(tmask).to_pylist(),
+                items["label"].filter(tmask).to_pylist(),
+            )
+        )
         self.adjacency = adjacency
-        vocab = frozenset(self.surface_forms["surface_norm"].to_pylist())
-        self.vocab = vocab
-        self.max_surface_tokens = max((len(s.split(" ")) for s in vocab), default=1)
+        # scanner vocabulary as sorted uint64 hash arrays (8 B/surface) —
+        # NOT a frozenset[str] (~100+ B/surface): at Wikidata scale the
+        # per-worker scanner state stays ~20× smaller, and the candidate
+        # stage's exact index lookup discards hash false positives
+        self.vocab = VocabHashes.from_surface_norms(
+            self.surface_forms["surface_norm"]
+        )
+        self.max_surface_tokens = self.vocab.max_n
 
 
 def mention_rows(pages: ray.data.Dataset, ctx: KGContext, concurrency=4, meter_args=None):

@@ -24,18 +24,80 @@ co-occurrence pairs, the page-subject choice for literal triples — is a
 row-local vectorized map with NO url-keyed shuffle or join. Only
 vocabulary-bounded distincts (mentions, triples) ever shuffle.
 
-The vocabulary is broadcast once via ``ray.put`` (a frozenset of
-surface_norm strings + the window width); tasks read it zero-copy from the
-object store instead of re-shipping it per batch.
+The vocabulary is broadcast once via ``ray.put`` as :class:`VocabHashes`
+— per-window-width SORTED uint64 hash arrays (8 bytes per surface) instead
+of a Python ``frozenset[str]`` (~100+ bytes per surface with set overhead).
+At Wikidata scale (~10⁸ multi-word surfaces) that is the difference between
+a ~1 GiB numpy broadcast and a multi-GiB per-worker Python set (~20×).
+Membership is ``np.searchsorted`` on the sorted hashes; the hash space is
+2^61 (polynomial hash, ``functions/inthash.py``), so a false-positive
+mention is a ~n²/2^61 event — and the candidate stage's EXACT index lookup
+discards any such mention downstream (no candidates → never linked).
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
+from lamapi_ray.functions.inthash import hash_string_array
 from lamapi_ray.functions.literals import check_literal
+
+
+class VocabHashes:
+    """Compressed broadcastable surface vocabulary for the mention scanner.
+
+    ``by_width[w]`` is the sorted-unique uint64 hash array of all surfaces
+    with exactly ``w`` tokens; ``first_tokens`` is the sorted-unique hash
+    array of the FIRST token of every multi-token surface (the width>=2
+    scan prefilter); ``max_n`` is the widest surface. Built vectorized from
+    the surface_norm arrow column — no Python per surface."""
+
+    __slots__ = ("by_width", "first_tokens", "max_n")
+
+    def __init__(self, by_width, first_tokens, max_n):
+        self.by_width = by_width
+        self.first_tokens = first_tokens
+        self.max_n = max_n
+
+    @classmethod
+    def from_surface_norms(cls, arr) -> "VocabHashes":
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        arr = arr.cast(pa.string())
+        if len(arr) == 0:
+            return cls({}, None, 1)
+        widths = pc.add(pc.count_substring(arr, " "), 1).to_numpy(
+            zero_copy_only=False
+        )
+        h = hash_string_array(arr)
+        by_width = {
+            int(w): np.unique(h[widths == w]) for w in np.unique(widths)
+        }
+        first_tokens = None
+        multi = widths >= 2
+        if multi.any():
+            firsts = pc.list_element(
+                pc.utf8_split_whitespace(arr.filter(pa.array(multi))), 0
+            )
+            first_tokens = np.unique(hash_string_array(firsts))
+        return cls(by_width, first_tokens, int(widths.max()))
+
+    @classmethod
+    def from_strings(cls, vocab) -> "VocabHashes":
+        """From any iterable of surface strings (tests / small inputs)."""
+        return cls.from_surface_norms(pa.array(sorted(vocab), pa.string()))
+
+
+def _in_sorted(h: np.ndarray, sorted_arr: np.ndarray | None) -> np.ndarray:
+    """Vectorized membership of uint64 ``h`` in a sorted-unique array."""
+    if sorted_arr is None or len(sorted_arr) == 0 or len(h) == 0:
+        return np.zeros(len(h), dtype=bool)
+    pos = np.searchsorted(sorted_arr, h)
+    pos[pos == len(sorted_arr)] = len(sorted_arr) - 1
+    return sorted_arr[pos] == h
 
 
 # single-slot per-worker cache (key, MentionScanner) — replaced on a new
@@ -65,30 +127,21 @@ class MentionScanner:
     n-gram windows of width 1..max_n are built by joining SHIFTED slices of
     the flat token array (one ``binary_join_element_wise`` per width, page
     boundaries masked via ``list_parent_indices``); membership is one
-    ``is_in`` per width against the per-width surface vocabulary. No Python
-    executes per token — only per HIT (mentions + literal tokens, a few per
-    page)."""
+    vectorized hash + ``searchsorted`` per width against the per-width
+    sorted vocabulary hashes (:class:`VocabHashes`). No Python executes per
+    token — only per HIT (mentions + literal tokens, a few per page)."""
 
-    def __init__(self, vocab: frozenset[str], max_n: int):
+    def __init__(self, vocab: "VocabHashes | frozenset[str]", max_n: int):
+        if not isinstance(vocab, VocabHashes):
+            vocab = VocabHashes.from_strings(vocab)
         self.vocab = vocab
         self.max_n = max_n
-        # per-width vocab value sets for the is_in kernels
-        by_width: dict[int, list[str]] = {}
-        for s in vocab:
-            by_width.setdefault(s.count(" ") + 1, []).append(s)
-        self.vocab_arrays = {
-            n: pa.array(sorted(v), pa.string()) for n, v in by_width.items()
-        }
-        # first tokens of all multi-token surfaces — the width>=2 prefilter:
-        # an n-gram can only match if its first token starts SOME multi-token
-        # surface, so the expensive join+is_in runs only at those (rare)
-        # start positions instead of every token position
-        firsts = {
-            s.split(" ", 1)[0] for s in vocab if " " in s
-        }
-        self.first_tokens = (
-            pa.array(sorted(firsts), pa.string()) if firsts else None
-        )
+        self.vocab_hashes = vocab.by_width
+        # first-token hashes of all multi-token surfaces — the width>=2
+        # prefilter: an n-gram can only match if its first token starts
+        # SOME multi-token surface, so the expensive join+hash probe runs
+        # only at those (rare) start positions instead of every position
+        self.first_tokens = vocab.first_tokens
 
     @classmethod
     def for_ref(cls, vocab_ref, max_n: int) -> "MentionScanner":
@@ -126,12 +179,14 @@ class MentionScanner:
         # hits: (page_idx, surface) accumulated over all window widths
         hit_pages: list[np.ndarray] = []
         hit_vals: list[pa.Array] = []
-        # width 1: dictionary-level is_in + integer gather
-        vocab1 = self.vocab_arrays.get(1)
+        # hash ONCE per distinct token; every width-1 / prefilter probe is
+        # then a searchsorted on the (tiny) dictionary hash array
+        if nflat:
+            dhash = hash_string_array(dictv)
+        # width 1: dictionary-level membership + integer gather
+        vocab1 = self.vocab_hashes.get(1)
         if vocab1 is not None and nflat:
-            dmask = pc.is_in(dictv, value_set=vocab1).to_numpy(
-                zero_copy_only=False
-            )
+            dmask = _in_sorted(dhash, vocab1)
             idx = np.nonzero(dmask[codes])[0]
             if len(idx):
                 hit_pages.append(parents[idx])
@@ -141,12 +196,10 @@ class MentionScanner:
         # join + membership probe (vs materializing full-length gram
         # arrays per width, the dominant memory traffic of the old scan)
         if self.first_tokens is not None and nflat >= 2:
-            fdict = pc.is_in(dictv, value_set=self.first_tokens).to_numpy(
-                zero_copy_only=False
-            )
+            fdict = _in_sorted(dhash, self.first_tokens)
             starts = np.nonzero(fdict[codes])[0]
             for width in range(2, self.max_n + 1):
-                vocab_arr = self.vocab_arrays.get(width)
+                vocab_arr = self.vocab_hashes.get(width)
                 if vocab_arr is None or len(starts) == 0:
                     continue
                 cand = starts[starts + width - 1 < nflat]
@@ -158,9 +211,7 @@ class MentionScanner:
                     pc.take(flat, pa.array(cand + k)) for k in range(width)
                 ]
                 grams = pc.binary_join_element_wise(*parts, " ")
-                mask = pc.is_in(grams, value_set=vocab_arr).to_numpy(
-                    zero_copy_only=False
-                )
+                mask = _in_sorted(hash_string_array(grams), vocab_arr)
                 idx = np.nonzero(mask)[0]
                 if len(idx):
                     hit_pages.append(parents[cand[idx]])
@@ -202,14 +253,22 @@ class MentionScanner:
 
 
 def scan_mentions(
-    pages, vocab: frozenset[str], max_tokens: int, concurrency=None, meter_args=None
+    pages,
+    vocab: "VocabHashes | frozenset[str]",
+    max_tokens: int,
+    concurrency=None,
+    meter_args=None,
 ):
     """pages(url,text,…) → one row per page (url, mentions[], literals[]).
 
-    ``vocab`` is put in the object store once; the scanner class re-reads it
-    per actor (not per batch). ``meter_args=(actor, key)`` reports
-    (pages_in, mentions_out, busy_sec) per batch to the run-metrics actor.
+    ``vocab`` (a prebuilt :class:`VocabHashes`, or any iterable of surface
+    strings which is hashed driver-side once) is put in the object store
+    once; the scanner class re-reads it per worker (not per batch).
+    ``meter_args=(actor, key)`` reports (pages_in, mentions_out, busy_sec)
+    per batch to the run-metrics actor.
     """
+    if not isinstance(vocab, VocabHashes):
+        vocab = VocabHashes.from_strings(vocab)
     vocab_ref = ray.put(vocab)
 
     def scan(batch: pa.Table) -> pa.Table:

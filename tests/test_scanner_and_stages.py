@@ -60,6 +60,38 @@ def test_vectorized_scanner_matches_reference(text):
     assert out["lit_datatypes"][0].as_py() == [_classify(v) for v in exp_lits]
 
 
+def test_vocab_hashes_compact_and_equivalent():
+    # the broadcast scanner state is per-width sorted uint64 arrays — the
+    # arrow-column and string-iterable constructors must agree, the widths
+    # must partition the vocab, and the state must be numpy-only (the 20×
+    # memory win over frozenset[str] at Wikidata scale)
+    from lamapi_ray.stages.mentions import VocabHashes
+
+    vh_str = VocabHashes.from_strings(VOCAB)
+    vh_arr = VocabHashes.from_surface_norms(pa.array(sorted(VOCAB)))
+    assert vh_str.max_n == vh_arr.max_n == 4
+    assert set(vh_str.by_width) == {1, 2, 3, 4}
+    for w in vh_str.by_width:
+        assert (vh_str.by_width[w] == vh_arr.by_width[w]).all()
+        assert vh_str.by_width[w].dtype == np.uint64
+        # sorted unique
+        assert (np.diff(vh_str.by_width[w].astype(np.int64)) > 0).all() or len(
+            vh_str.by_width[w]
+        ) <= 1
+    # first-token prefilter covers exactly the multi-token surface starts
+    assert len(vh_str.first_tokens) == len({"red", "new", "a"})
+    assert (vh_str.first_tokens == vh_arr.first_tokens).all()
+    # state size: 8 bytes per surface hash + first tokens, nothing string
+    nbytes = sum(a.nbytes for a in vh_str.by_width.values())
+    assert nbytes == 8 * len(VOCAB)
+    # empty vocab degrades cleanly
+    empty = VocabHashes.from_strings([])
+    assert empty.by_width == {} and empty.first_tokens is None
+    sc = MentionScanner(empty, max_n=1)
+    out = sc(pa.table({"url": pa.array(["u"]), "text": pa.array(["plate usa"])}))
+    assert out["mentions"][0].as_py() == []
+
+
 def test_scanner_page_boundary_no_cross_window():
     # "red" ends page 1, "plate" starts page 2 — must NOT form "red plate"
     sc = MentionScanner(VOCAB, max_n=2)
