@@ -533,7 +533,12 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
     def add_nation(batch: pa.Table) -> pa.Table:
         keys, nk = ray.get(cust_ref)
         custk = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        pos = np.searchsorted(keys, custk)
+        pos = np.minimum(np.searchsorted(keys, custk), max(len(keys) - 1, 0))
+        if len(keys) == 0 or not (keys[pos] == custk).all():
+            missing = custk[keys[pos] != custk][:3] if len(keys) else custk[:3]
+            raise ValueError(
+                f"o_custkey not in customer dimension (e.g. {missing.tolist()})"
+            )
         return pa.table(
             {
                 "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
@@ -686,7 +691,10 @@ def events_rollup(sf_dir: str) -> pa.Table:
         val = batch["value"].to_numpy(zero_copy_only=False)
         cents = np.rint(val * 100).astype(np.int64)  # printf('%.0f') parity
         day_idx = ts // DAY_US
-        tid = np.searchsorted(TYPES, et)
+        tid = np.minimum(np.searchsorted(TYPES, et), len(TYPES) - 1)
+        if not (TYPES[tid] == et).all():
+            bad = et[TYPES[tid] != et][:3]
+            raise ValueError(f"unknown event_type(s) {bad.tolist()}")
         key2 = day_idx * 8 + tid
         u2, inv2 = np.unique(key2, return_inverse=True)
         n2 = np.bincount(inv2).astype(np.int64)
@@ -904,9 +912,16 @@ def table_profile(sf_dir: str) -> pa.Table:
         cols, rows, nulls, mins, maxs = [], [], [], [], []
         for c in PROFILE_COLS:
             col = batch[c]
-            v = col.to_numpy(zero_copy_only=False).astype(np.int64)
             nn = col.null_count
-            ok = v[~np.isnan(v)] if v.dtype.kind == "f" else v
+            # drop nulls arrow-side BEFORE the int64 cast — a nullable
+            # column's nulls surface as NaN in a float ndarray and would
+            # cast to garbage ints, corrupting min/max
+            raw = (col.drop_null() if nn else col).to_numpy(
+                zero_copy_only=False
+            )
+            if raw.dtype.kind == "f":
+                raw = raw[~np.isnan(raw)]
+            ok = raw.astype(np.int64)
             cols.append(c)
             rows.append(len(col))
             nulls.append(nn)
@@ -934,7 +949,13 @@ def table_profile(sf_dir: str) -> pa.Table:
         # (string, int64) composite key — measured 8.3 s → ~1.5 s at sf0.1
         outs = []
         for cid, c in enumerate(PROFILE_COLS):
-            v = np.unique(batch[c].to_numpy(zero_copy_only=False).astype(np.int64))
+            col = batch[c]
+            raw = (col.drop_null() if col.null_count else col).to_numpy(
+                zero_copy_only=False
+            )
+            if raw.dtype.kind == "f":
+                raw = raw[~np.isnan(raw)]
+            v = np.unique(raw.astype(np.int64))
             outs.append(v * 4 + cid)
         k = np.concatenate(outs)
         return pa.table({"k": pa.array(k, pa.int64())})

@@ -209,3 +209,82 @@ def test_bottomk_sample_stable_under_corpus_growth(tmp_path, ray_session):
     surv = [e for e in small_ids if e in set(big_ids)]
     it = iter(big_ids)
     assert all(e in it for e in surv)
+
+
+def test_events_rollup_rejects_unknown_event_type(tmp_path, ray_session):
+    from lamapi_ray.pipelines import extras
+
+    rows = [
+        {"event_id": 0, "user_id": 0, "event_type": "click",
+         "ts": 1_000_000, "value": 1.0},
+        {"event_id": 1, "user_id": 0, "event_type": "zzz_not_a_type",
+         "ts": 2_000_000, "value": 1.0},
+    ]
+    _write_events(tmp_path, rows)
+    import pytest
+    import ray.exceptions
+
+    with pytest.raises(
+        (ValueError, ray.exceptions.RayTaskError), match="event_type"
+    ):
+        extras.events_rollup(str(tmp_path))
+
+
+def test_revenue_by_nation_rejects_dangling_custkey(tmp_path, ray_session):
+    import pyarrow.parquet as pq
+    import pytest
+    import ray.exceptions
+
+    from lamapi_ray.pipelines import extras
+
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([1, 2], pa.int64()),
+                  "c_nationkey": pa.array([0, 0], pa.int64())}),
+        tmp_path / "customer.parquet",
+    )
+    pq.write_table(
+        pa.table({"n_nationkey": pa.array([0], pa.int64()),
+                  "n_name": pa.array(["X"], pa.string())}),
+        tmp_path / "nation.parquet",
+    )
+    # o_custkey=9 is absent from customer; 9 > max(c_custkey) would also
+    # IndexError unguarded — both must surface as a clear ValueError
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array([10], pa.int64()),
+                  "o_custkey": pa.array([9], pa.int64())}),
+        tmp_path / "orders.parquet",
+    )
+    pq.write_table(
+        pa.table({"l_orderkey": pa.array([10], pa.int64()),
+                  "l_extendedprice": pa.array([1.0], pa.float64()),
+                  "l_discount": pa.array([0.0], pa.float64())}),
+        tmp_path / "lineitem.parquet",
+    )
+    with pytest.raises(
+        (ValueError, ray.exceptions.RayTaskError), match="customer"
+    ):
+        extras.revenue_by_nation(str(tmp_path))
+
+
+def test_table_profile_ignores_nulls_in_minmax(tmp_path, ray_session):
+    import pyarrow.parquet as pq
+
+    from lamapi_ray.pipelines import extras
+
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([5, None, 7], pa.int64()),
+                "l_partkey": pa.array([1, 2, 3], pa.int64()),
+                "l_suppkey": pa.array([None, None, 4], pa.int64()),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    out = {r["column"]: r for r in extras.table_profile(str(tmp_path)).to_pylist()}
+    assert out["l_orderkey"]["n_nulls"] == 1
+    assert out["l_orderkey"]["min_v"] == 5 and out["l_orderkey"]["max_v"] == 7
+    assert out["l_orderkey"]["n_distinct"] == 2
+    assert out["l_suppkey"]["n_nulls"] == 2
+    assert out["l_suppkey"]["min_v"] == 4 and out["l_suppkey"]["max_v"] == 4
+    assert out["l_suppkey"]["n_distinct"] == 1
