@@ -1144,6 +1144,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     threshold: float = 0.5,
     k: int = 3,
+    max_df: int | None = None,
 ) -> pa.Table:
     """All pairs with token-k-shingle Jaccard ≥ threshold — exact, via a
     shingle-hash shuffle join.
@@ -1155,27 +1156,48 @@ def ngram_jaccard_pairs(
     emits its id pairs; a native groupby-Count sums collisions per pair;
     Jaccard = n/(na+nb−n) filtered by threshold. Nothing is broadcast or
     collected; cost is Σ|bucket|² over shingle buckets (only pairs sharing
-    ≥1 shingle are touched) — identical output to the brute-force
-    all-pairs join."""
+    ≥1 shingle are touched) — with ``max_df=None``, identical output to
+    the brute-force all-pairs join.
+
+    ``max_df`` is the stop-shingle guard: Σ|bucket|² explodes when one
+    near-universal shingle ("in the of"-style) puts most of the corpus in
+    one bucket. When set, shingles appearing in more than ``max_df`` docs
+    are REMOVED FROM EVERY DOC'S SHINGLE SET before pairing (classic
+    document-frequency pruning): pair enumeration, intersection counts AND
+    the na/nb denominators all use the reduced sets, so the reported
+    Jaccard is exact over those sets — not a biased undercount. Costs one
+    extra df-counting exchange + a second tokenize pass; the pruned
+    shingle count is logged."""
     if isinstance(ds, pa.Table):
         ds = ray.data.from_arrow(ds)
 
     num_partitions = scaled_partitions(2.0, 64)
 
-    def explode(batch: pa.Table) -> pa.Table:
+    def explode(batch: pa.Table, heavy_ref=None) -> pa.Table:
         # vectorized distinct-shingle hashing (one md5 per distinct TOKEN,
         # numeric Horner folds for the windows — no per-shingle Python)
         ids, doc_idx, sh = _doc_shingle_hashes(batch, id_col, text_col, k)
+        sh_np = sh.view(np.int64)  # < 2^61, stays positive
+        if heavy_ref is not None and len(doc_idx):
+            heavy = ray.get(heavy_ref)  # sorted int64, tiny
+            pos = np.minimum(
+                np.searchsorted(heavy, sh_np), max(len(heavy) - 1, 0)
+            )
+            keep = heavy[pos] != sh_np if len(heavy) else np.ones(
+                len(sh_np), dtype=bool
+            )
+            doc_idx, sh_np = doc_idx[keep], sh_np[keep]
         if len(doc_idx) == 0:
             return pa.table(
                 {"pkey": pa.array([], pa.int64()), "sh": pa.array([], pa.int64()),
                  "id": pa.array([], pa.int64()), "nsh": pa.array([], pa.int64())}
             )
         nsh_per_doc = np.bincount(doc_idx, minlength=len(ids)).astype(np.int64)
-        sh_np = sh.view(np.int64)  # < 2^61, stays positive
         # coarse partition key — shingle buckets are recovered in-process by
         # sorting; a Ray group per shingle would be millions of tiny calls
-        pkey = (sh * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_partitions)
+        pkey = (sh_np.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(
+            num_partitions
+        )
         return pa.table(
             {
                 "pkey": pa.array(pkey.astype(np.int64), pa.int64()),
@@ -1186,6 +1208,38 @@ def ngram_jaccard_pairs(
         )
 
     sh_rows = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    if max_df is not None:
+        # pass 1: global df per shingle inside the SAME pkey partitioning
+        # (a shingle lands in exactly one partition, so per-partition
+        # np.unique counts are exact global dfs); only the heavy tail —
+        # at most total_rows/max_df shingles — leaves the exchange
+        def heavy_in_part(group: pa.Table) -> pa.Table:
+            if len(group) == 0:
+                return pa.table({"sh": pa.array([], pa.int64())})
+            u, c = np.unique(_npcol(group, "sh", np.int64), return_counts=True)
+            return pa.table({"sh": pa.array(u[c > max_df], pa.int64())})
+
+        heavy_tbl = _collect(
+            sh_rows.groupby("pkey", num_partitions=num_partitions).map_groups(
+                heavy_in_part, batch_format="pyarrow"
+            )
+        )
+        heavy = np.sort(heavy_tbl["sh"].to_numpy(zero_copy_only=False))
+        if len(heavy):
+            import logging
+
+            logging.getLogger("lamapi_ray.dedup").warning(
+                "ngram_jaccard_pairs: pruned %d stop-shingles with df > %d",
+                len(heavy),
+                max_df,
+            )
+        heavy_ref = ray.put(heavy.astype(np.int64))
+        sh_rows = ds.map_batches(
+            lambda b: explode(b, heavy_ref),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
 
     def partition_pairs(group: pa.Table) -> pa.Table:
         empty = pa.table(

@@ -203,3 +203,63 @@ def test_cc_min_labels_matches_union_find():
             comp_min[r] = min(comp_min.get(r, v), v)
         want = {v: comp_min[find(v)] for v in range(n)}
         assert got_map == want, f"trial {trial}"
+
+
+def test_ngram_jaccard_max_df_prunes_stop_shingles(ray_session):
+    # adversarial corpus: every doc shares one universal 3-token prefix
+    # (a stop-shingle whose bucket would otherwise hold all n docs →
+    # Θ(n²) pair enumeration); only two docs are REAL near-dups through
+    # their non-universal shingles
+    import time
+
+    n = 400
+    texts = []
+    for i in range(n):
+        texts.append(f"the of and unique{i}a unique{i}b unique{i}c unique{i}d")
+    # one real near-dup pair sharing 6 extra tokens (ids n, n+1)
+    texts.append("the of and same same2 same3 same4 same5 same6")
+    texts.append("the of and same same2 same3 same4 same5 same7")
+    corpus = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    t0 = time.monotonic()
+    out = ngram_jaccard_pairs(
+        corpus, "doc_id", "text", threshold=0.3, k=3, max_df=50
+    )
+    elapsed = time.monotonic() - t0
+    pairs = set(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
+    # the universal "the of and"-anchored shingles are pruned (df=n+2>50):
+    # no pair exists on their account, but the real near-dup pair survives
+    # on its distinctive shingles
+    assert (n, n + 1) in pairs
+    assert all(a >= n for a, _ in pairs), pairs
+    # Jaccard over the REDUCED sets: after pruning df>50 shingles both
+    # near-dup docs keep only their distinctive shingles. Tokens 4..9
+    # differ in position 9 only → shared reduced shingles vs union is
+    # computed consistently (exact value asserted via brute force below)
+    texts_nd = texts[n:]
+
+    def reduced_shingles(t):
+        toks = t.split(" ")
+        sh = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        # df>50 shingles are exactly those anchored in the universal prefix
+        all_sh = {}
+        for tt in texts:
+            tk = tt.split(" ")
+            for j in range(len(tk) - 2):
+                s = " ".join(tk[j : j + 3])
+                all_sh[s] = all_sh.get(s, 0) + 1
+        return {s for s in sh if all_sh[s] <= 50}
+
+    sa, sb = reduced_shingles(texts_nd[0]), reduced_shingles(texts_nd[1])
+    want = round(len(sa & sb) / len(sa | sb), 3)
+    got = dict(
+        zip(
+            zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()),
+            out["jaccard"].to_pylist(),
+        )
+    )[(n, n + 1)]
+    assert got == pytest.approx(want, abs=1e-3)
+    # time bound: pruned run must not do Θ(n²) work (generous CI bound)
+    assert elapsed < 60, elapsed
