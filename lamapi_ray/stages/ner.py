@@ -49,6 +49,83 @@ def _load_spacy():  # pragma: no cover - spaCy absent from this container
     return spacy.load("en_core_web_sm")
 
 
+class _Span:
+    """spaCy ``Span`` surface: text / label_ / start_char / end_char."""
+
+    __slots__ = ("text", "label_", "start_char", "end_char")
+
+    def __init__(self, text, label, start, end):
+        self.text = text
+        self.label_ = label
+        self.start_char = start
+        self.end_char = end
+
+
+class _Doc:
+    __slots__ = ("ents",)
+
+    def __init__(self, ents):
+        self.ents = ents
+
+
+class DeterministicLanguage:
+    """A tiny spaCy-``Language``-compatible pipeline object — the real-model
+    code path (``nlp(text).ents`` with ``text``/``label_``/``start_char``/
+    ``end_char``) without the library. Rule-based and deterministic:
+    maximal runs of Capitalized tokens become entity spans, labeled
+    PERSON / ORG / GPE by suffix- and lexicon rules that mirror the label
+    set the reference maps (ner_recognizer.py:14-29). Serializable, so it
+    loads inside real Ray actors via ``fn_constructor_args``."""
+
+    ORG_SUFFIXES = ("inc", "corp", "ltd", "llc", "gmbh", "co")
+    GPE_LEXICON = frozenset(
+        ["usa", "france", "italy", "germany", "japan", "london", "paris"]
+    )
+
+    def __call__(self, text: str) -> "_Doc":
+        ents = []
+        i = 0
+        n = len(text)
+        while i < n:
+            # find the next Capitalized token
+            if text[i].isupper():
+                j = i
+                # extend over consecutive "Xxx Xxx" tokens
+                end = i
+                while j < n:
+                    # consume one token
+                    k = j
+                    while k < n and text[k] != " ":
+                        k += 1
+                    end = k
+                    # peek at next token: continue only if Capitalized
+                    if k < n and k + 1 < n and text[k + 1].isupper():
+                        j = k + 1
+                    else:
+                        break
+                span = text[i:end]
+                toks = span.lower().split(" ")
+                if toks[-1].rstrip(".") in self.ORG_SUFFIXES:
+                    label = "ORG"
+                elif any(t in self.GPE_LEXICON for t in toks):
+                    label = "GPE"
+                else:
+                    label = "PERSON"
+                ents.append(_Span(span, label, i, end))
+                i = end + 1
+            else:
+                # skip to next token start
+                while i < n and text[i] != " ":
+                    i += 1
+                i += 1
+        return _Doc(ents)
+
+
+def load_deterministic_language() -> DeterministicLanguage:
+    """Module-level loader (picklable) for the deterministic pipeline."""
+    return DeterministicLanguage()
+
+
 class NERActor:
     """Model state loaded once per actor (reference loads spaCy once per
     process); batches scored in ``__call__``.
@@ -61,7 +138,12 @@ class NERActor:
     def __init__(self, gazetteer_ref=None, model_loader=_load_spacy):
         try:
             self.nlp = model_loader()
-        except Exception:
+        except (ImportError, OSError):
+            # only the "library/model not installed" case falls back to the
+            # gazetteer; a broken EXPLICIT loader must surface, not silently
+            # degrade
+            if model_loader is not _load_spacy:
+                raise
             self.nlp = None
         self.gazetteer: dict[str, str] = (
             ray.get(gazetteer_ref) if gazetteer_ref is not None else {}
@@ -128,13 +210,19 @@ def ner_pages(
     pages: ray.data.Dataset,
     gazetteer: dict[str, str] | None = None,
     concurrency: int = 2,
+    model_loader=_load_spacy,
 ) -> ray.data.Dataset:
-    """Actor-pool NER over (url, text) pages."""
+    """Actor-pool NER over (url, text) pages.
+
+    ``model_loader`` must be picklable (module-level function) — it ships
+    to each actor and runs ONCE in ``NERActor.__init__``; pass
+    :func:`load_deterministic_language` to exercise the real-model path
+    without spaCy installed."""
     gz_ref = ray.put(gazetteer or {})
     return pages.select_columns(["url", "text"]).map_batches(
         NERActor,
         batch_format="pyarrow",
-        fn_constructor_args=(gz_ref,),
+        fn_constructor_args=(gz_ref, model_loader),
         concurrency=pool_width(concurrency),
         batch_size=512,
     )

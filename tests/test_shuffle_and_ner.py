@@ -149,16 +149,24 @@ def test_ner_real_model_path_with_injected_model():
     assert got["Coyote"][0] == "OTHERS"         # unmapped label → OTHERS
 
 
-def test_ner_model_load_failure_falls_back_to_gazetteer(ray_session):
+def test_ner_model_load_failure_semantics(ray_session):
+    import pytest
     import ray as _ray
 
     from lamapi_ray.stages.ner import NERActor
 
+    # an EXPLICITLY injected loader that fails must surface, not silently
+    # degrade the pipeline to gazetteer quality
     def broken_loader():
         raise RuntimeError("no model")
 
     gz = _ray.put({"acme": "ORG"})
-    actor = NERActor(gazetteer_ref=gz, model_loader=broken_loader)
+    with pytest.raises(RuntimeError, match="no model"):
+        NERActor(gazetteer_ref=gz, model_loader=broken_loader)
+
+    # the DEFAULT loader (spaCy absent from this container → ImportError)
+    # falls back to the gazetteer
+    actor = NERActor(gazetteer_ref=gz)
     assert actor.nlp is None
     batch = pa.table(
         {"url": pa.array(["u"]), "text": pa.array(["visit acme now"])}
@@ -166,3 +174,44 @@ def test_ner_model_load_failure_falls_back_to_gazetteer(ray_session):
     out = actor(batch)
     assert out["mention"].to_pylist() == ["acme"]
     assert out["classification"].to_pylist() == ["ORG"]
+
+
+def test_ner_actor_pool_model_path_end_to_end(ray_session):
+    # the REAL loader path through map_batches actor pool: the pipeline
+    # object is constructed once per actor in __init__ (shipped via
+    # fn_constructor_args), batches flow through nlp(text).ents — the
+    # exact wiring a spaCy user gets, with the deterministic in-tree
+    # Language stand-in (reference ner_recognizer.py:7-29)
+    import ray.data as rd
+
+    from lamapi_ray.stages.ner import load_deterministic_language, ner_pages
+
+    pages = rd.from_items(
+        [
+            {"url": "u1", "text": "Alice Smith visited Paris with Acme Inc"},
+            {"url": "u2", "text": "nothing capitalized here"},
+            {"url": "u3", "text": "Bob works in the USA"},
+        ]
+    )
+    out = pa.concat_tables(
+        ner_pages(
+            pages, concurrency=2, model_loader=load_deterministic_language
+        ).iter_batches(batch_size=1024, batch_format="pyarrow")
+    ).sort_by([("url", "ascending"), ("start_index", "ascending")])
+    rows = out.to_pylist()
+    by_url = {}
+    for r in rows:
+        by_url.setdefault(r["url"], []).append(r)
+    m1 = {r["mention"]: r["classification"] for r in by_url["u1"]}
+    # PERSON → PERS, GPE → LOC, ORG → ORG (SPACY_LABEL_MAP applied)
+    assert m1["Alice Smith"] == "PERS"
+    assert m1["Paris"] == "LOC"
+    assert m1["Acme Inc"] == "ORG"
+    assert "u2" not in by_url
+    m3 = {r["mention"]: r["classification"] for r in by_url["u3"]}
+    assert m3["USA"] == "LOC" and m3["Bob"] == "PERS"
+    # char offsets are faithful to the source text
+    for r in rows:
+        src = {"u1": "Alice Smith visited Paris with Acme Inc",
+               "u3": "Bob works in the USA"}[r["url"]]
+        assert src[r["start_index"]:r["end_index"]] == r["mention"]
