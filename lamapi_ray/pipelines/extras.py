@@ -1984,7 +1984,7 @@ def candidates_bm25(mentions_tbl: pa.Table, ctx, limit: int) -> pa.Table:
     dm = sorted(set(mentions_tbl["mention"].to_pylist()))
     ds = ray.data.from_arrow(pa.table({"mention": pa.array(dm, pa.string())}))
     return _collect(
-        generate_candidates_bm25(ds, ctx.surface_forms, ctx.type_names, limit)
+        generate_candidates_bm25(ds, ctx.surface_refs, ctx.type_names, limit)
     )
 
 
@@ -2005,7 +2005,7 @@ def candidates_filtered(mentions_tbl: pa.Table, ctx, limit: int) -> pa.Table:
     )
     cands = generate_candidates(
         fm,
-        ctx.surface_forms,
+        ctx.surface_refs,
         ctx.type_names,
         limit=limit,
         retrieve_kwargs={"fuzzy": True, "kind": "entity", "nertype": "OTHERS"},

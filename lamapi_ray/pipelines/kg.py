@@ -31,13 +31,16 @@ LITERAL_PRED = "P90"
 
 
 class KGContext:
-    """Materialized small-side state shared by a job: surface forms + maps.
+    """Small-side state shared by a job: surface-form block refs + maps.
 
-    surface_forms is built by the Ray index pipeline then materialized on the
-    driver — it is vocabulary-bounded (≪ pages). At Wikidata scale this is
-    the one table that would instead be sharded by first token (see
-    index/surface.py docstring); the pipeline code below only touches it via
-    ``ray.put`` broadcasts, so swapping the strategy is local to this class.
+    surface_forms is built by the Ray index pipeline and kept as BLOCK REFS
+    in the object store (``to_arrow_refs``) — the driver heap never holds a
+    copy, and the candidate stages consume the refs directly (each worker
+    zero-copy concats the shared-memory blocks once). It is
+    vocabulary-bounded (≪ pages); at Wikidata scale this is the one table
+    that would instead be sharded by first token (see index/surface.py
+    docstring), and because the pipeline only touches it via refs, swapping
+    the strategy is local to this class.
     """
 
     def __init__(
@@ -52,14 +55,12 @@ class KGContext:
         self.index_strategy = index_strategy
         self.num_shards = num_shards
         items_ds = ray.data.from_arrow(items)
-        self.surface_forms: pa.Table = pa.concat_tables(
-            [
-                b
-                for b in build_surface_forms(items_ds).iter_batches(
-                    batch_size=65536, batch_format="pyarrow"
-                )
-            ]
+        # block refs, not a driver-heap table: holding the refs pins the
+        # blocks in the (spillable) object store
+        self.surface_refs: tuple = tuple(
+            build_surface_forms(items_ds).to_arrow_refs()
         )
+        self._surface_forms: pa.Table | None = None
         self.type_names = dict(TYPE_LABELS)
         # en labels of kind="type" items (J2 — lookup_retriever.py:236-240),
         # vectorized: arrow filter on kind, zip only the (small) type subset
@@ -79,6 +80,19 @@ class KGContext:
             self.surface_forms["surface_norm"]
         )
         self.max_surface_tokens = self.vocab.max_n
+
+    @property
+    def surface_forms(self) -> pa.Table:
+        """Zero-copy view over the object-store blocks (Arrow data buffers
+        stay in shared memory; only the table/schema wrappers live on the
+        driver heap). Used by the sharded index builder and the small
+        query-surface helpers; the hot broadcast path ships ``surface_refs``
+        instead."""
+        if self._surface_forms is None:
+            self._surface_forms = pa.concat_tables(
+                ray.get(list(self.surface_refs))
+            )
+        return self._surface_forms
 
 
 def mention_rows(pages: ray.data.Dataset, ctx: KGContext, concurrency=4, meter_args=None):
@@ -174,7 +188,7 @@ def linked_pages(
         )
     else:
         cands = generate_candidates(
-            dm, ctx.surface_forms, ctx.type_names, limit=limit,
+            dm, ctx.surface_refs, ctx.type_names, limit=limit,
             concurrency=concurrency, meter_args=meter_args,
         )
     lm = link_best(cands).to_pandas()  # vocabulary-bounded, small

@@ -59,6 +59,22 @@ CANDIDATE_SCHEMA = pa.schema(CANDIDATE_FIELDS)
 _INDEX_CACHE: list = [None, None]
 
 
+def surface_refs(surface) -> tuple:
+    """Normalize a surface_forms input to a tuple of object refs.
+
+    A ``pa.Table`` is ``ray.put`` once (one broadcast copy); a sequence of
+    block refs (e.g. ``KGContext.surface_refs`` from ``to_arrow_refs``)
+    passes through untouched — no driver-side copy at all, workers
+    zero-copy concat the shared-memory blocks."""
+    if isinstance(surface, pa.Table):
+        return (ray.put(surface),)
+    return tuple(surface)
+
+
+def _refs_key(refs: tuple) -> tuple:
+    return tuple(r.hex() if hasattr(r, "hex") else id(r) for r in refs)
+
+
 class CandidateGenerator:
     """SurfaceIndex built once per worker process, scored per batch.
 
@@ -70,9 +86,12 @@ class CandidateGenerator:
     """
 
     def __init__(self, surface_ref, type_names_ref, limit: int = 1000, retrieve_kwargs=None):
-        key = surface_ref.hex() if hasattr(surface_ref, "hex") else id(surface_ref)
+        refs = surface_ref if isinstance(surface_ref, tuple) else (surface_ref,)
+        key = _refs_key(refs)
         if _INDEX_CACHE[0] != key:
-            table: pa.Table = ray.get(surface_ref)
+            # zero-copy concat of the shared-memory blocks (SurfaceIndex
+            # reads via to_pylist, which handles chunked columns)
+            table: pa.Table = pa.concat_tables(ray.get(list(refs)))
             type_names: dict = ray.get(type_names_ref)
             _INDEX_CACHE[0] = key
             _INDEX_CACHE[1] = SurfaceIndex(table, type_names)
@@ -115,7 +134,7 @@ class CandidateGenerator:
 
 def generate_candidates(
     distinct_mentions: ray.data.Dataset,
-    surface_forms: pa.Table,
+    surface_forms,
     type_names: dict[str, str],
     limit: int = 1000,
     concurrency: int = 4,
@@ -128,8 +147,11 @@ def generate_candidates(
     ``kind``, ``nertype``, ``types`` — reference
     lookup_retriever.py:261-290) to :meth:`SurfaceIndex.candidates`.
     ``meter_args=(actor, key)`` reports (mentions_in, candidates_out,
-    busy_sec) per batch — fan-out and link-score latency derive from it."""
-    surface_ref = ray.put(surface_forms)
+    busy_sec) per batch — fan-out and link-score latency derive from it.
+
+    ``surface_forms`` may be a ``pa.Table`` or a sequence of block refs
+    (``KGContext.surface_refs``) — the ref path avoids any driver copy."""
+    surface_ref = surface_refs(surface_forms)
     type_names_ref = ray.put(type_names)
 
     def score(batch: pa.Table) -> pa.Table:
@@ -150,19 +172,19 @@ def generate_candidates(
 
 def generate_candidates_bm25(
     distinct_mentions: ray.data.Dataset,
-    surface_forms: pa.Table,
+    surface_forms,
     type_names: dict[str, str],
     limit: int = 1000,
 ) -> ray.data.Dataset:
     """BM25-ranked retrieval (ES relevance-order parity — see
     :meth:`SurfaceIndex.bm25_hits`) → (mention, id, name, rank, bm25,
     pos_score, es_score). Same broadcast-index/memoized-worker dataflow as
-    :func:`generate_candidates`."""
+    :func:`generate_candidates` (table or block-ref input)."""
     import numpy as np
 
     from lamapi_ray.index.surface import _round_arr
 
-    surface_ref = ray.put(surface_forms)
+    surface_ref = surface_refs(surface_forms)
     type_names_ref = ray.put(type_names)
 
     def score(batch: pa.Table) -> pa.Table:
