@@ -1658,6 +1658,19 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents"
     )
 
+    # REAL baseline-JPEG decode (pure-numpy from-spec codec): fixtures are
+    # flat-gray at quality 75, where the luma DC quant step is exactly 8 —
+    # 8·(v−128) quantizes losslessly, chroma is the all-zero plane, and the
+    # decode roundtrips PIXEL-EXACT to v = (doc_id*37 + 11) % 256. The
+    # oracle therefore states the decoded mean in closed form; lossy-path
+    # fidelity (noise images, AC categories, ZRL/EOB, restarts) is locked
+    # by tests/test_jpegcodec.py against an independent reference chain.
+    sql["multimodal_decode_jpeg"] = (
+        "SELECT doc_id, (8 + doc_id % 32) AS width, (8 + (doc_id*3) % 16) AS height,\n"
+        " CAST((doc_id*37 + 11) % 256 AS DOUBLE) AS mean_pixel\n"
+        "FROM documents"
+    )
+
     # nearest-neighbor 16x16 resample: dst (y,x,c) reads src index
     # ((y*h)//16 * w + (x*w)//16) * 3 + c
     sql["multimodal_resize"] = (
@@ -1968,6 +1981,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_events",
         "multimodal_decode",
         "multimodal_decode_real",
+        "multimodal_decode_jpeg",
         "multimodal_resize",
         "multimodal_frames",
         "dataset_split",
@@ -2229,6 +2243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # revenue_by_nation / quantile_sketch / events_rollup) so every entry
     # has at least one driver-green record across rounds.
     priority = [
+        "multimodal_decode_jpeg",  # new this round (round 5)
         "knn_neighbors", "term_pmi", "events_rollup", "event_transitions",
         "typo_pairs", "bloom_users", "top_ngrams", "event_percentiles",
         "sessionize", "events_asof", "purchase_attribution",

@@ -11,8 +11,11 @@ The container has no PIL/cv2/ffmpeg, but uncompressed formats need none:
   ``b"RAWV" + u16 width + u16 height + u16 nframes`` (little-endian)
   followed by ``nframes`` concatenated raw RGB frames.
 
-Compressed formats (JPEG/PNG/MP4...) still raise ``NotImplementedError``
-in the decode stages — honestly gated, not faked.
+Baseline JPEG is also real — a from-spec pure-numpy codec in
+:mod:`lamapi_ray.functions.jpegcodec` (entropy layer validated bit-exact
+against an independent quantize/dequantize reference chain). PNG/MP4
+still raise ``NotImplementedError`` in the decode stages — honestly
+gated, not faked.
 
 All functions take/return ``np.ndarray`` images shaped (H, W, 3) uint8.
 """
@@ -163,9 +166,13 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_bmp(data)
     if fmt == "ppm":
         return decode_ppm(data)
-    if fmt in ("jpeg", "png"):
+    if fmt == "jpeg":
+        from lamapi_ray.functions.jpegcodec import decode_jpeg
+
+        return decode_jpeg(data)
+    if fmt == "png":
         raise NotImplementedError(
-            f"{fmt} is a compressed format; codec libraries are not present "
+            "png is a compressed format; codec libraries are not present "
             "in this environment — plug a decoder in here"
         )
     raise ValueError(f"unrecognized image payload ({fmt})")

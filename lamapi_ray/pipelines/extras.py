@@ -1424,6 +1424,19 @@ def multimodal_decode_real(sf_dir: str) -> pa.Table:
     )
 
 
+def multimodal_decode_jpeg(sf_dir: str) -> pa.Table:
+    """REAL compressed-image decode: baseline JPEG payloads (pure-numpy
+    from-spec codec, mixed 4:4:4/4:2:0 + restart markers) through the
+    actor-pool decoder. Flat-gray-at-quality-75 fixtures roundtrip
+    pixel-exact (see stages.multimodal.synth_flat_gray), so the oracle
+    checks the decoded mean exactly."""
+    from lamapi_ray.stages.multimodal import attach_jpeg_payload
+
+    return _collect(
+        decode_payloads(attach_jpeg_payload(_docs(sf_dir)), mode="real")
+    )
+
+
 def multimodal_resize(sf_dir: str) -> pa.Table:
     """REAL decode → nearest-neighbor resize to 16×16 → re-encode; the
     oracle reproduces the resampling index arithmetic exactly."""

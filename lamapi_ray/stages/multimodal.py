@@ -4,12 +4,13 @@ Image/audio/video payloads are carried as Arrow ``binary`` columns with
 typed metadata alongside. The decode / resize / frame-sample stages are
 actor-pool ``map_batches`` (decoder state initialised once per actor).
 
-Decode is REAL for uncompressed formats — 24-bit BMP, binary PPM and the
-RAWV raw-video container are parsed with the pure-numpy codecs in
-:mod:`lamapi_ray.functions.imagecodec` (roundtrip-exact, unit-tested, and
-oracle-checked end to end by the ``multimodal_decode_real`` /
-``multimodal_resize`` queries). Compressed formats (JPEG/PNG/MP4) raise
-``NotImplementedError`` — the codec libraries are absent from this
+Decode is REAL for 24-bit BMP, binary PPM, the RAWV raw-video container
+(pure-numpy codecs in :mod:`lamapi_ray.functions.imagecodec` —
+roundtrip-exact, unit-tested, and oracle-checked end to end by the
+``multimodal_decode_real`` / ``multimodal_resize`` queries) and for
+baseline-sequential JPEG (from-spec pure-numpy codec in
+:mod:`lamapi_ray.functions.jpegcodec`). PNG/MP4 raise
+``NotImplementedError`` — those codec libraries are absent from this
 container, and that path is honestly gated rather than faked. The legacy
 ``fake`` mode (pseudo-metadata from payload bytes) is kept for the
 original ``multimodal_decode`` query.
@@ -135,6 +136,52 @@ def attach_image_payload(docs: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return docs.map_batches(to_bmp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def synth_flat_gray(doc_id: int) -> np.ndarray:
+    """Deterministic flat-gray test image: w = 8 + id%32, h = 8 + (id*3)%16,
+    every pixel v = (id*37 + 11) % 256.
+
+    Chosen because at JPEG quality 75 the luma DC quant step is exactly 8
+    (Annex-K 16 × scale 50 → 8), so the DC coefficient 8·(v−128) quantizes
+    losslessly and a flat-gray image ROUNDTRIPS PIXEL-EXACT through the
+    codec — which makes the decoded mean SQL-expressible for the oracle
+    gate (the lossy-path fidelity is covered by unit tests instead)."""
+    w = 8 + doc_id % 32
+    h = 8 + (doc_id * 3) % 16
+    v = (doc_id * 37 + 11) % 256
+    return np.full((h, w, 3), v, dtype=np.uint8)
+
+
+def attach_jpeg_payload(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """documents → (doc_id, payload) with REAL baseline-JPEG images.
+
+    Alternates 4:4:4 / 4:2:0 subsampling and varies the restart interval by
+    doc so the driver-gate fixture exercises both MCU layouts and the RSTn
+    resync path of the decoder."""
+    from lamapi_ray.functions.jpegcodec import encode_jpeg
+
+    def to_jpeg(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(
+                    [
+                        encode_jpeg(
+                            synth_flat_gray(int(i)),
+                            quality=75,
+                            subsampling="420" if i % 2 else "444",
+                            restart_interval=int(i) % 3,
+                        )
+                        for i in ids
+                    ],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    return docs.map_batches(to_jpeg, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def attach_video_payload(docs: ray.data.Dataset) -> ray.data.Dataset:

@@ -48,15 +48,31 @@ def test_payload_decoder_real_path_decodes_bmp_and_gates_compressed():
     assert out["width"][0].as_py() == 4
     assert out["height"][0].as_py() == 6
     assert out["mean_pixel"][0].as_py() == pytest.approx(float(img.mean()), abs=1e-4)
-    # compressed formats stay honestly gated
+    # baseline JPEG is now REAL (pure-numpy codec) — decodes through the pool
+    from lamapi_ray.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+    jp = encode_jpeg(img, quality=95)
     jpeg_batch = pa.table(
         {
             "doc_id": pa.array([1], pa.int64()),
-            "payload": pa.array([b"\xff\xd8rest"], pa.binary()),
+            "payload": pa.array([jp], pa.binary()),
+        }
+    )
+    jout = PayloadDecoder(mode="real")(jpeg_batch)
+    assert jout["width"][0].as_py() == 4
+    assert jout["height"][0].as_py() == 6
+    assert jout["mean_pixel"][0].as_py() == pytest.approx(
+        float(decode_jpeg(jp).mean()), abs=1e-4
+    )
+    # PNG stays honestly gated
+    png_batch = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "payload": pa.array([b"\x89PNG\r\n\x1a\nrest"], pa.binary()),
         }
     )
     with pytest.raises(NotImplementedError):
-        PayloadDecoder(mode="real")(jpeg_batch)
+        PayloadDecoder(mode="real")(png_batch)
 
 
 def test_decode_payloads_actor_pool():
