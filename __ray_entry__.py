@@ -1671,6 +1671,26 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents"
     )
 
+    # REAL WAV decode + clip features. Samples are always odd (never zero)
+    # so zero-crossing needs no sign-fill; sum-of-squares is an exact int64
+    # (< 2^53), so sqrt(ss/n) is bit-identical between numpy and DuckDB.
+    sql["audio_features"] = (
+        "WITH p AS (SELECT doc_id, 256 + (doc_id*5) % 512 AS n,\n"
+        "                  8000 * (1 + doc_id % 3) AS rate FROM documents)\n"
+        "SELECT doc_id, n AS n_samples, 1 AS channels, rate AS sample_rate,\n"
+        " round_even(CAST(n AS DOUBLE) / rate, 6) AS duration_sec,\n"
+        " round_even(sqrt(list_aggregate(list_transform(range(0, n),\n"
+        "   i -> CAST(2*((doc_id*13 + i*7919) % 32768) - 32767 AS DOUBLE)\n"
+        "        * (2*((doc_id*13 + i*7919) % 32768) - 32767)), 'sum') / n), 6) AS rms,\n"
+        " list_aggregate(list_transform(range(0, n),\n"
+        "   i -> abs(2*((doc_id*13 + i*7919) % 32768) - 32767)), 'max') AS peak,\n"
+        " list_aggregate(list_transform(range(1, n),\n"
+        "   i -> CASE WHEN ((2*((doc_id*13 + i*7919) % 32768) - 32767) > 0)\n"
+        "             <> ((2*((doc_id*13 + (i-1)*7919) % 32768) - 32767) > 0)\n"
+        "        THEN 1 ELSE 0 END), 'sum') AS zero_crossings\n"
+        "FROM p"
+    )
+
     # nearest-neighbor 16x16 resample: dst (y,x,c) reads src index
     # ((y*h)//16 * w + (x*w)//16) * 3 + c
     sql["multimodal_resize"] = (
@@ -1982,6 +2002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode",
         "multimodal_decode_real",
         "multimodal_decode_jpeg",
+        "audio_features",
         "multimodal_resize",
         "multimodal_frames",
         "dataset_split",
@@ -2243,7 +2264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # revenue_by_nation / quantile_sketch / events_rollup) so every entry
     # has at least one driver-green record across rounds.
     priority = [
-        "multimodal_decode_jpeg",  # new this round (round 5)
+        "multimodal_decode_jpeg", "audio_features",  # new this round (r5)
         "knn_neighbors", "term_pmi", "events_rollup", "event_transitions",
         "typo_pairs", "bloom_users", "top_ngrams", "event_percentiles",
         "sessionize", "events_asof", "purchase_attribution",

@@ -1437,6 +1437,17 @@ def multimodal_decode_jpeg(sf_dir: str) -> pa.Table:
     )
 
 
+def audio_features(sf_dir: str) -> pa.Table:
+    """REAL audio decode + feature extraction: deterministic RIFF/WAVE
+    PCM16 clips (pure-numpy codec) through the actor-pool extractor —
+    duration, exact-arithmetic RMS, peak, zero crossings. The audio leg of
+    the multimodal family (reference carries only text/graph payloads;
+    this is part of the LLM-training-data operator surface)."""
+    from lamapi_ray.stages.multimodal import attach_wav_payload, extract_audio_features
+
+    return _collect(extract_audio_features(attach_wav_payload(_docs(sf_dir))))
+
+
 def multimodal_resize(sf_dir: str) -> pa.Table:
     """REAL decode → nearest-neighbor resize to 16×16 → re-encode; the
     oracle reproduces the resampling index arithmetic exactly."""

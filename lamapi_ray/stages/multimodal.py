@@ -223,6 +223,105 @@ def decode_payloads(
     )
 
 
+def synth_audio(doc_id: int) -> tuple[np.ndarray, int]:
+    """Deterministic mono PCM16 clip: n = 256 + (id*5)%512 samples at
+    rate = 8000*(1 + id%3); sample i = 2*((id*13 + i*7919) % 32768) − 32767
+    (always odd → never zero, so the zero-crossing count needs no
+    sign-fill convention and the DuckDB oracle states it directly)."""
+    n = 256 + (doc_id * 5) % 512
+    rate = 8000 * (1 + doc_id % 3)
+    i = np.arange(n, dtype=np.int64)
+    s = (2 * ((doc_id * 13 + i * 7919) % 32768) - 32767).astype(np.int16)
+    return s, rate
+
+
+def attach_wav_payload(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """documents → (doc_id, payload) with REAL RIFF/WAVE PCM16 clips."""
+    from lamapi_ray.functions.audiocodec import encode_wav
+
+    def to_wav(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            s, rate = synth_audio(int(i))
+            payloads.append(encode_wav(s, rate))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    return docs.map_batches(to_wav, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class AudioFeatureExtractor:
+    """Actor: REAL WAV decode + vectorized clip features per batch.
+
+    Sum-of-squares is an exact int64 (16-bit samples, clip-bounded), so
+    ``rms = sqrt(ss/n)`` is bit-identical however partial sums are ordered
+    — which is what lets the DuckDB oracle reproduce the float exactly.
+    Compressed audio (MP3/OGG) raises ``NotImplementedError`` — honestly
+    gated like PNG/MP4."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from lamapi_ray.functions.audiocodec import (
+            audio_features,
+            decode_wav,
+            sniff_audio,
+        )
+        from lamapi_ray.functions.text import round_ref
+
+        cols: dict[str, list] = {
+            k: []
+            for k in (
+                "doc_id", "n_samples", "channels", "sample_rate",
+                "duration_sec", "rms", "peak", "zero_crossings",
+            )
+        }
+        for i, p in zip(batch["doc_id"].to_pylist(), batch["payload"].to_pylist()):
+            kind = sniff_audio(p)
+            if kind != "wav":
+                raise NotImplementedError(
+                    f"{kind} audio is compressed; codec libraries are not "
+                    "present in this environment — plug a decoder in here"
+                )
+            samples, rate = decode_wav(p)
+            f = audio_features(samples, rate)
+            cols["doc_id"].append(i)
+            cols["n_samples"].append(f["n_samples"])
+            cols["channels"].append(f["channels"])
+            cols["sample_rate"].append(f["sample_rate"])
+            cols["duration_sec"].append(round_ref(f["duration_sec"], 6))
+            cols["rms"].append(round_ref(f["rms"], 6))
+            cols["peak"].append(f["peak"])
+            cols["zero_crossings"].append(f["zero_crossings"])
+        return pa.table(
+            {
+                "doc_id": pa.array(cols["doc_id"], pa.int64()),
+                "n_samples": pa.array(cols["n_samples"], pa.int64()),
+                "channels": pa.array(cols["channels"], pa.int64()),
+                "sample_rate": pa.array(cols["sample_rate"], pa.int64()),
+                "duration_sec": pa.array(cols["duration_sec"], pa.float64()),
+                "rms": pa.array(cols["rms"], pa.float64()),
+                "peak": pa.array(cols["peak"], pa.int64()),
+                "zero_crossings": pa.array(cols["zero_crossings"], pa.int64()),
+            }
+        )
+
+
+def extract_audio_features(
+    payloads: ray.data.Dataset, concurrency: int = 2, batch_size: int = 64
+) -> ray.data.Dataset:
+    return payloads.map_batches(
+        AudioFeatureExtractor,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=pool_width(concurrency),
+        batch_size=batch_size,
+    )
+
+
 class PayloadResizer:
     """Actor: REAL resize — decode (BMP/PPM), nearest-neighbor resample,
     re-encode BMP; target dims held as actor state."""
