@@ -1671,6 +1671,15 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents"
     )
 
+    # REAL PNG decode — lossless, so the oracle is the BMP fixture's exact
+    # pixel arithmetic (flat RGB pixel i = (doc_id*7 + i) % 256)
+    sql["multimodal_decode_png"] = (
+        "SELECT doc_id, (8 + doc_id % 32) AS width, (8 + (doc_id*3) % 16) AS height,\n"
+        " round_even(list_aggregate(list_transform(range(0, (8 + doc_id % 32) * (8 + (doc_id*3) % 16) * 3),\n"
+        "   i -> CAST((doc_id*7 + i) % 256 AS DOUBLE)), 'avg'), 4) AS mean_pixel\n"
+        "FROM documents"
+    )
+
     # REAL WAV decode + clip features. Samples are always odd (never zero)
     # so zero-crossing needs no sign-fill; sum-of-squares is an exact int64
     # (< 2^53), so sqrt(ss/n) is bit-identical between numpy and DuckDB.
@@ -2002,6 +2011,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode",
         "multimodal_decode_real",
         "multimodal_decode_jpeg",
+        "multimodal_decode_png",
         "audio_features",
         "multimodal_resize",
         "multimodal_frames",
@@ -2264,7 +2274,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # revenue_by_nation / quantile_sketch / events_rollup) so every entry
     # has at least one driver-green record across rounds.
     priority = [
-        "multimodal_decode_jpeg", "audio_features",  # new this round (r5)
+        "multimodal_decode_jpeg", "multimodal_decode_png",
+        "audio_features",  # ^ new this round (r5)
         "knn_neighbors", "term_pmi", "events_rollup", "event_transitions",
         "typo_pairs", "bloom_users", "top_ngrams", "event_percentiles",
         "sessionize", "events_asof", "purchase_attribution",

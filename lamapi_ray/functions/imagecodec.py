@@ -171,8 +171,7 @@ def decode_image(data: bytes) -> np.ndarray:
 
         return decode_jpeg(data)
     if fmt == "png":
-        raise NotImplementedError(
-            "png is a compressed format; codec libraries are not present "
-            "in this environment — plug a decoder in here"
-        )
+        from lamapi_ray.functions.pngcodec import decode_png
+
+        return decode_png(data)
     raise ValueError(f"unrecognized image payload ({fmt})")

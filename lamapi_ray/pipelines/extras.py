@@ -1437,6 +1437,18 @@ def multimodal_decode_jpeg(sf_dir: str) -> pa.Table:
     )
 
 
+def multimodal_decode_png(sf_dir: str) -> pa.Table:
+    """REAL PNG decode (pure-Python/numpy codec over stdlib zlib, filter
+    type rotating per doc) through the actor-pool decoder. PNG is lossless,
+    so the oracle is the same closed-form pixel arithmetic as the BMP
+    fixture query."""
+    from lamapi_ray.stages.multimodal import attach_png_payload
+
+    return _collect(
+        decode_payloads(attach_png_payload(_docs(sf_dir)), mode="real")
+    )
+
+
 def audio_features(sf_dir: str) -> pa.Table:
     """REAL audio decode + feature extraction: deterministic RIFF/WAVE
     PCM16 clips (pure-numpy codec) through the actor-pool extractor —

@@ -138,6 +138,31 @@ def attach_image_payload(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(to_bmp, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def attach_png_payload(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """documents → (doc_id, payload) with REAL PNG images (same pixel spec
+    as the BMP fixtures — PNG is lossless so the decode oracle is the same
+    closed form). Filter type rotates per doc (None/Sub/Up/Average/Paeth)
+    so the driver gate exercises every unfilter path."""
+    from lamapi_ray.functions.pngcodec import encode_png
+
+    def to_png(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(
+                    [
+                        encode_png(synth_image(int(i)), filter_type=int(i) % 5)
+                        for i in ids
+                    ],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    return docs.map_batches(to_png, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def synth_flat_gray(doc_id: int) -> np.ndarray:
     """Deterministic flat-gray test image: w = 8 + id%32, h = 8 + (id*3)%16,
     every pixel v = (id*37 + 11) % 256.

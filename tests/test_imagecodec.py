@@ -53,8 +53,12 @@ def test_sniff_and_dispatch():
     assert sniff_format(encode_rawv(img[None])) == "rawv"
     assert sniff_format(b"\xff\xd8...") == "jpeg"
     assert np.array_equal(decode_image(encode_ppm(img)), img)
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\nrest")
+    # jpeg/png now dispatch to the real from-spec codecs
+    from lamapi_ray.functions.jpegcodec import encode_jpeg
+    from lamapi_ray.functions.pngcodec import encode_png
+
+    assert np.array_equal(decode_image(encode_png(img)), img)
+    assert decode_image(encode_jpeg(img)).shape == img.shape
     with pytest.raises(ValueError):
         decode_image(b"garbage")
 

@@ -64,11 +64,22 @@ def test_payload_decoder_real_path_decodes_bmp_and_gates_compressed():
     assert jout["mean_pixel"][0].as_py() == pytest.approx(
         float(decode_jpeg(jp).mean()), abs=1e-4
     )
-    # PNG stays honestly gated
+    # PNG is also real now; Adam7-interlaced PNG stays honestly gated
+    import struct
+    import zlib as _zlib
+
+    from lamapi_ray.functions.pngcodec import PNG_SIG, _chunk
+
+    adam7 = (
+        PNG_SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+        + _chunk(b"IDAT", _zlib.compress(b"\x00" * 14))
+        + _chunk(b"IEND", b"")
+    )
     png_batch = pa.table(
         {
             "doc_id": pa.array([1], pa.int64()),
-            "payload": pa.array([b"\x89PNG\r\n\x1a\nrest"], pa.binary()),
+            "payload": pa.array([adam7], pa.binary()),
         }
     )
     with pytest.raises(NotImplementedError):
