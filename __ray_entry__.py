@@ -1671,6 +1671,31 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents"
     )
 
+    # Greedy per-bucket sequence packing: the packing recurrence (each
+    # doc's bin depends on the previous doc's fill state) is expressed as a
+    # recursive CTE walking each bucket in doc_id order — the exact mirror
+    # of the engine's per-group loop in stages/packing.py
+    sql["sequence_packing"] = (
+        "WITH RECURSIVE d AS (\n"
+        "  SELECT doc_id, doc_id // 64 AS bucket,\n"
+        "         LEAST(len(str_split(text, ' ')), 256) AS t,\n"
+        "         (len(str_split(text, ' ')) > 256) AS truncated,\n"
+        "         row_number() OVER (PARTITION BY doc_id // 64 ORDER BY doc_id) AS rn\n"
+        "  FROM documents\n"
+        "), pack AS (\n"
+        "  SELECT bucket, rn, doc_id, t, truncated,\n"
+        "         CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS off, t AS fill\n"
+        "  FROM d WHERE rn = 1\n"
+        "  UNION ALL\n"
+        "  SELECT d.bucket, d.rn, d.doc_id, d.t, d.truncated,\n"
+        "         CASE WHEN p.fill + d.t > 256 THEN p.seq_id + 1 ELSE p.seq_id END,\n"
+        "         CASE WHEN p.fill + d.t > 256 THEN CAST(0 AS BIGINT) ELSE p.fill END,\n"
+        "         CASE WHEN p.fill + d.t > 256 THEN d.t ELSE p.fill + d.t END\n"
+        "  FROM d JOIN pack p ON d.bucket = p.bucket AND d.rn = p.rn + 1\n"
+        ") SELECT doc_id, bucket, seq_id, off AS \"offset\", t AS n_tokens, truncated\n"
+        "FROM pack ORDER BY doc_id"
+    )
+
     # REAL PNG decode — lossless, so the oracle is the BMP fixture's exact
     # pixel arithmetic (flat RGB pixel i = (doc_id*7 + i) % 256)
     sql["multimodal_decode_png"] = (
@@ -2013,6 +2038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode_jpeg",
         "multimodal_decode_png",
         "audio_features",
+        "sequence_packing",
         "multimodal_resize",
         "multimodal_frames",
         "dataset_split",
@@ -2275,7 +2301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # has at least one driver-green record across rounds.
     priority = [
         "multimodal_decode_jpeg", "multimodal_decode_png",
-        "audio_features",  # ^ new this round (r5)
+        "audio_features", "sequence_packing",  # ^ new this round (r5)
         "knn_neighbors", "term_pmi", "events_rollup", "event_transitions",
         "typo_pairs", "bloom_users", "top_ngrams", "event_percentiles",
         "sessionize", "events_asof", "purchase_attribution",

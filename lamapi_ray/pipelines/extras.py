@@ -1437,6 +1437,18 @@ def multimodal_decode_jpeg(sf_dir: str) -> pa.Table:
     )
 
 
+def sequence_packing(sf_dir: str) -> pa.Table:
+    """Greedy per-bucket sequence packing (capacity 256 whitespace tokens,
+    bucket = doc_id // 64) — the context-window fill step of a pretraining
+    pipeline. Buckets are independent so the sequential recurrence
+    parallelizes across buckets; see stages/packing.py."""
+    from lamapi_ray.stages.packing import pack_sequences
+
+    return _collect(
+        pack_sequences(_docs(sf_dir), capacity=256, bucket_size=64)
+    ).sort_by("doc_id")
+
+
 def multimodal_decode_png(sf_dir: str) -> pa.Table:
     """REAL PNG decode (pure-Python/numpy codec over stdlib zlib, filter
     type rotating per doc) through the actor-pool decoder. PNG is lossless,
