@@ -1671,6 +1671,26 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents"
     )
 
+    # Unigram-LM perplexity scoring: per-token surprisal quantized to
+    # integer micro-nats (floor(-ln(p)*1e6)) so per-doc sums are exact in
+    # any order; only the final division/exp are floats, same IEEE operand
+    # order both sides (see stages/lmscore.py)
+    sql["unigram_perplexity"] = (
+        "WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),\n"
+        "cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),\n"
+        "tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM cnt),\n"
+        "term AS (SELECT token,\n"
+        "         CAST(floor(-ln((c + 1.0) / (n + v)) * 1000000) AS BIGINT) AS s\n"
+        "         FROM cnt, tot),\n"
+        "doc AS (SELECT t.doc_id, count(*) AS n_tokens,\n"
+        "        CAST(sum(s) AS BIGINT) AS surprisal_micro\n"
+        "        FROM tok t JOIN term USING (token) GROUP BY t.doc_id)\n"
+        "SELECT doc_id, n_tokens, surprisal_micro,\n"
+        " round_even(CAST(surprisal_micro AS DOUBLE) / n_tokens / 1000000, 6) AS avg_surprisal,\n"
+        " round_even(exp(CAST(surprisal_micro AS DOUBLE) / n_tokens / 1000000), 4) AS ppl\n"
+        "FROM doc ORDER BY doc_id"
+    )
+
     # Greedy per-bucket sequence packing: the packing recurrence (each
     # doc's bin depends on the previous doc's fill state) is expressed as a
     # recursive CTE walking each bucket in doc_id order — the exact mirror
@@ -2039,6 +2059,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode_png",
         "audio_features",
         "sequence_packing",
+        "unigram_perplexity",
         "multimodal_resize",
         "multimodal_frames",
         "dataset_split",
@@ -2301,7 +2322,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # has at least one driver-green record across rounds.
     priority = [
         "multimodal_decode_jpeg", "multimodal_decode_png",
-        "audio_features", "sequence_packing",  # ^ new this round (r5)
+        "audio_features", "sequence_packing",
+        "unigram_perplexity",  # ^ new this round (r5)
         "knn_neighbors", "term_pmi", "events_rollup", "event_transitions",
         "typo_pairs", "bloom_users", "top_ngrams", "event_percentiles",
         "sessionize", "events_asof", "purchase_attribution",

@@ -1437,6 +1437,16 @@ def multimodal_decode_jpeg(sf_dir: str) -> pa.Table:
     )
 
 
+def unigram_perplexity(sf_dir: str) -> pa.Table:
+    """KenLM-style curation scoring: add-one-smoothed unigram LM trained on
+    the corpus, every doc scored for perplexity against it. Per-token
+    surprisals are integer micro-nats so per-doc sums are order-exact; see
+    stages/lmscore.py."""
+    from lamapi_ray.stages.lmscore import perplexity_pipeline
+
+    return _collect(perplexity_pipeline(_docs(sf_dir))).sort_by("doc_id")
+
+
 def sequence_packing(sf_dir: str) -> pa.Table:
     """Greedy per-bucket sequence packing (capacity 256 whitespace tokens,
     bucket = doc_id // 64) — the context-window fill step of a pretraining
