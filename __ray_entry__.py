@@ -1793,6 +1793,16 @@ def oracle_sql() -> dict[str, str]:
     # (extras._synth_dump_path spec) and runs the real reader/parser; the
     # oracle reproduces the derivation relationally.
 
+    # mappings crosswalk (reference parse_wikidata_dump.py:17 declares the
+    # schema; derivation documented in extras.wikidata_mappings)
+    sql["wikidata_mappings"] = (
+        "SELECT 1000000 + 3*p_partkey AS curid,\n"
+        "  replace(p_name, ' ', '_') AS wikipedia_id,\n"
+        "  'Q' || (100000 + p_partkey) AS wikidata_id,\n"
+        "  'dbr:' || replace(p_name, ' ', '_') AS dbpedia_id\n"
+        "FROM part ORDER BY curid"
+    )
+
     sql["wikidata_items"] = (
         "SELECT 'Q' || (100000 + p_partkey) AS entity, p_name AS label,\n"
         "  p_type AS description, greatest(p_partkey % 5, 1) AS popularity,\n"
@@ -2110,6 +2120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wikidata_items",
         "wikidata_triples",
         "wikidata_literals",
+        "wikidata_mappings",
     ]:
         out[n] = getattr(extras, n)
 
@@ -2323,7 +2334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     priority = [
         "multimodal_decode_jpeg", "multimodal_decode_png",
         "audio_features", "sequence_packing",
-        "unigram_perplexity",  # ^ new this round (r5)
+        "unigram_perplexity", "wikidata_mappings",  # ^ new this round (r5)
         "knn_neighbors", "term_pmi", "events_rollup", "event_transitions",
         "typo_pairs", "bloom_users", "top_ngrams", "event_percentiles",
         "sessionize", "events_asof", "purchase_attribution",

@@ -2005,6 +2005,57 @@ def _dump_tables(sf_dir: str):
     return split_tables(read_dump(_synth_dump_path(sf_dir)))
 
 
+def wikidata_mappings(sf_dir: str) -> pa.Table:
+    """The ``mappings`` cross-KG id crosswalk (curid / wikipedia_id /
+    wikidata_id / dbpedia_id). The reference declares this collection's
+    schema (scripts/parse_wikidata_dump.py:17) and indexes it
+    (build_mongo_indexes.py) but never populates it; here it is DERIVED
+    from the parsed dump items as a vectorized map stage: wikipedia_id =
+    underscored en label, dbpedia_id = 'dbr:' + wikipedia_id, curid = a
+    deterministic page id from the QID number."""
+    import numpy as np
+
+    def to_map(batch: pa.Table) -> pa.Table:
+        ent = batch["entity"]
+        if isinstance(ent, pa.ChunkedArray):
+            ent = ent.combine_chunks()
+        ent = ent.cast(pa.string())
+        # vectorized en-label: flatten list<struct{lang,value}>, keep the
+        # FIRST en record per item (dump quirk parity with wikidata_items)
+        labels = batch["labels"]
+        if isinstance(labels, pa.ChunkedArray):
+            labels = labels.combine_chunks()
+        flat = pc.list_flatten(labels)
+        parents = pc.list_parent_indices(labels).to_numpy(zero_copy_only=False)
+        en_mask = pc.equal(pc.struct_field(flat, "lang"), "en").to_numpy(
+            zero_copy_only=False
+        )
+        vals = pc.struct_field(flat, "value")
+        sel = np.nonzero(en_mask)[0]
+        first_parent, first_at = np.unique(parents[sel], return_index=True)
+        lab = np.full(len(batch), None, dtype=object)
+        picked = pc.take(vals, pa.array(sel[first_at])).to_pylist()
+        lab[first_parent] = picked
+        lab_arr = pa.array(lab, pa.string())
+        qid_num = pc.cast(pc.utf8_slice_codeunits(ent, 1, 1 << 30), pa.int64())
+        curid = pc.add(pc.multiply(pc.subtract(qid_num, 100000), 3), 1000000)
+        wp = pc.replace_substring(lab_arr, " ", "_")
+        return pa.table(
+            {
+                "curid": curid.cast(pa.int64()),
+                "wikipedia_id": wp,
+                "wikidata_id": ent,
+                "dbpedia_id": pc.binary_join_element_wise("dbr:", wp, ""),
+            }
+        )
+
+    return _collect(
+        _dump_tables(sf_dir)["items"].map_batches(
+            to_map, batch_format="pyarrow", zero_copy_batch=True
+        )
+    ).sort_by("curid")
+
+
 def wikidata_items(sf_dir: str) -> pa.Table:
     tbl = _collect(_dump_tables(sf_dir)["items"])
 
