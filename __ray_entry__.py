@@ -1745,6 +1745,19 @@ def oracle_sql() -> dict[str, str]:
         "FROM p"
     )
 
+    # audio decimation: kept samples are indices 2j, j < ceil(n/2); same
+    # exact-int sum-of-squares argument as audio_features
+    sql["audio_downsample"] = (
+        "WITH p AS (SELECT doc_id, 256 + (doc_id*5) % 512 AS n,\n"
+        "                  8000 * (1 + doc_id % 3) AS rate FROM documents)\n"
+        "SELECT doc_id, (n + 1) // 2 AS n_samples, rate // 2 AS sample_rate,\n"
+        " round_even(sqrt(list_aggregate(list_transform(range(0, (n + 1) // 2),\n"
+        "   j -> CAST(2*((doc_id*13 + (2*j)*7919) % 32768) - 32767 AS DOUBLE)\n"
+        "        * (2*((doc_id*13 + (2*j)*7919) % 32768) - 32767)), 'sum')\n"
+        "   / ((n + 1) // 2)), 6) AS rms\n"
+        "FROM p"
+    )
+
     # nearest-neighbor 16x16 resample: dst (y,x,c) reads src index
     # ((y*h)//16 * w + (x*w)//16) * 3 + c
     sql["multimodal_resize"] = (
@@ -2068,6 +2081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode_jpeg",
         "multimodal_decode_png",
         "audio_features",
+        "audio_downsample",
         "sequence_packing",
         "unigram_perplexity",
         "multimodal_resize",
@@ -2334,7 +2348,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     priority = [
         "multimodal_decode_jpeg", "multimodal_decode_png",
         "audio_features", "sequence_packing",
-        "unigram_perplexity", "wikidata_mappings",  # ^ new this round (r5)
+        "unigram_perplexity", "wikidata_mappings",
+        "audio_downsample",  # ^ new this round (r5)
         "knn_neighbors", "term_pmi", "events_rollup", "event_transitions",
         "typo_pairs", "bloom_users", "top_ngrams", "event_percentiles",
         "sessionize", "events_asof", "purchase_attribution",

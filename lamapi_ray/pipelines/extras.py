@@ -1482,6 +1482,15 @@ def audio_features(sf_dir: str) -> pa.Table:
     return _collect(extract_audio_features(attach_wav_payload(_docs(sf_dir))))
 
 
+def audio_downsample(sf_dir: str) -> pa.Table:
+    """REAL audio decimation: WAV decode → every 2nd sample → re-encode at
+    half the rate; the oracle restates the kept-sample arithmetic."""
+    from lamapi_ray.stages.multimodal import attach_wav_payload, downsample_audio
+
+    out = _collect(downsample_audio(attach_wav_payload(_docs(sf_dir)), factor=2))
+    return out.drop_columns(["payload"])
+
+
 def multimodal_resize(sf_dir: str) -> pa.Table:
     """REAL decode → nearest-neighbor resize to 16×16 → re-encode; the
     oracle reproduces the resampling index arithmetic exactly."""

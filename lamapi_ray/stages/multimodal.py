@@ -347,6 +347,62 @@ def extract_audio_features(
     )
 
 
+class AudioDownsampler:
+    """Actor: REAL audio downsample — decode WAV, keep every ``factor``-th
+    sample (decimation; new rate = rate // factor so duration is
+    preserved), re-encode, report the resampled clip's exact-arithmetic
+    stats. The audio analogue of PayloadResizer."""
+
+    def __init__(self, factor: int = 2):
+        if factor < 1:
+            raise ValueError("factor must be >= 1")
+        self.factor = factor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from lamapi_ray.functions.audiocodec import decode_wav, encode_wav
+        from lamapi_ray.functions.text import round_ref
+
+        ids, outs, ns, rates, rmss = [], [], [], [], []
+        for i, p in zip(batch["doc_id"].to_pylist(), batch["payload"].to_pylist()):
+            samples, rate = decode_wav(p)
+            dec = samples[:: self.factor]
+            new_rate = max(rate // self.factor, 1)
+            ids.append(i)
+            outs.append(encode_wav(dec, new_rate))
+            ns.append(dec.shape[0])
+            rates.append(new_rate)
+            x = dec.astype(np.float64)
+            # exact int64 sum of squares → order-independent sqrt input
+            rmss.append(
+                round_ref(float(np.sqrt(np.mean(x * x))) if len(dec) else 0.0, 6)
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(outs, pa.binary()),
+                "n_samples": pa.array(ns, pa.int64()),
+                "sample_rate": pa.array(rates, pa.int64()),
+                "rms": pa.array(rmss, pa.float64()),
+            }
+        )
+
+
+def downsample_audio(
+    payloads: ray.data.Dataset,
+    factor: int = 2,
+    concurrency: int = 2,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    return payloads.map_batches(
+        AudioDownsampler,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_constructor_kwargs={"factor": factor},
+        concurrency=pool_width(concurrency),
+        batch_size=batch_size,
+    )
+
+
 class PayloadResizer:
     """Actor: REAL resize — decode (BMP/PPM), nearest-neighbor resample,
     re-encode BMP; target dims held as actor state."""

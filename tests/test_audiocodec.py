@@ -95,6 +95,26 @@ def test_extractor_batch_and_compressed_gate():
     assert sniff_audio(b"OggS....") == "ogg"
 
 
+def test_downsampler_decimation():
+    from lamapi_ray.stages.multimodal import AudioDownsampler
+
+    s = np.array([11, -3, 7, 9, -5], dtype=np.int16)
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0], pa.int64()),
+            "payload": pa.array([encode_wav(s, 16000)], pa.binary()),
+        }
+    )
+    out = AudioDownsampler(factor=2)(batch)
+    assert out["n_samples"][0].as_py() == 3  # indices 0, 2, 4
+    assert out["sample_rate"][0].as_py() == 8000
+    dec, rate = decode_wav(out["payload"][0].as_py())
+    assert rate == 8000
+    assert np.array_equal(dec[:, 0], s[::2])
+    expect = float(np.sqrt((11**2 + 7**2 + 5**2) / 3))
+    assert out["rms"][0].as_py() == pytest.approx(expect, abs=1e-6)
+
+
 def test_non_pcm_rejected():
     body = encode_wav(np.array([1, 2], dtype=np.int16), 8000)
     # flip the format tag to 3 (IEEE float) — must be honestly gated
