@@ -181,6 +181,13 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("user_top_events", lambda: extras.user_top_events(sf_dir))
     timed("running_user_totals", lambda: extras.running_user_totals(sf_dir))
     timed("multimodal_decode", lambda: extras.multimodal_decode(sf_dir))
+    timed("multimodal_decode_jpeg", lambda: extras.multimodal_decode_jpeg(sf_dir))
+    timed("multimodal_decode_png", lambda: extras.multimodal_decode_png(sf_dir))
+    timed("audio_features", lambda: extras.audio_features(sf_dir))
+    timed("audio_downsample", lambda: extras.audio_downsample(sf_dir))
+    timed("sequence_packing", lambda: extras.sequence_packing(sf_dir))
+    timed("unigram_perplexity", lambda: extras.unigram_perplexity(sf_dir))
+    timed("wikidata_mappings", lambda: extras.wikidata_mappings(sf_dir))
     timed("literal_classify", lambda: extras.literal_classify(sf_dir))
     timed("pii_scrub", lambda: extras.pii_scrub(sf_dir))
     timed("text_clean", lambda: extras.text_clean(sf_dir))
