@@ -1671,6 +1671,22 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents"
     )
 
+    # Overlapping token-window chunking (RAG prep): DuckDB list slicing is
+    # 1-based inclusive, so window [start, end) is toks[start+1 : end]
+    sql["chunk_windows"] = (
+        "WITH d AS (SELECT doc_id, str_split(text, ' ') AS toks,\n"
+        "                  len(str_split(text, ' ')) AS n FROM documents),\n"
+        "k AS (SELECT doc_id, toks, n,\n"
+        "      CASE WHEN n <= 32 THEN 1\n"
+        "           ELSE 1 + CAST(ceil((n - 32) / 24.0) AS BIGINT) END AS nchunks\n"
+        "      FROM d),\n"
+        "c AS (SELECT doc_id, toks, n, unnest(range(0, nchunks)) AS chunk_id FROM k)\n"
+        "SELECT doc_id, chunk_id, chunk_id*24 AS start_tok,\n"
+        "  LEAST(chunk_id*24 + 32, n) - chunk_id*24 AS n_tokens,\n"
+        "  array_to_string(toks[chunk_id*24 + 1 : LEAST(chunk_id*24 + 32, n)], ' ') AS chunk_text\n"
+        "FROM c ORDER BY doc_id, chunk_id"
+    )
+
     # Unigram-LM perplexity scoring: per-token surprisal quantized to
     # integer micro-nats (floor(-ln(p)*1e6)) so per-doc sums are exact in
     # any order; only the final division/exp are floats, same IEEE operand
@@ -2084,6 +2100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_downsample",
         "sequence_packing",
         "unigram_perplexity",
+        "chunk_windows",
         "multimodal_resize",
         "multimodal_frames",
         "dataset_split",
@@ -2349,7 +2366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode_jpeg", "multimodal_decode_png",
         "audio_features", "sequence_packing",
         "unigram_perplexity", "wikidata_mappings",
-        "audio_downsample",  # ^ new this round (r5)
+        "audio_downsample", "chunk_windows",  # ^ new this round (r5)
         "knn_neighbors", "term_pmi", "events_rollup", "event_transitions",
         "typo_pairs", "bloom_users", "top_ngrams", "event_percentiles",
         "sessionize", "events_asof", "purchase_attribution",

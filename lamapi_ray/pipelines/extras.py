@@ -1437,6 +1437,16 @@ def multimodal_decode_jpeg(sf_dir: str) -> pa.Table:
     )
 
 
+def chunk_windows(sf_dir: str) -> pa.Table:
+    """RAG-style chunking: overlapping 32-token windows at stride 24, one
+    fully vectorized row-local flat expansion (stages/chunking.py)."""
+    from lamapi_ray.stages.chunking import chunk_documents
+
+    return _collect(chunk_documents(_docs(sf_dir), window=32, stride=24)).sort_by(
+        [("doc_id", "ascending"), ("chunk_id", "ascending")]
+    )
+
+
 def unigram_perplexity(sf_dir: str) -> pa.Table:
     """KenLM-style curation scoring: add-one-smoothed unigram LM trained on
     the corpus, every doc scored for perplexity against it. Per-token
