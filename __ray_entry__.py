@@ -1671,6 +1671,25 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents"
     )
 
+    # Feature-hash embeddings (batched-inference stage): token h = the
+    # dedup family's md5 little-endian u64; dim = h % 16, sign = bit 4 —
+    # integer-exact, zero dims omitted
+    sql["doc_embed_hash"] = (
+        "WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents),\n"
+        "th AS (SELECT doc_id, CAST(list_reduce(list_prepend(0::HUGEINT,\n"
+        "    list_transform(range(0, 8),\n"
+        "      i -> ((strpos('0123456789abcdef', substr(md5(tok), 2*i+1, 1)) - 1) * 16\n"
+        "          + (strpos('0123456789abcdef', substr(md5(tok), 2*i+2, 1)) - 1))::HUGEINT\n"
+        "           * (1::HUGEINT << (8*i)))),\n"
+        "    (a, b) -> a + b) AS UBIGINT) AS h\n"
+        "  FROM tok)\n"
+        "SELECT doc_id, CAST(h % 16 AS BIGINT) AS dim,\n"
+        "  CAST(sum(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS value\n"
+        "FROM th GROUP BY doc_id, dim\n"
+        "HAVING sum(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) <> 0\n"
+        "ORDER BY doc_id, dim"
+    )
+
     # Overlapping token-window chunking (RAG prep): DuckDB list slicing is
     # 1-based inclusive, so window [start, end) is toks[start+1 : end]
     sql["chunk_windows"] = (
@@ -2101,6 +2120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_packing",
         "unigram_perplexity",
         "chunk_windows",
+        "doc_embed_hash",
         "multimodal_resize",
         "multimodal_frames",
         "dataset_split",
@@ -2366,7 +2386,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode_jpeg", "multimodal_decode_png",
         "audio_features", "sequence_packing",
         "unigram_perplexity", "wikidata_mappings",
-        "audio_downsample", "chunk_windows",  # ^ new this round (r5)
+        "audio_downsample", "chunk_windows",
+        "doc_embed_hash",  # ^ new this round (r5)
         "knn_neighbors", "term_pmi", "events_rollup", "event_transitions",
         "typo_pairs", "bloom_users", "top_ngrams", "event_percentiles",
         "sessionize", "events_asof", "purchase_attribution",

@@ -1437,6 +1437,16 @@ def multimodal_decode_jpeg(sf_dir: str) -> pa.Table:
     )
 
 
+def doc_embed_hash(sf_dir: str) -> pa.Table:
+    """Batched-inference stage: deterministic feature-hash embeddings
+    (long format, integer-exact — see stages/embed.py)."""
+    from lamapi_ray.stages.embed import hash_embed
+
+    return _collect(hash_embed(_docs(sf_dir), dims=16)).sort_by(
+        [("doc_id", "ascending"), ("dim", "ascending")]
+    )
+
+
 def chunk_windows(sf_dir: str) -> pa.Table:
     """RAG-style chunking: overlapping 32-token windows at stride 24, one
     fully vectorized row-local flat expansion (stages/chunking.py)."""

@@ -1,0 +1,78 @@
+"""Feature-hash embedding tests — hash/dim/sign math, long-format shape."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from lamapi_ray.stages.dedup import _hash64
+from lamapi_ray.stages.embed import hash_embed
+
+
+def _docs(rows):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+def _collect(ds):
+    batches = list(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not batches:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "dim": pa.array([], pa.int64()),
+             "value": pa.array([], pa.int64())}
+        )
+    return pa.concat_tables(batches).sort_by(
+        [("doc_id", "ascending"), ("dim", "ascending")]
+    )
+
+
+def _expect(text, dims=16):
+    v = np.zeros(dims, dtype=np.int64)
+    for t in text.split(" "):
+        h = _hash64(t)
+        v[h % dims] += 1 if (h >> 4) & 1 == 0 else -1
+    return v
+
+
+def test_matches_closed_form():
+    rows = [(0, "alpha beta gamma alpha"), (1, "delta"), (2, "x y z w v")]
+    out = _collect(hash_embed(_docs(rows), dims=16))
+    for doc_id, text in rows:
+        v = _expect(text)
+        got = out.filter(pa.compute.equal(out["doc_id"], doc_id))
+        gmap = dict(zip(got["dim"].to_pylist(), got["value"].to_pylist()))
+        for d in range(16):
+            assert gmap.get(d, 0) == v[d], (doc_id, d)
+
+
+def test_repeated_tokens_accumulate():
+    out = _collect(hash_embed(_docs([(0, "tok tok tok")]), dims=16))
+    assert len(out) == 1
+    assert abs(out["value"][0].as_py()) == 3
+
+
+def test_zero_dims_omitted():
+    # two tokens hashing to the same dim with opposite signs cancel → find
+    # such a pair by search, then assert the dim is absent
+    import itertools
+    import string
+
+    pair = None
+    seen = {}
+    for name in itertools.product(string.ascii_lowercase, repeat=3):
+        t = "".join(name)
+        h = _hash64(t)
+        key = h % 16
+        sgn = 1 if (h >> 4) & 1 == 0 else -1
+        if (key, -sgn) in seen:
+            pair = (seen[(key, -sgn)], t)
+            break
+        seen.setdefault((key, sgn), t)
+    a, b = pair
+    out = _collect(hash_embed(_docs([(0, f"{a} {b}")]), dims=16))
+    assert len(out) == 0  # the single touched dim cancelled to zero
