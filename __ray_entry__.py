@@ -1760,6 +1760,16 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents"
     )
 
+    # REAL MJPEG-AVI decode: flat-gray frames at q75 roundtrip pixel-exact
+    # (luma DC quant step 8), frame f of doc d has every pixel equal to
+    # (d*37 + 11*f + 3) % 256
+    sql["video_mjpeg_frames"] = (
+        "SELECT d.doc_id, f.f AS frame,\n"
+        " CAST((d.doc_id*37 + 11*f.f + 3) % 256 AS DOUBLE) AS mean_pixel\n"
+        "FROM documents d, (SELECT unnest(range(0, 8)) AS f) f(f)\n"
+        "WHERE f.f < 2 + d.doc_id % 4"
+    )
+
     # REAL WAV decode + clip features. Samples are always odd (never zero)
     # so zero-crossing needs no sign-fill; sum-of-squares is an exact int64
     # (< 2^53), so sqrt(ss/n) is bit-identical between numpy and DuckDB.
@@ -2121,6 +2131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_perplexity",
         "chunk_windows",
         "doc_embed_hash",
+        "video_mjpeg_frames",
         "multimodal_resize",
         "multimodal_frames",
         "dataset_split",
@@ -2387,7 +2398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features", "sequence_packing",
         "unigram_perplexity", "wikidata_mappings",
         "audio_downsample", "chunk_windows",
-        "doc_embed_hash",  # ^ new this round (r5)
+        "doc_embed_hash", "video_mjpeg_frames",  # ^ new this round (r5)
         "knn_neighbors", "term_pmi", "events_rollup", "event_transitions",
         "typo_pairs", "bloom_users", "top_ngrams", "event_percentiles",
         "sessionize", "events_asof", "purchase_attribution",

@@ -1520,6 +1520,15 @@ def multimodal_resize(sf_dir: str) -> pa.Table:
     return out.drop_columns(["payload"])
 
 
+def video_mjpeg_frames(sf_dir: str) -> pa.Table:
+    """REAL compressed-video decode: MJPEG-AVI clips (baseline-JPEG frames
+    in a RIFF container) frame-sampled at stride 1 through the actor pool.
+    Flat-gray-at-q75 frames roundtrip pixel-exact → closed-form oracle."""
+    from lamapi_ray.stages.multimodal import attach_avi_payload, sample_frames
+
+    return _collect(sample_frames(attach_avi_payload(_docs(sf_dir)), stride=1))
+
+
 def multimodal_frames(sf_dir: str) -> pa.Table:
     """REAL RAWV frame sampling (every 2nd frame, one row per kept frame)."""
     from lamapi_ray.stages.multimodal import attach_video_payload, sample_frames

@@ -280,6 +280,43 @@ def attach_wav_payload(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(to_wav, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def synth_flat_video(doc_id: int) -> np.ndarray:
+    """(nframes, 16, 16, 3) flat-gray frames: nframes = 2 + id%4, frame f
+    value = (id*37 + 11*f + 3) % 256 — flat gray at JPEG quality 75
+    roundtrips pixel-exact (see synth_flat_gray), so the MJPEG decode
+    oracle states each frame's mean in closed form."""
+    n = 2 + doc_id % 4
+    return np.stack(
+        [
+            np.full((16, 16, 3), (doc_id * 37 + 11 * f + 3) % 256, np.uint8)
+            for f in range(n)
+        ]
+    )
+
+
+def attach_avi_payload(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """documents → (doc_id, payload) with REAL MJPEG-AVI clips (baseline
+    JPEG frames in a RIFF container — functions/avicodec.py)."""
+    from lamapi_ray.functions.avicodec import encode_avi_mjpeg
+
+    def to_avi(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(
+                    [
+                        encode_avi_mjpeg(synth_flat_video(int(i)), quality=75)
+                        for i in ids
+                    ],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    return docs.map_batches(to_avi, batch_format="pyarrow", zero_copy_batch=True)
+
+
 class AudioFeatureExtractor:
     """Actor: REAL WAV decode + vectorized clip features per batch.
 
@@ -433,23 +470,31 @@ class PayloadResizer:
 
 
 class FrameSampler:
-    """Actor: REAL video frame sampling — parse the RAWV container, keep
-    every ``stride``-th frame, one row per kept frame (rows out ≥ rows in)
-    with the frame's mean pixel value."""
+    """Actor: REAL video frame sampling — parse the container (RAWV raw
+    frames, or MJPEG AVI via the in-repo baseline-JPEG codec), keep every
+    ``stride``-th frame, one row per kept frame (rows out ≥ rows in) with
+    the frame's mean pixel value. Inter-frame codecs (MP4/H.264...) stay
+    honestly ``NotImplementedError``-gated."""
 
     def __init__(self, stride: int = 2):
         self.stride = stride
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from lamapi_ray.functions.avicodec import decode_avi_mjpeg, sniff_video
         from lamapi_ray.functions.text import round_ref
 
         ids, frames, means = [], [], []
         for i, p in zip(batch["doc_id"].to_pylist(), batch["payload"].to_pylist()):
-            if sniff_format(p) != "rawv":
+            kind = sniff_video(p)
+            if kind == "rawv":
+                clip = decode_rawv(p)
+            elif kind == "avi":
+                clip = decode_avi_mjpeg(p)
+            else:
                 raise NotImplementedError(
-                    "only the RAWV raw-video container is decodable here"
+                    f"{kind} video is inter-frame coded; only RAWV and "
+                    "MJPEG AVI are decodable here"
                 )
-            clip = decode_rawv(p)
             for f in range(0, clip.shape[0], self.stride):
                 ids.append(i)
                 frames.append(f)
