@@ -1671,6 +1671,11 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents"
     )
 
+    # gzip shard source roundtrip: lossless, so the oracle is the table
+    sql["gzip_shard_roundtrip"] = (
+        "SELECT doc_id, text FROM documents ORDER BY doc_id"
+    )
+
     # Feature-hash embeddings (batched-inference stage): token h = the
     # dedup family's md5 little-endian u64; dim = h % 16, sign = bit 4 —
     # integer-exact, zero dims omitted
@@ -2132,6 +2137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_windows",
         "doc_embed_hash",
         "video_mjpeg_frames",
+        "gzip_shard_roundtrip",
         "multimodal_resize",
         "multimodal_frames",
         "dataset_split",
@@ -2398,7 +2404,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features", "sequence_packing",
         "unigram_perplexity", "wikidata_mappings",
         "audio_downsample", "chunk_windows",
-        "doc_embed_hash", "video_mjpeg_frames",  # ^ new this round (r5)
+        "doc_embed_hash", "video_mjpeg_frames",
+        "gzip_shard_roundtrip",  # ^ new this round (r5)
         "knn_neighbors", "term_pmi", "events_rollup", "event_transitions",
         "typo_pairs", "bloom_users", "top_ngrams", "event_percentiles",
         "sessionize", "events_asof", "purchase_attribution",

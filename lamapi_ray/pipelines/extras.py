@@ -1437,6 +1437,15 @@ def multimodal_decode_jpeg(sf_dir: str) -> pa.Table:
     )
 
 
+def gzip_shard_roundtrip(sf_dir: str) -> pa.Table:
+    """Compressed-shard ingestion e2e: docs → range-bucketed .tsv.gz shard
+    blobs → shard reader → rows; byte-exact vs the source table."""
+    from lamapi_ray.sources.gzipshards import read_gzip_shards, write_gzip_shards
+
+    shards = write_gzip_shards(_docs(sf_dir), shard_size=50)
+    return _collect(read_gzip_shards(shards)).sort_by("doc_id")
+
+
 def doc_embed_hash(sf_dir: str) -> pa.Table:
     """Batched-inference stage: deterministic feature-hash embeddings
     (long format, integer-exact — see stages/embed.py)."""
