@@ -188,6 +188,10 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("sequence_packing", lambda: extras.sequence_packing(sf_dir))
     timed("unigram_perplexity", lambda: extras.unigram_perplexity(sf_dir))
     timed("wikidata_mappings", lambda: extras.wikidata_mappings(sf_dir))
+    timed("chunk_windows", lambda: extras.chunk_windows(sf_dir))
+    timed("doc_embed_hash", lambda: extras.doc_embed_hash(sf_dir))
+    timed("video_mjpeg_frames", lambda: extras.video_mjpeg_frames(sf_dir))
+    timed("gzip_shard_roundtrip", lambda: extras.gzip_shard_roundtrip(sf_dir))
     timed("literal_classify", lambda: extras.literal_classify(sf_dir))
     timed("pii_scrub", lambda: extras.pii_scrub(sf_dir))
     timed("text_clean", lambda: extras.text_clean(sf_dir))
