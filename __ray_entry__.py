@@ -1711,6 +1711,23 @@ def oracle_sql() -> dict[str, str]:
         "FROM c ORDER BY doc_id, chunk_id"
     )
 
+    # Pack-and-split: global stream positions via a window SUM, the
+    # crossed segments enumerated with range() — no recursion needed
+    sql["sequence_pack_split"] = (
+        "WITH d AS (SELECT doc_id, doc_id // 64 AS bucket,\n"
+        "                  len(str_split(text, ' ')) AS t FROM documents),\n"
+        "c AS (SELECT *, CAST(sum(t) OVER (PARTITION BY bucket ORDER BY doc_id\n"
+        "        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM d),\n"
+        "s AS (SELECT doc_id, bucket, cum - t AS g0, cum AS g1 FROM c),\n"
+        "seg AS (SELECT doc_id, bucket, g0, g1,\n"
+        "        unnest(range(g0 // 256, (g1 - 1) // 256 + 1)) AS seq_id FROM s)\n"
+        "SELECT doc_id, bucket, seq_id,\n"
+        "  GREATEST(g0, seq_id*256) - seq_id*256 AS \"offset\",\n"
+        "  GREATEST(g0, seq_id*256) - g0 AS tok_start,\n"
+        "  LEAST(g1, (seq_id+1)*256) - GREATEST(g0, seq_id*256) AS n_tokens\n"
+        "FROM seg ORDER BY doc_id, seq_id"
+    )
+
     # Unigram-LM perplexity scoring: per-token surprisal quantized to
     # integer micro-nats (floor(-ln(p)*1e6)) so per-doc sums are exact in
     # any order; only the final division/exp are floats, same IEEE operand
@@ -2138,6 +2155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_embed_hash",
         "video_mjpeg_frames",
         "gzip_shard_roundtrip",
+        "sequence_pack_split",
         "multimodal_resize",
         "multimodal_frames",
         "dataset_split",
@@ -2405,7 +2423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_perplexity", "wikidata_mappings",
         "audio_downsample", "chunk_windows",
         "doc_embed_hash", "video_mjpeg_frames",
-        "gzip_shard_roundtrip",  # ^ new this round (r5)
+        "gzip_shard_roundtrip", "sequence_pack_split",  # ^ new r5
         "knn_neighbors", "term_pmi", "events_rollup", "event_transitions",
         "typo_pairs", "bloom_users", "top_ngrams", "event_percentiles",
         "sessionize", "events_asof", "purchase_attribution",

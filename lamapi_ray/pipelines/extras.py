@@ -1466,6 +1466,16 @@ def chunk_windows(sf_dir: str) -> pa.Table:
     )
 
 
+def sequence_pack_split(sf_dir: str) -> pa.Table:
+    """GPT-style pack-and-split (docs split across capacity-256 sequences,
+    no padding waste) — the vectorized sibling of sequence_packing."""
+    from lamapi_ray.stages.packing import pack_split_sequences
+
+    return _collect(
+        pack_split_sequences(_docs(sf_dir), capacity=256, bucket_size=64)
+    ).sort_by([("doc_id", "ascending"), ("seq_id", "ascending")])
+
+
 def unigram_perplexity(sf_dir: str) -> pa.Table:
     """KenLM-style curation scoring: add-one-smoothed unigram LM trained on
     the corpus, every doc scored for perplexity against it. Per-token
