@@ -1671,6 +1671,26 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents"
     )
 
+    # hyperlink graph: each page's html carries two anchors targeting
+    # doc://(doc_id % P) and doc://((doc_id*7+13) % P), P = |part|
+    sql["page_links"] = (
+        "WITH n AS (SELECT count(*) AS np FROM part)\n"
+        "SELECT * FROM (\n"
+        "  SELECT 'doc://' || doc_id AS src, 'doc://' || (doc_id % np) AS dst,\n"
+        "         CAST(0 AS BIGINT) AS rank FROM documents, n\n"
+        "  UNION ALL\n"
+        "  SELECT 'doc://' || doc_id, 'doc://' || ((doc_id*7+13) % np),\n"
+        "         CAST(1 AS BIGINT) FROM documents, n\n"
+        ") ORDER BY src, rank"
+    )
+    sql["link_indegree"] = (
+        "WITH n AS (SELECT count(*) AS np FROM part),\n"
+        "e AS (SELECT (doc_id % np) AS k FROM documents, n\n"
+        "      UNION ALL SELECT (doc_id*7+13) % np FROM documents, n)\n"
+        "SELECT 'doc://' || k AS dst, CAST(count(*) AS BIGINT) AS indegree\n"
+        "FROM e GROUP BY k ORDER BY dst"
+    )
+
     # gzip shard source roundtrip: lossless, so the oracle is the table
     sql["gzip_shard_roundtrip"] = (
         "SELECT doc_id, text FROM documents ORDER BY doc_id"
@@ -2156,6 +2176,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_mjpeg_frames",
         "gzip_shard_roundtrip",
         "sequence_pack_split",
+        "page_links",
+        "link_indegree",
         "multimodal_resize",
         "multimodal_frames",
         "dataset_split",
@@ -2423,7 +2445,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_perplexity", "wikidata_mappings",
         "audio_downsample", "chunk_windows",
         "doc_embed_hash", "video_mjpeg_frames",
-        "gzip_shard_roundtrip", "sequence_pack_split",  # ^ new r5
+        "gzip_shard_roundtrip", "sequence_pack_split",
+        "page_links", "link_indegree",  # ^ new r5
         "knn_neighbors", "term_pmi", "events_rollup", "event_transitions",
         "typo_pairs", "bloom_users", "top_ngrams", "event_percentiles",
         "sessionize", "events_asof", "purchase_attribution",

@@ -1437,6 +1437,25 @@ def multimodal_decode_jpeg(sf_dir: str) -> pa.Table:
     )
 
 
+def page_links(sf_dir: str) -> pa.Table:
+    """Hyperlink edge list parsed from raw page html (vectorized href
+    split chain — stages/linkgraph.py)."""
+    from lamapi_ray import synth
+    from lamapi_ray.stages.linkgraph import extract_links
+
+    return _collect(extract_links(synth.pages_dataset(sf_dir))).sort_by(
+        [("src", "ascending"), ("rank", "ascending")]
+    )
+
+
+def link_indegree(sf_dir: str) -> pa.Table:
+    """In-degree per link target over the page hyperlink graph."""
+    from lamapi_ray import synth
+    from lamapi_ray.stages.linkgraph import extract_links, link_indegree as _ind
+
+    return _collect(_ind(extract_links(synth.pages_dataset(sf_dir)))).sort_by("dst")
+
+
 def gzip_shard_roundtrip(sf_dir: str) -> pa.Table:
     """Compressed-shard ingestion e2e: docs → range-bucketed .tsv.gz shard
     blobs → shard reader → rows; byte-exact vs the source table."""

@@ -202,11 +202,25 @@ def pages_dataset(
         warc_ts = pa.array(1704067200_000_000 + eff_id * 1_000_000).cast(
             pa.timestamp("us")
         )
+        # html wraps the two injected part names in <a href> anchors whose
+        # targets are the SAME deterministic indices (doc_id % P and
+        # (doc_id*7+13) % P) — tag-stripping leaves full_text byte-identical
+        # (the extract invariant), and the link-graph stage gets a real
+        # href surface to parse (linkgraph.py)
+        nrows = len(batch)
+        k1 = pc.cast(pa.array(doc_id % nparts), pa.string())
+        k2 = pc.cast(pa.array((doc_id * 7 + 13) % nparts), pa.string())
+        a_open = pa.array(['<a href="doc://'] * nrows)
+        a_mid = pa.array(['">'] * nrows)
+        a_close = pa.array(["</a>"] * nrows)
+        a1 = pc.binary_join_element_wise(a_open, k1, a_mid, p1, a_close, "")
+        a2 = pc.binary_join_element_wise(a_open, k2, a_mid, p2, a_close, "")
+        html_inner = pc.binary_join_element_wise(body, a1, a2, lit, " ")
         html = pc.cast(
             pc.binary_join_element_wise(
-                pa.array(["<html><body><p>"] * len(batch)),
-                full_text,
-                pa.array(["</p></body></html>"] * len(batch)),
+                pa.array(["<html><body><p>"] * nrows),
+                html_inner,
+                pa.array(["</p></body></html>"] * nrows),
                 "",
             ),
             pa.binary(),

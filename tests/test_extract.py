@@ -10,6 +10,7 @@ Two properties pinned:
 """
 
 import hashlib
+import re
 
 import pyarrow as pa
 import pytest
@@ -44,10 +45,11 @@ def test_extract_fills_only_nulls(sf_dir):
             if orig is not None:
                 assert filled == orig  # byte-identical passthrough
             else:
-                # html is '<html><body><p>TEXT</p></body></html>' — the
-                # extraction must recover TEXT exactly
-                inner = html.decode("utf-8")
-                expect = inner[len("<html><body><p>") : -len("</p></body></html>")]
+                # html is '<html><body><p>TEXT-with-anchors</p></body></html>'
+                # — extraction must recover the TAG-STRIPPED body exactly
+                # (anchor markup around the injected part names strips away;
+                # see synth.pages_dataset and stages/linkgraph.py)
+                expect = re.sub(r"<[^>]*>", "", html.decode("utf-8"))
                 assert filled == expect
         break
 
@@ -77,10 +79,10 @@ def test_extract_text_equals_full_derivation(sf_dir):
         for url, text, html in zip(
             b["url"].to_pylist(), b["text"].to_pylist(), b["html"].to_pylist()
         ):
-            body = html.decode("utf-8")[len("<html><body><p>") : -len("</p></body></html>")]
+            body = re.sub(r"<[^>]*>", "", html.decode("utf-8"))
             raw[url] = (text, body)
             if text is not None:
-                assert text == body  # derivation consistency
+                assert text == body  # derivation consistency (tag-stripped)
     ext = {}
     for b in extracted_pages(synth.pages_dataset(sf_dir)).iter_batches(
         batch_size=1000, batch_format="pyarrow"

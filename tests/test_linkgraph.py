@@ -1,0 +1,82 @@
+"""Link-graph tests — vectorized href parsing, extract invariant, degrees."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from lamapi_ray.stages.extract import extract_text_batch
+from lamapi_ray.stages.linkgraph import extract_links, link_indegree
+
+
+def _pages(rows):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                "html": pa.array([r[1].encode() for r in rows], pa.binary()),
+            }
+        )
+    )
+
+
+def _collect(ds, keys):
+    return pa.concat_tables(
+        ds.iter_batches(batch_size=None, batch_format="pyarrow")
+    ).sort_by([(k, "ascending") for k in keys])
+
+
+def test_extract_links_parses_hrefs_in_order():
+    rows = [
+        ("doc://0", '<p>x <a href="doc://5">five</a> y <a href="doc://9">nine</a></p>'),
+        ("doc://1", "<p>no links here</p>"),
+        ("doc://2", '<a href="doc://5">again</a>'),
+    ]
+    out = _collect(extract_links(_pages(rows)), ["src", "rank"])
+    assert out["src"].to_pylist() == ["doc://0", "doc://0", "doc://2"]
+    assert out["dst"].to_pylist() == ["doc://5", "doc://9", "doc://5"]
+    assert out["rank"].to_pylist() == [0, 1, 0]
+
+
+def test_indegree():
+    rows = [
+        ("doc://0", '<a href="a">.</a><a href="b">.</a>'),
+        ("doc://1", '<a href="a">.</a>'),
+    ]
+    out = _collect(link_indegree(extract_links(_pages(rows))), ["dst"])
+    assert out["dst"].to_pylist() == ["a", "b"]
+    assert out["indegree"].to_pylist() == [2, 1]
+
+
+def test_anchor_tags_preserve_extracted_text():
+    # the synth invariant: stripping the anchor markup leaves the text the
+    # page would have carried without links
+    batch = pa.table(
+        {
+            "url": pa.array(["doc://7"], pa.string()),
+            "html": pa.array(
+                [b'<html><body><p>body <a href="doc://3">part one</a> '
+                 b'<a href="doc://9">part two</a> 42</p></body></html>'],
+                pa.binary(),
+            ),
+            "text": pa.array([None], pa.large_string()),
+        }
+    )
+    out = extract_text_batch(batch)
+    assert out["text"][0].as_py() == "body part one part two 42"
+
+
+def test_synth_pages_link_targets():
+    import pyarrow.parquet as pq
+
+    from lamapi_ray import synth
+
+    sf = "/root/testdata/sf0.001"
+    np_ = pq.ParquetFile(f"{sf}/part.parquet").metadata.num_rows
+    pages = synth.pages_dataset(sf)
+    edges = _collect(extract_links(pages.limit(40)), ["src", "rank"])
+    for src, dst, rank in zip(
+        edges["src"].to_pylist(), edges["dst"].to_pylist(), edges["rank"].to_pylist()
+    ):
+        d = int(src.split("//")[1])
+        expect = d % np_ if rank == 0 else (d * 7 + 13) % np_
+        assert dst == f"doc://{expect}"
