@@ -116,8 +116,10 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     # read_parquet → triples → write_parquet, not synthesis → triples.
     import hashlib
 
+    # "v2": pages derivation version — bump when synth.pages_dataset's
+    # output changes (v2 = anchor tags in html) so stale caches regenerate
     pages_tag = hashlib.sha1(
-        f"{sf_dir}|{PAGE_REPLICATE}|{text_repeat}".encode()
+        f"{sf_dir}|{PAGE_REPLICATE}|{text_repeat}|v2".encode()
     ).hexdigest()[:10]
     pages_path = f"/tmp/lamapi_bench_pages_{pages_tag}"
     if not os.path.exists(os.path.join(pages_path, "_DONE")):
@@ -192,6 +194,9 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("doc_embed_hash", lambda: extras.doc_embed_hash(sf_dir))
     timed("video_mjpeg_frames", lambda: extras.video_mjpeg_frames(sf_dir))
     timed("gzip_shard_roundtrip", lambda: extras.gzip_shard_roundtrip(sf_dir))
+    timed("sequence_pack_split", lambda: extras.sequence_pack_split(sf_dir))
+    timed("page_links", lambda: extras.page_links(sf_dir))
+    timed("link_indegree", lambda: extras.link_indegree(sf_dir))
     timed("literal_classify", lambda: extras.literal_classify(sf_dir))
     timed("pii_scrub", lambda: extras.pii_scrub(sf_dir))
     timed("text_clean", lambda: extras.text_clean(sf_dir))
