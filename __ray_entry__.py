@@ -1671,6 +1671,35 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents"
     )
 
+    # MOSS winnowing: k-gram md5-u64 hashes (the dedup family's fold),
+    # frame-truncated window min, DISTINCT selected set, two's-complement
+    # fold to BIGINT for Arrow parity
+    sql["winnow_fps"] = (
+        "WITH tok AS (SELECT doc_id, str_split(text, ' ') AS t,\n"
+        "                    len(str_split(text, ' ')) AS n FROM documents),\n"
+        "g AS (SELECT doc_id, i.i AS i, GREATEST(n - 2, 1) AS m,\n"
+        "        CASE WHEN n < 3 THEN array_to_string(t, ' ')\n"
+        "             ELSE array_to_string(t[i.i+1 : i.i+3], ' ') END AS gram\n"
+        "      FROM tok, (SELECT unnest(range(0, 256)) AS i) i(i)\n"
+        "      WHERE i.i < GREATEST(n - 2, 1)),\n"
+        "h AS (SELECT doc_id, i, m, CAST(list_reduce(list_prepend(0::HUGEINT,\n"
+        "    list_transform(range(0, 8),\n"
+        "      j -> ((strpos('0123456789abcdef', substr(md5(gram), 2*j+1, 1)) - 1) * 16\n"
+        "          + (strpos('0123456789abcdef', substr(md5(gram), 2*j+2, 1)) - 1))::HUGEINT\n"
+        "           * (1::HUGEINT << (8*j)))),\n"
+        "    (a, b) -> a + b) AS UBIGINT) AS hv\n"
+        "  FROM g),\n"
+        "w AS (SELECT doc_id, i, m,\n"
+        "        min(hv) OVER (PARTITION BY doc_id ORDER BY i\n"
+        "          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh\n"
+        "      FROM h),\n"
+        "sel AS (SELECT DISTINCT doc_id, mh FROM w WHERE i <= GREATEST(m - 4, 0))\n"
+        "SELECT doc_id, CAST(CASE WHEN mh >= 9223372036854775808::HUGEINT\n"
+        "  THEN mh::HUGEINT - 18446744073709551616::HUGEINT\n"
+        "  ELSE mh::HUGEINT END AS BIGINT) AS fp\n"
+        "FROM sel ORDER BY doc_id, fp"
+    )
+
     # hyperlink graph: each page's html carries two anchors targeting
     # doc://(doc_id % P) and doc://((doc_id*7+13) % P), P = |part|
     sql["page_links"] = (
@@ -2178,6 +2207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_pack_split",
         "page_links",
         "link_indegree",
+        "winnow_fps",
         "multimodal_resize",
         "multimodal_frames",
         "dataset_split",
@@ -2446,7 +2476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_downsample", "chunk_windows",
         "doc_embed_hash", "video_mjpeg_frames",
         "gzip_shard_roundtrip", "sequence_pack_split",
-        "page_links", "link_indegree",  # ^ new r5
+        "page_links", "link_indegree", "winnow_fps",  # ^ new r5
         "knn_neighbors", "term_pmi", "events_rollup", "event_transitions",
         "typo_pairs", "bloom_users", "top_ngrams", "event_percentiles",
         "sessionize", "events_asof", "purchase_attribution",

@@ -1437,6 +1437,16 @@ def multimodal_decode_jpeg(sf_dir: str) -> pa.Table:
     )
 
 
+def winnow_fps(sf_dir: str) -> pa.Table:
+    """MOSS winnowing fingerprints (k=3 token-grams, window w=4) — any
+    shared run of w+k−1 tokens between two docs shares a fingerprint."""
+    from lamapi_ray.stages.winnow import winnow_fingerprints
+
+    return _collect(winnow_fingerprints(_docs(sf_dir), k=3, w=4)).sort_by(
+        [("doc_id", "ascending"), ("fp", "ascending")]
+    )
+
+
 def page_links(sf_dir: str) -> pa.Table:
     """Hyperlink edge list parsed from raw page html (vectorized href
     split chain — stages/linkgraph.py)."""
