@@ -197,6 +197,7 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("sequence_pack_split", lambda: extras.sequence_pack_split(sf_dir))
     timed("page_links", lambda: extras.page_links(sf_dir))
     timed("link_indegree", lambda: extras.link_indegree(sf_dir))
+    timed("winnow_fps", lambda: extras.winnow_fps(sf_dir))
     timed("literal_classify", lambda: extras.literal_classify(sf_dir))
     timed("pii_scrub", lambda: extras.pii_scrub(sf_dir))
     timed("text_clean", lambda: extras.text_clean(sf_dir))
