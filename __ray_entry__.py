@@ -1700,6 +1700,29 @@ def oracle_sql() -> dict[str, str]:
         "FROM sel ORDER BY doc_id, fp"
     )
 
+    # exact duplicate-substring spans (Lee et al. ExactSubstr): dup
+    # detection by literal 8-gram string equality (the engine's 61-bit
+    # polynomial hash is collision-negligible at this scale), islands
+    # merged where consecutive marked starts within a doc are <= 8 apart
+    sql["dup_spans"] = (
+        "WITH tok AS (SELECT doc_id, str_split(text, ' ') AS t,\n"
+        "             len(str_split(text, ' ')) AS n FROM documents),\n"
+        "g AS (SELECT doc_id, i.i AS p,\n"
+        "        array_to_string(t[i.i+1 : i.i+8], ' ') AS gram\n"
+        "      FROM tok, (SELECT unnest(range(0, 128)) AS i) i(i)\n"
+        "      WHERE i.i <= n - 8),\n"
+        "d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),\n"
+        "m AS (SELECT doc_id, p FROM g JOIN d USING (gram)),\n"
+        "isl AS (SELECT doc_id, p, CASE WHEN p - lag(p) OVER\n"
+        "          (PARTITION BY doc_id ORDER BY p) > 8 THEN 1 ELSE 0 END AS brk\n"
+        "        FROM m),\n"
+        "grp AS (SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p\n"
+        "          ROWS UNBOUNDED PRECEDING) AS gid FROM isl)\n"
+        "SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,\n"
+        "       CAST(max(p) + 8 AS BIGINT) AS span_end\n"
+        "FROM grp GROUP BY doc_id, gid ORDER BY doc_id, span_start"
+    )
+
     # hyperlink graph: each page's html carries two anchors targeting
     # doc://(doc_id % P) and doc://((doc_id*7+13) % P), P = |part|
     sql["page_links"] = (
@@ -2208,6 +2231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_links",
         "link_indegree",
         "winnow_fps",
+        "dup_spans",
         "multimodal_resize",
         "multimodal_frames",
         "dataset_split",
@@ -2476,7 +2500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_downsample", "chunk_windows",
         "doc_embed_hash", "video_mjpeg_frames",
         "gzip_shard_roundtrip", "sequence_pack_split",
-        "page_links", "link_indegree", "winnow_fps",  # ^ new r5
+        "page_links", "link_indegree", "winnow_fps", "dup_spans",  # ^ new r5
         "knn_neighbors", "term_pmi", "events_rollup", "event_transitions",
         "typo_pairs", "bloom_users", "top_ngrams", "event_percentiles",
         "sessionize", "events_asof", "purchase_attribution",

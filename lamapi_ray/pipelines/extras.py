@@ -1437,6 +1437,27 @@ def multimodal_decode_jpeg(sf_dir: str) -> pa.Table:
     )
 
 
+def dup_spans(sf_dir: str) -> pa.Table:
+    """Exact duplicate-substring spans (Lee et al. ExactSubstr family):
+    maximal half-open token spans covered by 8-token windows occurring
+    >= 2 times corpus-wide — see stages/substrdedup.py."""
+    from lamapi_ray.stages.substrdedup import duplicate_spans
+
+    out = duplicate_spans(_docs(sf_dir), L=8)
+    batches = list(out.iter_batches(batch_size=65536, batch_format="pyarrow"))
+    if not batches:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "span_start": pa.array([], pa.int64()),
+                "span_end": pa.array([], pa.int64()),
+            }
+        )
+    return pa.concat_tables(batches).sort_by(
+        [("doc_id", "ascending"), ("span_start", "ascending")]
+    )
+
+
 def winnow_fps(sf_dir: str) -> pa.Table:
     """MOSS winnowing fingerprints (k=3 token-grams, window w=4) — any
     shared run of w+k−1 tokens between two docs shares a fingerprint."""
