@@ -1700,6 +1700,23 @@ def oracle_sql() -> dict[str, str]:
         "FROM sel ORDER BY doc_id, fp"
     )
 
+    # WARC archive roundtrip: the reader must recover url / epoch-second
+    # timestamp / html bytes exactly, so the oracle restates the synth
+    # pages html (anchor-wrapped part names — synth.py derivation spec)
+    sql["warc_roundtrip"] = (
+        "WITH n AS (SELECT count(*) AS np FROM part)\n"
+        "SELECT 'doc://' || d.doc_id AS url,\n"
+        "  CAST(1704067200 + d.doc_id AS BIGINT) AS warc_epoch,\n"
+        "  '<html><body><p>' || d.text\n"
+        "   || ' <a href=\"doc://' || (d.doc_id % np) || '\">' || p1.p_name || '</a>'\n"
+        "   || ' <a href=\"doc://' || ((d.doc_id*7+13) % np) || '\">' || p2.p_name || '</a>'\n"
+        "   || ' ' || CAST(d.n_chars AS VARCHAR) || '</p></body></html>' AS html\n"
+        "FROM documents d CROSS JOIN n\n"
+        "JOIN part p1 ON p1.p_partkey = d.doc_id % np\n"
+        "JOIN part p2 ON p2.p_partkey = (d.doc_id*7+13) % np\n"
+        "ORDER BY url"
+    )
+
     # exact duplicate-substring spans (Lee et al. ExactSubstr): dup
     # detection by literal 8-gram string equality (the engine's 61-bit
     # polynomial hash is collision-negligible at this scale), islands
@@ -2232,6 +2249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_indegree",
         "winnow_fps",
         "dup_spans",
+        "warc_roundtrip",
         "multimodal_resize",
         "multimodal_frames",
         "dataset_split",
@@ -2500,7 +2518,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_downsample", "chunk_windows",
         "doc_embed_hash", "video_mjpeg_frames",
         "gzip_shard_roundtrip", "sequence_pack_split",
-        "page_links", "link_indegree", "winnow_fps", "dup_spans",  # ^ new r5
+        "page_links", "link_indegree", "winnow_fps", "dup_spans",
+        "warc_roundtrip",  # ^ new r5
         "knn_neighbors", "term_pmi", "events_rollup", "event_transitions",
         "typo_pairs", "bloom_users", "top_ngrams", "event_percentiles",
         "sessionize", "events_asof", "purchase_attribution",

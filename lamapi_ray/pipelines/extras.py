@@ -1458,6 +1458,28 @@ def dup_spans(sf_dir: str) -> pa.Table:
     )
 
 
+def warc_roundtrip(sf_dir: str) -> pa.Table:
+    """Common-Crawl-style archive ingestion e2e: pages → per-record-gzip
+    .warc.gz shard blobs → member-splitting reader → rows; url, epoch
+    second, and html BYTES survive byte-identically (sources/warc.py)."""
+    from lamapi_ray import synth
+    from lamapi_ray.sources.warc import read_warc_shards, write_warc_shards
+
+    pages = synth.pages_dataset(sf_dir).map_batches(
+        lambda b: b.select(["url", "warc_ts", "html"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = _collect(read_warc_shards(write_warc_shards(pages, shard_size=50)))
+    return pa.table(
+        {
+            "url": out["url"],
+            "warc_epoch": out["warc_epoch"],
+            "html": pc.cast(out["html"], pa.string()),
+        }
+    ).sort_by("url")
+
+
 def winnow_fps(sf_dir: str) -> pa.Table:
     """MOSS winnowing fingerprints (k=3 token-grams, window w=4) — any
     shared run of w+k−1 tokens between two docs shares a fingerprint."""
