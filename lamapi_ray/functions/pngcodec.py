@@ -1,13 +1,16 @@
 """Pure-Python/numpy PNG codec (ISO/IEC 15948) — zlib is stdlib, so PNG
 needs no external codec library.
 
-Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette), 4
-(gray+alpha), 6 (RGBA); all five scanline filters (None/Sub/Up/Average/
-Paeth); multiple IDAT chunks. Unsupported, honestly gated with
-``NotImplementedError``: 1/2/4/16-bit depths and Adam7 interlacing.
+Supported: 8- and 16-bit depths, color types 0 (gray), 2 (RGB), 3
+(palette), 4 (gray+alpha), 6 (RGBA); all five scanline filters
+(None/Sub/Up/Average/Paeth); multiple IDAT chunks; Adam7 interlacing
+(each of the 7 passes is an independently-filtered sub-image — empty
+passes contribute zero bytes, per spec). Unsupported, honestly gated
+with ``NotImplementedError``: 1/2/4-bit packed depths.
 
 Decode returns (H, W, 3) uint8 RGB — gray is replicated, palette is
-resolved through PLTE, and alpha is dropped (payload-stat stages care
+resolved through PLTE, alpha is dropped, and 16-bit samples reduce to
+their high byte (the standard 16→8 downsample; payload-stat stages care
 about pixels, not compositing; documented contract).
 
 Filter inversion: Up is fully vectorized; Sub is a per-lane uint8 prefix
@@ -28,6 +31,17 @@ PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 # samples per pixel by color type
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
 
 def _chunk(ctype: bytes, body: bytes) -> bytes:
@@ -117,21 +131,59 @@ def _unfilter_row(
 # --------------------------------------------------------------------------
 
 
-def encode_png(img: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
-    """(H, W, 3) uint8 RGB → PNG bytes (color type 2, one uniform filter)."""
-    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
-        raise ValueError("expected (H, W, 3) uint8 RGB")
-    h, w = img.shape[:2]
-    bpp = 3
-    raw = img.reshape(h, w * 3)
-    prev = np.zeros(w * 3, dtype=np.uint8)
+def _filter_image(raw: np.ndarray, filter_type: int, bpp: int) -> bytearray:
+    """Filter a (rows, stride) byte matrix into filter-tagged scanlines.
+    ``prev`` starts at zero — a pass/image boundary per spec."""
     lines = bytearray()
-    for y in range(h):
+    prev = np.zeros(raw.shape[1], dtype=np.uint8)
+    for y in range(raw.shape[0]):
         lines.append(filter_type)
-        filt = _filter_row(filter_type, raw[y], prev, bpp)
-        lines += filt.tobytes()
+        lines += _filter_row(filter_type, raw[y], prev, bpp).tobytes()
         prev = raw[y]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return lines
+
+
+def _to_bytes(img: np.ndarray, depth: int) -> np.ndarray:
+    """(H, W, C) samples → (H, W*C*sample_bytes) big-endian byte matrix."""
+    h, w = img.shape[:2]
+    ch = img.shape[2]
+    if depth == 8:
+        return np.ascontiguousarray(img, dtype=np.uint8).reshape(h, w * ch)
+    be = np.ascontiguousarray(img.astype(np.uint16).astype(">u2"))
+    return be.view(np.uint8).reshape(h, w * ch * 2)
+
+
+def encode_png(
+    img: np.ndarray,
+    filter_type: int = 0,
+    level: int = 6,
+    interlace: bool = False,
+    depth: int = 8,
+) -> bytes:
+    """(H, W, 3) RGB → PNG bytes (color type 2, one uniform filter).
+
+    ``depth=8`` expects uint8 samples, ``depth=16`` uint16 (stored
+    big-endian per spec). ``interlace=True`` emits Adam7: seven
+    independently-filtered sub-images, empty passes omitted."""
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("expected (H, W, 3) RGB")
+    if depth not in (8, 16):
+        raise ValueError("depth must be 8 or 16")
+    want = np.uint8 if depth == 8 else np.uint16
+    if img.dtype != want:
+        raise ValueError(f"expected {np.dtype(want)} samples for depth {depth}")
+    h, w = img.shape[:2]
+    bpp = 3 * (depth // 8)
+    lines = bytearray()
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            lines += _filter_image(_to_bytes(sub, depth), filter_type, bpp)
+    else:
+        lines = _filter_image(_to_bytes(img, depth), filter_type, bpp)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 2, 0, 0, 1 if interlace else 0)
     return (
         PNG_SIG
         + _chunk(b"IHDR", ihdr)
@@ -169,26 +221,59 @@ def decode_png(data: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("missing IHDR")
     w, h, depth, ctype_i, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise NotImplementedError("only 8-bit PNG is supported")
+    if depth not in (8, 16):
+        raise NotImplementedError("1/2/4-bit packed PNG depths are not supported")
     if ctype_i not in _CHANNELS:
         raise ValueError(f"bad color type {ctype_i}")
+    if depth == 16 and ctype_i == 3:
+        raise ValueError("palette images cannot be 16-bit")
     if comp != 0 or filt != 0:
         raise ValueError("bad compression/filter method")
-    if interlace != 0:
-        raise NotImplementedError("Adam7 interlacing is not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad interlace method {interlace}")
     ch = _CHANNELS[ctype_i]
-    stride = w * ch
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    if len(raw) != h * (stride + 1):
-        raise ValueError("decompressed size mismatch")
-    raw = raw.reshape(h, stride + 1)
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        prev = _unfilter_row(int(raw[y, 0]), raw[y, 1:], prev, ch)
-        out[y] = prev
-    px = out.reshape(h, w, ch)
+    sb = depth // 8  # bytes per sample
+    bpp = ch * sb
+
+    def unfilter(raw: np.ndarray, rows: int, stride: int) -> np.ndarray:
+        raw = raw.reshape(rows, stride + 1)
+        out = np.zeros((rows, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for y in range(rows):
+            prev = _unfilter_row(int(raw[y, 0]), raw[y, 1:], prev, bpp)
+            out[y] = prev
+        return out
+
+    def to_samples(bytes_mat: np.ndarray, rows: int, cols: int) -> np.ndarray:
+        """byte matrix → (rows, cols, ch) uint8 samples (16-bit keeps the
+        high byte — the standard 16→8 downsample)."""
+        if sb == 1:
+            return bytes_mat.reshape(rows, cols, ch)
+        return bytes_mat.reshape(rows, cols, ch, 2)[..., 0]
+
+    data = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if interlace == 0:
+        stride = w * bpp
+        if len(data) != h * (stride + 1):
+            raise ValueError("decompressed size mismatch")
+        px = to_samples(unfilter(data, h, stride), h, w)
+    else:
+        px = np.zeros((h, w, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            stride = pw * bpp
+            nbytes = ph * (stride + 1)
+            if off + nbytes > len(data):
+                raise ValueError("decompressed size mismatch")
+            sub = to_samples(unfilter(data[off : off + nbytes], ph, stride), ph, pw)
+            px[y0::dy, x0::dx] = sub
+            off += nbytes
+        if off != len(data):
+            raise ValueError("decompressed size mismatch")
     if ctype_i == 2:
         return px.copy()
     if ctype_i == 6:

@@ -141,22 +141,33 @@ def attach_image_payload(docs: ray.data.Dataset) -> ray.data.Dataset:
 def attach_png_payload(docs: ray.data.Dataset) -> ray.data.Dataset:
     """documents → (doc_id, payload) with REAL PNG images (same pixel spec
     as the BMP fixtures — PNG is lossless so the decode oracle is the same
-    closed form). Filter type rotates per doc (None/Sub/Up/Average/Paeth)
-    so the driver gate exercises every unfilter path."""
+    closed form). Filter type rotates per doc (None/Sub/Up/Average/Paeth),
+    every third doc is Adam7-interlaced, and every fifth is 16-bit (samples
+    promoted to the high byte so the decoded pixels — and the oracle — are
+    unchanged), so the driver gate exercises every decode path."""
     from lamapi_ray.functions.pngcodec import encode_png
 
     def to_png(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            i = int(i)
+            img = synth_image(i)
+            depth = 16 if i % 5 == 0 else 8
+            if depth == 16:
+                img = (img.astype(np.uint16) << 8) | img  # hi byte == pixel
+            payloads.append(
+                encode_png(
+                    img,
+                    filter_type=i % 5,
+                    interlace=(i % 3 == 0),
+                    depth=depth,
+                )
+            )
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
-                "payload": pa.array(
-                    [
-                        encode_png(synth_image(int(i)), filter_type=int(i) % 5)
-                        for i in ids
-                    ],
-                    pa.binary(),
-                ),
+                "payload": pa.array(payloads, pa.binary()),
             }
         )
 

@@ -64,26 +64,37 @@ def test_payload_decoder_real_path_decodes_bmp_and_gates_compressed():
     assert jout["mean_pixel"][0].as_py() == pytest.approx(
         float(decode_jpeg(jp).mean()), abs=1e-4
     )
-    # PNG is also real now; Adam7-interlaced PNG stays honestly gated
+    # PNG is also real now, INCLUDING Adam7 interlacing; the remaining
+    # honest gate is packed 1/2/4-bit depths
     import struct
     import zlib as _zlib
 
-    from lamapi_ray.functions.pngcodec import PNG_SIG, _chunk
+    from lamapi_ray.functions.pngcodec import PNG_SIG, _chunk, encode_png
 
-    adam7 = (
-        PNG_SIG
-        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
-        + _chunk(b"IDAT", _zlib.compress(b"\x00" * 14))
-        + _chunk(b"IEND", b"")
-    )
+    img2 = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    adam7 = encode_png(img2, filter_type=2, interlace=True)
     png_batch = pa.table(
         {
             "doc_id": pa.array([1], pa.int64()),
             "payload": pa.array([adam7], pa.binary()),
         }
     )
+    pout = PayloadDecoder(mode="real")(png_batch)
+    assert pout["mean_pixel"][0].as_py() == pytest.approx(float(img2.mean()), abs=1e-9)
+    packed = (
+        PNG_SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0))
+        + _chunk(b"IDAT", _zlib.compress(b"\x00" * 6))
+        + _chunk(b"IEND", b"")
+    )
+    packed_batch = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "payload": pa.array([packed], pa.binary()),
+        }
+    )
     with pytest.raises(NotImplementedError):
-        PayloadDecoder(mode="real")(png_batch)
+        PayloadDecoder(mode="real")(packed_batch)
 
 
 def test_decode_payloads_actor_pool():

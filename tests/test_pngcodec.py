@@ -95,13 +95,45 @@ def test_sniff_and_dispatch():
     assert np.array_equal(decode_image(data), img)
 
 
-def test_interlace_and_16bit_gated():
-    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+def test_packed_depths_gated():
+    ihdr4 = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
     with pytest.raises(NotImplementedError):
-        decode_png(PNG_SIG + _chunk(b"IHDR", ihdr16) + _chunk(b"IEND", b""))
-    ihdr_adam = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
-    with pytest.raises(NotImplementedError):
-        decode_png(PNG_SIG + _chunk(b"IHDR", ihdr_adam) + _chunk(b"IEND", b""))
+        decode_png(PNG_SIG + _chunk(b"IHDR", ihdr4) + _chunk(b"IEND", b""))
+
+
+def test_adam7_roundtrip_all_filters_and_odd_sizes():
+    rng = np.random.default_rng(7)
+    # sizes chosen so several Adam7 passes are empty (1x1: six empty
+    # passes; 3x5 / 5x3: partial passes; 16x16: all seven non-empty)
+    for h, w in [(1, 1), (3, 5), (5, 3), (8, 8), (16, 16), (9, 13)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for ft in range(5):
+            data = encode_png(img, filter_type=ft, interlace=True)
+            assert np.array_equal(decode_png(data), img), (h, w, ft)
+
+
+def test_16bit_roundtrip_high_byte():
+    rng = np.random.default_rng(11)
+    img16 = rng.integers(0, 65536, (6, 7, 3), dtype=np.uint16)
+    for ft in (0, 2, 4):
+        data = encode_png(img16, filter_type=ft, depth=16)
+        assert np.array_equal(decode_png(data), (img16 >> 8).astype(np.uint8))
+
+
+def test_16bit_adam7_combined():
+    rng = np.random.default_rng(13)
+    img16 = rng.integers(0, 65536, (10, 9, 3), dtype=np.uint16)
+    data = encode_png(img16, filter_type=3, depth=16, interlace=True)
+    assert np.array_equal(decode_png(data), (img16 >> 8).astype(np.uint8))
+
+
+def test_16bit_filters_use_byte_bpp():
+    # a constant 16-bit image whose hi and lo bytes differ: Sub filter at
+    # bpp=6 bytes must reconstruct exactly (would corrupt if bpp were
+    # taken as 3 samples)
+    img16 = np.full((4, 4, 3), 0x12AB, dtype=np.uint16)
+    data = encode_png(img16, filter_type=1, depth=16)
+    assert np.array_equal(decode_png(data), np.full((4, 4, 3), 0x12, np.uint8))
 
 
 def test_garbage_rejected():
