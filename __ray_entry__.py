@@ -1700,6 +1700,51 @@ def oracle_sql() -> dict[str, str]:
         "FROM sel ORDER BY doc_id, fp"
     )
 
+    # drop-all ExactSubstr rewrite: remove tokens covered by duplicated
+    # 8-gram windows; same dup/coverage semantics as dup_spans
+    sql["dup_strip"] = (
+        "WITH tok AS (SELECT doc_id, str_split(text, ' ') AS t,\n"
+        "             len(str_split(text, ' ')) AS n FROM documents),\n"
+        "g AS (SELECT doc_id, i.i AS p,\n"
+        "        array_to_string(t[i.i+1 : i.i+8], ' ') AS gram\n"
+        "      FROM tok, (SELECT unnest(range(0, 128)) AS i) i(i)\n"
+        "      WHERE i.i <= n - 8),\n"
+        "d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),\n"
+        "m AS (SELECT doc_id, p FROM g JOIN d USING (gram)),\n"
+        "cov AS (SELECT DISTINCT doc_id, p + j.j AS cpos FROM m,\n"
+        "        (SELECT unnest(range(0, 8)) AS j) j(j)),\n"
+        "tt AS (SELECT doc_id, i.i AS pos, t[i.i+1] AS tok FROM tok,\n"
+        "       (SELECT unnest(range(0, 128)) AS i) i(i) WHERE i.i < n),\n"
+        "kept AS (SELECT tt.doc_id, tt.pos, tt.tok FROM tt LEFT JOIN cov\n"
+        "         ON cov.doc_id = tt.doc_id AND cov.cpos = tt.pos\n"
+        "         WHERE cov.doc_id IS NULL)\n"
+        "SELECT d0.doc_id,\n"
+        "  coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS text\n"
+        "FROM documents d0 LEFT JOIN kept k ON k.doc_id = d0.doc_id\n"
+        "GROUP BY d0.doc_id ORDER BY d0.doc_id"
+    )
+
+    # robots.txt admission: the oracle restates the RFC 9309 longest-match
+    # decision over the synth rule classes in closed form (stage docstring
+    # synth_robots_text: lamapi-bot groups on h%4 in {1,3}, '*' otherwise
+    # with /private/ + h%3==0 and h%5==2 extras)
+    sql["robots_check"] = (
+        "SELECT doc_id,\n"
+        "  'h' || (doc_id % 17) || '.example.com' AS host,\n"
+        "  (CASE doc_id % 4 WHEN 0 THEN '/p/' WHEN 1 THEN '/p/open/'\n"
+        "        WHEN 2 THEN '/private/' ELSE '/' END) || doc_id AS path,\n"
+        "  CASE WHEN (doc_id % 17) % 4 = 1 THEN (doc_id % 4) IN (2, 3)\n"
+        "       WHEN (doc_id % 17) % 4 = 3 THEN (doc_id % 4) <> 0\n"
+        "       ELSE CASE WHEN doc_id % 4 = 2 THEN FALSE\n"
+        "            WHEN doc_id % 4 = 0 THEN NOT ((doc_id % 17) % 3 = 0\n"
+        "                                          OR (doc_id % 17) % 5 = 2)\n"
+        "            WHEN doc_id % 4 = 1 THEN ((doc_id % 17) % 3 = 0)\n"
+        "                                     OR ((doc_id % 17) % 5 <> 2)\n"
+        "            ELSE (doc_id % 17) % 5 <> 2 END\n"
+        "  END AS allowed\n"
+        "FROM documents ORDER BY doc_id"
+    )
+
     # WARC archive roundtrip: the reader must recover url / epoch-second
     # timestamp / html bytes exactly, so the oracle restates the synth
     # pages html (anchor-wrapped part names — synth.py derivation spec)
@@ -2249,7 +2294,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_indegree",
         "winnow_fps",
         "dup_spans",
+        "dup_strip",
         "warc_roundtrip",
+        "robots_check",
         "multimodal_resize",
         "multimodal_frames",
         "dataset_split",
@@ -2519,7 +2566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_embed_hash", "video_mjpeg_frames",
         "gzip_shard_roundtrip", "sequence_pack_split",
         "page_links", "link_indegree", "winnow_fps", "dup_spans",
-        "warc_roundtrip",  # ^ new r5
+        "warc_roundtrip", "dup_strip", "robots_check",  # ^ new r5
         "knn_neighbors", "term_pmi", "events_rollup", "event_transitions",
         "typo_pairs", "bloom_users", "top_ngrams", "event_percentiles",
         "sessionize", "events_asof", "purchase_attribution",

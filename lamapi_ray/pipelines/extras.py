@@ -1458,6 +1458,57 @@ def dup_spans(sf_dir: str) -> pa.Table:
     )
 
 
+def dup_strip(sf_dir: str) -> pa.Table:
+    """Corpus rewrite removing every token covered by a duplicated
+    8-token window (the drop-all ExactSubstr curation variant) — see
+    stages/substrdedup.py::strip_duplicate_spans."""
+    from lamapi_ray.stages.substrdedup import strip_duplicate_spans
+
+    return _collect(strip_duplicate_spans(_docs(sf_dir), L=8)).sort_by("doc_id")
+
+
+def robots_check(sf_dir: str) -> pa.Table:
+    """Crawl-frontier admission: deterministic per-host robots.txt blobs
+    parsed by the RFC 9309 parser, every synthetic url decided through
+    the longest-match stage (stages/robots.py). Derivation: host
+    h<doc_id%17>.example.com, path class doc_id%4 over
+    /p/ /p/open/ /private/ / prefixes."""
+    import numpy as np
+
+    from lamapi_ray.stages import robots as R
+
+    robots_by_host = {
+        f"h{h}.example.com": R.parse_robots(R.synth_robots_text(h))
+        for h in range(17)
+    }
+
+    def to_urls(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = did % 17
+        c = did % 4
+        host = np.char.add(
+            np.char.add("h", h.astype("U2")), ".example.com"
+        )
+        pre = np.select(
+            [c == 0, c == 1, c == 2], ["/p/", "/p/open/", "/private/"], "/"
+        )
+        path = np.char.add(pre.astype("U9"), did.astype("U20"))
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "host": pa.array(host.tolist(), pa.string()),
+                "path": pa.array(path.tolist(), pa.string()),
+            }
+        )
+
+    urls = _docs(sf_dir, cols=("doc_id",)).map_batches(
+        to_urls, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _collect(R.robots_filter(urls, robots_by_host, "lamapi-bot")).sort_by(
+        "doc_id"
+    )
+
+
 def warc_roundtrip(sf_dir: str) -> pa.Table:
     """Common-Crawl-style archive ingestion e2e: pages → per-record-gzip
     .warc.gz shard blobs → member-splitting reader → rows; url, epoch

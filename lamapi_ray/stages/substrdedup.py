@@ -111,15 +111,11 @@ def _window_hashes(
     return ids[row], pos.astype(np.int64), acc[valid]
 
 
-def duplicate_spans(
-    docs: ray.data.Dataset,
-    L: int = 8,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> ray.data.Dataset:
-    """documents → (doc_id, span_start, span_end): maximal half-open
-    token spans covered by length-``L`` windows occurring >= 2 times
-    corpus-wide."""
+def _dup_hash_broadcast(
+    docs: ray.data.Dataset, L: int, id_col: str, text_col: str
+):
+    """Pass 1: corpus-wide duplicated-window hash set as a broadcast
+    sorted uint64 array (ObjectRef)."""
 
     def count_partials(batch: pa.Table) -> pa.Table:
         _, _, hv = _window_hashes(batch, L, id_col, text_col)
@@ -147,16 +143,31 @@ def duplicate_spans(
         else pa.table({"hv": pa.array([], pa.uint64())})
     )
     dup_sorted = np.sort(dup_tbl["hv"].to_numpy(zero_copy_only=False).astype(np.uint64))
-    dup_ref = ray.put(dup_sorted)
+    return ray.put(dup_sorted)
+
+
+def _member_mask(dup: np.ndarray, hv: np.ndarray) -> np.ndarray:
+    if len(dup) == 0 or len(hv) == 0:
+        return np.zeros(len(hv), dtype=bool)
+    idx = np.searchsorted(dup, hv)
+    return (idx < len(dup)) & (dup[np.minimum(idx, len(dup) - 1)] == hv)
+
+
+def duplicate_spans(
+    docs: ray.data.Dataset,
+    L: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """documents → (doc_id, span_start, span_end): maximal half-open
+    token spans covered by length-``L`` windows occurring >= 2 times
+    corpus-wide."""
+    dup_ref = _dup_hash_broadcast(docs, L, id_col, text_col)
 
     def mark_and_merge(batch: pa.Table) -> pa.Table:
         dup = ray.get(dup_ref)
         d, p, hv = _window_hashes(batch, L, id_col, text_col)
-        if len(dup) and len(hv):
-            idx = np.searchsorted(dup, hv)
-            member = (idx < len(dup)) & (dup[np.minimum(idx, len(dup) - 1)] == hv)
-        else:
-            member = np.zeros(len(hv), dtype=bool)
+        member = _member_mask(dup, hv)
         d, p = d[member], p[member]
         if len(d) == 0:
             return pa.table(
@@ -182,3 +193,70 @@ def duplicate_spans(
         )
 
     return docs.map_batches(mark_and_merge, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def strip_duplicate_spans(
+    docs: ray.data.Dataset,
+    L: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """documents → (doc_id, text) with every token covered by a
+    duplicated length-``L`` window REMOVED (the drop-all curation
+    variant of ExactSubstr; Lee et al.'s keep-one-occurrence needs a
+    global occurrence order and is deliberately not modeled). Docs with
+    no duplicated windows pass through unchanged; fully-covered docs
+    come back as the empty string. Fully vectorized: coverage via a
+    +1/-1 delta cumsum over the flat token stream, the survivor text by
+    one filtered ListArray rebuild + ``binary_join``."""
+    dup_ref = _dup_hash_broadcast(docs, L, id_col, text_col)
+
+    def strip(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        nrows = len(batch)
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern(text.cast(pa.string()), " ")
+        flat = pc.list_flatten(toks)
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(n.sum())
+        doc_off = np.concatenate([[0], np.cumsum(n)])
+
+        if nrows == 0 or total == 0:
+            return pa.table(
+                {id_col: ids, "text": pa.array([""] * nrows, pa.string())}
+            )
+        dup = ray.get(dup_ref)
+        d_ids, p, hv = _window_hashes(batch, L, id_col, text_col)
+        member = _member_mask(dup, hv)
+        # flat-stream coverage: +1 at each marked window start, -1 past
+        # its end (window spans stay inside one doc by construction).
+        # _window_hashes returns doc IDs; recover batch row indices by a
+        # sorted lookup over this batch's id column
+        ids_np = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        delta = np.zeros(total + 1, dtype=np.int64)
+        if member.any():
+            order = np.argsort(ids_np, kind="stable")
+            rows = order[np.searchsorted(ids_np[order], d_ids[member])]
+            starts = doc_off[rows] + p[member]
+            np.add.at(delta, starts, 1)
+            np.add.at(delta, starts + L, -1)
+        keep = np.cumsum(delta[:-1]) == 0
+        kept_flat = pc.filter(flat, pa.array(keep))
+        # every doc has >= 1 token (split of "" yields [""]), so the
+        # reduceat segments are all non-empty
+        kept_per_doc = np.add.reduceat(keep.astype(np.int64), doc_off[:-1])
+        offsets = np.concatenate([[0], np.cumsum(kept_per_doc)]).astype(np.int32)
+        kept_flat = (
+            kept_flat.combine_chunks()
+            if isinstance(kept_flat, pa.ChunkedArray)
+            else kept_flat
+        )
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), kept_flat)
+        joined = pc.binary_join(lists, " ")
+        return pa.table({id_col: ids, "text": joined})
+
+    return docs.map_batches(strip, batch_format="pyarrow", zero_copy_batch=True)

@@ -5,7 +5,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-from lamapi_ray.stages.substrdedup import duplicate_spans
+from lamapi_ray.stages.substrdedup import duplicate_spans, strip_duplicate_spans
 
 
 def _ref_spans(texts: dict[int, str], L: int) -> set[tuple[int, int, int]]:
@@ -96,6 +96,66 @@ def test_short_docs_and_adjacency_rule(ray_session):
     assert got == _ref_spans(texts, 4)
     assert not any(d == 1 for d, _, _ in got)
     assert (3, 0, 4) in got and (3, 8, 12) in got
+
+
+def _ref_strip(texts: dict[int, str], L: int) -> dict[int, str]:
+    spans = _ref_spans(texts, L)
+    out = {}
+    for did, text in texts.items():
+        toks = text.split(" ")
+        cov = set()
+        for d, s, e in spans:
+            if d == did:
+                cov.update(range(s, e))
+        out[did] = " ".join(t for i, t in enumerate(toks) if i not in cov)
+    return out
+
+
+def _run_strip(texts: dict[int, str], L: int) -> dict[int, str]:
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(texts), pa.int64()),
+                "text": pa.array(list(texts.values()), pa.string()),
+            }
+        )
+    ).repartition(3)
+    t = pa.concat_tables(
+        strip_duplicate_spans(ds, L=L).iter_batches(
+            batch_size=4096, batch_format="pyarrow"
+        )
+    )
+    return dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+
+
+def test_strip_removes_covered_tokens_only(ray_session):
+    shared = "a b c d e f g h"
+    texts = {
+        1: f"x1 y1 {shared} z1",
+        2: f"p2 {shared} q2",
+        3: "untouched doc stays word for word the same here",
+    }
+    got = _run_strip(texts, L=8)
+    assert got == _ref_strip(texts, 8)
+    assert got[1] == "x1 y1 z1"
+    assert got[3] == texts[3]
+
+
+def test_strip_fully_covered_doc_empties(ray_session):
+    texts = {1: "a b c d", 2: "a b c d"}
+    got = _run_strip(texts, L=4)
+    assert got == {1: "", 2: ""}
+
+
+def test_strip_random_corpus_matches_bruteforce(ray_session):
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = {}
+    for did in range(50):
+        n = int(rng.integers(2, 30))
+        texts[did] = " ".join(vocab[int(i)] for i in rng.integers(0, 12, n))
+    for L in (3, 5):
+        assert _run_strip(texts, L) == _ref_strip(texts, L)
 
 
 def test_random_corpus_matches_bruteforce(ray_session):
