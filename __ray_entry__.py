@@ -1724,6 +1724,18 @@ def oracle_sql() -> dict[str, str]:
         "GROUP BY d0.doc_id ORDER BY d0.doc_id"
     )
 
+    # charset cascade: detection provably equals the encoding class on
+    # the synth payloads (latin-1 bodies end in a 0xE9 byte that is
+    # invalid UTF-8; UTF-16 bodies carry BOMs), so label and normalized
+    # text are both closed-form
+    sql["charset_detect"] = (
+        "SELECT doc_id,\n"
+        "  CASE doc_id % 4 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8-bom'\n"
+        "       WHEN 2 THEN 'latin-1' ELSE 'utf-16-le' END AS charset,\n"
+        "  text || ' café' AS text\n"
+        "FROM documents ORDER BY doc_id"
+    )
+
     # robots.txt admission: the oracle restates the RFC 9309 longest-match
     # decision over the synth rule classes in closed form (stage docstring
     # synth_robots_text: lamapi-bot groups on h%4 in {1,3}, '*' otherwise
@@ -1920,6 +1932,15 @@ def oracle_sql() -> dict[str, str]:
     # (luma DC quant step 8), frame f of doc d has every pixel equal to
     # (d*37 + 11*f + 3) % 256
     sql["video_mjpeg_frames"] = (
+        "SELECT d.doc_id, f.f AS frame,\n"
+        " CAST((d.doc_id*37 + 11*f.f + 3) % 256 AS DOUBLE) AS mean_pixel\n"
+        "FROM documents d, (SELECT unnest(range(0, 8)) AS f) f(f)\n"
+        "WHERE f.f < 2 + d.doc_id % 4"
+    )
+
+    # MJPEG-in-MP4: identical flat-gray fixture spec to the AVI leg, so
+    # the same closed form holds (container differs, frames don't)
+    sql["video_mp4_frames"] = (
         "SELECT d.doc_id, f.f AS frame,\n"
         " CAST((d.doc_id*37 + 11*f.f + 3) % 256 AS DOUBLE) AS mean_pixel\n"
         "FROM documents d, (SELECT unnest(range(0, 8)) AS f) f(f)\n"
@@ -2297,6 +2318,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_strip",
         "warc_roundtrip",
         "robots_check",
+        "charset_detect",
+        "video_mp4_frames",
         "multimodal_resize",
         "multimodal_frames",
         "dataset_split",
@@ -2566,7 +2589,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_embed_hash", "video_mjpeg_frames",
         "gzip_shard_roundtrip", "sequence_pack_split",
         "page_links", "link_indegree", "winnow_fps", "dup_spans",
-        "warc_roundtrip", "dup_strip", "robots_check",  # ^ new r5
+        "warc_roundtrip", "dup_strip", "robots_check",
+        "charset_detect", "video_mp4_frames",  # ^ new r5
         "knn_neighbors", "term_pmi", "events_rollup", "event_transitions",
         "typo_pairs", "bloom_users", "top_ngrams", "event_percentiles",
         "sessionize", "events_asof", "purchase_attribution",

@@ -1467,6 +1467,18 @@ def dup_strip(sf_dir: str) -> pa.Table:
     return _collect(strip_duplicate_spans(_docs(sf_dir), L=8)).sort_by("doc_id")
 
 
+def charset_detect(sf_dir: str) -> pa.Table:
+    """Encoding-sniff normalization e2e: docs encoded per doc_id%4 ∈
+    {utf-8, utf-8+BOM, latin-1, utf-16-le+BOM} with a non-ASCII suffix,
+    then BOM → strict-UTF-8 → Latin-1 cascade back to uniform UTF-8
+    (stages/charset.py)."""
+    from lamapi_ray.stages.charset import attach_encoded_payload, decode_payloads
+
+    return _collect(
+        decode_payloads(attach_encoded_payload(_docs(sf_dir)))
+    ).sort_by("doc_id")
+
+
 def robots_check(sf_dir: str) -> pa.Table:
     """Crawl-frontier admission: deterministic per-host robots.txt blobs
     parsed by the RFC 9309 parser, every synthetic url decided through
@@ -1669,6 +1681,16 @@ def video_mjpeg_frames(sf_dir: str) -> pa.Table:
     from lamapi_ray.stages.multimodal import attach_avi_payload, sample_frames
 
     return _collect(sample_frames(attach_avi_payload(_docs(sf_dir)), stride=1))
+
+
+def video_mp4_frames(sf_dir: str) -> pa.Table:
+    """REAL MP4 decode: MJPEG-in-MP4 clips (ISO BMFF container walk +
+    stbl sample index + in-repo baseline-JPEG frames) frame-sampled at
+    stride 1. Same flat-gray fixtures as the AVI leg → same closed-form
+    oracle; inter-frame sample entries gate at codec dispatch."""
+    from lamapi_ray.stages.multimodal import attach_mp4_payload, sample_frames
+
+    return _collect(sample_frames(attach_mp4_payload(_docs(sf_dir)), stride=1))
 
 
 def multimodal_frames(sf_dir: str) -> pa.Table:

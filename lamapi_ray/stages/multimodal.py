@@ -305,6 +305,29 @@ def synth_flat_video(doc_id: int) -> np.ndarray:
     )
 
 
+def attach_mp4_payload(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """documents → (doc_id, payload) with REAL MJPEG-in-MP4 clips (same
+    flat-gray frames as the AVI fixtures — functions/mp4codec.py)."""
+    from lamapi_ray.functions.mp4codec import encode_mp4_mjpeg
+
+    def to_mp4(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(
+                    [
+                        encode_mp4_mjpeg(synth_flat_video(int(i)), quality=75)
+                        for i in ids
+                    ],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    return docs.map_batches(to_mp4, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def attach_avi_payload(docs: ray.data.Dataset) -> ray.data.Dataset:
     """documents → (doc_id, payload) with REAL MJPEG-AVI clips (baseline
     JPEG frames in a RIFF container — functions/avicodec.py)."""
@@ -482,16 +505,19 @@ class PayloadResizer:
 
 class FrameSampler:
     """Actor: REAL video frame sampling — parse the container (RAWV raw
-    frames, or MJPEG AVI via the in-repo baseline-JPEG codec), keep every
-    ``stride``-th frame, one row per kept frame (rows out ≥ rows in) with
-    the frame's mean pixel value. Inter-frame codecs (MP4/H.264...) stay
-    honestly ``NotImplementedError``-gated."""
+    frames, MJPEG AVI, or MJPEG-in-MP4 via the in-repo baseline-JPEG
+    codec), keep every ``stride``-th frame, one row per kept frame (rows
+    out ≥ rows in) with the frame's mean pixel value. Inter-frame
+    CODECS (avc1/hvc1 sample entries) stay honestly
+    ``NotImplementedError``-gated inside the MP4 codec dispatch — the
+    container itself parses."""
 
     def __init__(self, stride: int = 2):
         self.stride = stride
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from lamapi_ray.functions.avicodec import decode_avi_mjpeg, sniff_video
+        from lamapi_ray.functions.mp4codec import decode_mp4_mjpeg
         from lamapi_ray.functions.text import round_ref
 
         ids, frames, means = [], [], []
@@ -501,10 +527,12 @@ class FrameSampler:
                 clip = decode_rawv(p)
             elif kind == "avi":
                 clip = decode_avi_mjpeg(p)
+            elif kind == "mp4":
+                clip = decode_mp4_mjpeg(p)
             else:
                 raise NotImplementedError(
-                    f"{kind} video is inter-frame coded; only RAWV and "
-                    "MJPEG AVI are decodable here"
+                    f"{kind} video is not a container this sampler reads "
+                    "(RAWV, MJPEG AVI, MP4)"
                 )
             for f in range(0, clip.shape[0], self.stride):
                 ids.append(i)

@@ -56,11 +56,28 @@ def test_frame_sampler_dispatches_avi_and_gates_mp4():
         float((5 * 37 + 11 * f + 3) % 256) for f in range(3)
     ]
 
-    mp4 = pa.table(
+    # MP4 now dispatches for real (MJPEG sample entries decode); the
+    # honest gate moved inside the codec dispatch: avc1 entries parse
+    # but refuse to decode
+    from lamapi_ray.functions.mp4codec import encode_mp4_mjpeg
+
+    mp4_ok = pa.table(
+        {
+            "doc_id": pa.array([5], pa.int64()),
+            "payload": pa.array([encode_mp4_mjpeg(frames, quality=75)], pa.binary()),
+        }
+    )
+    mout = FrameSampler(stride=1)(mp4_ok)
+    assert mout["mean_pixel"].to_pylist() == out["mean_pixel"].to_pylist()
+
+    avc = bytearray(encode_mp4_mjpeg(frames, quality=75))
+    at = avc.find(b"jpeg", 20)
+    avc[at : at + 4] = b"avc1"
+    mp4_gated = pa.table(
         {
             "doc_id": pa.array([1], pa.int64()),
-            "payload": pa.array([b"\x00\x00\x00\x18ftypisom...."], pa.binary()),
+            "payload": pa.array([bytes(avc)], pa.binary()),
         }
     )
     with pytest.raises(NotImplementedError):
-        FrameSampler(stride=1)(mp4)
+        FrameSampler(stride=1)(mp4_gated)
