@@ -1724,6 +1724,34 @@ def oracle_sql() -> dict[str, str]:
         "GROUP BY d0.doc_id ORDER BY d0.doc_id"
     )
 
+    # anchor-text surface forms: the synth anchors carry p1/p2 part names
+    # targeting doc://(doc_id%P) and doc://((doc_id*7+13)%P)
+    sql["anchor_texts"] = (
+        "WITH n AS (SELECT count(*) AS np FROM part),\n"
+        "e AS (SELECT 'doc://' || (d.doc_id % np) AS dst, p1.p_name AS anchor\n"
+        "      FROM documents d CROSS JOIN n\n"
+        "      JOIN part p1 ON p1.p_partkey = d.doc_id % np\n"
+        "      UNION ALL\n"
+        "      SELECT 'doc://' || ((d.doc_id*7+13) % np), p2.p_name\n"
+        "      FROM documents d CROSS JOIN n\n"
+        "      JOIN part p2 ON p2.p_partkey = (d.doc_id*7+13) % np)\n"
+        "SELECT dst, anchor, CAST(count(*) AS BIGINT) AS n\n"
+        "FROM e GROUP BY 1, 2 ORDER BY dst, anchor"
+    )
+
+    # crawl politeness: the oracle states the same max-plus closed form
+    # t_k = d*k + max_{j<=k}(arr_j - d*j) as a window max (d = 2)
+    sql["crawl_schedule"] = (
+        "WITH a AS (SELECT doc_id, doc_id % 17 AS host,\n"
+        "             1704067200 + (doc_id * 7) % 1000 AS arr FROM documents),\n"
+        "r AS (SELECT *, row_number() OVER (PARTITION BY host\n"
+        "        ORDER BY arr, doc_id) - 1 AS rn FROM a),\n"
+        "m AS (SELECT *, max(arr - 2*rn) OVER (PARTITION BY host ORDER BY rn\n"
+        "        ROWS UNBOUNDED PRECEDING) AS base FROM r)\n"
+        "SELECT doc_id, host, arr, CAST(base + 2*rn AS BIGINT) AS fetch_ts\n"
+        "FROM m ORDER BY doc_id"
+    )
+
     # charset cascade: detection provably equals the encoding class on
     # the synth payloads (latin-1 bodies end in a 0xE9 byte that is
     # invalid UTF-8; UTF-16 bodies carry BOMs), so label and normalized
@@ -2320,6 +2348,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_check",
         "charset_detect",
         "video_mp4_frames",
+        "anchor_texts",
+        "crawl_schedule",
         "multimodal_resize",
         "multimodal_frames",
         "dataset_split",
@@ -2590,7 +2620,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gzip_shard_roundtrip", "sequence_pack_split",
         "page_links", "link_indegree", "winnow_fps", "dup_spans",
         "warc_roundtrip", "dup_strip", "robots_check",
-        "charset_detect", "video_mp4_frames",  # ^ new r5
+        "charset_detect", "video_mp4_frames",
+        "anchor_texts", "crawl_schedule",  # ^ new r5
         "knn_neighbors", "term_pmi", "events_rollup", "event_transitions",
         "typo_pairs", "bloom_users", "top_ngrams", "event_percentiles",
         "sessionize", "events_asof", "purchase_attribution",

@@ -204,6 +204,8 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("robots_check", lambda: extras.robots_check(sf_dir))
     timed("charset_detect", lambda: extras.charset_detect(sf_dir))
     timed("video_mp4_frames", lambda: extras.video_mp4_frames(sf_dir))
+    timed("anchor_texts", lambda: extras.anchor_texts(sf_dir))
+    timed("crawl_schedule", lambda: extras.crawl_schedule(sf_dir))
     timed("literal_classify", lambda: extras.literal_classify(sf_dir))
     timed("pii_scrub", lambda: extras.pii_scrub(sf_dir))
     timed("text_clean", lambda: extras.text_clean(sf_dir))

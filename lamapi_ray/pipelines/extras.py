@@ -1467,6 +1467,43 @@ def dup_strip(sf_dir: str) -> pa.Table:
     return _collect(strip_duplicate_spans(_docs(sf_dir), L=8)).sort_by("doc_id")
 
 
+def anchor_texts(sf_dir: str) -> pa.Table:
+    """Web-derived surface-form prior: inbound anchor-text counts per
+    link target, parsed from real page html anchors
+    (stages/linkgraph.py::extract_anchor_texts)."""
+    from lamapi_ray import synth
+    from lamapi_ray.stages.linkgraph import anchor_surface_forms, extract_anchor_texts
+
+    return _collect(
+        anchor_surface_forms(extract_anchor_texts(synth.pages_dataset(sf_dir)))
+    ).sort_by([("dst", "ascending"), ("anchor", "ascending")])
+
+
+def crawl_schedule(sf_dir: str) -> pa.Table:
+    """Politeness scheduling: per-host fetch times under a 2-second
+    minimum delay via the exact max-plus closed form
+    (stages/crawl.py). Derivation: host doc_id%17, arrival
+    1704067200 + (doc_id*7)%1000."""
+    import numpy as np
+
+    from lamapi_ray.stages.crawl import schedule_fetches
+
+    def to_requests(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "host": pa.array(did % 17, pa.int64()),
+                "arr": pa.array(1704067200 + (did * 7) % 1000, pa.int64()),
+            }
+        )
+
+    reqs = _docs(sf_dir, cols=("doc_id",)).map_batches(
+        to_requests, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _collect(schedule_fetches(reqs, delay=2)).sort_by("doc_id")
+
+
 def charset_detect(sf_dir: str) -> pa.Table:
     """Encoding-sniff normalization e2e: docs encoded per doc_id%4 ∈
     {utf-8, utf-8+BOM, latin-1, utf-16-le+BOM} with a non-ASCII suffix,

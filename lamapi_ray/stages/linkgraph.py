@@ -58,6 +58,84 @@ def extract_links(pages: ray.data.Dataset) -> ray.data.Dataset:
     return pages.map_batches(links, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def extract_anchor_texts(pages: ray.data.Dataset) -> ray.data.Dataset:
+    """pages (url, html, ...) → (dst, anchor): link target + its anchor
+    text — the classic web-derived surface-form signal (an inbound
+    anchor is a human-written name for the target entity; lamAPI builds
+    the same surface→entity prior from Wikidata labels/aliases,
+    parse_wikidata_dump.py:151). Same vectorized split chain as
+    ``extract_links`` extended two splits deeper: the post-href fragment
+    is ``TARGET">ANCHOR</a>...``, so anchor = element 0 of the
+    ``'</a>'`` split of element 1 of the ``'">'`` split."""
+
+    def anchors(batch: pa.Table) -> pa.Table:
+        html = batch["html"]
+        if isinstance(html, pa.ChunkedArray):
+            html = html.combine_chunks()
+        parts = pc.split_pattern(html.cast(pa.large_string()), 'href="')
+        flat = pc.list_flatten(parts)
+        parents = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+        counts = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        offs = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        pos = np.arange(len(parents)) - offs[parents]
+        keep = pos > 0
+        frag = pc.take(flat, pa.array(np.nonzero(keep)[0]))
+        if isinstance(frag, pa.ChunkedArray):
+            frag = frag.combine_chunks()
+        dst = pc.list_element(pc.split_pattern(frag, '"'), 0)
+        after = pc.list_element(pc.split_pattern(frag, '">'), 1)
+        anchor = pc.list_element(pc.split_pattern(after, "</a>"), 0)
+        return pa.table(
+            {
+                "dst": dst.cast(pa.string()),
+                "anchor": anchor.cast(pa.string()),
+            }
+        )
+
+    return pages.map_batches(anchors, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def anchor_surface_forms(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """(dst, anchor) → (dst, anchor, n): inbound anchor-text counts per
+    target — a surface-form prior table. Map-side combine on the packed
+    (dst, anchor) key, ONE vocabulary-bounded groupby-sum; the key is
+    unpacked after the exchange (no struct keys through the shuffle)."""
+    SEP = "\x1f"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            batch["dst"].cast(pa.string()), batch["anchor"].cast(pa.string()), SEP
+        )
+        key = key.combine_chunks() if isinstance(key, pa.ChunkedArray) else key
+        vc = key.value_counts()
+        return pa.table(
+            {
+                "k": vc.field("values").cast(pa.string()),
+                "c": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        edges.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k")
+        .sum("c")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        split = pc.split_pattern(batch["k"].combine_chunks() if isinstance(
+            batch["k"], pa.ChunkedArray
+        ) else batch["k"], SEP)
+        return pa.table(
+            {
+                "dst": pc.list_element(split, 0).cast(pa.string()),
+                "anchor": pc.list_element(split, 1).cast(pa.string()),
+                "n": batch["sum(c)"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def link_indegree(edges: ray.data.Dataset) -> ray.data.Dataset:
     """(src, dst, rank) → (dst, indegree) — map-side combined groupby."""
 
