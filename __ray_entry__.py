@@ -1724,6 +1724,16 @@ def oracle_sql() -> dict[str, str]:
         "GROUP BY d0.doc_id ORDER BY d0.doc_id"
     )
 
+    # sitemap roundtrip: lastmod restated via strftime over the synth
+    # timestamp derivation (2024-01-01 + doc_id seconds)
+    sql["sitemap_roundtrip"] = (
+        "SELECT 'h' || (doc_id % 17) || '.example.com' AS host,\n"
+        "  'doc://' || doc_id AS url,\n"
+        "  strftime(TIMESTAMP '2024-01-01' + doc_id * INTERVAL 1 SECOND,\n"
+        "           '%Y-%m-%dT%H:%M:%SZ') AS lastmod\n"
+        "FROM documents ORDER BY url"
+    )
+
     # anchor-text surface forms: the synth anchors carry p1/p2 part names
     # targeting doc://(doc_id%P) and doc://((doc_id*7+13)%P)
     sql["anchor_texts"] = (
@@ -2350,6 +2360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_mp4_frames",
         "anchor_texts",
         "crawl_schedule",
+        "sitemap_roundtrip",
         "multimodal_resize",
         "multimodal_frames",
         "dataset_split",
@@ -2621,7 +2632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_links", "link_indegree", "winnow_fps", "dup_spans",
         "warc_roundtrip", "dup_strip", "robots_check",
         "charset_detect", "video_mp4_frames",
-        "anchor_texts", "crawl_schedule",  # ^ new r5
+        "anchor_texts", "crawl_schedule", "sitemap_roundtrip",  # ^ new r5
         "knn_neighbors", "term_pmi", "events_rollup", "event_transitions",
         "typo_pairs", "bloom_users", "top_ngrams", "event_percentiles",
         "sessionize", "events_asof", "purchase_attribution",

@@ -1467,6 +1467,34 @@ def dup_strip(sf_dir: str) -> pa.Table:
     return _collect(strip_duplicate_spans(_docs(sf_dir), L=8)).sort_by("doc_id")
 
 
+def sitemap_roundtrip(sf_dir: str) -> pa.Table:
+    """URL-discovery e2e: per-host sitemap.xml blobs written and parsed
+    back via the vectorized split chain (sources/sitemap.py). Derivation:
+    host doc_id%17, url doc://doc_id, lastmod 2024-01-01 + doc_id sec."""
+    import numpy as np
+
+    from lamapi_ray.sources.sitemap import read_sitemaps, write_sitemaps
+
+    def to_urls(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        host = np.char.add(
+            np.char.add("h", (did % 17).astype("U2")), ".example.com"
+        )
+        url = np.char.add("doc://", did.astype("U20"))
+        return pa.table(
+            {
+                "host": pa.array(host.tolist(), pa.string()),
+                "url": pa.array(url.tolist(), pa.string()),
+                "epoch": pa.array(1704067200 + did, pa.int64()),
+            }
+        )
+
+    urls = _docs(sf_dir, cols=("doc_id",)).map_batches(
+        to_urls, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _collect(read_sitemaps(write_sitemaps(urls))).sort_by("url")
+
+
 def anchor_texts(sf_dir: str) -> pa.Table:
     """Web-derived surface-form prior: inbound anchor-text counts per
     link target, parsed from real page html anchors
