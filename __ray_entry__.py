@@ -580,6 +580,36 @@ def oracle_sql() -> dict[str, str]:
 
     # --- KG graph analytics (stages/graph.py) — engine-first operators the
     # reference's summary endpoint stops short of ---------------------------
+    # TransE-style negative sampling: object corrupted within its entity
+    # class by deterministic arithmetic, accidental positives removed by
+    # NOT EXISTS against the real edge set (engine: packed-key anti-join)
+    sql["kg_negative_samples"] = _with(
+        SQL_ITEMS,
+        SQL_ADJACENCY,
+        "nn AS (SELECT (SELECT count(*) FROM part) AS c1,\n"
+        "  (SELECT count(*) FROM supplier) AS c2,\n"
+        "  (SELECT count(*) FROM customer) AS c3,\n"
+        "  (SELECT count(*) FROM nation) AS c4,\n"
+        "  (SELECT count(*) FROM region) AS c5)",
+        "t AS (SELECT CAST(substr(subj, 2) AS BIGINT) AS s,\n"
+        "  CAST(substr(pred, 2) AS BIGINT) AS p,\n"
+        "  CAST(substr(obj, 2) AS BIGINT) AS o FROM adjacency)",
+        "cc AS (SELECT s, p, o, k.k AS k,\n"
+        "  CASE WHEN o < 100000 THEN 9001 ELSE (o // 100000) * 100000 END AS base,\n"
+        "  CASE o // 100000 WHEN 0 THEN 5 WHEN 1 THEN c1 WHEN 2 THEN c2\n"
+        "       WHEN 3 THEN c3 WHEN 4 THEN c4 ELSE c5 END AS sz\n"
+        "  FROM t CROSS JOIN nn\n"
+        "  CROSS JOIN (SELECT unnest(range(0, 2)) AS k) k(k))",
+        "g AS (SELECT s, p, k,\n"
+        "  base + ((o - base + 31*s + 7*p + 13*k + 1) % sz) AS no FROM cc)",
+    ) + (
+        "SELECT 'Q' || s AS subj, 'P' || p AS pred, 'Q' || no AS neg_obj,\n"
+        "  CAST(k AS BIGINT) AS k\n"
+        "FROM g WHERE NOT EXISTS (SELECT 1 FROM t\n"
+        "  WHERE t.s = g.s AND t.p = g.p AND t.o = g.no)\n"
+        "ORDER BY subj, pred, neg_obj, k"
+    )
+
     sql["kg_degrees"] = _with(
         SQL_ITEMS,
         SQL_ADJACENCY,
@@ -2428,6 +2458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["lookup_labels"] = with_kg("lookup_labels", "items")
     out["lookup_objects"] = with_kg("lookup_objects", "triples")
     out["kg_degrees"] = with_kg("kg_degrees", "triples")
+    out["kg_negative_samples"] = with_kg("kg_negative_samples", "triples")
     out["entity_pagerank"] = with_kg("entity_pagerank", "triples")
     out["lookup_literals"] = with_kg("lookup_literals", "literals")
     out["predicates_pairs"] = with_kg("predicates_pairs", "triples")
@@ -2632,7 +2663,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_links", "link_indegree", "winnow_fps", "dup_spans",
         "warc_roundtrip", "dup_strip", "robots_check",
         "charset_detect", "video_mp4_frames",
-        "anchor_texts", "crawl_schedule", "sitemap_roundtrip",  # ^ new r5
+        "anchor_texts", "crawl_schedule", "sitemap_roundtrip",
+        "kg_negative_samples",  # ^ new r5
         "knn_neighbors", "term_pmi", "events_rollup", "event_transitions",
         "typo_pairs", "bloom_users", "top_ngrams", "event_percentiles",
         "sessionize", "events_asof", "purchase_attribution",

@@ -2613,6 +2613,110 @@ def kg_degrees(sf_dir: str, adjacency: pa.Table) -> pa.Table:
     return _collect(graph.degrees(edges)).sort_by("entity")
 
 
+def kg_negative_samples(sf_dir: str, adjacency: pa.Table) -> pa.Table:
+    """TransE-style negative sampling over the KG edge list: for each
+    (subj, pred, obj) edge, two object-corrupted candidates drawn
+    WITHIN obj's entity class (part/supplier/customer/nation/region/
+    type — realistic same-type negatives) by deterministic arithmetic
+    ``o' = base + ((o − base + 31·s + 7·p + 13·k + 1) mod class_size)``,
+    then accidental positives removed by an anti-join against the real
+    edge set (packed-int64 keys, sorted membership — the edge set is
+    KG-vocabulary-bounded, not corpus-sized, so the key array broadcast
+    is the right shape; at 10⁹-edge scale this becomes the hash
+    semi-join the dedup family already uses). Dataflow runs as ONE
+    map_batches over the edge Dataset."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from lamapi_ray.stages.dedup import scaled_partitions
+
+    sizes = {
+        c: pq.read_metadata(f"{sf_dir}/{t}.parquet").num_rows
+        for c, t in [
+            (1, "part"), (2, "supplier"), (3, "customer"),
+            (4, "nation"), (5, "region"),
+        ]
+    }
+
+    def ints(col, strip):
+        arr = adjacency[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        return pc.cast(
+            pc.utf8_slice_codeunits(arr, strip), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+
+    s_all = ints("subj", 1)
+    p_all = ints("pred", 1)
+    o_all = ints("obj", 1)
+    real_keys = np.sort((s_all * 10_000_000 + o_all) * 128 + p_all)
+    real_ref = ray.put(real_keys)
+
+    cls_sizes = np.array(
+        [5, sizes[1], sizes[2], sizes[3], sizes[4], sizes[5]], dtype=np.int64
+    )
+
+    def corrupt(batch: pa.Table) -> pa.Table:
+        real = ray.get(real_ref)
+        s = pc.cast(
+            pc.utf8_slice_codeunits(batch["subj"].combine_chunks() if isinstance(
+                batch["subj"], pa.ChunkedArray) else batch["subj"], 1),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        p = pc.cast(
+            pc.utf8_slice_codeunits(batch["pred"].combine_chunks() if isinstance(
+                batch["pred"], pa.ChunkedArray) else batch["pred"], 1),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        o = pc.cast(
+            pc.utf8_slice_codeunits(batch["obj"].combine_chunks() if isinstance(
+                batch["obj"], pa.ChunkedArray) else batch["obj"], 1),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        cls = o // 100000  # 0 = type class (Q9001..Q9005)
+        base = np.where(cls == 0, 9001, cls * 100000)
+        sz = cls_sizes[cls]
+        outs = []
+        for k in (0, 1):
+            no = base + ((o - base + 31 * s + 7 * p + 13 * k + 1) % sz)
+            key = (s * 10_000_000 + no) * 128 + p
+            idx = np.searchsorted(real, key)
+            hit = (idx < len(real)) & (real[np.minimum(idx, len(real) - 1)] == key)
+            m = ~hit
+            outs.append(
+                pa.table(
+                    {
+                        "subj": pa.array(
+                            np.char.add("Q", s[m].astype("U10")).tolist(),
+                            pa.string(),
+                        ),
+                        "pred": pa.array(
+                            np.char.add("P", p[m].astype("U10")).tolist(),
+                            pa.string(),
+                        ),
+                        "neg_obj": pa.array(
+                            np.char.add("Q", no[m].astype("U10")).tolist(),
+                            pa.string(),
+                        ),
+                        "k": pa.array(np.full(int(m.sum()), k), pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    edges = ray.data.from_arrow(adjacency).repartition(scaled_partitions(1.0, 8))
+    return _collect(
+        edges.map_batches(corrupt, batch_format="pyarrow", zero_copy_batch=True)
+    ).sort_by(
+        [
+            ("subj", "ascending"),
+            ("pred", "ascending"),
+            ("neg_obj", "ascending"),
+            ("k", "ascending"),
+        ]
+    )
+
+
 def entity_pagerank(sf_dir: str, adjacency: pa.Table) -> pa.Table:
     """Fixed-point PageRank (3 iterations, d = 85/100, scale 10^9) over the
     KG edge list. Integer arithmetic end to end → bit-reproducible, so the
