@@ -1496,6 +1496,24 @@ def oracle_sql() -> dict[str, str]:
         "FROM tokp GROUP BY 1 HAVING count(*) >= 3"
     )
 
+    # LSM postings compaction: the merged index must equal a fresh build
+    # over (base kept + delta updated) minus tombstones
+    sql["postings_delta_merge"] = _with(
+        _tkh_cte(
+            "tkhm",
+            "(SELECT doc_id, text FROM documents\n"
+            "   WHERE doc_id % 10 <> 7 AND doc_id % 13 <> 2\n"
+            " UNION ALL SELECT doc_id, text || ' updated' FROM documents\n"
+            "   WHERE doc_id % 10 = 7 AND doc_id % 13 <> 2)",
+        ),
+        "tokm AS (SELECT DISTINCT doc_id, g FROM"
+        " (SELECT doc_id, CAST(unnest(th) AS BIGINT) AS g FROM tkhm))",
+    ) + (
+        "SELECT g, count(*) AS df,"
+        " string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings\n"
+        "FROM tokm GROUP BY 1 HAVING count(*) >= 3"
+    )
+
     # text_clean: NFC + control-strip + whitespace collapse + trim — the
     # literal same utf8proc/RE2 chain as stages/curation.py::clean_text
     _CLEAN = (
@@ -1752,6 +1770,13 @@ def oracle_sql() -> dict[str, str]:
         "  coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS text\n"
         "FROM documents d0 LEFT JOIN kept k ON k.doc_id = d0.doc_id\n"
         "GROUP BY d0.doc_id ORDER BY d0.doc_id"
+    )
+
+    # flagship ingestion chain: WARC write → read → tag-strip must land
+    # on the exact synth full_text (the per-url byte invariant through
+    # the archive layer)
+    sql["web_ingest_e2e"] = _with(SQL_PAGES) + (
+        "SELECT url, text FROM pages ORDER BY url"
     )
 
     # sitemap roundtrip: lastmod restated via strftime over the synth
@@ -2391,6 +2416,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_texts",
         "crawl_schedule",
         "sitemap_roundtrip",
+        "web_ingest_e2e",
+        "postings_delta_merge",
         "multimodal_resize",
         "multimodal_frames",
         "dataset_split",
@@ -2664,7 +2691,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_roundtrip", "dup_strip", "robots_check",
         "charset_detect", "video_mp4_frames",
         "anchor_texts", "crawl_schedule", "sitemap_roundtrip",
-        "kg_negative_samples",  # ^ new r5
+        "kg_negative_samples", "web_ingest_e2e",
+        "postings_delta_merge",  # ^ new r5
         "knn_neighbors", "term_pmi", "events_rollup", "event_transitions",
         "typo_pairs", "bloom_users", "top_ngrams", "event_percentiles",
         "sessionize", "events_asof", "purchase_attribution",

@@ -25,6 +25,8 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
+import ray
 import ray.data
 
 from lamapi_ray.stages.dedup import _doc_shingle_hashes, scaled_partitions
@@ -91,3 +93,82 @@ def inverted_index(
         .groupby("g", num_partitions=scaled_partitions(1.0, 32))
         .map_groups(finish, batch_format="pyarrow")
     )
+
+
+def merge_postings(
+    segments: ray.data.Dataset,
+    deleted: np.ndarray,
+    min_df: int = 3,
+) -> ray.data.Dataset:
+    """LSM-style index compaction: merge per-segment postings rows
+    (g, df, postings) into one index — per term, the sorted deduped
+    union of segment postings MINUS the tombstoned doc ids, with
+    ``min_df`` applied at the merge (segments must be built with
+    ``min_df=1``: a term under-threshold in every segment can still
+    clear it after the union, which is why real LSM engines keep full
+    per-segment postings and prune only at compaction).
+
+    One grouped exchange keyed on the term hash ships exactly the
+    touched postings; tombstones broadcast as a sorted int64 array
+    (delete sets are small relative to the corpus — at 10^12-doc scale
+    partition them by doc-range and semi-join instead, same kernel).
+    Postings parse/rebuild is vectorized per group block
+    (``split_pattern`` → flat int64 → lexsort), not per-id Python."""
+    del_sorted = np.sort(np.asarray(deleted, dtype=np.int64))
+    del_ref = ray.put(del_sorted)
+
+    empty = pa.table(
+        {
+            "g": pa.array([], pa.int64()),
+            "df": pa.array([], pa.int64()),
+            "postings": pa.array([], pa.string()),
+        }
+    )
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return empty
+        posts_col = group["postings"]
+        if isinstance(posts_col, pa.ChunkedArray):
+            posts_col = posts_col.combine_chunks()
+        split = pc.split_pattern(posts_col.cast(pa.string()), ",")
+        flat = pc.cast(pc.list_flatten(split), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False)
+        g_np = group["g"].to_numpy(zero_copy_only=False)
+        terms = g_np[np.repeat(np.arange(len(group)), lens)]
+        dels = ray.get(del_ref)
+        if len(dels):
+            idx = np.searchsorted(dels, flat)
+            alive = ~(
+                (idx < len(dels))
+                & (dels[np.minimum(idx, len(dels) - 1)] == flat)
+            )
+            terms, flat = terms[alive], flat[alive]
+        if len(flat) == 0:
+            return empty
+        order = np.lexsort((flat, terms))
+        terms, flat = terms[order], flat[order]
+        # dedup (term, id) pairs from overlapping segments
+        keep = np.r_[True, (terms[1:] != terms[:-1]) | (flat[1:] != flat[:-1])]
+        terms, flat = terms[keep], flat[keep]
+        starts = np.r_[0, np.flatnonzero(np.diff(terms)) + 1]
+        ends = np.r_[starts[1:], len(terms)]
+        ok = (ends - starts) >= min_df
+        gs, dfs, posts = [], [], []
+        for s, e in zip(starts[ok], ends[ok]):
+            gs.append(int(terms[s]))
+            dfs.append(int(e - s))
+            posts.append(",".join(str(i) for i in flat[s:e]))
+        return pa.table(
+            {
+                "g": pa.array(gs, pa.int64()),
+                "df": pa.array(dfs, pa.int64()),
+                "postings": pa.array(posts, pa.string()),
+            }
+        )
+
+    return segments.groupby(
+        "g", num_partitions=scaled_partitions(1.0, 32)
+    ).map_groups(merge_group, batch_format="pyarrow")

@@ -1467,6 +1467,78 @@ def dup_strip(sf_dir: str) -> pa.Table:
     return _collect(strip_duplicate_spans(_docs(sf_dir), L=8)).sort_by("doc_id")
 
 
+def postings_delta_merge(sf_dir: str) -> pa.Table:
+    """Index maintenance e2e: a base segment (docs with doc_id%10 != 7),
+    a delta segment reindexing the %10 == 7 docs with UPDATED text
+    (' updated' appended), and tombstones for doc_id%13 == 2, compacted
+    by index/postings.py::merge_postings. Segments are built min_df=1;
+    the threshold (3) applies at the merge — the LSM contract."""
+    import numpy as np
+
+    from lamapi_ray.index.postings import inverted_index, merge_postings
+
+    docs = _docs(sf_dir)
+
+    def base_part(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(did % 10 != 7))
+
+    def delta_part(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(did % 10 == 7))
+        upd = pc.binary_join_element_wise(
+            sub["text"].cast(pa.string()), "updated", " "
+        )
+        return pa.table({"doc_id": sub["doc_id"], "text": upd})
+
+    base_idx = inverted_index(
+        docs.map_batches(base_part, batch_format="pyarrow", zero_copy_batch=True),
+        min_df=1,
+    )
+    delta_idx = inverted_index(
+        docs.map_batches(delta_part, batch_format="pyarrow", zero_copy_batch=True),
+        min_df=1,
+    )
+    ids = _collect(_docs(sf_dir, cols=("doc_id",)))["doc_id"].to_numpy(
+        zero_copy_only=False
+    )
+    deleted = ids[ids % 13 == 2]
+    return _collect(
+        merge_postings(base_idx.union(delta_idx), deleted, min_df=3)
+    ).sort_by("g")
+
+
+def web_ingest_e2e(sf_dir: str) -> pa.Table:
+    """Flagship ingestion chain: pages → per-record-gzip WARC shards →
+    member-splitting reader → html→text extraction. Proves the
+    north-star per-url BYTE-IDENTICAL text invariant THROUGH the archive
+    layer: the tag-stripped text of every WARC-roundtripped page equals
+    the synth full_text exactly (oracle: SQL_PAGES)."""
+    from lamapi_ray import synth
+    from lamapi_ray.sources.warc import read_warc_shards, write_warc_shards
+    from lamapi_ray.stages.extract import extract_text_batch
+
+    pages = synth.pages_dataset(sf_dir).map_batches(
+        lambda b: b.select(["url", "warc_ts", "html"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    rows = read_warc_shards(write_warc_shards(pages, shard_size=50))
+
+    def fill(batch: pa.Table) -> pa.Table:
+        withnull = batch.append_column(
+            "text", pa.nulls(len(batch), pa.large_string())
+        )
+        out = extract_text_batch(withnull)
+        return pa.table(
+            {"url": out["url"], "text": out["text"].cast(pa.string())}
+        )
+
+    return _collect(
+        rows.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
+    ).sort_by("url")
+
+
 def sitemap_roundtrip(sf_dir: str) -> pa.Table:
     """URL-discovery e2e: per-host sitemap.xml blobs written and parsed
     back via the vectorized split chain (sources/sitemap.py). Derivation:
