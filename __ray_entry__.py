@@ -610,6 +610,22 @@ def oracle_sql() -> dict[str, str]:
         "ORDER BY subj, pred, neg_obj, k"
     )
 
+    # GraphSAGE-style 2-hop sampling: per-node top-3 by scrambled hash
+    # (ties numeric), second hop reuses the same per-node sample
+    sql["kg_neighbor_sample"] = _with(
+        SQL_ITEMS,
+        SQL_ADJACENCY,
+        "dd AS (SELECT DISTINCT subj, obj FROM adjacency)",
+        "s1 AS (SELECT subj, obj, row_number() OVER (PARTITION BY subj\n"
+        "  ORDER BY (CAST(substr(obj, 2) AS BIGINT) * 2654435761) % 1000000007,\n"
+        "           CAST(substr(obj, 2) AS BIGINT)) AS rn FROM dd)",
+        "k1 AS (SELECT subj AS seed, obj AS hop1 FROM s1 WHERE rn <= 3)",
+    ) + (
+        "SELECT a.seed, a.hop1, b.hop1 AS hop2\n"
+        "FROM k1 a JOIN k1 b ON b.seed = a.hop1\n"
+        "ORDER BY 1, 2, 3"
+    )
+
     sql["kg_degrees"] = _with(
         SQL_ITEMS,
         SQL_ADJACENCY,
@@ -2486,6 +2502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["lookup_objects"] = with_kg("lookup_objects", "triples")
     out["kg_degrees"] = with_kg("kg_degrees", "triples")
     out["kg_negative_samples"] = with_kg("kg_negative_samples", "triples")
+    out["kg_neighbor_sample"] = with_kg("kg_neighbor_sample", "triples")
     out["entity_pagerank"] = with_kg("entity_pagerank", "triples")
     out["lookup_literals"] = with_kg("lookup_literals", "literals")
     out["predicates_pairs"] = with_kg("predicates_pairs", "triples")
@@ -2692,7 +2709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "charset_detect", "video_mp4_frames",
         "anchor_texts", "crawl_schedule", "sitemap_roundtrip",
         "kg_negative_samples", "web_ingest_e2e",
-        "postings_delta_merge",  # ^ new r5
+        "postings_delta_merge", "kg_neighbor_sample",  # ^ new r5
         "knn_neighbors", "term_pmi", "events_rollup", "event_transitions",
         "typo_pairs", "bloom_users", "top_ngrams", "event_percentiles",
         "sessionize", "events_asof", "purchase_attribution",

@@ -235,6 +235,8 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("kg_degrees", lambda: extras.kg_degrees(sf_dir, kg["triples"]))
     timed("kg_negative_samples",
           lambda: extras.kg_negative_samples(sf_dir, kg["triples"]))
+    timed("kg_neighbor_sample",
+          lambda: extras.kg_neighbor_sample(sf_dir, kg["triples"]))
     timed("entity_pagerank", lambda: extras.entity_pagerank(sf_dir, kg["triples"]))
     timed("type_closure", lambda: extras.type_closure(sf_dir))
 

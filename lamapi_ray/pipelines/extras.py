@@ -2789,6 +2789,69 @@ def kg_negative_samples(sf_dir: str, adjacency: pa.Table) -> pa.Table:
     )
 
 
+def kg_neighbor_sample(sf_dir: str, adjacency: pa.Table) -> pa.Table:
+    """GraphSAGE-style deterministic 2-hop neighborhood sampling: per
+    node, up to 3 distinct neighbors ranked by the scrambled hash
+    ``(obj_key · 2654435761) mod 1e9+7`` (ties by obj), then the second
+    hop reuses the SAME per-node sample (the sampled-frontier property
+    GraphSAGE relies on). All arithmetic is int64-exact so the DuckDB
+    mirror is hash-identical. Vocabulary-bounded: the sample is ≤ 3·|V|
+    rows, the hop join ≤ 9·|V| — broadcast-joined here, hash-join at
+    10⁹-node scale."""
+    import numpy as np
+
+    def ints(col):
+        arr = adjacency[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        return pc.cast(
+            pc.utf8_slice_codeunits(arr, 1), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+
+    s = ints("subj")
+    o = ints("obj")
+    # distinct (s, o) edges regardless of predicate
+    key = s * 10_000_000 + o
+    _, first = np.unique(key, return_index=True)
+    s, o = s[first], o[first]
+    r = (o * 2654435761) % 1_000_000_007
+    order = np.lexsort((o, r, s))
+    s, o = s[order], o[order]
+    starts = np.r_[0, np.flatnonzero(np.diff(s)) + 1]
+    offs = np.repeat(starts, np.diff(np.r_[starts, len(s)]))
+    rn = np.arange(len(s)) - offs
+    keep = rn < 3
+    seed, hop1 = s[keep], o[keep]
+    # hop 2: join the sample against itself on hop1 = seed
+    sort_seed = np.argsort(seed, kind="stable")
+    seed_sorted, hop1_sorted = seed[sort_seed], hop1[sort_seed]
+    lo = np.searchsorted(seed_sorted, hop1)
+    hi = np.searchsorted(seed_sorted, hop1, side="right")
+    reps = hi - lo
+    src_idx = np.repeat(np.arange(len(seed)), reps)
+    within = np.arange(int(reps.sum())) - np.repeat(
+        np.cumsum(np.r_[0, reps[:-1]]), reps
+    )
+    tgt_idx = np.repeat(lo, reps) + within
+    out = pa.table(
+        {
+            "seed": pa.array(
+                np.char.add("Q", seed[src_idx].astype("U10")).tolist(), pa.string()
+            ),
+            "hop1": pa.array(
+                np.char.add("Q", hop1[src_idx].astype("U10")).tolist(), pa.string()
+            ),
+            "hop2": pa.array(
+                np.char.add("Q", hop1_sorted[tgt_idx].astype("U10")).tolist(),
+                pa.string(),
+            ),
+        }
+    )
+    return out.sort_by(
+        [("seed", "ascending"), ("hop1", "ascending"), ("hop2", "ascending")]
+    )
+
+
 def entity_pagerank(sf_dir: str, adjacency: pa.Table) -> pa.Table:
     """Fixed-point PageRank (3 iterations, d = 85/100, scale 10^9) over the
     KG edge list. Integer arithmetic end to end → bit-reproducible, so the

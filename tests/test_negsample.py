@@ -26,6 +26,46 @@ def _adjacency():
     ).arrow()
 
 
+def test_neighbor_sample_top3_and_frontier_reuse(ray_session):
+    # star: Q200000 -> 5 nations; chain into region samples
+    rows = []
+    for nk in range(5):
+        rows.append((f"Q200000", "P2", f"Q40000{nk}"))
+        rows.append((f"Q40000{nk}", "P4", f"Q50000{nk % 2}"))
+    adj = pa.table(
+        {
+            "subj": pa.array([r[0] for r in rows], pa.string()),
+            "pred": pa.array([r[1] for r in rows], pa.string()),
+            "obj": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    out = extras.kg_neighbor_sample(SF, adj)
+    trip = list(
+        zip(out["seed"].to_pylist(), out["hop1"].to_pylist(), out["hop2"].to_pylist())
+    )
+    # brute-force the same hash ranking
+    def top3(neigh):
+        return sorted(neigh, key=lambda o: ((int(o[1:]) * 2654435761) % 1_000_000_007, int(o[1:])))[:3]
+
+    k1 = {}
+    for s in {r[0] for r in rows}:
+        k1[s] = top3({o for ss, _, o in rows if ss == s})
+    want = sorted(
+        (s, h1, h2)
+        for s, hs in k1.items()
+        for h1 in hs
+        for h2 in k1.get(h1, [])
+    )
+    assert sorted(trip) == want
+    # every seed fans out to at most 3 distinct hop1s
+    from collections import defaultdict
+
+    fan = defaultdict(set)
+    for s, h1, _ in trip:
+        fan[s].add(h1)
+    assert all(len(v) <= 3 for v in fan.values())
+
+
 def test_negatives_are_in_class_and_never_real(ray_session):
     adj = pa.Table.from_batches(_adjacency().to_batches())
     out = extras.kg_negative_samples(SF, adj)
