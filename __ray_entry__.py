@@ -1512,6 +1512,17 @@ def oracle_sql() -> dict[str, str]:
         "FROM tokp GROUP BY 1 HAVING count(*) >= 3"
     )
 
+    # heavy hitters: the two-pass MG + recount output is EXACT, so the
+    # oracle is the plain frequency threshold
+    sql["heavy_tokens"] = (
+        "WITH tok AS (SELECT unnest(str_split(text, ' ')) AS token\n"
+        "             FROM documents),\n"
+        "n AS (SELECT count(*) AS tot FROM tok)\n"
+        "SELECT token, CAST(count(*) AS BIGINT) AS n_occ\n"
+        "FROM tok CROSS JOIN n GROUP BY token, tot\n"
+        "HAVING count(*) * 512 > tot ORDER BY token"
+    )
+
     # LSM postings compaction: the merged index must equal a fresh build
     # over (base kept + delta updated) minus tombstones
     sql["postings_delta_merge"] = _with(
@@ -2434,6 +2445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_roundtrip",
         "web_ingest_e2e",
         "postings_delta_merge",
+        "heavy_tokens",
         "multimodal_resize",
         "multimodal_frames",
         "dataset_split",
@@ -2709,7 +2721,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "charset_detect", "video_mp4_frames",
         "anchor_texts", "crawl_schedule", "sitemap_roundtrip",
         "kg_negative_samples", "web_ingest_e2e",
-        "postings_delta_merge", "kg_neighbor_sample",  # ^ new r5
+        "postings_delta_merge", "kg_neighbor_sample",
+        "heavy_tokens",  # ^ new r5
         "knn_neighbors", "term_pmi", "events_rollup", "event_transitions",
         "typo_pairs", "bloom_users", "top_ngrams", "event_percentiles",
         "sessionize", "events_asof", "purchase_attribution",

@@ -1467,6 +1467,15 @@ def dup_strip(sf_dir: str) -> pa.Table:
     return _collect(strip_duplicate_spans(_docs(sf_dir), L=8)).sort_by("doc_id")
 
 
+def heavy_tokens(sf_dir: str) -> pa.Table:
+    """Frequency sketch leg of the sketch family: every token with
+    corpus count > N/512, exact, via Misra-Gries candidates + exact
+    recount (stages/sketch.py::heavy_hitters)."""
+    from lamapi_ray.stages.sketch import heavy_hitters
+
+    return _collect(heavy_hitters(_docs(sf_dir), k=512)).sort_by("token")
+
+
 def postings_delta_merge(sf_dir: str) -> pa.Table:
     """Index maintenance e2e: a base segment (docs with doc_id%10 != 7),
     a delta segment reindexing the %10 == 7 docs with UPDATED text

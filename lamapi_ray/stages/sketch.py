@@ -259,3 +259,130 @@ def histogram_quantiles(
         .groupby(group_col)
         .map_groups(finish, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters (Misra-Gries candidates + exact recount)
+# ---------------------------------------------------------------------------
+
+
+def mg_summary(tokens: np.ndarray, counts: np.ndarray, k: int):
+    """Misra-Gries reduction of exact (token, count) pairs to <= k
+    counters: subtract the (k+1)-th largest count from every counter and
+    drop the non-positives. MG guarantee: the total subtracted per batch
+    is <= N_batch/(k+1), so any token with batch count above that
+    survives with a positive (under-estimated) counter."""
+    if len(tokens) <= k:
+        return tokens, counts
+    kth = np.partition(counts, len(counts) - (k + 1))[len(counts) - (k + 1)]
+    kept = counts - kth
+    m = kept > 0
+    return tokens[m], kept[m]
+
+
+def heavy_hitters(
+    ds: ray.data.Dataset,
+    k: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Corpus-wide heavy tokens: every token with total count > N/k
+    (N = total token occurrences), EXACTLY — via the classic two-pass
+    scheme that completes the sketch family (HLL cardinality, Bloom
+    membership, histogram quantiles, and now frequency):
+
+    1. per-batch exact counts reduced to a <= k-counter Misra-Gries
+       summary (`mg_summary`); summed-merge via one bounded groupby
+       (<= k x blocks rows cross the wire — the mergeable-summaries
+       union, error still <= N/(k+1), so NO FALSE NEGATIVES against the
+       N/k threshold; a k-capped tree merge is the extreme-scale
+       variant);
+    2. the candidate set broadcasts (sorted array) and a second pass
+       recounts candidates exactly; the N/k filter then removes MG's
+       false positives.
+
+    Output (token, n_occ) is exact, so the DuckDB oracle is a plain
+    GROUP BY ... HAVING count(*) * k > N."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from lamapi_ray.stages.dedup import scaled_partitions
+    from lamapi_ray.stages.textstats import _tokens
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        _, flat, _, _ = _tokens(batch, text_col)
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        counts = np.bincount(codes, minlength=len(enc.dictionary)).astype(np.int64)
+        toks = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        toks, counts = mg_summary(toks, counts, k)
+        return pa.table(
+            {
+                "token": pa.array(toks.tolist(), pa.string()),
+                "c": pa.array(counts, pa.int64()),
+            }
+        )
+
+    def n_partial(batch: pa.Table) -> pa.Table:
+        _, flat, _, _ = _tokens(batch, text_col)
+        return pa.table({"n": pa.array([len(flat)], pa.int64())})
+
+    total_n = sum(
+        b["n"].to_numpy(zero_copy_only=False).sum()
+        for b in ds.map_batches(
+            n_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_size=1 << 16, batch_format="pyarrow")
+    )
+
+    merged = (
+        ds.map_batches(mg_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token", num_partitions=scaled_partitions(1.0, 32))
+        .aggregate(Sum("c"))
+    )
+    cand_batches = list(
+        merged.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    )
+    if cand_batches:
+        cands = pa.concat_tables(cand_batches)["token"].to_numpy(
+            zero_copy_only=False
+        ).astype(object)
+    else:
+        cands = np.zeros(0, dtype=object)
+    cands = np.sort(cands.astype(str))
+    cand_ref = ray.put(cands)
+
+    def recount(batch: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        _, flat, _, _ = _tokens(batch, text_col)
+        toks = flat.to_numpy(zero_copy_only=False).astype(str)
+        idx = np.searchsorted(cand, toks)
+        hit = (idx < len(cand)) & (cand[np.minimum(idx, len(cand) - 1)] == toks)
+        counts = np.bincount(idx[hit], minlength=len(cand)).astype(np.int64)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "token": pa.array(cand[nz].tolist(), pa.string()),
+                "c": pa.array(counts[nz], pa.int64()),
+            }
+        )
+
+    exact = (
+        ds.map_batches(recount, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token", num_partitions=scaled_partitions(1.0, 32))
+        .aggregate(Sum("c"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        c = batch["sum(c)"].cast(pa.int64())
+        keep = pc.greater(pc.multiply(c, k), total_n)
+        return pa.table(
+            {
+                "token": pc.filter(batch["token"], keep),
+                "n_occ": pc.filter(c, keep),
+            }
+        )
+
+    return exact.map_batches(finish, batch_format="pyarrow")
