@@ -1512,6 +1512,17 @@ def oracle_sql() -> dict[str, str]:
         "FROM tokp GROUP BY 1 HAVING count(*) >= 3"
     )
 
+    # shuffle-then-shard training export: row_number mirror of the
+    # per-shard (key, id) order
+    sql["training_shards"] = (
+        "WITH k AS (SELECT doc_id,\n"
+        "  (doc_id * 2654435761) % 1000000007 AS skey FROM documents)\n"
+        "SELECT doc_id, skey % 16 AS shard,\n"
+        "  row_number() OVER (PARTITION BY skey % 16\n"
+        "    ORDER BY skey, doc_id) - 1 AS pos\n"
+        "FROM k ORDER BY doc_id"
+    )
+
     # heavy hitters: the two-pass MG + recount output is EXACT, so the
     # oracle is the plain frequency threshold
     sql["heavy_tokens"] = (
@@ -2446,6 +2457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_ingest_e2e",
         "postings_delta_merge",
         "heavy_tokens",
+        "training_shards",
         "multimodal_resize",
         "multimodal_frames",
         "dataset_split",
@@ -2722,7 +2734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_texts", "crawl_schedule", "sitemap_roundtrip",
         "kg_negative_samples", "web_ingest_e2e",
         "postings_delta_merge", "kg_neighbor_sample",
-        "heavy_tokens",  # ^ new r5
+        "heavy_tokens", "training_shards",  # ^ new r5
         "knn_neighbors", "term_pmi", "events_rollup", "event_transitions",
         "typo_pairs", "bloom_users", "top_ngrams", "event_percentiles",
         "sessionize", "events_asof", "purchase_attribution",

@@ -1467,6 +1467,17 @@ def dup_strip(sf_dir: str) -> pa.Table:
     return _collect(strip_duplicate_spans(_docs(sf_dir), L=8)).sort_by("doc_id")
 
 
+def training_shards(sf_dir: str) -> pa.Table:
+    """Deterministic shuffle-then-shard export: scrambled-hash key,
+    shard = key % 16, reproducible in-shard positions
+    (stages/shuffle.py::shard_shuffle)."""
+    from lamapi_ray.stages.shuffle import shard_shuffle
+
+    return _collect(shard_shuffle(_docs(sf_dir, cols=("doc_id",)))).sort_by(
+        "doc_id"
+    )
+
+
 def heavy_tokens(sf_dir: str) -> pa.Table:
     """Frequency sketch leg of the sketch family: every token with
     corpus count > N/512, exact, via Misra-Gries candidates + exact

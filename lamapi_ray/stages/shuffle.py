@@ -93,3 +93,57 @@ def combined_count(ds: ray.data.Dataset, key: str) -> ray.data.Dataset:
         )
 
     return merged.map_batches(rename, batch_format="pyarrow")
+
+
+def shard_shuffle(
+    ds: ray.data.Dataset,
+    num_shards: int = 16,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Deterministic pre-training shuffle export: every row gets a
+    scrambled-hash shuffle key, a shard ``key % num_shards``, and its
+    position within the shard in (key, id) order — the
+    shuffle-then-shard step that turns a curated corpus into training
+    shards with a reproducible global order (re-running on the same
+    corpus yields byte-identical shards, the resume property a
+    multi-epoch training job needs).
+
+    ONE groupby(shard) exchange; position assignment is a vectorized
+    lexsort per shard group. Shards are uniform by construction
+    (hash-spread), so the exchange has no skew; at 10^12 docs raise
+    ``num_shards`` to the target file count and the same dataflow
+    holds."""
+    import numpy as np
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        did = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = (did * 2654435761) % 1_000_000_007
+        return pa.table(
+            {
+                id_col: pa.array(did, pa.int64()),
+                "skey": pa.array(k, pa.int64()),
+                "shard": pa.array(k % num_shards, pa.int64()),
+            }
+        )
+
+    def rank(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        did = group[id_col].to_numpy(zero_copy_only=False)
+        k = group["skey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, k))
+        pos = np.empty(len(did), dtype=np.int64)
+        pos[order] = np.arange(len(did))
+        return pa.table(
+            {
+                id_col: group[id_col],
+                "shard": group["shard"],
+                "pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(rank, batch_format="pyarrow")
+    )
