@@ -2775,21 +2775,20 @@ def kg_negative_samples(sf_dir: str, adjacency: pa.Table) -> pa.Table:
             idx = np.searchsorted(real, key)
             hit = (idx < len(real)) & (real[np.minimum(idx, len(real) - 1)] == key)
             m = ~hit
+
+            def qstr(prefix, vals):
+                return pc.binary_join_element_wise(
+                    pa.array([prefix] * len(vals)),
+                    pc.cast(pa.array(vals, pa.int64()), pa.string()),
+                    "",
+                )
+
             outs.append(
                 pa.table(
                     {
-                        "subj": pa.array(
-                            np.char.add("Q", s[m].astype("U10")).tolist(),
-                            pa.string(),
-                        ),
-                        "pred": pa.array(
-                            np.char.add("P", p[m].astype("U10")).tolist(),
-                            pa.string(),
-                        ),
-                        "neg_obj": pa.array(
-                            np.char.add("Q", no[m].astype("U10")).tolist(),
-                            pa.string(),
-                        ),
+                        "subj": qstr("Q", s[m]),
+                        "pred": qstr("P", p[m]),
+                        "neg_obj": qstr("Q", no[m]),
                         "k": pa.array(np.full(int(m.sum()), k), pa.int64()),
                     }
                 )
@@ -2853,18 +2852,18 @@ def kg_neighbor_sample(sf_dir: str, adjacency: pa.Table) -> pa.Table:
         np.cumsum(np.r_[0, reps[:-1]]), reps
     )
     tgt_idx = np.repeat(lo, reps) + within
+    def qstr(vals):
+        return pc.binary_join_element_wise(
+            pa.array(["Q"] * len(vals)),
+            pc.cast(pa.array(vals, pa.int64()), pa.string()),
+            "",
+        )
+
     out = pa.table(
         {
-            "seed": pa.array(
-                np.char.add("Q", seed[src_idx].astype("U10")).tolist(), pa.string()
-            ),
-            "hop1": pa.array(
-                np.char.add("Q", hop1[src_idx].astype("U10")).tolist(), pa.string()
-            ),
-            "hop2": pa.array(
-                np.char.add("Q", hop1_sorted[tgt_idx].astype("U10")).tolist(),
-                pa.string(),
-            ),
+            "seed": qstr(seed[src_idx]),
+            "hop1": qstr(hop1[src_idx]),
+            "hop2": qstr(hop1_sorted[tgt_idx]),
         }
     )
     return out.sort_by(
