@@ -2458,6 +2458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_delta_merge",
         "heavy_tokens",
         "training_shards",
+        "bpe_merges",
         "multimodal_resize",
         "multimodal_frames",
         "dataset_split",
@@ -2734,7 +2735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_texts", "crawl_schedule", "sitemap_roundtrip",
         "kg_negative_samples", "web_ingest_e2e",
         "postings_delta_merge", "kg_neighbor_sample",
-        "heavy_tokens", "training_shards",  # ^ new r5
+        "heavy_tokens", "training_shards", "bpe_merges",  # ^ new r5
         "knn_neighbors", "term_pmi", "events_rollup", "event_transitions",
         "typo_pairs", "bloom_users", "top_ngrams", "event_percentiles",
         "sessionize", "events_asof", "purchase_attribution",

@@ -211,6 +211,7 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("postings_delta_merge", lambda: extras.postings_delta_merge(sf_dir))
     timed("heavy_tokens", lambda: extras.heavy_tokens(sf_dir))
     timed("training_shards", lambda: extras.training_shards(sf_dir))
+    timed("bpe_merges", lambda: extras.bpe_merges(sf_dir))
     timed("literal_classify", lambda: extras.literal_classify(sf_dir))
     timed("pii_scrub", lambda: extras.pii_scrub(sf_dir))
     timed("text_clean", lambda: extras.text_clean(sf_dir))

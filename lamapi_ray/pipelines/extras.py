@@ -1467,6 +1467,16 @@ def dup_strip(sf_dir: str) -> pa.Table:
     return _collect(strip_duplicate_spans(_docs(sf_dir), L=8)).sort_by("doc_id")
 
 
+def bpe_merges(sf_dir: str) -> pa.Table:
+    """Distributed BPE tokenizer training (8 merges) over the corpus
+    word-frequency table — stages/bpe.py. The argmax recursion has no
+    SQL mirror (the suite's single rows-only entry); the merge table is
+    pinned exactly by tests/test_bpe.py against a scalar reference."""
+    from lamapi_ray.stages.bpe import train_bpe
+
+    return train_bpe(_docs(sf_dir), num_merges=8)
+
+
 def training_shards(sf_dir: str) -> pa.Table:
     """Deterministic shuffle-then-shard export: scrambled-hash key,
     shard = key % 16, reproducible in-shard positions
