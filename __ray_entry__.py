@@ -2025,6 +2025,31 @@ def oracle_sql() -> dict[str, str]:
         "FROM doc ORDER BY doc_id"
     )
 
+    # CCNet head/middle/tail split: thresholds are the exact rank-k
+    # values of the integer micro-nat average; ties land low
+    sql["ccnet_buckets"] = (
+        "WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),\n"
+        "cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),\n"
+        "tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM cnt),\n"
+        "term AS (SELECT token,\n"
+        "         CAST(floor(-ln((c + 1.0) / (n + v)) * 1000000) AS BIGINT) AS s\n"
+        "         FROM cnt, tot),\n"
+        "doc AS (SELECT t.doc_id, count(*) AS n_tokens,\n"
+        "        CAST(sum(s) AS BIGINT) AS surprisal_micro\n"
+        "        FROM tok t JOIN term USING (token) GROUP BY t.doc_id),\n"
+        "d AS (SELECT doc_id, surprisal_micro // n_tokens AS avg_micro FROM doc),\n"
+        "o AS (SELECT avg_micro, row_number() OVER (ORDER BY avg_micro) AS rn,\n"
+        "             count(*) OVER () AS nn FROM d),\n"
+        "th AS (SELECT\n"
+        "  max(CASE WHEN rn = CAST(ceil(nn / 3.0) AS BIGINT) THEN avg_micro END) AS t1,\n"
+        "  max(CASE WHEN rn = CAST(ceil(2 * nn / 3.0) AS BIGINT) THEN avg_micro END) AS t2\n"
+        "  FROM o)\n"
+        "SELECT doc_id, avg_micro,\n"
+        "  CASE WHEN avg_micro <= t1 THEN 'head'\n"
+        "       WHEN avg_micro <= t2 THEN 'middle' ELSE 'tail' END AS bucket\n"
+        "FROM d CROSS JOIN th ORDER BY doc_id"
+    )
+
     # Greedy per-bucket sequence packing: the packing recurrence (each
     # doc's bin depends on the previous doc's fill state) is expressed as a
     # recursive CTE walking each bucket in doc_id order — the exact mirror
@@ -2459,6 +2484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_tokens",
         "training_shards",
         "bpe_merges",
+        "ccnet_buckets",
         "multimodal_resize",
         "multimodal_frames",
         "dataset_split",
@@ -2735,7 +2761,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_texts", "crawl_schedule", "sitemap_roundtrip",
         "kg_negative_samples", "web_ingest_e2e",
         "postings_delta_merge", "kg_neighbor_sample",
-        "heavy_tokens", "training_shards", "bpe_merges",  # ^ new r5
+        "heavy_tokens", "training_shards", "bpe_merges",
+        "ccnet_buckets",  # ^ new r5
         "knn_neighbors", "term_pmi", "events_rollup", "event_transitions",
         "typo_pairs", "bloom_users", "top_ngrams", "event_percentiles",
         "sessionize", "events_asof", "purchase_attribution",

@@ -1467,6 +1467,15 @@ def dup_strip(sf_dir: str) -> pa.Table:
     return _collect(strip_duplicate_spans(_docs(sf_dir), L=8)).sort_by("doc_id")
 
 
+def ccnet_buckets(sf_dir: str) -> pa.Table:
+    """CCNet-style head/middle/tail perplexity split: exact tercile
+    VALUE thresholds from a distinct-value histogram (no global sort) —
+    stages/lmscore.py::perplexity_buckets."""
+    from lamapi_ray.stages.lmscore import perplexity_buckets
+
+    return _collect(perplexity_buckets(_docs(sf_dir))).sort_by("doc_id")
+
+
 def bpe_merges(sf_dir: str) -> pa.Table:
     """Distributed BPE tokenizer training (8 merges) over the corpus
     word-frequency table — stages/bpe.py. The argmax recursion has no

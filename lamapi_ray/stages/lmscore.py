@@ -110,3 +110,69 @@ def perplexity_pipeline(docs: ray.data.Dataset) -> ray.data.Dataset:
     """Train-on-corpus, score-the-corpus — the standard self-filtering run."""
     counts, n_total, vocab = unigram_counts(docs)
     return score_perplexity(docs, counts, n_total, vocab)
+
+
+def perplexity_buckets(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """CCNet-style head/middle/tail corpus split by LM perplexity.
+
+    CCNet (Wenzek et al. 2020) buckets a crawl by held-out-LM perplexity
+    terciles and trains preferentially on the 'head'. Here the split key
+    is the integer micro-nat average ``avg_micro = surprisal_micro //
+    n_tokens`` (exact, order-free), and the two thresholds are the exact
+    ceil(n/3)- and ceil(2n/3)-th order statistics of that key — computed
+    WITHOUT a global sort: a per-batch value-count combiner feeds one
+    ``groupby(avg_micro)`` exchange bounded by the number of DISTINCT
+    key values (micro-nat averages cluster heavily), and the rank-k
+    values fall out of a cumulative sum over the tiny histogram. Bucket
+    assignment is then one streamed comparison pass. Ties at a threshold
+    all land in the lower bucket (value-based split, the CCNet
+    convention — terciles are approximate in SIZE, exact in VALUE).
+
+    → (doc_id, avg_micro, bucket ∈ {'head','middle','tail'}).
+    """
+    scored = perplexity_pipeline(docs)
+
+    def key(batch: pa.Table) -> pa.Table:
+        s = batch["surprisal_micro"].to_numpy(zero_copy_only=False)
+        n = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "avg_micro": pa.array(s // n, pa.int64()),
+            }
+        )
+
+    keyed = scored.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        v, c = np.unique(
+            batch["avg_micro"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {"avg_micro": pa.array(v, pa.int64()), "c": pa.array(c, pa.int64())}
+        )
+
+    agg = (
+        keyed.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("avg_micro")
+        .sum("c")
+    )
+    blocks = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    hist = pa.concat_tables(blocks)
+    v = hist["avg_micro"].to_numpy(zero_copy_only=False)
+    c = hist["sum(c)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(v)
+    v, c = v[order], c[order]
+    cum = np.cumsum(c)
+    n = int(cum[-1])
+    t1 = int(v[np.searchsorted(cum, -(-n // 3))])       # ceil(n/3)-th
+    t2 = int(v[np.searchsorted(cum, -(-(2 * n) // 3))])  # ceil(2n/3)-th
+
+    def assign(batch: pa.Table) -> pa.Table:
+        a = batch["avg_micro"].to_numpy(zero_copy_only=False)
+        bucket = np.where(a <= t1, "head", np.where(a <= t2, "middle", "tail"))
+        return batch.append_column(
+            "bucket", pa.array(bucket.tolist(), pa.string())
+        )
+
+    return keyed.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
