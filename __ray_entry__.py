@@ -2025,6 +2025,40 @@ def oracle_sql() -> dict[str, str]:
         "FROM doc ORDER BY doc_id"
     )
 
+    # DSIR importance weights: hashed unigram+bigram multinomials over
+    # 1024 buckets, per-bucket integer micro-nat surprisal difference,
+    # per-doc sum over feature occurrences — same hash machinery as the
+    # minhash/winnow oracles
+    sql["dsir_weights"] = _with(
+        _tkh_cte("dt", "(SELECT p_partkey AS doc_id, p_name AS text FROM part)"),
+        _grams_cte("dtg1", "dt", 1, False),
+        _grams_cte("dtg2", "dt", 2, False),
+        _tkh_cte("dsrc", "documents"),
+        _grams_cte("dsg1", "dsrc", 1, False),
+        _grams_cte("dsg2", "dsrc", 2, False),
+        "tfeat AS (SELECT CAST(g % 1024 AS BIGINT) AS b FROM\n"
+        "  (SELECT g FROM dtg1 UNION ALL SELECT g FROM dtg2))",
+        "sfeat AS (SELECT doc_id, CAST(g % 1024 AS BIGINT) AS b FROM\n"
+        "  (SELECT doc_id, g FROM dsg1 UNION ALL SELECT doc_id, g FROM dsg2))",
+        "tcn AS (SELECT b, count(*) AS c FROM tfeat GROUP BY b)",
+        "scn AS (SELECT b, count(*) AS c FROM sfeat GROUP BY b)",
+        "tnn AS (SELECT count(*) AS n FROM tfeat)",
+        "snn AS (SELECT count(*) AS n FROM sfeat)",
+        "bk AS (SELECT unnest(range(0, 1024)) AS b)",
+        "dlt AS (SELECT bk.b AS b,\n"
+        "    CAST(floor(-ln((coalesce(scn.c, 0) + 1.0) / (snn.n + 1024))\n"
+        "         * 1000000) AS BIGINT)\n"
+        "  - CAST(floor(-ln((coalesce(tcn.c, 0) + 1.0) / (tnn.n + 1024))\n"
+        "         * 1000000) AS BIGINT) AS d\n"
+        "  FROM bk CROSS JOIN tnn CROSS JOIN snn\n"
+        "  LEFT JOIN tcn ON tcn.b = bk.b LEFT JOIN scn ON scn.b = bk.b)",
+    ) + (
+        "SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_features,\n"
+        "  CAST(sum(dlt.d) AS BIGINT) AS logw_micro\n"
+        "FROM sfeat f JOIN dlt ON dlt.b = f.b\n"
+        "GROUP BY f.doc_id ORDER BY f.doc_id"
+    )
+
     # CCNet head/middle/tail split: thresholds are the exact rank-k
     # values of the integer micro-nat average; ties land low
     sql["ccnet_buckets"] = (
@@ -2485,6 +2519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_shards",
         "bpe_merges",
         "ccnet_buckets",
+        "dsir_weights",
         "multimodal_resize",
         "multimodal_frames",
         "dataset_split",
@@ -2762,7 +2797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_negative_samples", "web_ingest_e2e",
         "postings_delta_merge", "kg_neighbor_sample",
         "heavy_tokens", "training_shards", "bpe_merges",
-        "ccnet_buckets",  # ^ new r5
+        "ccnet_buckets", "dsir_weights",  # ^ new r5
         "knn_neighbors", "term_pmi", "events_rollup", "event_transitions",
         "typo_pairs", "bloom_users", "top_ngrams", "event_percentiles",
         "sessionize", "events_asof", "purchase_attribution",

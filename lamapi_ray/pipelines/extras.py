@@ -1467,6 +1467,26 @@ def dup_strip(sf_dir: str) -> pa.Table:
     return _collect(strip_duplicate_spans(_docs(sf_dir), L=8)).sort_by("doc_id")
 
 
+def dsir_weights(sf_dir: str) -> pa.Table:
+    """DSIR importance weights: documents scored against the part-name
+    target domain under hashed unigram+bigram multinomials
+    (stages/dsir.py). Positive logw_micro = more target-like."""
+    import ray.data as rd
+
+    from lamapi_ray.stages.dsir import dsir_weights as _dw
+
+    target = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    ).map_batches(
+        lambda b: pa.table(
+            {"doc_id": b["p_partkey"].cast(pa.int64()), "text": b["p_name"]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return _collect(_dw(_docs(sf_dir), target)).sort_by("doc_id")
+
+
 def ccnet_buckets(sf_dir: str) -> pa.Table:
     """CCNet-style head/middle/tail perplexity split: exact tercile
     VALUE thresholds from a distinct-value histogram (no global sort) —
