@@ -2025,6 +2025,25 @@ def oracle_sql() -> dict[str, str]:
         "FROM doc ORDER BY doc_id"
     )
 
+    # blocklist scan: counts via the replace-length identity (patterns
+    # have no self-overlap, so non-overlapping == all occurrences)
+    sql["blocklist_scan"] = (
+        "SELECT doc_id,\n"
+        "  CAST((len(text) - len(replace(text, 'slow', ''))) / 4\n"
+        "     + (len(text) - len(replace(text, 'hash', ''))) / 4\n"
+        "     + (len(text) - len(replace(text, 'scan', ''))) / 4\n"
+        "     + (len(text) - len(replace(text, 'merge', ''))) / 5\n"
+        "     + (len(text) - len(replace(text, 'row', ''))) / 3 AS BIGINT)\n"
+        "    AS n_hits,\n"
+        "  CAST((len(text) - len(replace(text, 'slow', ''))) / 4\n"
+        "     + (len(text) - len(replace(text, 'hash', ''))) / 4\n"
+        "     + (len(text) - len(replace(text, 'scan', ''))) / 4\n"
+        "     + (len(text) - len(replace(text, 'merge', ''))) / 5\n"
+        "     + (len(text) - len(replace(text, 'row', ''))) / 3 AS BIGINT) >= 8\n"
+        "    AS blocked\n"
+        "FROM documents ORDER BY doc_id"
+    )
+
     # DSIR importance weights: hashed unigram+bigram multinomials over
     # 1024 buckets, per-bucket integer micro-nat surprisal difference,
     # per-doc sum over feature occurrences — same hash machinery as the
@@ -2520,6 +2539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges",
         "ccnet_buckets",
         "dsir_weights",
+        "blocklist_scan",
         "multimodal_resize",
         "multimodal_frames",
         "dataset_split",
@@ -2797,7 +2817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_negative_samples", "web_ingest_e2e",
         "postings_delta_merge", "kg_neighbor_sample",
         "heavy_tokens", "training_shards", "bpe_merges",
-        "ccnet_buckets", "dsir_weights",  # ^ new r5
+        "ccnet_buckets", "dsir_weights", "blocklist_scan",  # ^ new r5
         "knn_neighbors", "term_pmi", "events_rollup", "event_transitions",
         "typo_pairs", "bloom_users", "top_ngrams", "event_percentiles",
         "sessionize", "events_asof", "purchase_attribution",

@@ -1467,6 +1467,14 @@ def dup_strip(sf_dir: str) -> pa.Table:
     return _collect(strip_duplicate_spans(_docs(sf_dir), L=8)).sort_by("doc_id")
 
 
+def blocklist_scan(sf_dir: str) -> pa.Table:
+    """Word-filter curation: per-doc blocklist substring counts + flag
+    (stages/curation.py::blocklist_scan)."""
+    from lamapi_ray.stages.curation import blocklist_scan as _bs
+
+    return _collect(_bs(_docs(sf_dir))).sort_by("doc_id")
+
+
 def dsir_weights(sf_dir: str) -> pa.Table:
     """DSIR importance weights: documents scored against the part-name
     target domain under hashed unigram+bigram multinomials

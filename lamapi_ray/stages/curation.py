@@ -355,3 +355,50 @@ def clean_text(
         )
 
     return ds.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DEFAULT_BLOCKLIST = ("slow", "hash", "scan", "merge", "row")
+
+
+def blocklist_scan(
+    ds: ray.data.Dataset,
+    patterns: tuple[str, ...] = DEFAULT_BLOCKLIST,
+    threshold: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Blocklist / word-filter scan — the substring-count filter every
+    curation pipeline runs (profanity lists, spam markers, boilerplate
+    signatures): per doc, total occurrences of every listed pattern and
+    a ``blocked`` flag at ``threshold``.
+
+    Fully vectorized: one ``pc.count_substring`` kernel pass per pattern
+    (P passes over the batch — right for list sizes up to a few
+    thousand; for the 10^5-pattern regime build an Aho-Corasick
+    automaton once per actor in ``__init__`` instead, same output
+    contract). Patterns here are chosen without self-overlap so the
+    count is well-defined identically under overlapping and
+    non-overlapping semantics — which is what lets the DuckDB oracle
+    state it as a replace-length identity.
+    """
+
+    import pyarrow.compute as pc
+
+    def scan(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = text.cast(pa.large_string())
+        total = np.zeros(len(batch), dtype=np.int64)
+        for p in patterns:
+            c = pc.count_substring(text, p).to_numpy(zero_copy_only=False)
+            total += c.astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_hits": pa.array(total, pa.int64()),
+                "blocked": pa.array(total >= threshold, pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)

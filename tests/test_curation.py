@@ -224,3 +224,31 @@ def test_tfidf_top_terms_ranking():
     g3 = [r["g"] for r in by_doc[3]]
     assert g3 == sorted([h("apple"), h("banana")]) or len(g3) == 2
     assert all(len(v) == 2 for v in by_doc.values())
+
+
+def test_blocklist_scan_counts_and_flag(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from lamapi_ray.stages.curation import blocklist_scan
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "slow hash scan merge row row row slow",  # 8 hits
+                        "rows contain row inside rowdy words",  # substring hits
+                        "nothing listed here",
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    ).repartition(2)
+    t = pa.concat_tables(
+        blocklist_scan(ds).iter_batches(batch_size=64, batch_format="pyarrow")
+    ).sort_by("doc_id")
+    assert t["n_hits"].to_pylist() == [8, 3, 0]  # 'row' matches inside words
+    assert t["blocked"].to_pylist() == [True, False, False]
