@@ -1810,6 +1810,12 @@ def oracle_sql() -> dict[str, str]:
         "GROUP BY d0.doc_id ORDER BY d0.doc_id"
     )
 
+    # WET sidecar roundtrip: extracted text through conversion records
+    sql["wet_roundtrip"] = _with(SQL_PAGES) + (
+        "SELECT url, CAST(1704067200 + doc_id AS BIGINT) AS warc_epoch,\n"
+        "  text FROM pages ORDER BY url"
+    )
+
     # flagship ingestion chain: WARC write → read → tag-strip must land
     # on the exact synth full_text (the per-url byte invariant through
     # the archive layer)
@@ -2540,6 +2546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_buckets",
         "dsir_weights",
         "blocklist_scan",
+        "wet_roundtrip",
         "multimodal_resize",
         "multimodal_frames",
         "dataset_split",
@@ -2817,7 +2824,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_negative_samples", "web_ingest_e2e",
         "postings_delta_merge", "kg_neighbor_sample",
         "heavy_tokens", "training_shards", "bpe_merges",
-        "ccnet_buckets", "dsir_weights", "blocklist_scan",  # ^ new r5
+        "ccnet_buckets", "dsir_weights", "blocklist_scan",
+        "wet_roundtrip",  # ^ new r5
         "knn_neighbors", "term_pmi", "events_rollup", "event_transitions",
         "typo_pairs", "bloom_users", "top_ngrams", "event_percentiles",
         "sessionize", "events_asof", "purchase_attribution",

@@ -215,6 +215,7 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("ccnet_buckets", lambda: extras.ccnet_buckets(sf_dir))
     timed("dsir_weights", lambda: extras.dsir_weights(sf_dir))
     timed("blocklist_scan", lambda: extras.blocklist_scan(sf_dir))
+    timed("wet_roundtrip", lambda: extras.wet_roundtrip(sf_dir))
     timed("literal_classify", lambda: extras.literal_classify(sf_dir))
     timed("pii_scrub", lambda: extras.pii_scrub(sf_dir))
     timed("text_clean", lambda: extras.text_clean(sf_dir))

@@ -1575,6 +1575,31 @@ def postings_delta_merge(sf_dir: str) -> pa.Table:
     ).sort_by("g")
 
 
+def wet_roundtrip(sf_dir: str) -> pa.Table:
+    """WET sidecar e2e: pages → extract (nulls filled from html) →
+    text-only conversion records in per-record-gzip shards → reader;
+    url/epoch/extracted text survive byte-identically."""
+    from lamapi_ray import synth
+    from lamapi_ray.sources.warc import read_wet_shards, write_wet_shards
+    from lamapi_ray.stages.extract import extract_text_batch
+
+    pages = synth.pages_dataset(sf_dir).map_batches(
+        extract_text_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        lambda b: b.select(["url", "warc_ts", "text"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = _collect(read_wet_shards(write_wet_shards(pages, shard_size=50)))
+    return pa.table(
+        {
+            "url": out["url"],
+            "warc_epoch": out["warc_epoch"],
+            "text": out["text"].cast(pa.string()),
+        }
+    ).sort_by("url")
+
+
 def web_ingest_e2e(sf_dir: str) -> pa.Table:
     """Flagship ingestion chain: pages → per-record-gzip WARC shards →
     member-splitting reader → html→text extraction. Proves the

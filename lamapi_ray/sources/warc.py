@@ -124,6 +124,116 @@ def write_warc_shards(
     )
 
 
+def _wet_record(url: str, epoch: int, text: str) -> bytes:
+    """One WARC/1.0 ``conversion`` record (the WET convention: extracted
+    text as a plain ``text/plain`` payload, no HTTP block)."""
+    payload = text.encode("utf-8")
+    rid = hashlib.md5(("wet:" + url).encode("utf-8")).hexdigest()
+    headers = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: conversion\r\n"
+        b"WARC-Record-ID: <urn:uuid:" + rid.encode() + b">\r\n"
+        b"WARC-Date: " + _warc_date(epoch).encode() + b"\r\n"
+        b"WARC-Target-URI: " + url.encode("utf-8") + b"\r\n"
+        b"Content-Type: text/plain\r\n"
+        b"Content-Length: " + str(len(payload)).encode() + b"\r\n\r\n"
+    )
+    return headers + payload + _CRLF + _CRLF
+
+
+def write_wet_shards(
+    pages: ray.data.Dataset, shard_size: int = 50, level: int = 6
+) -> ray.data.Dataset:
+    """pages (url, warc_ts, text) → (shard_id, payload .wet.gz bytes,
+    n_records): Common Crawl's WET sidecar — extracted text as
+    ``conversion`` records, one gzip member per record."""
+
+    def with_shard(batch: pa.Table) -> pa.Table:
+        url = batch["url"]
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        did = pc.cast(
+            pc.replace_substring(url.cast(pa.string()), "doc://", ""), pa.int64()
+        )
+        epoch = pc.divide(
+            pc.cast(batch["warc_ts"].cast(pa.timestamp("us")), pa.int64()),
+            1_000_000,
+        ).cast(pa.int64())
+        return pa.table(
+            {
+                "shard_id": pc.divide(did, shard_size).cast(pa.int64()),
+                "url": url,
+                "epoch": epoch,
+                "text": batch["text"],
+            }
+        )
+
+    def pack(group: pa.Table) -> pa.Table:
+        urls = group["url"].to_pylist()
+        order = np.argsort(np.asarray(urls, dtype=object), kind="stable")
+        epochs = group["epoch"].to_numpy(zero_copy_only=False)
+        texts = group["text"].to_pylist()
+        members = [
+            gzip.compress(
+                _wet_record(urls[k], int(epochs[k]), texts[k]), level, mtime=0
+            )
+            for k in order
+        ]
+        return pa.table(
+            {
+                "shard_id": pa.array([group["shard_id"][0].as_py()], pa.int64()),
+                "payload": pa.array([b"".join(members)], pa.binary()),
+                "n_records": pa.array([len(members)], pa.int64()),
+            }
+        )
+
+    return (
+        pages.map_batches(with_shard, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard_id")
+        .map_groups(pack, batch_format="pyarrow")
+    )
+
+
+def read_wet_shards(shards: ray.data.Dataset) -> ray.data.Dataset:
+    """(shard_id, payload) → (url, warc_epoch, text) — conversion
+    records have a bare payload (no HTTP block to unwrap)."""
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        urls: list[str] = []
+        epochs: list[int] = []
+        texts: list[str] = []
+        for payload in batch["payload"].to_pylist():
+            for rec in _split_members(payload):
+                head, _, body = rec.partition(b"\r\n\r\n")
+                hdr: dict[bytes, bytes] = {}
+                for line in head.split(_CRLF)[1:]:
+                    k, _, v = line.partition(b": ")
+                    hdr[k] = v
+                if hdr.get(b"WARC-Type") != b"conversion":
+                    raise ValueError("not a WET conversion record")
+                clen = int(hdr[b"Content-Length"])
+                urls.append(hdr[b"WARC-Target-URI"].decode("utf-8"))
+                epochs.append(
+                    calendar.timegm(
+                        time.strptime(
+                            hdr[b"WARC-Date"].decode(), "%Y-%m-%dT%H:%M:%SZ"
+                        )
+                    )
+                )
+                texts.append(body[:clen].decode("utf-8"))
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_epoch": pa.array(epochs, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    return shards.map_batches(
+        unpack, batch_format="pyarrow", zero_copy_batch=True, batch_size=16
+    )
+
+
 def _split_members(blob: bytes) -> list[bytes]:
     """Decompress a concatenated-member gzip stream into one bytes chunk
     per member (the CC random-access property)."""

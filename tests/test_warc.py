@@ -94,3 +94,55 @@ def test_payload_length_guard():
 
     with pytest.raises(ValueError):
         _parse_record(bytes(rec[:-5]))  # strips part of the html + CRLFs
+
+
+def test_wet_conversion_roundtrip(ray_session):
+    from lamapi_ray.sources.warc import read_wet_shards, write_wet_shards
+
+    rows = [
+        ("doc://0", 1704067200, "zero text body"),
+        ("doc://1", 1704067201, "unicode café κείμενο"),
+        ("doc://52", 1704067252, ""),
+    ]
+    pages = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                "warc_ts": pa.array(
+                    [r[1] * 1_000_000 for r in rows], pa.int64()
+                ).cast(pa.timestamp("us")),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+    ).repartition(2)
+    got = pa.concat_tables(
+        read_wet_shards(write_wet_shards(pages, shard_size=50)).iter_batches(
+            batch_size=64, batch_format="pyarrow"
+        )
+    ).sort_by("url")
+    srt = sorted(rows)
+    assert got["url"].to_pylist() == [r[0] for r in srt]
+    assert got["warc_epoch"].to_pylist() == [r[1] for r in srt]
+    assert got["text"].to_pylist() == [r[2] for r in srt]
+
+
+def test_wet_reader_rejects_response_records(ray_session):
+    import gzip as _gzip
+
+    import pytest
+
+    from lamapi_ray.sources.warc import _record, read_wet_shards
+
+    blob = _gzip.compress(_record("doc://9", 1704067209, b"<x/>"), 6, mtime=0)
+    shards = ray.data.from_arrow(
+        pa.table(
+            {
+                "shard_id": pa.array([0], pa.int64()),
+                "payload": pa.array([blob], pa.binary()),
+            }
+        )
+    )
+    with pytest.raises(Exception):
+        pa.concat_tables(
+            read_wet_shards(shards).iter_batches(batch_size=4, batch_format="pyarrow")
+        )
