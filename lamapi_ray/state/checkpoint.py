@@ -176,3 +176,67 @@ def read_output(root: str) -> pa.Table:
         pq.read_table(os.path.join(partition_dir(root, p), "data.parquet"))
         for p in parts
     )
+
+
+def gc_snapshots(
+    base_dir: str, keep: int = 2, drop_incomplete: bool = False
+) -> dict[str, list[str]]:
+    """Snapshot garbage collection — the retention step of the dated
+    snapshot layout (reference database.py:18-36 keeps every per-date
+    database forever; a production job prunes).
+
+    Keeps the newest ``keep`` COMPLETE snapshots; older complete ones
+    are deleted. Incomplete snapshots (no ``_SUCCESS``) are kept by
+    default — they may be a writer mid-run (the batch analogue of the
+    reference's ``status: "DOING"``); pass ``drop_incomplete=True`` for
+    the post-crash cleanup mode that removes torn runs too, EXCEPT any
+    incomplete snapshot newer than the newest complete one (that is the
+    in-flight writer).
+
+    Deletion order is oldest-first and each directory is removed
+    ``_SUCCESS``-marker-first, so a GC crash can only ever leave a
+    snapshot that readers already treat as invisible — the operation is
+    safe to re-run (idempotent) and never races ``resolve_snapshot``.
+
+    → {"kept": [...], "deleted": [...]} (directory names, sorted).
+    """
+    if not os.path.isdir(base_dir):
+        return {"kept": [], "deleted": []}
+    complete: list[str] = []
+    incomplete: list[str] = []
+    for name in sorted(os.listdir(base_dir)):
+        if not name.startswith(SNAPSHOT_PREFIX):
+            continue
+        if os.path.exists(os.path.join(base_dir, name, SUCCESS)):
+            complete.append(name)
+        else:
+            incomplete.append(name)
+    complete.sort(key=lambda n: n[len(SNAPSHOT_PREFIX) :])
+    keep_set = set(complete[-keep:]) if keep > 0 else set()
+    newest_complete = complete[-1][len(SNAPSHOT_PREFIX) :] if complete else ""
+    deleted: list[str] = []
+    for name in complete:
+        if name in keep_set:
+            continue
+        _delete_snapshot(base_dir, name)
+        deleted.append(name)
+    if drop_incomplete:
+        for name in incomplete:
+            if name[len(SNAPSHOT_PREFIX) :] > newest_complete:
+                continue  # in-flight writer ahead of the newest complete
+            _delete_snapshot(base_dir, name)
+            deleted.append(name)
+    kept = sorted(set(complete) - set(deleted)) + sorted(
+        set(incomplete) - set(deleted)
+    )
+    return {"kept": sorted(kept), "deleted": sorted(deleted)}
+
+
+def _delete_snapshot(base_dir: str, name: str) -> None:
+    import shutil
+
+    root = os.path.join(base_dir, name)
+    marker = os.path.join(root, SUCCESS)
+    if os.path.exists(marker):
+        os.remove(marker)  # readers see it as invisible from here on
+    shutil.rmtree(root)

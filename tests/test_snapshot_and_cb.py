@@ -73,3 +73,56 @@ def test_cb_tables_skip_and_classify(ray_session):
         "employees": {"NUMBER"},
         "segment": {"STRING"},
     }
+
+
+def test_gc_snapshots_retention_and_safety(tmp_path):
+    import os
+
+    from lamapi_ray.state.checkpoint import (
+        SNAPSHOT_PREFIX,
+        SUCCESS,
+        gc_snapshots,
+        resolve_snapshot,
+    )
+
+    base = str(tmp_path)
+
+    def mk(date, complete):
+        d = os.path.join(base, f"{SNAPSHOT_PREFIX}{date}")
+        os.makedirs(d)
+        with open(os.path.join(d, "part.manifest"), "w") as f:
+            f.write("{}")
+        if complete:
+            with open(os.path.join(d, SUCCESS), "w") as f:
+                f.write("{}")
+        return os.path.basename(d)
+
+    a = mk("2024-01-01", True)
+    b = mk("2024-01-02", True)
+    c = mk("2024-01-03", True)
+    torn = mk("2024-01-02-retry", False)   # old torn run
+    inflight = mk("2024-01-04", False)     # writer ahead of newest complete
+
+    # default: keep 2 newest complete, never touch incomplete
+    out = gc_snapshots(base, keep=2)
+    assert out["deleted"] == [a]
+    assert set(out["kept"]) == {b, c, torn, inflight}
+    assert resolve_snapshot(base).endswith(c)
+
+    # drop_incomplete removes the old torn run but NOT the in-flight one
+    out2 = gc_snapshots(base, keep=2, drop_incomplete=True)
+    assert out2["deleted"] == [torn]
+    assert set(out2["kept"]) == {b, c, inflight}
+
+    # idempotent re-run deletes nothing further
+    out3 = gc_snapshots(base, keep=2, drop_incomplete=True)
+    assert out3["deleted"] == []
+    # resolution unchanged throughout
+    assert resolve_snapshot(base).endswith(c)
+
+
+def test_gc_snapshots_empty_and_missing_dir(tmp_path):
+    from lamapi_ray.state.checkpoint import gc_snapshots
+
+    assert gc_snapshots(str(tmp_path / "nope")) == {"kept": [], "deleted": []}
+    assert gc_snapshots(str(tmp_path)) == {"kept": [], "deleted": []}
