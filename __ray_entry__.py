@@ -1876,22 +1876,27 @@ def oracle_sql() -> dict[str, str]:
     # robots.txt admission: the oracle restates the RFC 9309 longest-match
     # decision over the synth rule classes in closed form (stage docstring
     # synth_robots_text: lamapi-bot groups on h%4 in {1,3}, '*' otherwise
-    # with /private/ + h%3==0 and h%5==2 extras)
+    # with /private/ + h%3==0 and h%5==2 extras; h%7==4 adds a wildcard
+    # 'Disallow: /*7$' in the '*' group — w below — which denies paths
+    # ending in digit 7 (= doc_id%10=7) unless a LONGER rule matches:
+    # /private/ (9) and /p/open/ allow (8) both outrank it (len 4))
     sql["robots_check"] = (
+        "WITH u AS (SELECT doc_id, doc_id % 17 AS h, doc_id % 4 AS c,\n"
+        "    ((doc_id % 17) % 7 = 4 AND doc_id % 10 = 7) AS w\n"
+        "  FROM documents)\n"
         "SELECT doc_id,\n"
-        "  'h' || (doc_id % 17) || '.example.com' AS host,\n"
-        "  (CASE doc_id % 4 WHEN 0 THEN '/p/' WHEN 1 THEN '/p/open/'\n"
+        "  'h' || h || '.example.com' AS host,\n"
+        "  (CASE c WHEN 0 THEN '/p/' WHEN 1 THEN '/p/open/'\n"
         "        WHEN 2 THEN '/private/' ELSE '/' END) || doc_id AS path,\n"
-        "  CASE WHEN (doc_id % 17) % 4 = 1 THEN (doc_id % 4) IN (2, 3)\n"
-        "       WHEN (doc_id % 17) % 4 = 3 THEN (doc_id % 4) <> 0\n"
-        "       ELSE CASE WHEN doc_id % 4 = 2 THEN FALSE\n"
-        "            WHEN doc_id % 4 = 0 THEN NOT ((doc_id % 17) % 3 = 0\n"
-        "                                          OR (doc_id % 17) % 5 = 2)\n"
-        "            WHEN doc_id % 4 = 1 THEN ((doc_id % 17) % 3 = 0)\n"
-        "                                     OR ((doc_id % 17) % 5 <> 2)\n"
-        "            ELSE (doc_id % 17) % 5 <> 2 END\n"
+        "  CASE WHEN h % 4 = 1 THEN c IN (2, 3)\n"
+        "       WHEN h % 4 = 3 THEN c <> 0\n"
+        "       ELSE CASE WHEN c = 2 THEN FALSE\n"
+        "            WHEN c = 0 THEN NOT (h % 3 = 0 OR h % 5 = 2) AND NOT w\n"
+        "            WHEN c = 1 THEN (h % 3 = 0)\n"
+        "                            OR ((h % 5 <> 2) AND NOT w)\n"
+        "            ELSE (h % 5 <> 2) AND NOT w END\n"
         "  END AS allowed\n"
-        "FROM documents ORDER BY doc_id"
+        "FROM u ORDER BY doc_id"
     )
 
     # WARC archive roundtrip: the reader must recover url / epoch-second
@@ -2811,6 +2816,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # revenue_by_nation / quantile_sketch / events_rollup) so every entry
     # has at least one driver-green record across rounds.
     priority = [
+        # the two r4 hash-fails whose oracle SQL gained CAST(..AS BIGINT)
+        # this round — must land inside the driver's ~50-entry sample to
+        # prove the fix green (events_rollup carries the same latent fix)
+        "revenue_by_nation", "quantile_sketch",
         "multimodal_decode_jpeg", "multimodal_decode_png",
         "audio_features", "sequence_packing",
         "unigram_perplexity", "wikidata_mappings",
@@ -2833,7 +2842,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters", "embedding_dup_clusters", "type_closure",
         "pii_scrub", "passage_dedup", "tfidf_top_terms", "kg_degrees",
         "entity_pagerank", "kg_delta", "triples_sorted_export",
-        "summary_topk_asc", "revenue_by_nation", "quantile_sketch",
+        "summary_topk_asc",
     ]
     ordered = {n: out[n] for n in priority}
     ordered.update((n, f) for n, f in out.items() if n not in ordered)

@@ -35,9 +35,30 @@ def test_rules_before_any_group_are_ignored():
     assert g == {"*": [(False, "/b/")]}
 
 
-def test_wildcards_honestly_gated():
-    with pytest.raises(NotImplementedError):
-        parse_robots("User-agent: *\nDisallow: /*.php$\n")
+def test_wildcard_star_and_dollar_semantics():
+    g = parse_robots(
+        "User-agent: *\n"
+        "Disallow: /*.php$\n"
+        "Allow: /shop/*.php$\n"
+        "Disallow: /tmp*\n"
+    )
+    # '$' anchors at end of path
+    assert robots_decide(g, "x", "/a/b.php") is False
+    assert robots_decide(g, "x", "/a/b.php?q=1") is True  # not at end
+    # longer wildcard allow (len 12) outranks the shorter deny (len 7)
+    assert robots_decide(g, "x", "/shop/x.php") is True
+    # '*' spans any run, including empty
+    assert robots_decide(g, "x", "/tmp") is False
+    assert robots_decide(g, "x", "/tmpfiles/a") is False
+    assert robots_decide(g, "x", "/other") is True
+    # regex metacharacters in patterns stay literal
+    lit = parse_robots("User-agent: *\nDisallow: /a.b/\n")
+    assert robots_decide(lit, "x", "/aXb/") is True
+    assert robots_decide(lit, "x", "/a.b/") is False
+    # non-trailing '$' is a literal character
+    mid = parse_robots("User-agent: *\nDisallow: /x$y\n")
+    assert robots_decide(mid, "x", "/x$y/z") is False
+    assert robots_decide(mid, "x", "/xy/z") is True
 
 
 def test_decision_longest_match_tie_and_group_replacement():
