@@ -1,12 +1,16 @@
 """Pure-Python/numpy PNG codec (ISO/IEC 15948) — zlib is stdlib, so PNG
 needs no external codec library.
 
-Supported: 8- and 16-bit depths, color types 0 (gray), 2 (RGB), 3
-(palette), 4 (gray+alpha), 6 (RGBA); all five scanline filters
-(None/Sub/Up/Average/Paeth); multiple IDAT chunks; Adam7 interlacing
-(each of the 7 passes is an independently-filtered sub-image — empty
-passes contribute zero bytes, per spec). Unsupported, honestly gated
-with ``NotImplementedError``: 1/2/4-bit packed depths.
+Supported: every legal bit depth — 1/2/4-bit packed (gray and palette,
+MSB-first within each byte, scanlines padded to a byte boundary, the
+filter unit being one byte per spec §7.2), 8- and 16-bit — across color
+types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA); all
+five scanline filters (None/Sub/Up/Average/Paeth); multiple IDAT
+chunks; Adam7 interlacing (each of the 7 passes is an
+independently-filtered sub-image — empty passes contribute zero bytes,
+per spec). Packed gray samples scale to 8-bit by the exact spec factor
+255/(2^d−1) (an integer for d ∈ {1,2,4}); packed palette samples are
+indices and resolve through PLTE unscaled.
 
 Decode returns (H, W, 3) uint8 RGB — gray is replicated, palette is
 resolved through PLTE, alpha is dropped, and 16-bit samples reduce to
@@ -143,6 +147,28 @@ def _filter_image(raw: np.ndarray, filter_type: int, bpp: int) -> bytearray:
     return lines
 
 
+def _pack_bits(mat: np.ndarray, depth: int) -> np.ndarray:
+    """(rows, cols) samples in [0, 2^depth) → (rows, ceil(cols*depth/8))
+    packed bytes, MSB-first, each row padded to a byte boundary (spec
+    §7.2 scanline serialization)."""
+    rows, cols = mat.shape
+    bits = (
+        (mat[:, :, None].astype(np.uint8) >> np.arange(depth - 1, -1, -1)) & 1
+    ).astype(np.uint8).reshape(rows, cols * depth)
+    return np.packbits(bits, axis=1)
+
+
+def _unpack_bits(mat: np.ndarray, cols: int, depth: int) -> np.ndarray:
+    """(rows, row_bytes) packed bytes → (rows, cols) sample values,
+    dropping the per-row padding bits."""
+    rows = mat.shape[0]
+    bits = np.unpackbits(mat, axis=1)[:, : cols * depth]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (bits.reshape(rows, cols, depth) * weights).sum(
+        axis=2, dtype=np.int64
+    ).astype(np.uint8)
+
+
 def _to_bytes(img: np.ndarray, depth: int) -> np.ndarray:
     """(H, W, C) samples → (H, W*C*sample_bytes) big-endian byte matrix."""
     h, w = img.shape[:2]
@@ -189,6 +215,88 @@ def encode_png(
         + _chunk(b"IHDR", ihdr)
         + _chunk(b"IDAT", zlib.compress(bytes(lines), level))
         + _chunk(b"IEND", b"")
+    )
+
+
+def _encode_single_channel(
+    img: np.ndarray,
+    depth: int,
+    ctype: int,
+    plte: bytes,
+    filter_type: int,
+    level: int,
+    interlace: bool,
+) -> bytes:
+    """Shared gray/palette encoder body over one-sample-per-pixel rows."""
+    h, w = img.shape
+
+    def raw_of(sub: np.ndarray) -> np.ndarray:
+        if depth == 8:
+            return np.ascontiguousarray(sub, dtype=np.uint8)
+        if depth == 16:
+            be = np.ascontiguousarray(sub.astype(np.uint16).astype(">u2"))
+            return be.view(np.uint8).reshape(sub.shape[0], sub.shape[1] * 2)
+        return _pack_bits(sub, depth)
+
+    bpp = 2 if depth == 16 else 1  # filter unit: one byte for packed depths
+    lines = bytearray()
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            lines += _filter_image(raw_of(sub), filter_type, bpp)
+    else:
+        lines = _filter_image(raw_of(img), filter_type, bpp)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 1 if interlace else 0)
+    out = PNG_SIG + _chunk(b"IHDR", ihdr)
+    if plte:
+        out += _chunk(b"PLTE", plte)
+    return out + _chunk(b"IDAT", zlib.compress(bytes(lines), level)) + _chunk(b"IEND", b"")
+
+
+def encode_png_gray(
+    img: np.ndarray,
+    depth: int = 8,
+    filter_type: int = 0,
+    level: int = 6,
+    interlace: bool = False,
+) -> bytes:
+    """(H, W) grayscale samples in [0, 2^depth) → PNG color type 0 at any
+    legal depth (1/2/4 packed, 8, 16)."""
+    if img.ndim != 2:
+        raise ValueError("expected (H, W) gray samples")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"bad bit depth {depth}")
+    if img.size and (int(img.min()) < 0 or int(img.max()) > (1 << depth) - 1):
+        raise ValueError(f"samples out of range for depth {depth}")
+    return _encode_single_channel(
+        img, depth, 0, b"", filter_type, level, interlace
+    )
+
+
+def encode_png_palette(
+    idx: np.ndarray,
+    palette: np.ndarray,
+    depth: int = 8,
+    filter_type: int = 0,
+    level: int = 6,
+    interlace: bool = False,
+) -> bytes:
+    """(H, W) palette indices + (N, 3) uint8 palette → PNG color type 3 at
+    depth 1/2/4 (packed) or 8."""
+    if idx.ndim != 2:
+        raise ValueError("expected (H, W) palette indices")
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"bad palette bit depth {depth}")
+    palette = np.ascontiguousarray(palette, dtype=np.uint8)
+    if palette.ndim != 2 or palette.shape[1] != 3 or not 1 <= len(palette) <= 256:
+        raise ValueError("palette must be (N, 3) with 1 <= N <= 256")
+    hi = min(1 << depth, len(palette)) - 1
+    if idx.size and (int(idx.min()) < 0 or int(idx.max()) > hi):
+        raise ValueError("palette index out of range")
+    return _encode_single_channel(
+        idx, depth, 3, palette.tobytes(), filter_type, level, interlace
     )
 
 
