@@ -329,10 +329,12 @@ def decode_png(data: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("missing IHDR")
     w, h, depth, ctype_i, comp, filt, interlace = ihdr
-    if depth not in (8, 16):
-        raise NotImplementedError("1/2/4-bit packed PNG depths are not supported")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"bad bit depth {depth}")
     if ctype_i not in _CHANNELS:
         raise ValueError(f"bad color type {ctype_i}")
+    if depth < 8 and ctype_i not in (0, 3):
+        raise ValueError("packed depths are only legal for gray/palette")
     if depth == 16 and ctype_i == 3:
         raise ValueError("palette images cannot be 16-bit")
     if comp != 0 or filt != 0:
@@ -340,8 +342,11 @@ def decode_png(data: bytes) -> np.ndarray:
     if interlace not in (0, 1):
         raise ValueError(f"bad interlace method {interlace}")
     ch = _CHANNELS[ctype_i]
-    sb = depth // 8  # bytes per sample
-    bpp = ch * sb
+    sb = depth // 8  # bytes per sample (0 for packed depths)
+    bpp = max(1, ch * sb)  # filter unit is one byte for packed depths
+
+    def row_bytes(cols: int) -> int:
+        return (cols * ch * depth + 7) // 8
 
     def unfilter(raw: np.ndarray, rows: int, stride: int) -> np.ndarray:
         raw = raw.reshape(rows, stride + 1)
@@ -354,14 +359,17 @@ def decode_png(data: bytes) -> np.ndarray:
 
     def to_samples(bytes_mat: np.ndarray, rows: int, cols: int) -> np.ndarray:
         """byte matrix → (rows, cols, ch) uint8 samples (16-bit keeps the
-        high byte — the standard 16→8 downsample)."""
+        high byte — the standard 16→8 downsample; packed depths unpack
+        MSB-first and drop the per-row padding bits)."""
+        if depth < 8:
+            return _unpack_bits(bytes_mat, cols, depth).reshape(rows, cols, 1)
         if sb == 1:
             return bytes_mat.reshape(rows, cols, ch)
         return bytes_mat.reshape(rows, cols, ch, 2)[..., 0]
 
     data = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     if interlace == 0:
-        stride = w * bpp
+        stride = row_bytes(w)
         if len(data) != h * (stride + 1):
             raise ValueError("decompressed size mismatch")
         px = to_samples(unfilter(data, h, stride), h, w)
@@ -373,7 +381,7 @@ def decode_png(data: bytes) -> np.ndarray:
             ph = (h - y0 + dy - 1) // dy
             if pw == 0 or ph == 0:
                 continue
-            stride = pw * bpp
+            stride = row_bytes(pw)
             nbytes = ph * (stride + 1)
             if off + nbytes > len(data):
                 raise ValueError("decompressed size mismatch")
@@ -387,6 +395,10 @@ def decode_png(data: bytes) -> np.ndarray:
     if ctype_i == 6:
         return px[:, :, :3].copy()  # drop alpha (documented)
     if ctype_i == 0:
+        if depth < 8:  # exact spec scaling: v * 255/(2^d - 1), integer
+            px = (px.astype(np.int64) * (255 // ((1 << depth) - 1))).astype(
+                np.uint8
+            )
         return np.repeat(px, 3, axis=2)
     if ctype_i == 4:
         return np.repeat(px[:, :, :1], 3, axis=2)

@@ -142,10 +142,17 @@ def attach_png_payload(docs: ray.data.Dataset) -> ray.data.Dataset:
     """documents → (doc_id, payload) with REAL PNG images (same pixel spec
     as the BMP fixtures — PNG is lossless so the decode oracle is the same
     closed form). Filter type rotates per doc (None/Sub/Up/Average/Paeth),
-    every third doc is Adam7-interlaced, and every fifth is 16-bit (samples
+    every third doc is Adam7-interlaced, every fifth is 16-bit (samples
     promoted to the high byte so the decoded pixels — and the oracle — are
-    unchanged), so the driver gate exercises every decode path."""
-    from lamapi_ray.functions.pngcodec import encode_png
+    unchanged), and every seventh is PALETTE-encoded (the fixture's pixel
+    triples are a function of one byte v = (id*7+3p)%256, so the 256-entry
+    palette plte[v] = (v, v+1, v+2) mod 256 reproduces them exactly), so
+    the driver gate exercises every decode path."""
+    from lamapi_ray.functions.pngcodec import encode_png, encode_png_palette
+
+    _plte = (
+        (np.arange(256, dtype=np.int64)[:, None] + np.arange(3)) % 256
+    ).astype(np.uint8)
 
     def to_png(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
@@ -153,6 +160,18 @@ def attach_png_payload(docs: ray.data.Dataset) -> ray.data.Dataset:
         for i in ids:
             i = int(i)
             img = synth_image(i)
+            if i % 7 == 0:
+                h, w = img.shape[:2]
+                idx = (
+                    (np.int64(i) * 7 + 3 * np.arange(h * w, dtype=np.int64))
+                    % 256
+                ).astype(np.uint8).reshape(h, w)
+                payloads.append(
+                    encode_png_palette(
+                        idx, _plte, filter_type=i % 5, interlace=(i % 3 == 0)
+                    )
+                )
+                continue
             depth = 16 if i % 5 == 0 else 8
             if depth == 16:
                 img = (img.astype(np.uint16) << 8) | img  # hi byte == pixel

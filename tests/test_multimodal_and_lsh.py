@@ -64,12 +64,8 @@ def test_payload_decoder_real_path_decodes_bmp_and_gates_compressed():
     assert jout["mean_pixel"][0].as_py() == pytest.approx(
         float(decode_jpeg(jp).mean()), abs=1e-4
     )
-    # PNG is also real now, INCLUDING Adam7 interlacing; the remaining
-    # honest gate is packed 1/2/4-bit depths
-    import struct
-    import zlib as _zlib
-
-    from lamapi_ray.functions.pngcodec import PNG_SIG, _chunk, encode_png
+    # PNG is fully real — Adam7 interlacing AND packed 1/2/4-bit depths
+    from lamapi_ray.functions.pngcodec import encode_png, encode_png_gray
 
     img2 = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
     adam7 = encode_png(img2, filter_type=2, interlace=True)
@@ -81,20 +77,17 @@ def test_payload_decoder_real_path_decodes_bmp_and_gates_compressed():
     )
     pout = PayloadDecoder(mode="real")(png_batch)
     assert pout["mean_pixel"][0].as_py() == pytest.approx(float(img2.mean()), abs=1e-9)
-    packed = (
-        PNG_SIG
-        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0))
-        + _chunk(b"IDAT", _zlib.compress(b"\x00" * 6))
-        + _chunk(b"IEND", b"")
-    )
+    g4 = np.array([[0, 5], [10, 15]], dtype=np.uint8)  # 4-bit samples
+    packed = encode_png_gray(g4, depth=4, filter_type=1)
     packed_batch = pa.table(
         {
             "doc_id": pa.array([1], pa.int64()),
             "payload": pa.array([packed], pa.binary()),
         }
     )
-    with pytest.raises(NotImplementedError):
-        PayloadDecoder(mode="real")(packed_batch)
+    kout = PayloadDecoder(mode="real")(packed_batch)
+    # 4-bit gray scales by 17 (255/15): mean of {0,85,170,255}
+    assert kout["mean_pixel"][0].as_py() == pytest.approx(127.5, abs=1e-9)
 
 
 def test_decode_payloads_actor_pool():

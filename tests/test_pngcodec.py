@@ -13,6 +13,8 @@ from lamapi_ray.functions.pngcodec import (
     _chunk,
     decode_png,
     encode_png,
+    encode_png_gray,
+    encode_png_palette,
 )
 
 
@@ -95,10 +97,54 @@ def test_sniff_and_dispatch():
     assert np.array_equal(decode_image(data), img)
 
 
-def test_packed_depths_gated():
-    ihdr4 = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
-    with pytest.raises(NotImplementedError):
-        decode_png(PNG_SIG + _chunk(b"IHDR", ihdr4) + _chunk(b"IEND", b""))
+@pytest.mark.parametrize("depth", [1, 2, 4])
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_packed_gray_roundtrip_all_filters(depth, ftype):
+    rng = np.random.default_rng(100 * depth + ftype)
+    # width 11 forces per-row padding bits at every packed depth
+    img = rng.integers(0, 1 << depth, (7, 11), dtype=np.uint8)
+    data = encode_png_gray(img, depth=depth, filter_type=ftype)
+    scale = 255 // ((1 << depth) - 1)  # exact spec sample scaling
+    want = np.repeat((img * scale).astype(np.uint8)[:, :, None], 3, axis=2)
+    assert np.array_equal(decode_png(data), want)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_packed_gray_adam7(depth):
+    rng = np.random.default_rng(depth)
+    # 13x5: several Adam7 passes have sub-byte widths with padding bits
+    img = rng.integers(0, 1 << depth, (5, 13), dtype=np.uint8)
+    data = encode_png_gray(img, depth=depth, filter_type=2, interlace=True)
+    scale = 255 // ((1 << depth) - 1)
+    want = np.repeat((img * scale).astype(np.uint8)[:, :, None], 3, axis=2)
+    assert np.array_equal(decode_png(data), want)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4, 8])
+def test_packed_palette_roundtrip(depth):
+    rng = np.random.default_rng(depth + 40)
+    ncolors = min(1 << depth, 256)
+    plte = rng.integers(0, 256, (ncolors, 3), dtype=np.uint8)
+    idx = rng.integers(0, ncolors, (6, 9), dtype=np.uint8)
+    data = encode_png_palette(idx, plte, depth=depth, filter_type=1)
+    # palette indices resolve through PLTE unscaled, at every depth
+    assert np.array_equal(decode_png(data), plte[idx])
+
+
+def test_packed_padding_bits_are_dropped():
+    # single-pixel-wide 1-bit image: 7 padding bits per row must not leak
+    img = np.array([[1], [0], [1]], dtype=np.uint8)
+    data = encode_png_gray(img, depth=1, filter_type=0)
+    want = np.repeat((img * 255)[:, :, None], 3, axis=2)
+    assert np.array_equal(decode_png(data), want)
+
+
+def test_packed_depth_rejects_rgb():
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)
+    with pytest.raises(ValueError):
+        decode_png(PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        encode_png_gray(np.array([[9]], dtype=np.uint8), depth=2)  # > max
 
 
 def test_adam7_roundtrip_all_filters_and_odd_sizes():
