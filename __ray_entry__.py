@@ -1500,6 +1500,19 @@ def oracle_sql() -> dict[str, str]:
         "FROM bwords"
     )
 
+    # cms_user_sketch: Count-Min registers — double hashing shared with
+    # bloom_users; cell counts are integer-exact so the register table is
+    # mirrored cell by cell
+    sql["cms_user_sketch"] = _with(
+        f"ch AS (SELECT {_B_H1} AS h1, {_B_H2} AS h2 FROM events)",
+        "cells AS (SELECT r.r AS row, (h1 + r.r * h2) % 1024 AS col\n"
+        "  FROM ch, (SELECT unnest(range(0, 4)) AS r) r(r))",
+    ) + (
+        "SELECT CAST(row AS BIGINT) AS row, CAST(col AS BIGINT) AS col,\n"
+        "  count(*) AS n\n"
+        "FROM cells GROUP BY 1, 2 ORDER BY row, col"
+    )
+
     # inverted_index: postings-list construction; term ids are the house
     # md5→mod-(2^61-1) token hashes (index/postings.py)
     sql["inverted_index"] = _with(
@@ -2571,6 +2584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quartiles",
         "hll_user_sketch",
         "quantile_sketch",
+        "cms_user_sketch",
         "stratified_sample",
         "events_pivot",
         "table_profile",
@@ -2819,7 +2833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the two r4 hash-fails whose oracle SQL gained CAST(..AS BIGINT)
         # this round — must land inside the driver's ~50-entry sample to
         # prove the fix green (events_rollup carries the same latent fix)
-        "revenue_by_nation", "quantile_sketch",
+        "revenue_by_nation", "quantile_sketch", "cms_user_sketch",
         "multimodal_decode_jpeg", "multimodal_decode_png",
         "audio_features", "sequence_packing",
         "unigram_perplexity", "wikidata_mappings",

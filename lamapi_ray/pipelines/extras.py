@@ -1206,6 +1206,20 @@ def bloom_users(sf_dir: str) -> pa.Table:
     return _collect(bloom_filter(ev, "user_id")).sort_by("word_idx")
 
 
+def cms_user_sketch(sf_dir: str) -> pa.Table:
+    """Count-Min sketch of events.user_id (d=4 rows × w=1024 counters,
+    double hashing shared with the Bloom leg): per-batch counter partials,
+    ONE ≤4096-row grouped sum-merge — the point-frequency sketch of the
+    family. Register table is integer-exact and oracle-checked cell by
+    cell. See :mod:`lamapi_ray.stages.sketch`."""
+    from lamapi_ray.stages.sketch import count_min_sketch
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return _collect(count_min_sketch(ev, "user_id")).sort_by(
+        [("row", "ascending"), ("col", "ascending")]
+    )
+
+
 def quantile_sketch(sf_dir: str) -> pa.Table:
     """Mergeable equi-width-histogram quantile sketch per event_type
     (p50/p95/p99 lower-bin-edge estimates, 128 bins): per-batch (group,

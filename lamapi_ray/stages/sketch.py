@@ -261,6 +261,83 @@ def histogram_quantiles(
     )
 
 
+CMS_D = 4                    # hash rows
+CMS_W = 1024                 # counters per row
+
+
+def cms_cells(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """→ (cell_key, count) partial Count-Min cells of one batch, with
+    cell_key = row·w + col. Double hashing shares Bloom's two house
+    mod-(2^61-1) mixes: col_i = (h1 + i·h2) mod w for row i — h1 + 3·h2
+    < 4·2^61 < 2^64 so the uint64 sum is exact, and the SQL mirror
+    computes the identical value in HUGEINT."""
+    h = ids.astype(np.int64).view(np.uint64)
+    h1 = fold_mod61(mulmod61(fold_mod61(h), np.full(len(h), HLL_MULT)) + np.uint64(1))
+    h2 = fold_mod61(mulmod61(fold_mod61(h), np.full(len(h), _BLOOM_MULT2)) + np.uint64(3))
+    counts = np.zeros(CMS_D * CMS_W, np.int64)
+    for i in range(CMS_D):
+        col = ((h1 + np.uint64(i) * h2) % np.uint64(CMS_W)).astype(np.int64)
+        np.add.at(counts, i * CMS_W + col, 1)
+    nz = np.flatnonzero(counts)
+    return nz, counts[nz]
+
+
+def count_min_sketch(ds: ray.data.Dataset, id_col: str) -> ray.data.Dataset:
+    """→ (row, col, n): the merged Count-Min sketch of ``id_col`` — the
+    frequency-ESTIMATE sketch completing the family (HLL = distinct,
+    Bloom = membership, histogram = quantiles, Misra-Gries = exact heavy
+    hitters; CMS answers point-frequency queries over keys too numerous
+    to recount). Counter partials merge by SUM — associative and
+    commutative — so ONE grouped exchange of ≤ d·w tiny rows finishes the
+    job at any corpus size; the register table is integer-exact and
+    directly oracle-checkable."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        key, cnt = cms_cells(ids)
+        return pa.table(
+            {"cell": pa.array(key, pa.int64()), "c": pa.array(cnt, pa.int64())}
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cell")
+        .aggregate(Sum("c"))
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        cell = batch["cell"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "row": pa.array(cell // CMS_W, pa.int64()),
+                "col": pa.array(cell % CMS_W, pa.int64()),
+                "n": batch["sum(c)"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(project, batch_format="pyarrow")
+
+
+def cms_estimate(sketch_tbl: pa.Table, ids: np.ndarray) -> np.ndarray:
+    """Point-frequency estimates: min over the d rows' counters — never
+    an underestimate, overestimate ≤ e·N/w with probability 1−e^−d."""
+    counts = np.zeros(CMS_D * CMS_W, np.int64)
+    key = (
+        sketch_tbl["row"].to_numpy(zero_copy_only=False) * CMS_W
+        + sketch_tbl["col"].to_numpy(zero_copy_only=False)
+    )
+    counts[key] = sketch_tbl["n"].to_numpy(zero_copy_only=False)
+    h = ids.astype(np.int64).view(np.uint64)
+    h1 = fold_mod61(mulmod61(fold_mod61(h), np.full(len(h), HLL_MULT)) + np.uint64(1))
+    h2 = fold_mod61(mulmod61(fold_mod61(h), np.full(len(h), _BLOOM_MULT2)) + np.uint64(3))
+    est = np.full(len(ids), np.iinfo(np.int64).max, np.int64)
+    for i in range(CMS_D):
+        col = ((h1 + np.uint64(i) * h2) % np.uint64(CMS_W)).astype(np.int64)
+        est = np.minimum(est, counts[i * CMS_W + col])
+    return est
+
+
 # ---------------------------------------------------------------------------
 # Heavy hitters (Misra-Gries candidates + exact recount)
 # ---------------------------------------------------------------------------

@@ -139,3 +139,46 @@ def test_histogram_quantiles_all_equal_values(ray_session):
         {"event_type": "x", "n_events": 10,
          "p50_est": 3.5, "p95_est": 3.5, "p99_est": 3.5}
     ]
+
+
+def test_cms_cells_deterministic_and_bounded():
+    from lamapi_ray.stages.sketch import CMS_D, CMS_W, cms_cells
+
+    ids = np.arange(500, dtype=np.int64)
+    k1, c1 = cms_cells(ids)
+    k2, c2 = cms_cells(ids)
+    assert np.array_equal(k1, k2) and np.array_equal(c1, c2)
+    assert len(k1) <= CMS_D * CMS_W
+    # every row's counters sum to the batch size
+    for i in range(CMS_D):
+        m = (k1 >= i * CMS_W) & (k1 < (i + 1) * CMS_W)
+        assert c1[m].sum() == len(ids)
+
+
+def test_cms_never_underestimates_and_merge_is_sum(ray_session):
+    import ray.data
+
+    from lamapi_ray.stages.sketch import cms_estimate, count_min_sketch
+
+    rng = np.random.default_rng(7)
+    # zipf-ish key stream: heavy keys repeat
+    ids = rng.integers(0, 200, 5000, dtype=np.int64) ** 2 % 97
+    tbl = pa.table({"user_id": pa.array(ids, pa.int64())})
+    out = pa.concat_tables(
+        count_min_sketch(
+            ray.data.from_arrow(tbl).repartition(4), "user_id"
+        ).iter_batches(batch_size=1 << 16, batch_format="pyarrow")
+    )
+    uniq, true = np.unique(ids, return_counts=True)
+    est = cms_estimate(out, uniq)
+    assert np.all(est >= true)  # CMS never underestimates
+    # d=4, w=1024 over 97 distinct keys: collisions are rare — most exact
+    assert np.mean(est == true) > 0.9
+    # register mass: each row holds exactly N counts
+    n_per_row = np.zeros(4, np.int64)
+    np.add.at(
+        n_per_row,
+        out["row"].to_numpy(zero_copy_only=False),
+        out["n"].to_numpy(zero_copy_only=False),
+    )
+    assert np.all(n_per_row == len(ids))
