@@ -412,6 +412,18 @@ def oracle_sql() -> dict[str, str]:
 
     sql["linked"] = _with(*_KG_CHAIN, SQL_LINKED) + "SELECT url, mention, id FROM linked"
 
+    # entity co-occurrence graph: undirected (e1 < e2) page-count edges
+    # over the distinct (url, entity) pairs of the linked chain
+    sql["entity_cooccurrence"] = _with(
+        *_KG_CHAIN,
+        SQL_LINKED,
+        "lp AS (SELECT DISTINCT url, id FROM linked)",
+    ) + (
+        "SELECT a.id AS e1, b.id AS e2, count(*) AS n_pages\n"
+        "FROM lp a JOIN lp b ON a.url = b.url AND a.id < b.id\n"
+        "GROUP BY 1, 2 ORDER BY e1, e2"
+    )
+
     _cand_select = (
         'SELECT f.mention, f.id, f.name, f.description, f.types,\n'
         "       CASE WHEN f.types = '' THEN '' ELSE coalesce(ti.label, f.types) END AS type_names,\n"
@@ -2638,6 +2650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["entity_pagerank"] = with_kg("entity_pagerank", "triples")
     out["lookup_literals"] = with_kg("lookup_literals", "literals")
     out["predicates_pairs"] = with_kg("predicates_pairs", "triples")
+    out["entity_cooccurrence"] = with_kg("entity_cooccurrence", "linked")
 
     def ner(sf_dir: str):
         r = _results(sf_dir)
@@ -2834,6 +2847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # this round — must land inside the driver's ~50-entry sample to
         # prove the fix green (events_rollup carries the same latent fix)
         "revenue_by_nation", "quantile_sketch", "cms_user_sketch",
+        "entity_cooccurrence",
         "multimodal_decode_jpeg", "multimodal_decode_png",
         "audio_features", "sequence_packing",
         "unigram_perplexity", "wikidata_mappings",

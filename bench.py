@@ -130,6 +130,8 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
         with open(os.path.join(pages_path, "_DONE"), "w") as f:
             f.write("ok")
 
+    holder = {}
+
     def kg_e2e():
         shutil.rmtree(SCRATCH, ignore_errors=True)
         # NB: do NOT override_num_blocks here — forcing a block count makes
@@ -149,8 +151,14 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
         # north-rule per-stage metrics (mentions/sec, candidate fan-out,
         # link-score latency) — accumulated by the run's metrics actor
         counters["kg_stage_metrics"] = res["stage_metrics"]()
+        holder["linked"] = res["page_links"]
 
     timed("kg_e2e", kg_e2e)
+    if "linked" in holder:  # only when the kg_e2e entry ran (not --only'd out)
+        timed(
+            "entity_cooccurrence",
+            lambda: extras.entity_cooccurrence(sf_dir, holder["linked"]),
+        )
 
     # --- training-data operators ------------------------------------------
     timed("dedup_exact", lambda: extras.dedup_exact(sf_dir))

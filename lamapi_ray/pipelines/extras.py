@@ -2101,6 +2101,87 @@ def lookup_sameas(sf_dir: str) -> pa.Table:
     )
 
 
+def entity_cooccurrence(sf_dir: str, linked: pa.Table) -> pa.Table:
+    """Entity co-occurrence graph over linked mentions: undirected edges
+    (e1 < e2) weighted by the number of pages on which both entities were
+    linked — the entity-graph construction step KG-embedding/relatedness
+    pipelines consume downstream of entity linking.
+
+    Scale shape: pairs are expanded INSIDE one coarse url-hash partition
+    (vectorized run detection + per-run-length expansion — work bounded by
+    entities-per-page², never corpus²), then ONE (e1, e2) grouped count.
+    Nothing corpus-sized touches the driver; the linked stream stays
+    distributed end to end."""
+    from lamapi_ray.stages.dedup import _pairs_in_runs, _run_bounds
+
+    if isinstance(linked, ray.data.Dataset):  # streaming input (bench path)
+        ds = linked.select_columns(["url", "id"])
+    else:
+        ds = ray.data.from_arrow(linked.select(["url", "id"]))
+
+    def coarse_key(batch: pa.Table) -> pa.Table:
+        from lamapi_ray.functions.inthash import hash_string_array
+
+        url = batch["url"]
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        # deterministic cross-process hash — every row of one url MUST land
+        # in the same partition or its pairs would be silently split
+        h = hash_string_array(url).view(np.int64)
+        return batch.append_column(
+            "__pk", pa.array(np.abs(h) % 16, pa.int64())
+        )
+
+    def partition_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"e1": pa.array([], pa.string()), "e2": pa.array([], pa.string())}
+        )
+        if len(group) == 0:
+            return empty
+        url = group["url"].combine_chunks().to_numpy(zero_copy_only=False)
+        eid = group["id"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, url))
+        url, eid = url[order], eid[order]
+        keep = np.concatenate(
+            [[True], (url[1:] != url[:-1]) | (eid[1:] != eid[:-1])]
+        )
+        url, eid = url[keep], eid[keep]
+        starts, lens = _run_bounds([url])
+        xs, ys = [], []
+        for ia, ib in _pairs_in_runs(starts, lens):
+            xs.append(eid[ia])  # run is id-sorted and deduped → e1 < e2
+            ys.append(eid[ib])
+        if not xs:
+            return empty
+        return pa.table(
+            {
+                "e1": pa.array(np.concatenate(xs).tolist(), pa.string()),
+                "e2": pa.array(np.concatenate(ys).tolist(), pa.string()),
+            }
+        )
+
+    counted = (
+        ds.map_batches(coarse_key, batch_format="pyarrow")
+        .groupby("__pk", num_partitions=_scaled(0.5, 16))
+        .map_groups(partition_pairs, batch_format="pyarrow")
+        .groupby(["e1", "e2"], num_partitions=_scaled(0.5, 16))
+        .count()
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "e1": batch["e1"],
+                "e2": batch["e2"],
+                "n_pages": batch["count()"].cast(pa.int64()),
+            }
+        )
+
+    return _collect(
+        counted.map_batches(finish, batch_format="pyarrow")
+    ).sort_by([("e1", "ascending"), ("e2", "ascending")])
+
+
 def predicates_pairs(sf_dir: str, adjacency: pa.Table) -> pa.Table:
     """J3 semantics: for (subj, obj) pairs, the predicates connecting them
     (predicates_retriever.py:52-73) — pairs from early orders' co-lineitems.

@@ -80,3 +80,40 @@ def test_synth_pages_link_targets():
         d = int(src.split("//")[1])
         expect = d % np_ if rank == 0 else (d * 7 + 13) % np_
         assert dst == f"doc://{expect}"
+
+
+def test_entity_cooccurrence_pairs_survive_block_splits(ray_session):
+    """One url's linked rows spread over MANY input blocks must still pair
+    up — the coarse url-hash partition has to be deterministic across
+    worker processes (a per-process `hash()` would silently drop pairs)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lamapi_ray.pipelines.extras import entity_cooccurrence
+
+    urls, ids = [], []
+    # 40 pages x 3 entities, rows deliberately interleaved so consecutive
+    # blocks never hold one url's rows together; plus duplicate links
+    for e in ["Q3", "Q1", "Q2", "Q1"]:  # Q1 linked twice -> still one edge
+        for p in range(40):
+            urls.append(f"doc://{p}")
+            ids.append(e if p % 2 == 0 else e.replace("Q", "Q1"))
+    linked = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "mention": pa.array(["m"] * len(urls), pa.string()),
+            "id": pa.array(ids, pa.string()),
+        }
+    )
+    out = entity_cooccurrence("", linked)
+    # even pages link {Q1,Q2,Q3}, odd pages link {Q11,Q12,Q13}
+    want = {
+        ("Q1", "Q2"): 20, ("Q1", "Q3"): 20, ("Q2", "Q3"): 20,
+        ("Q11", "Q12"): 20, ("Q11", "Q13"): 20, ("Q12", "Q13"): 20,
+    }
+    got = {
+        (r["e1"], r["e2"]): r["n_pages"] for r in out.to_pylist()
+    }
+    assert got == want
+    # e1 < e2 canonical order everywhere
+    assert all(a < b for a, b in got)
