@@ -1924,6 +1924,37 @@ def oracle_sql() -> dict[str, str]:
         "FROM u ORDER BY doc_id"
     )
 
+    # registrable-domain (eTLD+1) extraction: closed-form PSL decisions
+    # over the synth host classes (stage docstring: plain 1/2-label rules
+    # with longest-match, github.io, *.ck wildcard, !www.ck exception,
+    # implicit '*' fallback for .xyz, bare-suffix → NULL registrable)
+    sql["registrable_domains"] = (
+        "WITH u AS (SELECT doc_id, doc_id % 8 AS c,\n"
+        "  CAST(doc_id // 8 AS VARCHAR) AS g FROM documents)\n"
+        "SELECT doc_id,\n"
+        "  CASE c WHEN 0 THEN 'site' || g || '.com'\n"
+        "       WHEN 1 THEN 'www.site' || g || '.co.uk'\n"
+        "       WHEN 2 THEN 'x.y' || g || '.github.io'\n"
+        "       WHEN 3 THEN 'foo' || g || '.bar.ck'\n"
+        "       WHEN 4 THEN 'www.ck'\n"
+        "       WHEN 5 THEN 'ed' || g || '.ac.jp'\n"
+        "       WHEN 6 THEN 'site' || g || '.xyz'\n"
+        "       ELSE 'co.uk' END AS host,\n"
+        "  CASE c WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'\n"
+        "       WHEN 2 THEN 'github.io' WHEN 3 THEN 'bar.ck'\n"
+        "       WHEN 4 THEN 'ck' WHEN 5 THEN 'ac.jp'\n"
+        "       WHEN 6 THEN 'xyz' ELSE 'co.uk' END AS public_suffix,\n"
+        "  CASE c WHEN 0 THEN 'site' || g || '.com'\n"
+        "       WHEN 1 THEN 'site' || g || '.co.uk'\n"
+        "       WHEN 2 THEN 'y' || g || '.github.io'\n"
+        "       WHEN 3 THEN 'foo' || g || '.bar.ck'\n"
+        "       WHEN 4 THEN 'www.ck'\n"
+        "       WHEN 5 THEN 'ed' || g || '.ac.jp'\n"
+        "       WHEN 6 THEN 'site' || g || '.xyz'\n"
+        "       ELSE NULL END AS registrable\n"
+        "FROM u ORDER BY doc_id"
+    )
+
     # WARC archive roundtrip: the reader must recover url / epoch-second
     # timestamp / html bytes exactly, so the oracle restates the synth
     # pages html (anchor-wrapped part names — synth.py derivation spec)
@@ -1976,6 +2007,30 @@ def oracle_sql() -> dict[str, str]:
         "         CAST(1 AS BIGINT) FROM documents, n\n"
         ") ORDER BY src, rank"
     )
+    # triangle count over the same link graph: canonical a<b distinct
+    # undirected edges, one triangle (a<b<c) per ordered edge triple
+    sql["link_triangles"] = (
+        "WITH n AS (SELECT count(*) AS np FROM part),\n"
+        "nd AS (SELECT count(*) AS ndocs FROM documents),\n"
+        "e0 AS (SELECT doc_id AS x, doc_id % np AS y FROM documents, n\n"
+        "       UNION ALL\n"
+        "       SELECT doc_id, (doc_id*7+13) % np FROM documents, n\n"
+        "       UNION ALL\n"
+        "       SELECT doc_id, doc_id + 1 FROM documents, nd\n"
+        "         WHERE doc_id % 7 = 0 AND doc_id + 2 < ndocs\n"
+        "       UNION ALL\n"
+        "       SELECT doc_id + 1, doc_id + 2 FROM documents, nd\n"
+        "         WHERE doc_id % 7 = 0 AND doc_id + 2 < ndocs\n"
+        "       UNION ALL\n"
+        "       SELECT doc_id, doc_id + 2 FROM documents, nd\n"
+        "         WHERE doc_id % 7 = 0 AND doc_id + 2 < ndocs),\n"
+        "e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b\n"
+        "      FROM e0 WHERE x <> y)\n"
+        "SELECT count(*) AS n_triangles\n"
+        "FROM e e1 JOIN e e2 ON e2.a = e1.b\n"
+        "          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b"
+    )
+
     sql["link_indegree"] = (
         "WITH n AS (SELECT count(*) AS np FROM part),\n"
         "e AS (SELECT (doc_id % np) AS k FROM documents, n\n"
@@ -2558,6 +2613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_pack_split",
         "page_links",
         "link_indegree",
+        "link_triangles",
         "winnow_fps",
         "dup_spans",
         "dup_strip",
@@ -2587,6 +2643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_normalize",
         "url_dedup",
         "host_caps",
+        "registrable_domains",
         "inverted_index",
         "text_clean",
         "revenue_by_nation",
@@ -2847,7 +2904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # this round — must land inside the driver's ~50-entry sample to
         # prove the fix green (events_rollup carries the same latent fix)
         "revenue_by_nation", "quantile_sketch", "cms_user_sketch",
-        "entity_cooccurrence",
+        "entity_cooccurrence", "registrable_domains", "link_triangles",
         "multimodal_decode_jpeg", "multimodal_decode_png",
         "audio_features", "sequence_packing",
         "unigram_perplexity", "wikidata_mappings",

@@ -229,6 +229,7 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("text_clean", lambda: extras.text_clean(sf_dir))
     timed("url_dedup", lambda: extras.url_dedup(sf_dir))
     timed("host_caps", lambda: extras.host_caps(sf_dir))
+    timed("registrable_domains", lambda: extras.registrable_domains(sf_dir))
     timed("inverted_index", lambda: extras.inverted_index(sf_dir))
     timed("revenue_by_nation", lambda: extras.revenue_by_nation(sf_dir))
     timed("customers_without_orders", lambda: extras.customers_without_orders(sf_dir))
@@ -248,6 +249,7 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("event_transitions", lambda: extras.event_transitions(sf_dir))
     timed("typo_pairs", lambda: extras.typo_pairs(sf_dir))
     timed("passage_dedup", lambda: extras.passage_dedup(sf_dir))
+    timed("link_triangles", lambda: extras.link_triangles(sf_dir))
     timed("kg_degrees", lambda: extras.kg_degrees(sf_dir, kg["triples"]))
     timed("kg_negative_samples",
           lambda: extras.kg_negative_samples(sf_dir, kg["triples"]))

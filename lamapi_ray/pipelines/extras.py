@@ -1302,6 +1302,45 @@ def host_caps(sf_dir: str) -> pa.Table:
     ).sort_by([("host", "ascending"), ("rk", "ascending")])
 
 
+def registrable_domains(sf_dir: str) -> pa.Table:
+    """eTLD+1 extraction by the publicsuffix.org algorithm over a synth
+    host corpus exercising every PSL rule class — plain rules of 1 and 2
+    labels, longest-match precedence, the ``github.io`` private-suffix
+    case, the ``*.ck`` wildcard, the ``!www.ck`` exception, the implicit
+    ``*`` fallback for unknown TLDs, and bare-suffix hosts (null
+    registrable). Host classes keyed on doc_id % 8 (closed-form oracle).
+    See :func:`lamapi_ray.stages.weburl.registrable_domains`."""
+    from lamapi_ray.stages.weburl import registrable_domain_stage
+
+    def to_hosts(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = (did // 8).astype("U20")
+        host = np.select(
+            [did % 8 == c for c in range(7)],
+            [
+                np.char.add(np.char.add("site", g), ".com"),
+                np.char.add(np.char.add("www.site", g), ".co.uk"),
+                np.char.add(np.char.add("x.y", g), ".github.io"),
+                np.char.add(np.char.add("foo", g), ".bar.ck"),
+                np.full(len(did), "www.ck"),
+                np.char.add(np.char.add("ed", g), ".ac.jp"),
+                np.char.add(np.char.add("site", g), ".xyz"),
+            ],
+            "co.uk",  # c7: a bare public suffix → null registrable
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "host": pa.array(host.tolist(), pa.string()),
+            }
+        )
+
+    hosts = _docs(sf_dir, cols=("doc_id",)).map_batches(
+        to_hosts, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _collect(registrable_domain_stage(hosts)).sort_by("doc_id")
+
+
 def top_ngrams(sf_dir: str) -> pa.Table:
     """Corpus-level most-frequent word-3-grams (vocabulary statistics) —
     the canonical pre-aggregate/combiner dataflow: every batch emits
@@ -1805,6 +1844,75 @@ def page_links(sf_dir: str) -> pa.Table:
     return _collect(extract_links(synth.pages_dataset(sf_dir))).sort_by(
         [("src", "ascending"), ("rank", "ascending")]
     )
+
+
+def link_triangles(sf_dir: str) -> pa.Table:
+    """Global triangle count of the hyperlink graph parsed from raw page
+    html — the clustering statistic of link-spam/community analysis.
+    Chain: pages → anchor extraction (stages/linkgraph.py) → numeric node
+    ids (vectorized utf8 slice off the ``doc://`` prefix) → degree-ordered
+    node-iterator triangle count (stages/graph.py::triangle_count,
+    O(m^1.5) wedge bound regardless of in-degree skew).
+
+    The organic anchor graph (doc → doc%P, doc → (7·doc+13)%P) is
+    triangle-free at the test scales, so the edge stream is unioned with
+    deterministic "related-pages" triads — (d, d+1), (d+1, d+2),
+    (d, d+2) for every d ≡ 0 (mod 7) with d+2 < |docs| — giving the
+    count a corpus-scaling nonzero value the oracle restates over the
+    same arithmetic."""
+    from lamapi_ray import synth
+    from lamapi_ray.stages.graph import triangle_count
+    from lamapi_ray.stages.linkgraph import extract_links
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": pc.cast(
+                    pc.utf8_slice_codeunits(
+                        batch["src"].combine_chunks()
+                        if isinstance(batch["src"], pa.ChunkedArray)
+                        else batch["src"],
+                        6,
+                    ),
+                    pa.int64(),
+                ),
+                "b": pc.cast(
+                    pc.utf8_slice_codeunits(
+                        batch["dst"].combine_chunks()
+                        if isinstance(batch["dst"], pa.ChunkedArray)
+                        else batch["dst"],
+                        6,
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    import pyarrow.parquet as pq
+
+    ndocs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+
+    def triads(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = did[(did % 7 == 0) & (did + 2 < ndocs)]
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([d, d + 1, d]), pa.int64()),
+                "b": pa.array(np.concatenate([d + 1, d + 2, d + 2]), pa.int64()),
+            }
+        )
+
+    edges = (
+        extract_links(synth.pages_dataset(sf_dir))
+        .map_batches(to_ids, batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            _docs(sf_dir, cols=("doc_id",)).map_batches(
+                triads, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+    )
+    n = triangle_count(edges)
+    return pa.table({"n_triangles": pa.array([n], pa.int64())})
 
 
 def link_indegree(sf_dir: str) -> pa.Table:

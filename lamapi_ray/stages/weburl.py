@@ -239,3 +239,93 @@ def host_caps(
     return pruned.groupby(
         host_col, num_partitions=scaled_partitions(0.5, 16)
     ).map_groups(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Public-suffix (eTLD+1) extraction — the "group by registrable domain"
+# primitive behind per-domain caps, crawl budgets, and host dedup
+# ---------------------------------------------------------------------------
+
+# Baked-in rule subset exercising every PSL rule class (plain, wildcard,
+# exception) — the publicsuffix.org algorithm; a production run broadcasts
+# the full list file, the ALGORITHM below is list-size-independent.
+PSL_RULES = [
+    "com", "org", "net", "io", "uk", "jp", "ck",
+    "co.uk", "org.uk", "ac.jp", "github.io",
+    "*.ck", "!www.ck",
+]
+
+
+def _psl_parts() -> tuple[list[str], list[str], list[str]]:
+    plain, wild, exc = [], [], []
+    for r in PSL_RULES:
+        if r.startswith("!"):
+            exc.append(r[1:])
+        elif r.startswith("*."):
+            wild.append(r[2:])
+        else:
+            plain.append(r)
+    return plain, wild, exc
+
+
+def registrable_domains(hosts) -> tuple[pa.Array, pa.Array]:
+    """hosts → (public_suffix, registrable_domain) per the PSL algorithm
+    (publicsuffix.org): the prevailing rule is the matching rule with the
+    most labels, ``*`` matches exactly one label, an exception rule wins
+    outright and its suffix drops the rule's leftmost label, and an
+    unmatched host falls to the implicit ``*`` rule (suffix = TLD). A host
+    that IS a public suffix has a null registrable domain.
+
+    Vectorized: ONE RE2 suffix test per rule (rules-bounded — assignment in
+    ascending label-count order makes the longest match prevail, exceptions
+    applied last), then one anchored extract per DISTINCT suffix label
+    count. No per-row Python."""
+    import re as _re
+
+    if isinstance(hosts, pa.ChunkedArray):
+        hosts = hosts.combine_chunks()
+    n = len(hosts)
+    labels_of = np.ones(n, np.int64)  # implicit '*' rule: TLD is the suffix
+    plain, wild, exc = _psl_parts()
+    rules = sorted(
+        [(r.count(".") + 1, _re.escape(r)) for r in plain]
+        + [(r.count(".") + 2, r"[^.]+\." + _re.escape(r)) for r in wild],
+        key=lambda t: t[0],
+    ) + [(r.count("."), _re.escape(r)) for r in exc]
+    for k, pat in rules:
+        m = pc.match_substring_regex(hosts, r"(?:^|\.)" + pat + r"$")
+        labels_of[m.to_numpy(zero_copy_only=False)] = k
+
+    suffix = np.full(n, None, dtype=object)
+    registrable = np.full(n, None, dtype=object)
+    for k in np.unique(labels_of):
+        mask = labels_of == k
+        sub = hosts.filter(pa.array(mask))
+        tail = r"(?:\.[^.]+){%d})$"
+        sufpat = r"(?:^|\.)(?P<x>[^.]+" + tail % (k - 1)
+        regpat = r"(?:^|\.)(?P<x>[^.]+" + tail % k
+        suffix[mask] = pc.struct_field(
+            pc.extract_regex(sub, sufpat), "x"
+        ).to_numpy(zero_copy_only=False)
+        registrable[mask] = pc.struct_field(
+            pc.extract_regex(sub, regpat), "x"
+        ).to_numpy(zero_copy_only=False)
+    return (
+        pa.array(suffix.tolist(), pa.string()),
+        pa.array(registrable.tolist(), pa.string()),
+    )
+
+
+def registrable_domain_stage(
+    ds: ray.data.Dataset, host_col: str = "host"
+) -> ray.data.Dataset:
+    """Appends ``public_suffix`` + ``registrable`` columns — pure map, no
+    shuffle; the rule set rides in the task closure (tiny)."""
+
+    def add(batch: pa.Table) -> pa.Table:
+        suf, reg = registrable_domains(batch[host_col])
+        return batch.append_column("public_suffix", suf).append_column(
+            "registrable", reg
+        )
+
+    return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)

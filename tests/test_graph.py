@@ -154,3 +154,37 @@ def test_ancestor_closure_binary_heap_counts():
     )
     depth = lambda k: 0 if k == 0 else 1 + depth((k - 1) // 2)  # noqa: E731
     assert len(out) == sum(depth(k) for k in range(1, n))
+
+
+def test_triangle_count_matches_bruteforce(ray_session):
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from lamapi_ray.stages.graph import triangle_count
+
+    rng = np.random.default_rng(11)
+    # random graph + a planted clique (skewed degrees), plus noise rows:
+    # duplicates, self-loops, and both edge directions
+    edges = set()
+    for _ in range(260):
+        a, b = rng.integers(0, 40, 2)
+        if a != b:
+            edges.add((min(int(a), int(b)), max(int(a), int(b))))
+    for a, b in itertools.combinations(range(6), 2):  # K6 on nodes 0-5
+        edges.add((a, b))
+    want = 0
+    es = set(edges)
+    nodes = sorted({n for e in edges for n in e})
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in es and (b, c) in es and (a, c) in es:
+            want += 1
+    ea = [a for a, b in edges] + [b for a, b in edges] + [7]
+    eb = [b for a, b in edges] + [a for a, b in edges] + [7]  # self-loop noise
+    tbl = pa.table(
+        {"a": pa.array(ea, pa.int64()), "b": pa.array(eb, pa.int64())}
+    )
+    got = triangle_count(ray.data.from_arrow(tbl).repartition(4), num_buckets=8)
+    assert got == want

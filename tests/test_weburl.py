@@ -144,3 +144,51 @@ def test_normalize_idempotent_property():
         assert n2[0].as_py() == v1
 
     check()
+
+
+def test_registrable_domains_psl_semantics():
+    import pyarrow as pa
+
+    from lamapi_ray.stages.weburl import registrable_domains
+
+    hosts = pa.array(
+        [
+            "a.b.site.com",      # deep host: reg keeps only eTLD+1
+            "a.org.uk",          # 2-label rule beats the 1-label 'uk'
+            "b.uk",              # bare 'uk' rule
+            "foo.bar.ck",        # wildcard consumes one label
+            "bar.ck",            # host IS the wildcard suffix -> null reg
+            "www.ck",            # exception: suffix 'ck', reg 'www.ck'
+            "x.www.ck",          # exception matches below too
+            "site.unknowntld",   # implicit '*' fallback
+            "com",               # bare suffix -> null reg
+            "ck",                # plain rule, no wildcard label -> null reg
+        ]
+    )
+    suf, reg = registrable_domains(hosts)
+    assert suf.to_pylist() == [
+        "com", "org.uk", "uk", "bar.ck", "bar.ck", "ck", "ck",
+        "unknowntld", "com", "ck",
+    ]
+    assert reg.to_pylist() == [
+        "site.com", "a.org.uk", "b.uk", "foo.bar.ck", None, "www.ck",
+        "www.ck", "site.unknowntld", None, None,
+    ]
+
+
+def test_registrable_domain_stage_appends_columns(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from lamapi_ray.stages.weburl import registrable_domain_stage
+
+    ds = ray.data.from_arrow(
+        pa.table({"host": pa.array(["x.co.uk", "y.com"], pa.string())})
+    )
+    out = pa.concat_tables(
+        registrable_domain_stage(ds).iter_batches(
+            batch_size=16, batch_format="pyarrow"
+        )
+    )
+    assert out.column_names == ["host", "public_suffix", "registrable"]
+    assert out["registrable"].to_pylist() == ["x.co.uk", "y.com"]
