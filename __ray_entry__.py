@@ -1444,6 +1444,19 @@ def oracle_sql() -> dict[str, str]:
         " ELSE 26 - length(bin(rem)) END AS rho FROM br)",
     ) + "SELECT bucket, CAST(max(rho) AS BIGINT) AS max_rho FROM rr GROUP BY 1"
 
+    # grouped HLL: one register table per event_type — same hash chain,
+    # keyed by (event_type, bucket)
+    sql["hll_users_by_type"] = _with(
+        f"h AS (SELECT event_type, {_HLL_H} AS h FROM events)",
+        "br AS (SELECT event_type, CAST(h % 64 AS BIGINT) AS bucket,"
+        " CAST((h // 64) % 33554432 AS BIGINT) AS rem FROM h)",
+        "rr AS (SELECT event_type, bucket, CASE WHEN rem = 0 THEN 26"
+        " ELSE 26 - length(bin(rem)) END AS rho FROM br)",
+    ) + (
+        "SELECT event_type, bucket, CAST(max(rho) AS BIGINT) AS max_rho\n"
+        "FROM rr GROUP BY 1, 2 ORDER BY event_type, bucket"
+    )
+
     # stratified_sample: deterministic bottom-k-by-hash sample per
     # event_type (extras.py::stratified_sample) — same mod-(2^61-1)
     # HUGEINT hash as hll_user_sketch, ties broken by event_id
@@ -2654,6 +2667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_user_sketch",
         "quantile_sketch",
         "cms_user_sketch",
+        "hll_users_by_type",
         "stratified_sample",
         "events_pivot",
         "table_profile",
@@ -2905,6 +2919,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # prove the fix green (events_rollup carries the same latent fix)
         "revenue_by_nation", "quantile_sketch", "cms_user_sketch",
         "entity_cooccurrence", "registrable_domains", "link_triangles",
+        "hll_users_by_type",
         "multimodal_decode_jpeg", "multimodal_decode_png",
         "audio_features", "sequence_packing",
         "unigram_perplexity", "wikidata_mappings",

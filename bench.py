@@ -238,6 +238,7 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("hll_user_sketch", lambda: extras.hll_user_sketch(sf_dir))
     timed("bloom_users", lambda: extras.bloom_users(sf_dir))
     timed("cms_user_sketch", lambda: extras.cms_user_sketch(sf_dir))
+    timed("hll_users_by_type", lambda: extras.hll_users_by_type(sf_dir))
     timed("quantile_sketch", lambda: extras.quantile_sketch(sf_dir))
     timed("stratified_sample", lambda: extras.stratified_sample(sf_dir))
     timed("events_pivot", lambda: extras.events_pivot(sf_dir))

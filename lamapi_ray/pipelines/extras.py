@@ -1206,6 +1206,21 @@ def bloom_users(sf_dir: str) -> pa.Table:
     return _collect(bloom_filter(ev, "user_id")).sort_by("word_idx")
 
 
+def hll_users_by_type(sf_dir: str) -> pa.Table:
+    """Grouped HyperLogLog: one register table per event_type (the
+    "approximate distinct users per group" sketch) — per-batch
+    (group, bucket, rho) partials, ONE groups×64-bounded grouped
+    max-merge. See :func:`lamapi_ray.stages.sketch.hll_registers_grouped`."""
+    from lamapi_ray.stages.sketch import hll_registers_grouped
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return _collect(hll_registers_grouped(ev, "event_type", "user_id")).sort_by(
+        [("event_type", "ascending"), ("bucket", "ascending")]
+    )
+
+
 def cms_user_sketch(sf_dir: str) -> pa.Table:
     """Count-Min sketch of events.user_id (d=4 rows × w=1024 counters,
     double hashing shared with the Bloom leg): per-batch counter partials,

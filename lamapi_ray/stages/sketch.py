@@ -87,6 +87,58 @@ def hll_registers(
     return agg.map_batches(project, batch_format="pyarrow")
 
 
+def hll_registers_grouped(
+    ds: ray.data.Dataset, group_col: str, id_col: str
+) -> ray.data.Dataset:
+    """→ (group, bucket, max_rho): one HLL register table PER GROUP — the
+    grouped form of the distinct sketch ("distinct users per event type"
+    at any cardinality). Each batch folds to ≤ groups×m partial rows, so
+    the single grouped max-merge exchange is groups×m-bounded no matter
+    the key-stream size — where the exact grouped count-distinct
+    (``distinct_users_daily``) must ship every distinct key."""
+    from ray.data.aggregate import Max
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        h = _hash_ids(ids)
+        bucket = (h % np.uint64(HLL_M)).astype(np.int64)
+        rem = ((h >> np.uint64(HLL_P)) % np.uint64(1 << HLL_W)).astype(np.int64)
+        rho = np.full(len(rem), HLL_W + 1, np.int64)
+        nz = rem > 0
+        rho[nz] = HLL_W - np.floor(np.log2(rem[nz])).astype(np.int64)
+        groups, ginv = np.unique(
+            batch[group_col].to_numpy(zero_copy_only=False), return_inverse=True
+        )
+        key = ginv * HLL_M + bucket
+        regs = np.zeros(len(groups) * HLL_M, np.int64)
+        np.maximum.at(regs, key, rho)
+        nzk = np.flatnonzero(regs)
+        return pa.table(
+            {
+                group_col: pa.array(groups[nzk // HLL_M]),
+                "bucket": pa.array(nzk % HLL_M, pa.int64()),
+                "rho": pa.array(regs[nzk], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([group_col, "bucket"])
+        .aggregate(Max("rho"))
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                group_col: batch[group_col],
+                "bucket": batch["bucket"].cast(pa.int64()),
+                "max_rho": batch["max(rho)"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(project, batch_format="pyarrow")
+
+
 def hll_estimate(registers: pa.Table) -> float:
     """Standard HLL estimate from the register table (empty buckets count
     as rho=0). Small-range correction (linear counting) applied when the

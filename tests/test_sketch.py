@@ -182,3 +182,40 @@ def test_cms_never_underestimates_and_merge_is_sum(ray_session):
         out["n"].to_numpy(zero_copy_only=False),
     )
     assert np.all(n_per_row == len(ids))
+
+
+def test_grouped_hll_matches_per_group_global(ray_session):
+    """Each group's register table must equal the GLOBAL sketch of that
+    group's keys run alone — the grouped partial fold is just m-striped."""
+    import ray.data
+
+    from lamapi_ray.stages.sketch import hll_estimate, hll_registers, hll_registers_grouped
+
+    rng = np.random.default_rng(3)
+    gs = np.array(["a", "b", "c"])[rng.integers(0, 3, 4000)]
+    ids = rng.integers(0, 700, 4000, dtype=np.int64)
+    tbl = pa.table(
+        {"g": pa.array(gs.tolist(), pa.string()),
+         "user_id": pa.array(ids, pa.int64())}
+    )
+    grouped = pa.concat_tables(
+        hll_registers_grouped(
+            ray.data.from_arrow(tbl).repartition(4), "g", "user_id"
+        ).iter_batches(batch_size=1 << 16, batch_format="pyarrow")
+    )
+    for g in ("a", "b", "c"):
+        sub = tbl.filter(pa.compute.equal(tbl["g"], g))
+        solo = pa.concat_tables(
+            hll_registers(
+                ray.data.from_arrow(sub), "user_id"
+            ).iter_batches(batch_size=1 << 16, batch_format="pyarrow")
+        ).sort_by("bucket")
+        part = grouped.filter(pa.compute.equal(grouped["g"], g)).sort_by(
+            "bucket"
+        )
+        assert part["bucket"].to_pylist() == solo["bucket"].to_pylist()
+        assert part["max_rho"].to_pylist() == solo["max_rho"].to_pylist()
+        # and the estimate derived from the grouped registers is sane
+        est = hll_estimate(part.select(["bucket", "max_rho"]))
+        true = len(set(sub["user_id"].to_pylist()))
+        assert abs(est - true) / true < 0.45  # 1.04/sqrt(64) ~ 13%, 3+ sigma
