@@ -1538,6 +1538,26 @@ def oracle_sql() -> dict[str, str]:
         "FROM cells GROUP BY 1, 2 ORDER BY row, col"
     )
 
+    # jaccard_ppjoin: exact Jaccard >= 3/5 pairs on the doc_id%10==0
+    # subset — the oracle brute-forces via the shared-token count identity
+    # (shared*(num+den) >= num*(sa+sb)), same md5 token hashes as the
+    # engine, integer arithmetic throughout
+    sql["jaccard_ppjoin"] = _with(
+        "d0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0)",
+        _tkh_cte("jtk", "d0"),
+        "jt AS (SELECT DISTINCT doc_id, CAST(unnest(th) AS BIGINT) AS g FROM jtk)",
+        "jsz AS (SELECT doc_id, count(*) AS s FROM jt GROUP BY 1)",
+        "jsh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+        " count(*) AS shared FROM jt a JOIN jt b"
+        " ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)",
+    ) + (
+        "SELECT doc_a, doc_b, shared, sa.s AS size_a, sb.s AS size_b\n"
+        "FROM jsh JOIN jsz sa ON sa.doc_id = jsh.doc_a\n"
+        "         JOIN jsz sb ON sb.doc_id = jsh.doc_b\n"
+        "WHERE shared * 8 >= 3 * (sa.s + sb.s)\n"
+        "ORDER BY doc_a, doc_b"
+    )
+
     # inverted_index: postings-list construction; term ids are the house
     # md5→mod-(2^61-1) token hashes (index/postings.py)
     sql["inverted_index"] = _with(
@@ -2601,6 +2621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash",
         "simhash_near_dup",
         "ngram_jaccard_dup",
+        "jaccard_ppjoin",
         "lang_id",
         "quality_score",
         "token_stats",
@@ -2919,7 +2940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # prove the fix green (events_rollup carries the same latent fix)
         "revenue_by_nation", "quantile_sketch", "cms_user_sketch",
         "entity_cooccurrence", "registrable_domains", "link_triangles",
-        "hll_users_by_type",
+        "hll_users_by_type", "jaccard_ppjoin",
         "multimodal_decode_jpeg", "multimodal_decode_png",
         "audio_features", "sequence_packing",
         "unigram_perplexity", "wikidata_mappings",

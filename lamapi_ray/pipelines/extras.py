@@ -1206,6 +1206,26 @@ def bloom_users(sf_dir: str) -> pa.Table:
     return _collect(bloom_filter(ev, "user_id")).sort_by("word_idx")
 
 
+def jaccard_ppjoin(sf_dir: str) -> pa.Table:
+    """Exact token-set Jaccard ≥ 3/5 self-join via PPJoin prefix filtering
+    (stages/stringjoin.py::ppjoin) over the doc_id % 10 == 0 subset — the
+    subset keeps the oracle's brute-force pair join tractable; the ENGINE
+    path is the real prefix-filtered algorithm either way. Output is
+    all-integer: (doc_a, doc_b, shared, size_a, size_b)."""
+    from lamapi_ray.stages.stringjoin import ppjoin
+
+    def subset(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(did % 10 == 0))
+
+    docs = _docs(sf_dir, cols=("doc_id", "text")).map_batches(
+        subset, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _collect(ppjoin(docs, tau_num=3, tau_den=5)).sort_by(
+        [("doc_a", "ascending"), ("doc_b", "ascending")]
+    )
+
+
 def hll_users_by_type(sf_dir: str) -> pa.Table:
     """Grouped HyperLogLog: one register table per event_type (the
     "approximate distinct users per group" sketch) — per-batch

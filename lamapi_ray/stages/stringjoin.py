@@ -99,3 +99,239 @@ def similarity_self_join(
     return cand.groupby(["a", "b"], num_partitions=scaled_partitions(0.25, 8)).map_groups(
         dedup_pairs, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# PPJoin: prefix-filtered set-similarity self-join (token-set Jaccard >= tau)
+# ---------------------------------------------------------------------------
+
+
+def ppjoin(
+    ds: ray.data.Dataset,
+    tau_num: int = 3,
+    tau_den: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """All (doc_a < doc_b) pairs with token-set Jaccard ≥ tau_num/tau_den,
+    EXACT — via PPJoin prefix filtering (Xiao et al., WWW 2008 /
+    Vernica-Carey-Li's MapReduce adaptation, SIGMOD 2010):
+
+    1. global document frequencies (ONE vocabulary-bounded exchange,
+       broadcast as sorted hash arrays — the same vocabulary-broadcast
+       contract as tfidf/lmscore);
+    2. each doc orders its distinct token hashes rarest-first and emits
+       ONLY its prefix (p = |set| − ⌈τ·|set|⌉ + 1 tokens): any pair with
+       Jaccard ≥ τ must share a prefix token, so the candidate exchange
+       carries prefixes, not full sets — the whole point vs the naive
+       shared-token join whose stop-word buckets are Σ|bucket|²;
+    3. per prefix-token group: pairs passing the length filter
+       (tau_den·|smaller| ≥ tau_num·|larger|), then ONE grouped distinct;
+    4. exact verify by shared-token COUNT: all (token, doc) rows regroup
+       by token, pairs present in the (hash-broadcast) candidate set emit
+       hits, a grouped count gives |x∩y| exactly — sets never ship, and
+       a hash false positive merely admits one extra pair into the EXACT
+       final filter shared·(num+den) ≥ num·(size_a+size_b). All checks
+       are integer arithmetic — no float thresholds.
+
+    Candidate/size broadcasts are candidate-set/subset-bounded; at corpus
+    scale swap them for a bucketed hash join (stages/join.py) keyed on the
+    pair — the exchanges are otherwise unchanged.
+    """
+    import ray
+
+    from lamapi_ray.functions.inthash import MOD61, mulmod61
+    from lamapi_ray.stages.dedup import _doc_shingle_hashes, _pairs_in_runs, _run_bounds
+
+    P = scaled_partitions(0.5, 16)
+
+    def tok_rows(batch: pa.Table) -> pa.Table:
+        ids, par, sh = _doc_shingle_hashes(batch, id_col, text_col, k=1)
+        return pa.table(
+            {
+                "g": pa.array(sh.astype(np.int64), pa.int64()),
+                "doc": pa.array(ids[par], pa.int64()),
+            }
+        )
+
+    toks = ds.map_batches(
+        tok_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    df_tbl = pa.concat_tables(
+        toks.groupby("g", num_partitions=P)
+        .count()
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    )
+    gs = df_tbl["g"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dfs = df_tbl["count()"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(gs)
+    df_ref = ray.put((gs[order], dfs[order]))
+
+    def prefixes(batch: pa.Table) -> pa.Table:
+        gs_s, df_s = ray.get(df_ref)
+        g = batch["g"].to_numpy(zero_copy_only=False)
+        doc = batch["doc"].to_numpy(zero_copy_only=False)
+        d = df_s[np.searchsorted(gs_s, g)]
+        # per-doc rarest-first order: sort rows by (doc, df, g)
+        order = np.lexsort((g, d, doc))
+        doc, g = doc[order], g[order]
+        starts, lens = _run_bounds([doc])
+        sz = np.repeat(lens, lens)
+        pos = np.arange(len(doc)) - np.repeat(starts, lens)
+        plen = sz - ((tau_num * sz + tau_den - 1) // tau_den) + 1
+        keep = pos < plen
+        return pa.table(
+            {
+                "g": pa.array(g[keep], pa.int64()),
+                "doc": pa.array(doc[keep], pa.int64()),
+                "sz": pa.array(sz[keep], pa.int64()),
+            }
+        )
+
+    # NB: prefixes need the doc's FULL token multiset co-located — route by
+    # doc hash first so one group sees all of a doc's rows
+    def by_doc(batch: pa.Table) -> pa.Table:
+        doc = batch["doc"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__pk", pa.array(doc % np.int64(P), pa.int64())
+        )
+
+    pref = (
+        toks.map_batches(by_doc, batch_format="pyarrow")
+        .groupby("__pk", num_partitions=P)
+        .map_groups(
+            lambda grp: prefixes(grp.select(["g", "doc"])),
+            batch_format="pyarrow",
+        )
+    )
+
+    def cand_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+        if len(group) == 0:
+            return empty
+        g = group["g"].combine_chunks().to_numpy(zero_copy_only=False)
+        doc = group["doc"].combine_chunks().to_numpy(zero_copy_only=False)
+        sz = group["sz"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, g))
+        g, doc, sz = g[order], doc[order], sz[order]
+        starts, lens = _run_bounds([g])
+        xs, ys = [], []
+        for ia, ib in _pairs_in_runs(starts, lens):
+            sa, sb = sz[ia], sz[ib]
+            ok = tau_den * np.minimum(sa, sb) >= tau_num * np.maximum(sa, sb)
+            xs.append(doc[ia][ok])
+            ys.append(doc[ib][ok])
+        if not xs:
+            return empty
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(xs), pa.int64()),
+                "b": pa.array(np.concatenate(ys), pa.int64()),
+            }
+        )
+
+    cands = (
+        pref.groupby("g", num_partitions=P)
+        .map_groups(cand_pairs, batch_format="pyarrow")
+        .groupby(["a", "b"], num_partitions=P)
+        .count()
+        .select_columns(["a", "b"])
+    )
+    cand_tbl = pa.concat_tables(
+        cands.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    )
+    ca = cand_tbl["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cb = cand_tbl["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    _MIX = np.uint64(0x9E3779B97F4A7C15 % MOD61)
+    _MIX2 = np.uint64(0xC2B2AE3D27D4EB4F % MOD61)
+
+    def pair_hash(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        ha = mulmod61(a.view(np.uint64), np.full(len(a), _MIX))
+        hb = mulmod61(b.view(np.uint64), np.full(len(b), _MIX2))
+        return mulmod61(ha + hb + np.uint64(1), np.full(len(a), _MIX))
+
+    cand_ref = ray.put(np.sort(pair_hash(ca, cb)))
+    # docs appearing in ANY candidate pair — the verify stage masks token
+    # rows to these BEFORE pair expansion, so a stop token's group costs
+    # (candidate docs in group)², not (all docs in group)²
+    cand_docs_ref = ray.put(np.unique(np.concatenate([ca, cb])))
+
+    # per-doc set sizes (subset-bounded broadcast; bucketed join at scale)
+    sz_tbl = pa.concat_tables(
+        toks.map_batches(
+            lambda t: pa.table({"doc": t["doc"]}), batch_format="pyarrow"
+        )
+        .groupby("doc", num_partitions=P)
+        .count()
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    )
+    sdoc = sz_tbl["doc"].to_numpy(zero_copy_only=False).astype(np.int64)
+    scnt = sz_tbl["count()"].to_numpy(zero_copy_only=False).astype(np.int64)
+    so = np.argsort(sdoc)
+    sz_ref = ray.put((sdoc[so], scnt[so]))
+
+    def hits(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+        if len(group) == 0:
+            return empty
+        cset = ray.get(cand_ref)
+        cdocs = ray.get(cand_docs_ref)
+        g = group["g"].combine_chunks().to_numpy(zero_copy_only=False)
+        doc = group["doc"].combine_chunks().to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(cdocs, doc)
+        in_cand = (idx < len(cdocs)) & (
+            cdocs[np.minimum(idx, len(cdocs) - 1)] == doc
+        )
+        g, doc = g[in_cand], doc[in_cand]
+        if len(g) == 0:
+            return empty
+        order = np.lexsort((doc, g))
+        g, doc = g[order], doc[order]
+        starts, lens = _run_bounds([g])
+        xs, ys = [], []
+        for ia, ib in _pairs_in_runs(starts, lens):
+            h = pair_hash(doc[ia], doc[ib])
+            idx = np.searchsorted(cset, h)
+            ok = (idx < len(cset)) & (cset[np.minimum(idx, len(cset) - 1)] == h)
+            xs.append(doc[ia][ok])
+            ys.append(doc[ib][ok])
+        if not xs:
+            return empty
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(xs), pa.int64()),
+                "b": pa.array(np.concatenate(ys), pa.int64()),
+            }
+        )
+
+    shared = (
+        toks.groupby("g", num_partitions=P)
+        .map_groups(hits, batch_format="pyarrow")
+        .groupby(["a", "b"], num_partitions=P)
+        .count()
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        sdoc_s, scnt_s = ray.get(sz_ref)
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sh = batch["count()"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sa = scnt_s[np.searchsorted(sdoc_s, a)]
+        sb = scnt_s[np.searchsorted(sdoc_s, b)]
+        keep = sh * (tau_num + tau_den) >= tau_num * (sa + sb)
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep], pa.int64()),
+                "doc_b": pa.array(b[keep], pa.int64()),
+                "shared": pa.array(sh[keep], pa.int64()),
+                "size_a": pa.array(sa[keep], pa.int64()),
+                "size_b": pa.array(sb[keep], pa.int64()),
+            }
+        )
+
+    return shared.map_batches(finish, batch_format="pyarrow")

@@ -59,3 +59,45 @@ def test_similarity_self_join_matches_bruteforce(ray_session):
         if levenshtein(a, b) <= 1
     }
     assert got == want
+
+
+def test_ppjoin_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from lamapi_ray.stages.stringjoin import ppjoin
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(60)]
+    docs = []
+    for d in range(80):
+        base = rng.choice(60, size=rng.integers(6, 14), replace=False)
+        docs.append(" ".join(vocab[i] for i in base))
+        if d % 4 == 0:  # planted near-dup: drop one token, add one
+            toks = docs[-1].split()
+            toks[rng.integers(0, len(toks))] = vocab[rng.integers(0, 60)]
+            docs.append(" ".join(toks))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    out = pa.concat_tables(
+        ppjoin(
+            ray.data.from_arrow(tbl).repartition(4), tau_num=3, tau_den=5
+        ).iter_batches(batch_size=1 << 16, batch_format="pyarrow")
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["shared"], r["size_a"], r["size_b"])
+        for r in out.to_pylist()
+    }
+    sets = [set(t.split()) for t in docs]
+    want = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            sh = len(sets[a] & sets[b])
+            if sh * 8 >= 3 * (len(sets[a]) + len(sets[b])):
+                want[(a, b)] = (sh, len(sets[a]), len(sets[b]))
+    assert got == want and len(want) > 0
