@@ -1766,6 +1766,28 @@ def oracle_sql() -> dict[str, str]:
 
     # sessionize: 30-min-gap sessions per user (extras.py::sessionize);
     # session breaks depend only on the sorted ts sequence
+    # Ordered funnel: step k's time = min event time of its type STRICTLY
+    # after step k−1's (earliest-completion semantics, ties non-progressing)
+    # — mirrors pipelines/extras.py::event_funnel
+    sql["event_funnel"] = (
+        "WITH t1 AS (SELECT user_id, min(ts) AS ts1 FROM events\n"
+        "            WHERE event_type = 'view' GROUP BY user_id),\n"
+        "t2 AS (SELECT e.user_id, min(e.ts) AS ts2 FROM events e\n"
+        "       JOIN t1 ON t1.user_id = e.user_id AND e.ts > t1.ts1\n"
+        "       WHERE e.event_type = 'click' GROUP BY e.user_id),\n"
+        "t3 AS (SELECT e.user_id, min(e.ts) AS ts3 FROM events e\n"
+        "       JOIN t2 ON t2.user_id = e.user_id AND e.ts > t2.ts2\n"
+        "       WHERE e.event_type = 'purchase' GROUP BY e.user_id)\n"
+        "SELECT * FROM (\n"
+        "  SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,\n"
+        "         (SELECT CAST(count(*) AS BIGINT) FROM t1) AS n_users\n"
+        "  UNION ALL\n"
+        "  SELECT 2, 'click', (SELECT CAST(count(*) AS BIGINT) FROM t2)\n"
+        "  UNION ALL\n"
+        "  SELECT 3, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM t3)\n"
+        ") ORDER BY step"
+    )
+
     sql["sessionize"] = _with(
         "e AS (SELECT user_id, event_id, ts,\n"
         "  CASE WHEN lag(ts) OVER w IS NULL\n"
@@ -2062,6 +2084,30 @@ def oracle_sql() -> dict[str, str]:
         "SELECT count(*) AS n_triangles\n"
         "FROM e e1 JOIN e e2 ON e2.a = e1.b\n"
         "          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b"
+    )
+
+    # HITS hubs/authorities, 2 integer-exact un-normalized iterations over
+    # the same synthetic anchor graph (multiplicity + self-loops kept, hence
+    # UNION ALL): a1 = in-multiplicity, h1 = Σ a1 over out-edges, then once
+    # more — mirrors stages/graph.py::hits exactly (no normalization ⇒ every
+    # score is an exact BIGINT)
+    sql["link_hits"] = (
+        "WITH n AS (SELECT count(*) AS np FROM part),\n"
+        "e AS (SELECT doc_id AS s, doc_id % np AS d FROM documents, n\n"
+        "      UNION ALL SELECT doc_id, (doc_id*7+13) % np FROM documents, n),\n"
+        "nodes AS (SELECT s AS v FROM e UNION SELECT d FROM e),\n"
+        "a1 AS (SELECT d AS v, CAST(count(*) AS BIGINT) AS a FROM e GROUP BY d),\n"
+        "h1 AS (SELECT e.s AS v, CAST(sum(a1.a) AS BIGINT) AS h\n"
+        "       FROM e JOIN a1 ON a1.v = e.d GROUP BY e.s),\n"
+        "a2 AS (SELECT e.d AS v, CAST(sum(h1.h) AS BIGINT) AS a\n"
+        "       FROM e JOIN h1 ON h1.v = e.s GROUP BY e.d),\n"
+        "h2 AS (SELECT e.s AS v, CAST(sum(a2.a) AS BIGINT) AS h\n"
+        "       FROM e JOIN a2 ON a2.v = e.d GROUP BY e.s)\n"
+        "SELECT nodes.v AS node, coalesce(a2.a, 0) AS authority,\n"
+        "       coalesce(h2.h, 0) AS hub\n"
+        "FROM nodes LEFT JOIN a2 ON a2.v = nodes.v\n"
+        "           LEFT JOIN h2 ON h2.v = nodes.v\n"
+        "ORDER BY node"
     )
 
     sql["link_indegree"] = (
@@ -2622,6 +2668,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dup",
         "ngram_jaccard_dup",
         "jaccard_ppjoin",
+        "link_hits",
+        "event_funnel",
         "lang_id",
         "quality_score",
         "token_stats",

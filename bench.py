@@ -252,6 +252,8 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("jaccard_ppjoin", lambda: extras.jaccard_ppjoin(sf_dir))
     timed("passage_dedup", lambda: extras.passage_dedup(sf_dir))
     timed("link_triangles", lambda: extras.link_triangles(sf_dir))
+    timed("link_hits", lambda: extras.link_hits(sf_dir))
+    timed("event_funnel", lambda: extras.event_funnel(sf_dir))
     timed("kg_degrees", lambda: extras.kg_degrees(sf_dir, kg["triples"]))
     timed("kg_negative_samples",
           lambda: extras.kg_negative_samples(sf_dir, kg["triples"]))

@@ -1958,6 +1958,111 @@ def link_indegree(sf_dir: str) -> pa.Table:
     return _collect(_ind(extract_links(synth.pages_dataset(sf_dir)))).sort_by("dst")
 
 
+def link_hits(sf_dir: str) -> pa.Table:
+    """HITS hubs/authorities over the hyperlink graph parsed from raw page
+    html — Kleinberg's web-graph ranking pair, the spam/portal-detection
+    complement of ``entity_pagerank``. Chain: pages → anchor extraction
+    (stages/linkgraph.py) → numeric node ids (vectorized utf8 slice off
+    the ``doc://`` prefix) → integer-exact un-normalized HITS, 2
+    iterations (stages/graph.py::hits — node-sized broadcast score
+    vector, one node-bounded grouped exchange per half-iteration).
+    Edges keep extractor multiplicity and self-loops; the oracle restates
+    the same two unrolled join+group-sum rounds over the synthetic anchor
+    arithmetic (doc → doc%P, doc → (7·doc+13)%P)."""
+    from lamapi_ray import synth
+    from lamapi_ray.stages.graph import hits
+    from lamapi_ray.stages.linkgraph import extract_links
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        def ids(col):
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return pc.cast(pc.utf8_slice_codeunits(col, 6), pa.int64())
+
+        return pa.table({"a": ids(batch["src"]), "b": ids(batch["dst"])})
+
+    edges = extract_links(synth.pages_dataset(sf_dir)).map_batches(
+        to_ids, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hits(edges, iters=2)
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def event_funnel(sf_dir: str) -> pa.Table:
+    """Ordered conversion-funnel analysis: how many users performed
+    'view', then 'click' STRICTLY after their first view, then 'purchase'
+    strictly after that earliest qualifying click — the product-analytics
+    staple (Amplitude/Mixpanel funnels) re-expressed batch-native.
+
+    Earliest-completion semantics: step k's timestamp is the MIN event
+    time of its type strictly after the step-(k−1) timestamp; a user
+    counts for step k only having counted for step k−1. Strict ``>``
+    makes equal-timestamp ties non-progressing, so the result is
+    deterministic under any tie order.
+
+    Dataflow: ``groupby(user_id)`` co-locates each user's history
+    (events pruned to (user_id, event_type, ts) at the read); the
+    per-group kernel is three vectorized masked mins — no per-event
+    Python. Each group emits ONE row (its max step reached), and the
+    user-bounded step table folds to 3 rows via a per-batch bincount
+    combiner + one tiny groupby — the funnel counts cross the wire as
+    ≤ steps·blocks ints, never per-user rows."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+    n_steps = len(FUNNEL_STEPS)
+
+    def reach(group: pa.Table) -> pa.Table:
+        et = group["event_type"].combine_chunks().cast(pa.string())
+        ts = (
+            group["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+        )
+        reached = 0
+        t_prev = None
+        for step in FUNNEL_STEPS:
+            m = pc.equal(et, step).to_numpy(zero_copy_only=False)
+            if t_prev is not None:
+                m = m & (ts > t_prev)
+            if not m.any():
+                break
+            t_prev = ts[m].min()
+            reached += 1
+        return pa.table({"reached": pa.array([reached], pa.int64())})
+
+    def step_partials(batch: pa.Table) -> pa.Table:
+        r = batch["reached"].to_numpy(zero_copy_only=False)
+        # user counted at every step up to the one reached → suffix sums
+        per = np.bincount(r, minlength=n_steps + 1).astype(np.int64)
+        cum = np.cumsum(per[::-1])[::-1]  # cum[k] = users with reached >= k
+        return pa.table(
+            {
+                "step": pa.array(np.arange(1, n_steps + 1), pa.int64()),
+                "n": pa.array(cum[1:], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = _collect(
+        ev.groupby("user_id", num_partitions=_scaled(0.5, 16))
+        .map_groups(reach, batch_format="pyarrow")
+        .map_batches(step_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("step", num_partitions=1)
+        .aggregate(Sum("n", alias_name="n_users"))
+    ).sort_by("step")
+    return pa.table(
+        {
+            "step": agg["step"].cast(pa.int64()),
+            "event_type": pa.array(list(FUNNEL_STEPS), pa.string()),
+            "n_users": agg["n_users"].cast(pa.int64()),
+        }
+    )
+
+
 def gzip_shard_roundtrip(sf_dir: str) -> pa.Table:
     """Compressed-shard ingestion e2e: docs → range-bucketed .tsv.gz shard
     blobs → shard reader → rows; byte-exact vs the source table."""

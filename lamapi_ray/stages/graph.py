@@ -870,3 +870,142 @@ def triangle_count(
         len(b)
         for b in closed.iter_batches(batch_size=1 << 16, batch_format="pyarrow")
     )
+
+
+def hits(
+    edges: ray.data.Dataset,
+    iters: int = 2,
+    num_buckets: int | None = None,
+    src: str = "a",
+    dst: str = "b",
+) -> pa.Table:
+    """Kleinberg HITS hubs/authorities over an (``src``, ``dst``) int64
+    directed edge stream (multiplicity and self-loops kept as given) —
+    the classic web-graph ranking pair complementing :func:`pagerank`.
+
+    INTEGER-exact, un-normalized formulation: ``h_0 = 1`` per node, then
+    per iteration ``a_k(v) = Σ_{(u,v)∈E} h_{k-1}(u)`` and
+    ``h_k(u) = Σ_{(u,v)∈E} a_k(v)``. Skipping the per-iteration unit-norm
+    division keeps every score an exact int64 (the ranking is identical —
+    normalization is one positive scalar per iteration), which is what
+    lets the DuckDB oracle restate the same ``2·iters`` unrolled
+    join+group-sum rounds bit-exactly. Growth is checked, not hoped:
+    before each half-iteration the fold is guarded by
+    ``max_score ≤ 2^62 // max_fanin``, so overflow raises instead of
+    wrapping; at real scale (or high ``iters``) shift scores right by the
+    global max bit-length each round — same ranking, bounded magnitude.
+
+    Dataflow per half-iteration (the pagerank broadcast path): the
+    node-sized score vector rides ``ray.put`` as one sorted-key numpy
+    lookup; every edge block folds scores map-side (``searchsorted`` +
+    ``np.add.at``) and ONE node-bounded grouped exchange merges the
+    partials — nothing edge-sized ever reaches the driver. Beyond ~50M
+    nodes swap the broadcast for the Pregel two-exchange path exactly as
+    :func:`pagerank` does (tag/scatter/gather); the fold is the same.
+
+    Engine-first operator (the reference — lamAPI — stops at lookup
+    serving); returns the node-bounded (node, authority, hub) table
+    sorted by node.
+    """
+    P = num_buckets or scaled_partitions(0.5, 16)
+
+    def ends(batch: pa.Table) -> pa.Table:
+        s = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        # per-batch combiner: one unique + two bincounts per block
+        both = np.concatenate([s, d])
+        u, inv = np.unique(both, return_inverse=True)
+        out_c = np.bincount(inv[: len(s)], minlength=len(u)).astype(np.int64)
+        in_c = np.bincount(inv[len(s) :], minlength=len(u)).astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(u, pa.int64()),
+                "out_m": pa.array(out_c, pa.int64()),
+                "in_m": pa.array(in_c, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    deg_tbl = pa.concat_tables(
+        edges.map_batches(ends, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node", num_partitions=P)
+        .aggregate(Sum("out_m", alias_name="out_m"), Sum("in_m", alias_name="in_m"))
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    )
+    nodes = deg_tbl["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(nodes, kind="stable")
+    nodes = nodes[order]
+    out_m = deg_tbl["out_m"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    in_m = deg_tbl["in_m"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    n = len(nodes)
+    nodes_ref = ray.put(nodes)
+
+    def fold(vec: np.ndarray, weight_col: str, group_col: str, max_fanin: int):
+        """One half-iteration: Σ vec[weight endpoint] grouped by the other
+        endpoint. Map-side partial sums, one node-bounded exchange."""
+        if vec.size and max_fanin and int(vec.max()) > (1 << 62) // max_fanin:
+            raise ValueError(
+                "hits: score magnitude would overflow int64 — lower iters "
+                "or apply the documented per-round bit-shift rescale"
+            )
+        vec_ref = ray.put(vec)
+
+        def scatter(batch: pa.Table, _v=vec_ref) -> pa.Table:
+            keys = ray.get(nodes_ref)
+            v = ray.get(_v)
+            w_nodes = batch[weight_col].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            g_nodes = batch[group_col].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            w = v[np.searchsorted(keys, w_nodes)]  # every endpoint IS a node
+            gu, ginv = np.unique(g_nodes, return_inverse=True)
+            sums = np.zeros(len(gu), np.int64)
+            np.add.at(sums, ginv, w)
+            return pa.table(
+                {
+                    "node": pa.array(gu, pa.int64()),
+                    "s": pa.array(sums, pa.int64()),
+                    "__bucket": pa.array(gu % np.int64(P), pa.int64()),
+                }
+            )
+
+        def merge(group: pa.Table) -> pa.Table:
+            gn = group["node"].combine_chunks().to_numpy(zero_copy_only=False)
+            gs = group["s"].combine_chunks().to_numpy(zero_copy_only=False)
+            gu, ginv = np.unique(gn, return_inverse=True)
+            sums = np.zeros(len(gu), np.int64)
+            np.add.at(sums, ginv, gs)
+            return pa.table(
+                {"node": pa.array(gu, pa.int64()), "s": pa.array(sums, pa.int64())}
+            )
+
+        merged = pa.concat_tables(
+            edges.map_batches(scatter, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("__bucket", num_partitions=P)
+            .map_groups(merge, batch_format="pyarrow")
+            .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        )
+        out = np.zeros(n, np.int64)
+        if len(merged):
+            mh = merged["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ms = merged["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+            out[np.searchsorted(nodes, mh)] = ms
+        return out
+
+    max_in = int(in_m.max()) if n else 0
+    max_out = int(out_m.max()) if n else 0
+    h = np.ones(n, np.int64)
+    a = np.zeros(n, np.int64)
+    for _ in range(iters):
+        a = fold(h, src, dst, max_in)  # authority ← Σ hub over in-edges
+        h = fold(a, dst, src, max_out)  # hub ← Σ authority over out-edges
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "authority": pa.array(a, pa.int64()),
+            "hub": pa.array(h, pa.int64()),
+        }
+    )

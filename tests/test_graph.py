@@ -188,3 +188,91 @@ def test_triangle_count_matches_bruteforce(ray_session):
     )
     got = triangle_count(ray.data.from_arrow(tbl).repartition(4), num_buckets=8)
     assert got == want
+
+
+def test_hits_matches_naive_integer_iterations(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from lamapi_ray.stages.graph import hits
+
+    # directed multigraph with a duplicate edge and a self-loop
+    ea = [0, 0, 1, 2, 2, 3, 3, 3, 4]
+    eb = [1, 2, 2, 0, 2, 1, 1, 5, 4]  # (3,1) twice, (4,4) self-loop
+    tbl = pa.table({"a": pa.array(ea, pa.int64()), "b": pa.array(eb, pa.int64())})
+    got = hits(ray.data.from_arrow(tbl).repartition(3), iters=2, num_buckets=4)
+
+    nodes = sorted(set(ea) | set(eb))
+    h = {v: 1 for v in nodes}
+    for _ in range(2):
+        a = {v: 0 for v in nodes}
+        for s, d in zip(ea, eb):
+            a[d] += h[s]
+        h = {v: 0 for v in nodes}
+        for s, d in zip(ea, eb):
+            h[s] += a[d]
+    assert got["node"].to_pylist() == nodes
+    assert got["authority"].to_pylist() == [a[v] for v in nodes]
+    assert got["hub"].to_pylist() == [h[v] for v in nodes]
+
+
+def test_hits_overflow_guard_raises(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from lamapi_ray.stages.graph import hits
+
+    # star: 2000 sources → 1 hub target; by iteration k scores grow like
+    # fanin^(2k), so iters=8 trips the 2^62 // max_fanin guard
+    n = 2000
+    tbl = pa.table(
+        {
+            "a": pa.array(np.arange(n, dtype=np.int64)),
+            "b": pa.array(np.zeros(n, dtype=np.int64)),
+        }
+    )
+    with pytest.raises(ValueError, match="overflow"):
+        hits(ray.data.from_arrow(tbl), iters=8, num_buckets=4)
+
+
+def test_event_funnel_strict_order_semantics(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lamapi_ray.pipelines.extras import event_funnel
+
+    us = 1_000_000
+
+    def ev(uid, et, t):
+        return (uid, et, t * us)
+
+    rows = [
+        # user 1: full funnel in order
+        ev(1, "view", 10), ev(1, "click", 20), ev(1, "purchase", 30),
+        # user 2: click BEFORE first view → stops at view
+        ev(2, "click", 5), ev(2, "view", 10), ev(2, "purchase", 20),
+        # user 3: click at the SAME ts as view (strict > ⇒ non-progressing)
+        ev(3, "view", 10), ev(3, "click", 10),
+        # user 4: no view at all → reaches nothing
+        ev(4, "click", 1), ev(4, "purchase", 2),
+        # user 5: purchase between first view and first qualifying click
+        ev(5, "view", 10), ev(5, "purchase", 15), ev(5, "click", 20),
+    ]
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "event_id": pa.array(list(range(len(rows))), pa.int64()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = event_funnel(str(tmp_path))
+    assert out["step"].to_pylist() == [1, 2, 3]
+    assert out["event_type"].to_pylist() == ["view", "click", "purchase"]
+    # views: users 1,2,3,5; clicks strictly after view: 1,5; purchases: 1
+    assert out["n_users"].to_pylist() == [4, 2, 1]
