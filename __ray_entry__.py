@@ -1788,6 +1788,24 @@ def oracle_sql() -> dict[str, str]:
         ") ORDER BY step"
     )
 
+    # conversion latency for funnel completers — same chained strict-after
+    # mins, us difference in exact integer microseconds
+    sql["funnel_times"] = (
+        "WITH t1 AS (SELECT user_id, min(ts) AS ts1 FROM events\n"
+        "            WHERE event_type = 'view' GROUP BY user_id),\n"
+        "t2 AS (SELECT e.user_id, min(e.ts) AS ts2 FROM events e\n"
+        "       JOIN t1 ON t1.user_id = e.user_id AND e.ts > t1.ts1\n"
+        "       WHERE e.event_type = 'click' GROUP BY e.user_id),\n"
+        "t3 AS (SELECT e.user_id, min(e.ts) AS ts3 FROM events e\n"
+        "       JOIN t2 ON t2.user_id = e.user_id AND e.ts > t2.ts2\n"
+        "       WHERE e.event_type = 'purchase' GROUP BY e.user_id)\n"
+        "SELECT t3.user_id,\n"
+        "       CAST(epoch_us(t3.ts3) - epoch_us(t1.ts1) AS BIGINT)\n"
+        "         AS us_to_convert\n"
+        "FROM t3 JOIN t1 ON t1.user_id = t3.user_id\n"
+        "ORDER BY t3.user_id"
+    )
+
     sql["sessionize"] = _with(
         "e AS (SELECT user_id, event_id, ts,\n"
         "  CASE WHEN lag(ts) OVER w IS NULL\n"
@@ -2108,6 +2126,46 @@ def oracle_sql() -> dict[str, str]:
         "FROM nodes LEFT JOIN a2 ON a2.v = nodes.v\n"
         "           LEFT JOIN h2 ON h2.v = nodes.v\n"
         "ORDER BY node"
+    )
+
+    # Co-citation (Small 1972): distinct link edges, pairs of targets
+    # sharing a source — mirrors extras.py::co_citation (distinct-edge
+    # dedup, a < b canonical pairs, count of common sources)
+    sql["co_citation"] = (
+        "WITH n AS (SELECT count(*) AS np FROM part),\n"
+        "e0 AS (SELECT doc_id AS s, doc_id % np AS d FROM documents, n\n"
+        "       UNION ALL SELECT doc_id, (doc_id*7+13) % np FROM documents, n),\n"
+        "e AS (SELECT DISTINCT s, d FROM e0)\n"
+        "SELECT e1.d AS a, e2.d AS b, CAST(count(*) AS BIGINT) AS n_common\n"
+        "FROM e e1 JOIN e e2 ON e1.s = e2.s AND e1.d < e2.d\n"
+        "GROUP BY e1.d, e2.d ORDER BY a, b"
+    )
+
+    # Bibliographic coupling (Kessler 1963): the transpose — pairs of
+    # sources sharing a target — mirrors extras.py::biblio_coupling
+    sql["biblio_coupling"] = (
+        "WITH n AS (SELECT count(*) AS np FROM part),\n"
+        "e0 AS (SELECT doc_id AS s, doc_id % np AS d FROM documents, n\n"
+        "       UNION ALL SELECT doc_id, (doc_id*7+13) % np FROM documents, n),\n"
+        "e AS (SELECT DISTINCT s, d FROM e0)\n"
+        "SELECT e1.s AS a, e2.s AS b, CAST(count(*) AS BIGINT) AS n_common\n"
+        "FROM e e1 JOIN e e2 ON e1.d = e2.d AND e1.s < e2.s\n"
+        "GROUP BY e1.s, e2.s ORDER BY a, b"
+    )
+
+    # weakly connected components: symmetric edge closure, min reachable
+    # label per node via recursive propagation (set-semantics UNION dedups
+    # the reachability pairs) — mirrors the distributed min-label result
+    sql["link_components"] = (
+        "WITH RECURSIVE n AS (SELECT count(*) AS np FROM part),\n"
+        "e0 AS (SELECT doc_id AS s, doc_id % np AS d FROM documents, n\n"
+        "       UNION ALL SELECT doc_id, (doc_id*7+13) % np FROM documents, n),\n"
+        "u AS (SELECT s AS a, d AS b FROM e0 UNION SELECT d, s FROM e0),\n"
+        "r AS (SELECT a AS v, a AS l FROM u\n"
+        "      UNION\n"
+        "      SELECT u.b, r.l FROM r JOIN u ON u.a = r.v)\n"
+        "SELECT v AS node, CAST(min(l) AS BIGINT) AS component\n"
+        "FROM r GROUP BY v ORDER BY node"
     )
 
     sql["link_indegree"] = (
@@ -2670,6 +2728,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_ppjoin",
         "link_hits",
         "event_funnel",
+        "co_citation",
+        "biblio_coupling",
+        "link_components",
+        "funnel_times",
         "lang_id",
         "quality_score",
         "token_stats",

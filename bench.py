@@ -254,6 +254,10 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("link_triangles", lambda: extras.link_triangles(sf_dir))
     timed("link_hits", lambda: extras.link_hits(sf_dir))
     timed("event_funnel", lambda: extras.event_funnel(sf_dir))
+    timed("co_citation", lambda: extras.co_citation(sf_dir))
+    timed("biblio_coupling", lambda: extras.biblio_coupling(sf_dir))
+    timed("link_components", lambda: extras.link_components(sf_dir))
+    timed("funnel_times", lambda: extras.funnel_times(sf_dir))
     timed("kg_degrees", lambda: extras.kg_degrees(sf_dir, kg["triples"]))
     timed("kg_negative_samples",
           lambda: extras.kg_negative_samples(sf_dir, kg["triples"]))

@@ -1987,6 +1987,117 @@ def link_hits(sf_dir: str) -> pa.Table:
     return hits(edges, iters=2)
 
 
+def _link_pair_counts(sf_dir: str, group_end: str, pair_end: str,
+                      max_fan: int = 100_000) -> pa.Table:
+    """Shared kernel for co-citation / bibliographic coupling: distinct
+    (src, dst) link edges, pair expansion of the ``pair_end`` values
+    inside coarse ``group_end``-keyed partitions, one grouped pair count.
+
+    Work is bounded by fan², never corpus²: fan = out-degree for
+    co-citation (small in real web graphs), in-degree for coupling —
+    where celebrity pages make fan² explode, so any group over
+    ``max_fan`` raises instead of silently running Θ(fan²) (the
+    documented mitigation at scale: cap each group to its ``max_fan``
+    hash-smallest members, the standard co-citation truncation)."""
+    from lamapi_ray import synth
+    from lamapi_ray.stages.dedup import _pairs_in_runs, _run_bounds
+    from lamapi_ray.stages.linkgraph import extract_links
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        def ids(col):
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return pc.cast(pc.utf8_slice_codeunits(col, 6), pa.int64())
+
+        g = ids(batch[group_end]).to_numpy(zero_copy_only=False)
+        p = ids(batch[pair_end]).to_numpy(zero_copy_only=False)
+        # deterministic coarse key — every row of one group value MUST
+        # land in the same partition or its pairs would silently split
+        return pa.table(
+            {
+                "g": pa.array(g, pa.int64()),
+                "p": pa.array(p, pa.int64()),
+                "__pk": pa.array(g % np.int64(16), pa.int64()),
+            }
+        )
+
+    def partition_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+        if len(group) == 0:
+            return empty
+        g = group["g"].combine_chunks().to_numpy(zero_copy_only=False)
+        p = group["p"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, g))
+        g, p = g[order], p[order]
+        keep = np.concatenate([[True], (g[1:] != g[:-1]) | (p[1:] != p[:-1])])
+        g, p = g[keep], p[keep]  # distinct edges (dup anchors count once)
+        starts, lens = _run_bounds([g])
+        if len(lens) and int(lens.max()) > max_fan:
+            raise ValueError(
+                f"link pair fan {int(lens.max())} exceeds max_fan={max_fan} "
+                "— apply the hash-smallest-members group cap before pairing"
+            )
+        xs, ys = [], []
+        for ia, ib in _pairs_in_runs(starts, lens):
+            xs.append(p[ia])  # run is value-sorted and deduped → a < b
+            ys.append(p[ib])
+        if not xs:
+            return empty
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(xs), pa.int64()),
+                "b": pa.array(np.concatenate(ys), pa.int64()),
+            }
+        )
+
+    counted = (
+        extract_links(synth.pages_dataset(sf_dir))
+        .map_batches(to_ids, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__pk", num_partitions=_scaled(0.5, 16))
+        .map_groups(partition_pairs, batch_format="pyarrow")
+        .groupby(["a", "b"], num_partitions=_scaled(0.5, 16))
+        .count()
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": batch["a"].cast(pa.int64()),
+                "b": batch["b"].cast(pa.int64()),
+                "n_common": batch["count()"].cast(pa.int64()),
+            }
+        )
+
+    return _collect(
+        counted.map_batches(finish, batch_format="pyarrow")
+    ).sort_by([("a", "ascending"), ("b", "ascending")])
+
+
+def co_citation(sf_dir: str) -> pa.Table:
+    """Co-citation analysis (Small 1972) over the hyperlink graph: for
+    every unordered target pair a < b, the number of distinct pages
+    linking to BOTH — the classic document-relatedness signal (two pages
+    repeatedly cited together are about the same thing), the undirected
+    similarity graph HITS/SALSA communities are mined from.
+
+    Dataflow: distinct (src, dst) edges, pair expansion inside coarse
+    src-keyed partitions (work bounded by out-degree² — small and capped
+    in real web graphs — never corpus²), ONE (a, b) grouped count."""
+    return _link_pair_counts(sf_dir, group_end="src", pair_end="dst")
+
+
+def biblio_coupling(sf_dir: str) -> pa.Table:
+    """Bibliographic coupling (Kessler 1963) — co-citation's transpose:
+    for every unordered SOURCE pair a < b, the number of distinct targets
+    both pages link to. Same kernel grouped by target; in-degree skew is
+    the scale hazard here (a celebrity target makes fan² explode), so the
+    shared ``max_fan`` guard raises rather than silently running Θ(fan²),
+    with the hash-smallest-members truncation documented as the cap."""
+    return _link_pair_counts(sf_dir, group_end="dst", pair_end="src")
+
+
 FUNNEL_STEPS = ("view", "click", "purchase")
 
 
@@ -2061,6 +2172,94 @@ def event_funnel(sf_dir: str) -> pa.Table:
             "n_users": agg["n_users"].cast(pa.int64()),
         }
     )
+
+
+def funnel_times(sf_dir: str) -> pa.Table:
+    """Per-user conversion latency for funnel completers: for every user
+    who finished view → click → purchase under the strict
+    earliest-completion semantics of :func:`event_funnel`, the exact
+    microseconds from the first view to the completing purchase — the
+    time-to-convert distribution product analytics reads next. Integer
+    timestamp arithmetic end to end (no float durations), one row per
+    converting user (user-bounded output), same groupby(user_id)
+    co-location + masked-min kernel as the funnel itself."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+
+    def convert_time(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "us_to_convert": pa.array([], pa.int64()),
+            }
+        )
+        et = group["event_type"].combine_chunks().cast(pa.string())
+        ts = (
+            group["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+        )
+        t_prev = None
+        t_first = None
+        for step in FUNNEL_STEPS:
+            m = pc.equal(et, step).to_numpy(zero_copy_only=False)
+            if t_prev is not None:
+                m = m & (ts > t_prev)
+            if not m.any():
+                return empty
+            t_prev = ts[m].min()
+            if t_first is None:
+                t_first = t_prev
+        uid = int(group["user_id"][0].as_py())
+        return pa.table(
+            {
+                "user_id": pa.array([uid], pa.int64()),
+                "us_to_convert": pa.array([int(t_prev - t_first)], pa.int64()),
+            }
+        )
+
+    return _collect(
+        ev.groupby("user_id", num_partitions=_scaled(0.5, 16)).map_groups(
+            convert_time, batch_format="pyarrow"
+        )
+    ).sort_by("user_id")
+
+
+def link_components(sf_dir: str) -> pa.Table:
+    """Weakly connected components of the hyperlink graph — the web-graph
+    partitioning step (crawl frontier sharding, per-community processing)
+    and the same primitive the dedup family's cluster assignment runs on.
+    Chain: pages → anchor extraction → int node ids → the house
+    distributed min-label components (stages/dedup.py::_cc_min_labels:
+    ONE grouped exchange per round, per-partition local fixpoints +
+    shortcut edges, counter-actor convergence — rounds track
+    partition-crossing hops, not raw diameter). Output: (node,
+    component = min node id of its component), every endpoint present."""
+    from lamapi_ray import synth
+    from lamapi_ray.stages.dedup import _cc_min_labels
+    from lamapi_ray.stages.linkgraph import extract_links
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        def ids(col):
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return pc.cast(pc.utf8_slice_codeunits(col, 6), pa.int64())
+
+        return pa.table(
+            {"id_a": ids(batch["src"]), "id_b": ids(batch["dst"])}
+        )
+
+    edges = extract_links(synth.pages_dataset(sf_dir)).map_batches(
+        to_ids, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = _cc_min_labels(edges)
+    return pa.table(
+        {
+            "node": out["node"].combine_chunks().cast(pa.int64()),
+            "component": out["label"].combine_chunks().cast(pa.int64()),
+        }
+    ).sort_by("node")
 
 
 def gzip_shard_roundtrip(sf_dir: str) -> pa.Table:

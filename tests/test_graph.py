@@ -276,3 +276,33 @@ def test_event_funnel_strict_order_semantics(ray_session, tmp_path):
     assert out["event_type"].to_pylist() == ["view", "click", "purchase"]
     # views: users 1,2,3,5; clicks strictly after view: 1,5; purchases: 1
     assert out["n_users"].to_pylist() == [4, 2, 1]
+
+
+def test_funnel_times_only_completers(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lamapi_ray.pipelines.extras import funnel_times
+
+    us = 1_000_000
+    rows = [
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        (2, "view", 10), (2, "click", 20),          # never purchases
+        (3, "purchase", 1), (3, "view", 2),         # purchase before view
+        (4, "view", 0), (4, "click", 100), (4, "view", 50),
+        (4, "purchase", 101),                        # t1 = FIRST view
+    ]
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "ts": pa.array([r[2] * us for r in rows], pa.timestamp("us")),
+            "event_id": pa.array(list(range(len(rows))), pa.int64()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = funnel_times(str(tmp_path))
+    assert out["user_id"].to_pylist() == [1, 4]
+    assert out["us_to_convert"].to_pylist() == [20 * us, 101 * us]

@@ -117,3 +117,95 @@ def test_entity_cooccurrence_pairs_survive_block_splits(ray_session):
     assert got == want
     # e1 < e2 canonical order everywhere
     assert all(a < b for a, b in got)
+
+
+def test_co_citation_matches_naive(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from lamapi_ray.pipelines.extras import biblio_coupling, co_citation
+
+    sf = "/root/testdata/sf0.001"
+    np_rows = pq.ParquetFile(f"{sf}/part.parquet").metadata.num_rows
+    nd = pq.ParquetFile(f"{sf}/documents.parquet").metadata.num_rows
+    edges = set()
+    for d in range(nd):
+        edges.add((d, d % np_rows))
+        edges.add((d, (7 * d + 13) % np_rows))
+
+    def naive(group_idx, pair_idx):
+        from collections import defaultdict
+
+        fan = defaultdict(set)
+        for e in edges:
+            fan[e[group_idx]].add(e[pair_idx])
+        counts = defaultdict(int)
+        for vals in fan.values():
+            vs = sorted(vals)
+            for i in range(len(vs)):
+                for j in range(i + 1, len(vs)):
+                    counts[(vs[i], vs[j])] += 1
+        return counts
+
+    for fn, gi, pi in ((co_citation, 0, 1), (biblio_coupling, 1, 0)):
+        want = naive(gi, pi)
+        got = fn(sf)
+        pairs = list(
+            zip(got["a"].to_pylist(), got["b"].to_pylist(), got["n_common"].to_pylist())
+        )
+        assert {(a, b): n for a, b, n in pairs} == dict(want)
+        ab = [(a, b) for a, b, _ in pairs]
+        assert ab == sorted(ab)
+
+
+def test_link_pair_counts_max_fan_guard(ray_session):
+    import pytest
+
+    from lamapi_ray.pipelines.extras import _link_pair_counts
+
+    # the synth graph's max in-degree at sf0.001 exceeds a fan cap of 1,
+    # so the guard must trip instead of silently expanding Θ(fan²) pairs
+    with pytest.raises(ValueError, match="max_fan"):
+        _link_pair_counts(
+            "/root/testdata/sf0.001", group_end="dst", pair_end="src", max_fan=1
+        )
+
+
+def test_link_components_matches_union_find(ray_session):
+    import pyarrow.parquet as pq
+
+    from lamapi_ray.pipelines.extras import link_components
+
+    sf = "/root/testdata/sf0.001"
+    np_rows = pq.ParquetFile(f"{sf}/part.parquet").metadata.num_rows
+    nd = pq.ParquetFile(f"{sf}/documents.parquet").metadata.num_rows
+    edges = []
+    for d in range(nd):
+        edges.append((d, d % np_rows))
+        edges.append((d, (7 * d + 13) % np_rows))
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for v in parent:
+        want[v] = find(v)
+    # min-label: component id = min node of the component
+    comp_min = {}
+    for v, r in want.items():
+        comp_min[r] = min(comp_min.get(r, v), v)
+    want = {v: comp_min[r] for v, r in want.items()}
+
+    got = link_components(sf)
+    got_d = dict(zip(got["node"].to_pylist(), got["component"].to_pylist()))
+    assert got_d == want
