@@ -2253,6 +2253,80 @@ def oracle_sql() -> dict[str, str]:
         "FROM doc ORDER BY doc_id"
     )
 
+    # Full-text BM25 doc search: per-(term,doc) contribution floor-quantized
+    # to integer micro-units with the SAME IEEE operand order and literals
+    # as stages/search.py::bm25_search, so per-doc sums are order-exact;
+    # HAVING <> 0 mirrors the engine's zero-score drop
+    sql["doc_search_bm25"] = (
+        "WITH q(query) AS (VALUES ('customer query'), ('fast scan slow'),\n"
+        "                         ('hash join'), ('window agg sort')),\n"
+        "qt AS (SELECT DISTINCT query, unnest(str_split(query, ' ')) AS tk FROM q),\n"
+        "tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tk FROM documents),\n"
+        "dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),\n"
+        "st AS (SELECT CAST(count(*) AS BIGINT) AS sumdl FROM tok),\n"
+        "nn AS (SELECT count(*) AS n FROM documents),\n"
+        "tf AS (SELECT doc_id, tk, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),\n"
+        "df AS (SELECT tk, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tk),\n"
+        "contrib AS (SELECT qt.query, t.doc_id,\n"
+        "  CAST(floor(ln(1 + (nn.n - d.df + 0.5) / (d.df + 0.5)) * t.tf * 2.2\n"
+        "       / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / (CAST(st.sumdl AS DOUBLE) / nn.n)))\n"
+        "       * 1000000) AS BIGINT) AS c\n"
+        "  FROM qt JOIN tf t USING (tk) JOIN df d USING (tk)\n"
+        "  JOIN dl l ON l.doc_id = t.doc_id CROSS JOIN nn CROSS JOIN st),\n"
+        "sc AS (SELECT query, doc_id, CAST(sum(c) AS BIGINT) AS bm25_micro\n"
+        "       FROM contrib GROUP BY 1, 2 HAVING sum(c) <> 0),\n"
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY query\n"
+        "         ORDER BY bm25_micro DESC, doc_id ASC) AS rank FROM sc\n"
+        "       QUALIFY rank <= 10)\n"
+        "SELECT query, doc_id, CAST(rank AS BIGINT) AS rank, bm25_micro\n"
+        "FROM rk ORDER BY query, rank"
+    )
+
+    # Hybrid RRF: the BM25 CTEs above + the ann_cosine ranking (query
+    # vectors 0-3 aligned index-wise with the text queries), fused by
+    # integer 10^6 // (60 + rank) — mirrors extras.py::hybrid_rrf
+    sql["hybrid_rrf"] = (
+        "WITH q(query) AS (VALUES ('customer query'), ('fast scan slow'),\n"
+        "                         ('hash join'), ('window agg sort')),\n"
+        "qt AS (SELECT DISTINCT query, unnest(str_split(query, ' ')) AS tk FROM q),\n"
+        "tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tk FROM documents),\n"
+        "dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),\n"
+        "st AS (SELECT CAST(count(*) AS BIGINT) AS sumdl FROM tok),\n"
+        "nn AS (SELECT count(*) AS n FROM documents),\n"
+        "tf AS (SELECT doc_id, tk, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),\n"
+        "df AS (SELECT tk, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tk),\n"
+        "contrib AS (SELECT qt.query, t.doc_id,\n"
+        "  CAST(floor(ln(1 + (nn.n - d.df + 0.5) / (d.df + 0.5)) * t.tf * 2.2\n"
+        "       / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / (CAST(st.sumdl AS DOUBLE) / nn.n)))\n"
+        "       * 1000000) AS BIGINT) AS c\n"
+        "  FROM qt JOIN tf t USING (tk) JOIN df d USING (tk)\n"
+        "  JOIN dl l ON l.doc_id = t.doc_id CROSS JOIN nn CROSS JOIN st),\n"
+        "lsc AS (SELECT query, doc_id, CAST(sum(c) AS BIGINT) AS bm25_micro\n"
+        "        FROM contrib GROUP BY 1, 2 HAVING sum(c) <> 0),\n"
+        "lrk AS (SELECT query, doc_id, row_number() OVER (PARTITION BY query\n"
+        "          ORDER BY bm25_micro DESC, doc_id ASC) AS rank FROM lsc\n"
+        "        QUALIFY rank <= 10),\n"
+        "qmap(qi, query) AS (VALUES (0, 'customer query'), (1, 'fast scan slow'),\n"
+        "                           (2, 'hash join'), (3, 'window agg sort')),\n"
+        "srk AS (SELECT e.vec_id AS qi, c.vec_id AS doc_id,\n"
+        "    row_number() OVER (PARTITION BY e.vec_id ORDER BY\n"
+        "      list_cosine_similarity(c.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,\n"
+        "      c.vec_id ASC) AS rank\n"
+        "  FROM embeddings e CROSS JOIN embeddings c\n"
+        "  WHERE e.vec_id < 4 AND c.vec_id >= 8 QUALIFY rank <= 10),\n"
+        "contribs AS (SELECT m.qi, l.doc_id, 1000000 // (60 + l.rank) AS c\n"
+        "             FROM lrk l JOIN qmap m ON m.query = l.query\n"
+        "             UNION ALL\n"
+        "             SELECT s.qi, s.doc_id, 1000000 // (60 + s.rank) FROM srk s),\n"
+        "fused AS (SELECT qi, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro\n"
+        "          FROM contribs GROUP BY 1, 2),\n"
+        "frk AS (SELECT *, row_number() OVER (PARTITION BY qi\n"
+        "          ORDER BY rrf_micro DESC, doc_id ASC) AS rank FROM fused\n"
+        "        QUALIFY rank <= 10)\n"
+        "SELECT m.query, f.doc_id, CAST(f.rank AS BIGINT) AS rank, f.rrf_micro\n"
+        "FROM frk f JOIN qmap m USING (qi) ORDER BY query, rank"
+    )
+
     # blocklist scan: counts via the replace-length identity (patterns
     # have no self-overlap, so non-overlapping == all occurrences)
     sql["blocklist_scan"] = (
@@ -2732,6 +2806,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "biblio_coupling",
         "link_components",
         "funnel_times",
+        "doc_search_bm25",
+        "hybrid_rrf",
         "lang_id",
         "quality_score",
         "token_stats",

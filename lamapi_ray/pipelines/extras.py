@@ -2098,6 +2098,79 @@ def biblio_coupling(sf_dir: str) -> pa.Table:
     return _link_pair_counts(sf_dir, group_end="dst", pair_end="src")
 
 
+SEARCH_QUERIES = (
+    "customer query",
+    "fast scan slow",
+    "hash join",
+    "window agg sort",
+)
+
+
+def doc_search_bm25(sf_dir: str) -> pa.Table:
+    """Corpus-scale full-text BM25 retrieval over document text — the
+    "retrieve supporting passages" step of RAG pipelines, the same
+    ranking function the reference serves through Elasticsearch over
+    surface-form names (api/model/elastic.py:31-64) but as a distributed
+    two-pass Ray Data operator with integer micro-unit scores (see
+    stages/search.py for the determinism contract)."""
+    from lamapi_ray.stages.search import bm25_search
+
+    return bm25_search(_docs(sf_dir), list(SEARCH_QUERIES), k=10)
+
+
+def hybrid_rrf(sf_dir: str) -> pa.Table:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack 2009) — the
+    standard lexical+semantic fusion of modern RAG stacks: the BM25
+    full-text ranking (:func:`doc_search_bm25`) and the exact-cosine ANN
+    ranking over the corpus embeddings (query vectors = embeddings
+    vec_id < 4, aligned index-wise with the 4 text queries; corpus =
+    vec_id ≥ 8, the house ANN convention) fused per query by
+    ``rrf = Σ_systems 10⁶ // (60 + rank)`` — integer-exact, k=60 the
+    canonical constant. Both input rankings are distributed operators;
+    the fusion itself runs on the driver over their queries×2k-bounded
+    outputs by design (≤ 80 rows here, never corpus-sized). Top-10 per
+    query by (rrf_micro desc, doc_id asc)."""
+    from lamapi_ray.stages.annsearch import cosine_topk
+
+    lex = doc_search_bm25(sf_dir)
+    q, qids = _queries_matrix(sf_dir, n=len(SEARCH_QUERIES))
+    sem = cosine_topk(_corpus_ds(sf_dir), q, qids, k=10)
+
+    acc: dict[tuple[int, int], int] = {}
+    for qs, d, r in zip(
+        lex["query"].to_pylist(), lex["doc_id"].to_pylist(), lex["rank"].to_pylist()
+    ):
+        key = (SEARCH_QUERIES.index(qs), int(d))
+        acc[key] = acc.get(key, 0) + 1_000_000 // (60 + int(r))
+    for qi, d, r in zip(
+        sem["query_id"].to_pylist(),
+        sem["neighbor_id"].to_pylist(),
+        sem["rank"].to_pylist(),
+    ):
+        key = (int(qi), int(d))
+        acc[key] = acc.get(key, 0) + 1_000_000 // (60 + int(r))
+
+    out_q, out_d, out_r, out_s = [], [], [], []
+    for qi in range(len(SEARCH_QUERIES)):
+        sub = sorted(
+            ((d, s) for (qj, d), s in acc.items() if qj == qi),
+            key=lambda x: (-x[1], x[0]),
+        )[:10]
+        for rank, (d, s) in enumerate(sub, 1):
+            out_q.append(SEARCH_QUERIES[qi])
+            out_d.append(d)
+            out_r.append(rank)
+            out_s.append(s)
+    return pa.table(
+        {
+            "query": pa.array(out_q, pa.string()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+            "rrf_micro": pa.array(out_s, pa.int64()),
+        }
+    )
+
+
 FUNNEL_STEPS = ("view", "click", "purchase")
 
 
