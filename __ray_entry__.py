@@ -1136,6 +1136,43 @@ def oracle_sql() -> dict[str, str]:
         "  FROM q CROSS JOIN c3 c) WHERE rn = 1"
     )
 
+    # SemDeDup (Abbas 2023): the SAME unrolled k-means fit over the
+    # duplicate-injected corpus, then drop any vector with a lower-id
+    # same-cluster member at cosine >= 0.95 — mirrors
+    # stages/kmeans.py::semdedup / extras.py::semdedup
+    _kmd_ctes = [
+        "dupe AS (SELECT vec_id, embedding FROM embeddings\n"
+        "  UNION ALL\n"
+        "  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 5 = 0)",
+        "q AS (SELECT vec_id, list_transform(embedding,"
+        " x -> CAST(printf('%.0f', CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+        " AS e FROM dupe)",
+        "c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, e\n"
+        "  FROM (SELECT vec_id, e FROM q ORDER BY vec_id LIMIT 8))",
+    ]
+    for _t in (1, 2, 3):
+        _kmd_ctes.extend(_km_iter(_t))
+    _kmd_ctes.append(
+        "a AS (SELECT vec_id, cid FROM (\n"
+        "  SELECT q.vec_id, c.cid,\n"
+        "    row_number() OVER (PARTITION BY q.vec_id ORDER BY\n"
+        f"      {_KM_DIST} ASC, c.cid ASC) AS rn\n"
+        "  FROM q CROSS JOIN c3 c) WHERE rn = 1)"
+    )
+    _kmd_ctes.append(
+        "dr AS (SELECT x.vec_id FROM a x JOIN a y\n"
+        "         ON y.cid = x.cid AND y.vec_id < x.vec_id\n"
+        "       JOIN dupe ex ON ex.vec_id = x.vec_id\n"
+        "       JOIN dupe ey ON ey.vec_id = y.vec_id\n"
+        "       WHERE list_cosine_similarity(ex.embedding::DOUBLE[],\n"
+        "                                    ey.embedding::DOUBLE[]) >= 0.95)"
+    )
+    sql["semdedup"] = _with(*_kmd_ctes) + (
+        "SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster,\n"
+        "       a.vec_id NOT IN (SELECT vec_id FROM dr) AS kept\n"
+        "FROM a ORDER BY a.vec_id"
+    )
+
     # composed curation flow: lang-ID filter + quality filter + exact
     # dedup + split assignment, one SQL chain over the same dup corpus
     sql["curation_pipeline"] = _with(
@@ -2808,6 +2845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_times",
         "doc_search_bm25",
         "hybrid_rrf",
+        "semdedup",
         "lang_id",
         "quality_score",
         "token_stats",

@@ -260,6 +260,7 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("funnel_times", lambda: extras.funnel_times(sf_dir))
     timed("doc_search_bm25", lambda: extras.doc_search_bm25(sf_dir))
     timed("hybrid_rrf", lambda: extras.hybrid_rrf(sf_dir))
+    timed("semdedup", lambda: extras.semdedup(sf_dir))
     timed("kg_degrees", lambda: extras.kg_degrees(sf_dir, kg["triples"]))
     timed("kg_negative_samples",
           lambda: extras.kg_negative_samples(sf_dir, kg["triples"]))

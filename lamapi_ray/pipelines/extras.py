@@ -3330,6 +3330,22 @@ def embedding_near_dup(sf_dir: str) -> pa.Table:
     )
 
 
+def semdedup(sf_dir: str) -> pa.Table:
+    """SemDeDup (Abbas 2023) over the house duplicate-injected embedding
+    corpus: fixed-point k-means (k=8, 3 iters — the same fit the
+    ``kmeans_clusters`` oracle unrolls) partitions the embedding space,
+    then each vector is dropped iff a lower-id member of its OWN cluster
+    sits at cosine ≥ 0.95 (the planted exact copies; organic max cosine
+    in this corpus is ≈0.51, so the threshold is knife-edge-safe). See
+    stages/kmeans.py::semdedup for the scale contract (k grows with the
+    corpus so the within-cluster pairwise block stays bounded)."""
+    from lamapi_ray.stages.kmeans import semdedup as _sd
+
+    return _collect(
+        _sd(_dup_embeddings(sf_dir), k=8, iters=3, tau=0.95)
+    ).sort_by("vec_id")
+
+
 def embedding_dup_clusters(sf_dir: str) -> pa.Table:
     """Near-duplicate CLUSTERS over embeddings — completes the embedding
     dedup family: the exact above-threshold pair set (chunk-pair-blocked

@@ -52,14 +52,16 @@ def _assign(V: np.ndarray, C: np.ndarray) -> np.ndarray:
     return np.argmin(core, axis=1)  # first minimum = smallest cid on ties
 
 
-def kmeans_fixed(
+def fit_centroids(
     ds: ray.data.Dataset,
     k: int = 8,
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> ray.data.Dataset:
-    """→ Dataset (vec_id, cluster) after ``iters`` Lloyd iterations.
+) -> np.ndarray:
+    """Run ``iters`` Lloyd iterations and return the fitted integer
+    fixed-point centroid matrix (k × d) — the shared fit step behind
+    :func:`kmeans_fixed` and the SemDeDup cluster stage.
 
     Init: the ``k`` vectors with the smallest ids (deterministic — the
     seeding the IVF operator uses too)."""
@@ -125,6 +127,19 @@ def kmeans_fixed(
             live[:, None], tot // np.maximum(cnt, 1)[:, None], C
         )  # empty cluster keeps its previous centroid
 
+    return C
+
+
+def kmeans_fixed(
+    ds: ray.data.Dataset,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """→ Dataset (vec_id, cluster) after ``iters`` Lloyd iterations (see
+    :func:`fit_centroids` for the fit contract)."""
+    C = fit_centroids(ds, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     cref = ray.put(C)
 
     def final_assign(batch: pa.Table, _c=cref) -> pa.Table:
@@ -136,3 +151,93 @@ def kmeans_fixed(
         )
 
     return ds.map_batches(final_assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def semdedup(
+    ds: ray.data.Dataset,
+    k: int = 8,
+    iters: int = 3,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering the embedding space (the fixed-point
+    Lloyd's fit above — deterministic, oracle-unrollable) and dropping
+    WITHIN-cluster semantic duplicates: a vector is dropped iff some
+    lower-id member of its own cluster has cosine ≥ ``tau`` to it (the
+    paper's keep-one-per-ε-ball with min-id as the deterministic
+    representative choice).
+
+    → Dataset (vec_id, cluster, kept) over every input row.
+
+    Scale shape: the within-cluster pairwise pass is the algorithm's
+    contract — SemDeDup works BECAUSE clustering bounds each pairwise
+    block to a cluster, so k must scale with the corpus (n/k of a few
+    thousand; the paper uses k = 11k for 134M docs). The kernel tiles the
+    similarity matmul (rows × cluster) so per-task memory stays
+    tile-bounded; assignment + grouping is one broadcast-centroid map and
+    ONE cluster-keyed grouped exchange — nothing corpus-sized anywhere.
+    """
+    from lamapi_ray.stages.annsearch import _emb_matrix, _normalize_rows
+    from lamapi_ray.stages.dedup import scaled_partitions
+
+    P = num_partitions or scaled_partitions(0.5, 8)
+    C = fit_centroids(ds, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    cref = ray.put(C)
+
+    def tag(batch: pa.Table, _c=cref) -> pa.Table:
+        Cw = ray.get(_c)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = _assign(_int_matrix(batch, vec_col), Cw)
+        emb = batch[vec_col]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        return pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "cluster": pa.array(a.astype(np.int64)),
+                "emb": emb,
+            }
+        )
+
+    TILE = 1024
+
+    def cluster_kernel(group: pa.Table) -> pa.Table:
+        n = len(group)
+        if n == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    "kept": pa.array([], pa.bool_()),
+                }
+            )
+        ids = group["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        M = _normalize_rows(_emb_matrix(group, "emb"))[order]
+        ids = ids[order]
+        kept = np.ones(n, bool)
+        # kept[i] ⟺ no LOWER-id row within tau; tiled rows × full cluster
+        for lo in range(0, n, TILE):
+            hi = min(lo + TILE, n)
+            S = M[lo:hi] @ M[:hi].T  # only columns j < hi ever matter
+            col = np.arange(hi)
+            row = np.arange(lo, hi)[:, None]
+            near = (S >= tau) & (col[None, :] < row)
+            kept[lo:hi] = ~near.any(axis=1)
+        cid = int(group["cluster"][0].as_py())
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(np.full(n, cid, np.int64), pa.int64()),
+                "kept": pa.array(kept, pa.bool_()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cluster", num_partitions=min(P, k))
+        .map_groups(cluster_kernel, batch_format="pyarrow")
+    )

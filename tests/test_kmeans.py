@@ -72,3 +72,46 @@ def test_assign_tie_breaks_to_smaller_cid():
     V = np.array([[0, 0]], np.int64)
     C = np.array([[1, 0], [-1, 0]], np.int64)  # equidistant
     assert _assign(V, C).tolist() == [0]
+
+
+def test_semdedup_drops_within_cluster_only(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from lamapi_ray.stages.kmeans import semdedup
+
+    # two far-apart cluster centers on axes 0 and 1; ids 0/1 are the seeds
+    # (k=2, smallest ids). Rows 2 and 3 duplicate row 0 (same cluster →
+    # row 0 kept, 2 and 3 dropped). Row 4 sits NEAR cluster B's center but
+    # is cosine-close to row 5 only; row 5 has higher id → dropped.
+    a = [1.0, 0.0, 0.0]
+    b = [0.0, 1.0, 0.0]
+    vecs = [
+        a,                      # 0: seed A, kept
+        b,                      # 1: seed B, kept
+        a,                      # 2: dup of 0 → dropped
+        [0.999, 0.001, 0.0],    # 3: near-dup of 0 → dropped
+        [0.0, 0.9, 0.6],        # 4: cluster B (cos 0.83 to seed), kept
+        [0.0, 0.905, 0.59],     # 5: cosine≈1 to 4, same cluster → dropped
+    ]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(list(range(len(vecs))), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        }
+    )
+    out = (
+        pa.concat_tables(
+            semdedup(
+                ray.data.from_arrow(tbl).repartition(2), k=2, iters=2, tau=0.95
+            ).iter_batches(batch_size=1 << 16, batch_format="pyarrow")
+        )
+        .sort_by("vec_id")
+    )
+    kept = dict(zip(out["vec_id"].to_pylist(), out["kept"].to_pylist()))
+    assert kept == {0: True, 1: True, 2: False, 3: False, 4: True, 5: False}
+    cl = dict(zip(out["vec_id"].to_pylist(), out["cluster"].to_pylist()))
+    assert cl[0] == cl[2] == cl[3]
+    assert cl[1] == cl[4] == cl[5]
+    assert cl[0] != cl[1]
