@@ -685,6 +685,46 @@ def oracle_sql() -> dict[str, str]:
         "SELECT entity, rf AS rank_fp, rf / 1000000000.0 AS rank FROM r3"
     )
 
+    # personalized PageRank: same unrolled recurrence with the teleport
+    # restricted to the seed set qid % 17 == 0 — per-node base carried
+    # through the iteration rows (mirrors graph.py::personalized_pagerank)
+    def _ppr_iter(i: int) -> tuple[str, str]:
+        prev = f"pr{i - 1}"
+        c = (
+            f"pc{i} AS (SELECT e.obj AS entity, sum(r.rf // r.out_deg) AS s\n"
+            f"  FROM adjacency e JOIN {prev} r ON r.entity = e.subj GROUP BY 1)"
+        )
+        r = (
+            f"pr{i} AS (SELECT p.entity, p.out_deg, p.base,\n"
+            f"  CAST(p.base + (85 * coalesce(pc{i}.s, 0)) // 100 AS BIGINT) AS rf\n"
+            f"  FROM {prev} p LEFT JOIN pc{i} ON pc{i}.entity = p.entity)"
+        )
+        return c, r
+
+    _ppr_ctes = [
+        SQL_ITEMS,
+        SQL_ADJACENCY,
+        "o AS (SELECT subj AS entity, count(*) AS c FROM adjacency GROUP BY 1)",
+        "i AS (SELECT obj AS entity, count(*) AS c FROM adjacency GROUP BY 1)",
+        "deg AS (SELECT coalesce(o.entity, i.entity) AS entity,\n"
+        "  coalesce(o.c, 0) AS out_deg FROM o FULL OUTER JOIN i ON o.entity = i.entity)",
+        "sd AS (SELECT entity, out_deg,\n"
+        "  CASE WHEN CAST(substr(entity, 2) AS BIGINT) % 17 = 0 THEN 1 ELSE 0 END\n"
+        "    AS isd FROM deg)",
+        "sn AS (SELECT CAST(sum(isd) AS BIGINT) AS scnt FROM sd)",
+        "pr0 AS (SELECT entity, out_deg,\n"
+        "  CAST(CASE WHEN isd = 1 THEN (15::BIGINT * 1000000000) // (100 * scnt)\n"
+        "       ELSE 0 END AS BIGINT) AS base,\n"
+        "  CAST(CASE WHEN isd = 1 THEN 1000000000 // scnt ELSE 0 END AS BIGINT)\n"
+        "    AS rf\n"
+        "  FROM sd CROSS JOIN sn)",
+    ]
+    for _i in (1, 2, 3):
+        _ppr_ctes.extend(_ppr_iter(_i))
+    sql["entity_ppr"] = _with(*_ppr_ctes) + (
+        "SELECT entity, rf AS rank_fp, rf / 1000000000.0 AS rank FROM pr3"
+    )
+
     # type_closure: ancestor transitive closure over the deterministic
     # part-item binary-heap forest (child Q(100000+k) → parent
     # Q(100000+(k-1)//2)); the engine closes it by pointer doubling
@@ -2964,6 +3004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["kg_negative_samples"] = with_kg("kg_negative_samples", "triples")
     out["kg_neighbor_sample"] = with_kg("kg_neighbor_sample", "triples")
     out["entity_pagerank"] = with_kg("entity_pagerank", "triples")
+    out["entity_ppr"] = with_kg("entity_ppr", "triples")
     out["lookup_literals"] = with_kg("lookup_literals", "literals")
     out["predicates_pairs"] = with_kg("predicates_pairs", "triples")
     out["entity_cooccurrence"] = with_kg("entity_cooccurrence", "linked")

@@ -267,6 +267,7 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("kg_neighbor_sample",
           lambda: extras.kg_neighbor_sample(sf_dir, kg["triples"]))
     timed("entity_pagerank", lambda: extras.entity_pagerank(sf_dir, kg["triples"]))
+    timed("entity_ppr", lambda: extras.entity_ppr(sf_dir, kg["triples"]))
     timed("type_closure", lambda: extras.type_closure(sf_dir))
 
     def cb_ingest():

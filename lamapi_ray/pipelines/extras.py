@@ -3586,6 +3586,20 @@ def entity_pagerank(sf_dir: str, adjacency: pa.Table) -> pa.Table:
     ).sort_by("entity")
 
 
+def entity_ppr(sf_dir: str, adjacency: pa.Table) -> pa.Table:
+    """Personalized PageRank over the KG edge list (seeds: qid % 17 == 0,
+    the deterministic stand-in for a caller's seed set) — the
+    KG-relatedness ranking behind recommendation / disambiguation, vs the
+    global importance of :func:`entity_pagerank`. Same integer fixed
+    point, same unrolled-iteration oracle. See
+    :func:`lamapi_ray.stages.graph.personalized_pagerank`."""
+    from lamapi_ray.stages import graph
+
+    return _collect(
+        graph.personalized_pagerank(ray.data.from_arrow(adjacency), iters=3)
+    ).sort_by("entity")
+
+
 def type_closure(sf_dir: str) -> pa.Table:
     """Ancestor transitive closure over the deterministic part-item
     hierarchy (child Q(100000+k) → parent Q(100000+(k-1)//2), k ≥ 1 — a

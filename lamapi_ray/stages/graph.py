@@ -125,9 +125,15 @@ def _pagerank_broadcast(
     base_fp: int,
     src: str,
     dst: str,
+    seed_fn=None,
 ):
     """Broadcast-rank PageRank iterations; None if the node-hash lookup
-    table has a collision (caller falls back to the shuffle path)."""
+    table has a collision (caller falls back to the shuffle path).
+
+    ``seed_fn``, if given, personalizes the teleport: it receives the
+    node entity array (hash-sorted order) and returns the per-node
+    ``(init_fp, base_fp)`` int64 vectors, replacing the uniform scalars —
+    the only difference between PageRank and personalized PageRank."""
     import ray as _ray
 
     deg_tbl = pa.concat_tables(
@@ -142,7 +148,11 @@ def _pagerank_broadcast(
     od_sorted = (
         deg_tbl["out_deg"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
     )
-    rf = np.full(len(eh_sorted), init_fp, np.int64)
+    if seed_fn is not None:
+        init_fp, base_fp = seed_fn(ent.take(pa.array(order)))
+        rf = np.asarray(init_fp, np.int64).copy()
+    else:
+        rf = np.full(len(eh_sorted), init_fp, np.int64)
     eh_ref = _ray.put(eh_sorted)
 
     def gather_sum(group: pa.Table) -> pa.Table:
@@ -1009,3 +1019,65 @@ def hits(
             "hub": pa.array(h, pa.int64()),
         }
     )
+
+
+def personalized_pagerank(
+    edges: ray.data.Dataset,
+    iters: int = 3,
+    src: str = "subj",
+    dst: str = "obj",
+    seed_mod: int = 17,
+) -> ray.data.Dataset:
+    """Personalized PageRank (random walk with restart): identical
+    integer fixed-point recurrence to :func:`pagerank` except the teleport
+    mass returns only to a SEED set — the KG-relatedness ranking
+    (\"entities related to these seeds\") behind recommendation and
+    entity-disambiguation pipelines, vs. the global importance PageRank
+    measures. Seeds here are the deterministic rule
+    ``numeric_qid % seed_mod == 0`` so the DuckDB oracle states the same
+    set; a real caller passes any seed predicate.
+
+    r_0(v) = [v∈S] · 10⁹//|S|;  r_t(v) = [v∈S] · (15·10⁹)//(100·|S|)
+    + (85·Σ_{u→v} r_{t-1}(u)//out_deg(u)) // 100 — all-integer, so the
+    oracle unrolls the same three iterations relationally and hashes
+    match exactly.
+
+    Execution is the broadcast path of :func:`pagerank` with a per-node
+    teleport vector (node-sized state, one edge map + one node-bounded
+    gather per iteration). On a node-hash collision (≈n²/2^61) this
+    raises rather than silently degrading — the Pregel shuffle path
+    generalizes by carrying the per-node base on the seed rows exactly as
+    ``pagerank(mode="shuffle")`` does; wire that in if a corpus ever
+    trips the check."""
+    width = scaled_partitions(1.0, 8)
+    edges = edges.materialize()
+    if edges.num_blocks() < width:
+        edges = edges.repartition(width).materialize()
+    deg = degrees(edges, src, dst).repartition(width).materialize()
+
+    def seed_fn(ent_sorted: pa.Array):
+        qn = pc.cast(
+            pc.utf8_slice_codeunits(ent_sorted.combine_chunks()
+                                    if isinstance(ent_sorted, pa.ChunkedArray)
+                                    else ent_sorted, 1),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        is_seed = (qn % seed_mod) == 0
+        scnt = int(is_seed.sum())
+        if scnt == 0:
+            raise ValueError(f"personalized_pagerank: empty seed set (mod {seed_mod})")
+        init = np.where(is_seed, PR_SCALE // scnt, 0).astype(np.int64)
+        base = np.where(
+            is_seed, ((PR_DEN - PR_NUM) * PR_SCALE) // (PR_DEN * scnt), 0
+        ).astype(np.int64)
+        return init, base
+
+    out = _pagerank_broadcast(
+        edges, deg, iters, width, 0, 0, src, dst, seed_fn=seed_fn
+    )
+    if out is None:
+        raise RuntimeError(
+            "personalized_pagerank: node-hash collision — extend the Pregel "
+            "shuffle path with a per-node base column (see docstring)"
+        )
+    return out

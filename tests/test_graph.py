@@ -306,3 +306,46 @@ def test_funnel_times_only_completers(ray_session, tmp_path):
     out = funnel_times(str(tmp_path))
     assert out["user_id"].to_pylist() == [1, 4]
     assert out["us_to_convert"].to_pylist() == [20 * us, 101 * us]
+
+
+def test_personalized_pagerank_matches_naive(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from lamapi_ray.stages.graph import PR_SCALE, personalized_pagerank
+
+    # Q-id graph; seeds (qid % 17 == 0): Q17, Q34
+    edges = [
+        ("Q17", "Q1"), ("Q17", "Q2"), ("Q1", "Q34"), ("Q2", "Q34"),
+        ("Q34", "Q17"), ("Q3", "Q17"), ("Q34", "Q3"),
+    ]
+    tbl = pa.table(
+        {
+            "subj": pa.array([a for a, _ in edges], pa.string()),
+            "obj": pa.array([b for _, b in edges], pa.string()),
+        }
+    )
+    got = (
+        pa.concat_tables(
+            personalized_pagerank(
+                ray.data.from_arrow(tbl), iters=3
+            ).iter_batches(batch_size=1 << 16, batch_format="pyarrow")
+        )
+        .sort_by("entity")
+    )
+    nodes = sorted({n for e in edges for n in e})
+    seeds = [n for n in nodes if int(n[1:]) % 17 == 0]
+    out_deg = {n: sum(1 for a, _ in edges if a == n) for n in nodes}
+    scnt = len(seeds)
+    base = {n: ((100 - 85) * PR_SCALE) // (100 * scnt) if n in seeds else 0
+            for n in nodes}
+    rf = {n: PR_SCALE // scnt if n in seeds else 0 for n in nodes}
+    for _ in range(3):
+        contrib = {n: 0 for n in nodes}
+        for a, b in edges:
+            contrib[b] += rf[a] // out_deg[a]
+        rf = {n: base[n] + (85 * contrib[n]) // 100 for n in nodes}
+    assert got["entity"].to_pylist() == nodes
+    assert got["rank_fp"].to_pylist() == [rf[n] for n in nodes]
+    # seeds hold teleport mass; a node only reachable FROM seeds ranks > 0
+    assert rf["Q17"] > 0 and rf["Q1"] > 0
