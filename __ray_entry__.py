@@ -3203,7 +3203,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the two r4 hash-fails whose oracle SQL gained CAST(..AS BIGINT)
         # this round — must land inside the driver's ~50-entry sample to
         # prove the fix green (events_rollup carries the same latent fix)
-        "revenue_by_nation", "quantile_sketch", "cms_user_sketch",
+        "revenue_by_nation", "quantile_sketch", "events_rollup",
+        # the final session's additions — never driver-checked, newest first
+        "link_hits", "event_funnel", "co_citation", "biblio_coupling",
+        "link_components", "funnel_times", "doc_search_bm25", "hybrid_rrf",
+        "semdedup", "entity_ppr",
+        "cms_user_sketch",
         "entity_cooccurrence", "registrable_domains", "link_triangles",
         "hll_users_by_type", "jaccard_ppjoin",
         "multimodal_decode_jpeg", "multimodal_decode_png",
@@ -3221,7 +3226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_tokens", "training_shards", "bpe_merges",
         "ccnet_buckets", "dsir_weights", "blocklist_scan",
         "wet_roundtrip",  # ^ new r5
-        "knn_neighbors", "term_pmi", "events_rollup", "event_transitions",
+        "knn_neighbors", "term_pmi", "event_transitions",
         "typo_pairs", "bloom_users", "top_ngrams", "event_percentiles",
         "sessionize", "events_asof", "purchase_attribution",
         "sliding_window_events", "user_top_events", "running_user_totals",
