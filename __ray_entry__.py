@@ -725,6 +725,21 @@ def oracle_sql() -> dict[str, str]:
         "SELECT entity, rf AS rank_fp, rf / 1000000000.0 AS rank FROM pr3"
     )
 
+    # cross-source record linkage: CB org names × Wikidata item labels at
+    # edit distance <= 1 — mirrors extras.py::cross_source_linkage (the
+    # engine runs the blocked SymSpell cross join; the oracle states the
+    # exact quadratic predicate)
+    sql["cross_source_linkage"] = _with(SQL_ITEMS) + (
+        "SELECT cb.cb_id, wd.entity AS wd_id, cb.name AS cb_name,\n"
+        "       wd.label AS wd_label,\n"
+        "       CAST(levenshtein(cb.name, wd.label) AS BIGINT) AS dist\n"
+        "FROM (SELECT 'org-' || c_custkey AS cb_id, c_name AS name\n"
+        "      FROM customer WHERE c_custkey % 97 <> 0) cb\n"
+        "JOIN items wd ON abs(length(cb.name) - length(wd.label)) <= 1\n"
+        "            AND levenshtein(cb.name, wd.label) <= 1\n"
+        "ORDER BY cb_id, wd_id"
+    )
+
     # type_closure: ancestor transitive closure over the deterministic
     # part-item binary-heap forest (child Q(100000+k) → parent
     # Q(100000+(k-1)//2)); the engine closes it by pointer doubling
@@ -3005,6 +3020,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["kg_neighbor_sample"] = with_kg("kg_neighbor_sample", "triples")
     out["entity_pagerank"] = with_kg("entity_pagerank", "triples")
     out["entity_ppr"] = with_kg("entity_ppr", "triples")
+    out["cross_source_linkage"] = with_kg("cross_source_linkage", "items")
     out["lookup_literals"] = with_kg("lookup_literals", "literals")
     out["predicates_pairs"] = with_kg("predicates_pairs", "triples")
     out["entity_cooccurrence"] = with_kg("entity_cooccurrence", "linked")
@@ -3207,7 +3223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the final session's additions — never driver-checked, newest first
         "link_hits", "event_funnel", "co_citation", "biblio_coupling",
         "link_components", "funnel_times", "doc_search_bm25", "hybrid_rrf",
-        "semdedup", "entity_ppr",
+        "semdedup", "entity_ppr", "cross_source_linkage",
         "cms_user_sketch",
         "entity_cooccurrence", "registrable_domains", "link_triangles",
         "hll_users_by_type", "jaccard_ppjoin",

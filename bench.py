@@ -249,6 +249,8 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("events_rollup", lambda: extras.events_rollup(sf_dir))
     timed("event_transitions", lambda: extras.event_transitions(sf_dir))
     timed("typo_pairs", lambda: extras.typo_pairs(sf_dir))
+    timed("cross_source_linkage",
+          lambda: extras.cross_source_linkage(sf_dir, kg["items"]))
     timed("jaccard_ppjoin", lambda: extras.jaccard_ppjoin(sf_dir))
     timed("passage_dedup", lambda: extras.passage_dedup(sf_dir))
     timed("link_triangles", lambda: extras.link_triangles(sf_dir))

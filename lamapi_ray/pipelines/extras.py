@@ -3600,6 +3600,43 @@ def entity_ppr(sf_dir: str, adjacency: pa.Table) -> pa.Table:
     ).sort_by("entity")
 
 
+def cross_source_linkage(sf_dir: str, items: pa.Table) -> pa.Table:
+    """Cross-source record linkage — the entity-matching step of multi-KG
+    integration (reference: the Crunchbase ingest and the Wikidata dump
+    coexist as separate sources with no crosswalk; this builds one): match
+    every Crunchbase organisation name against every Wikidata item label
+    at edit distance ≤ 1 via the SymSpell deletion-variant blocked cross
+    join (stages/stringjoin.py::similarity_cross_join — both sides route
+    into ONE variant-keyed exchange, exact DP verify, grouped distinct).
+    → (cb_id, wd_id, cb_name, wd_label, dist), the candidate crosswalk a
+    human or model resolves downstream."""
+    from lamapi_ray.sources.crunchbase import cb_tables
+    from lamapi_ray.stages.stringjoin import similarity_cross_join
+
+    cb = cb_tables(sf_dir)["items"].select(["entity", "label"])
+    wd = items.select(["entity", "label"])
+    out = _collect(
+        similarity_cross_join(
+            ray.data.from_arrow(cb),
+            ray.data.from_arrow(wd),
+            left_id="entity",
+            left_col="label",
+            right_id="entity",
+            right_col="label",
+            max_dist=1,
+        )
+    )
+    return pa.table(
+        {
+            "cb_id": out["lid"],
+            "wd_id": out["rid"],
+            "cb_name": out["lval"],
+            "wd_label": out["rval"],
+            "dist": out["dist"],
+        }
+    ).sort_by([("cb_id", "ascending"), ("wd_id", "ascending")])
+
+
 def type_closure(sf_dir: str) -> pa.Table:
     """Ancestor transitive closure over the deterministic part-item
     hierarchy (child Q(100000+k) → parent Q(100000+(k-1)//2), k ≥ 1 — a

@@ -335,3 +335,111 @@ def ppjoin(
         )
 
     return shared.map_batches(finish, batch_format="pyarrow")
+
+
+def similarity_cross_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_id: str,
+    left_col: str,
+    right_id: str,
+    right_col: str,
+    max_dist: int = 1,
+    min_len: int = 2,
+) -> ray.data.Dataset:
+    """Record linkage across TWO sources (the cross-source entity-matching
+    step of multi-KG integration): distinct
+    ``(lid, rid, lval, rval, dist)`` rows with ``lev(lval, rval) ≤
+    max_dist`` — the same SymSpell deletion-variant blocking as
+    :func:`similarity_self_join`, with both sides routed into one
+    variant-keyed exchange and pairs generated only ACROSS sides.
+
+    Scale shape matches the self-join: replication |variants| ≈ O(lenᵏ)
+    per string, the exchange carries (variant, side, id, value) rows,
+    verification is exact DP bounded by true-match density plus variant
+    collisions, and ONE grouped distinct on (lid, rid) removes pairs that
+    met under several shared variants."""
+
+    def emit(side: int, id_col: str, col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_pylist()
+            vals = batch[col].to_pylist()
+            out_v, out_i, out_s = [], [], []
+            for i, s in zip(ids, vals):
+                if s is None or len(s) < min_len:
+                    continue
+                for d in delete_variants(s, max_dist):
+                    out_v.append(d)
+                    out_i.append(i)
+                    out_s.append(s)
+            return pa.table(
+                {
+                    "variant": pa.array(out_v, pa.string()),
+                    "side": pa.array([side] * len(out_v), pa.int8()),
+                    "id": pa.array(out_i, pa.string()),
+                    "s": pa.array(out_s, pa.string()),
+                }
+            )
+
+        return fn
+
+    def group_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "lid": pa.array([], pa.string()),
+                "rid": pa.array([], pa.string()),
+                "lval": pa.array([], pa.string()),
+                "rval": pa.array([], pa.string()),
+                "dist": pa.array([], pa.int64()),
+            }
+        )
+        side = group["side"].to_numpy(zero_copy_only=False)
+        if not ((side == 0).any() and (side == 1).any()):
+            return empty
+        ids = group["id"].to_pylist()
+        ss = group["s"].to_pylist()
+        lrows = sorted({(ids[i], ss[i]) for i in range(len(ids)) if side[i] == 0})
+        rrows = sorted({(ids[i], ss[i]) for i in range(len(ids)) if side[i] == 1})
+        o_lid, o_rid, o_lv, o_rv, o_d = [], [], [], [], []
+        for lid, lv in lrows:
+            for rid, rv in rrows:
+                if abs(len(lv) - len(rv)) > max_dist:
+                    continue
+                d = levenshtein(lv, rv)
+                if d <= max_dist:
+                    o_lid.append(lid)
+                    o_rid.append(rid)
+                    o_lv.append(lv)
+                    o_rv.append(rv)
+                    o_d.append(d)
+        if not o_lid:
+            return empty
+        return pa.table(
+            {
+                "lid": pa.array(o_lid, pa.string()),
+                "rid": pa.array(o_rid, pa.string()),
+                "lval": pa.array(o_lv, pa.string()),
+                "rval": pa.array(o_rv, pa.string()),
+                "dist": pa.array(o_d, pa.int64()),
+            }
+        )
+
+    def dedup(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return group
+        return group.slice(0, 1)
+
+    tagged = left.map_batches(
+        emit(0, left_id, left_col), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        right.map_batches(
+            emit(1, right_id, right_col), batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    cand = tagged.groupby("variant", num_partitions=scaled_partitions(0.5, 16)).map_groups(
+        group_pairs, batch_format="pyarrow"
+    )
+    return cand.groupby(["lid", "rid"], num_partitions=scaled_partitions(0.25, 8)).map_groups(
+        dedup, batch_format="pyarrow"
+    )

@@ -101,3 +101,41 @@ def test_ppjoin_matches_bruteforce(ray_session):
             if sh * 8 >= 3 * (len(sets[a]) + len(sets[b])):
                 want[(a, b)] = (sh, len(sets[a]), len(sets[b]))
     assert got == want and len(want) > 0
+
+
+def test_similarity_cross_join_matches_naive(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from lamapi_ray.functions.text import levenshtein
+    from lamapi_ray.stages.stringjoin import similarity_cross_join
+
+    left = [("l0", "alpha"), ("l1", "alphb"), ("l2", "gamma"), ("l3", "x")]
+    right = [("r0", "alpha"), ("r1", "gamm"), ("r2", "delta"), ("r3", "alpha")]
+    lt = pa.table(
+        {"entity": pa.array([i for i, _ in left], pa.string()),
+         "label": pa.array([v for _, v in left], pa.string())}
+    )
+    rt = pa.table(
+        {"entity": pa.array([i for i, _ in right], pa.string()),
+         "label": pa.array([v for _, v in right], pa.string())}
+    )
+    out = pa.concat_tables(
+        similarity_cross_join(
+            ray.data.from_arrow(lt).repartition(2),
+            ray.data.from_arrow(rt).repartition(2),
+            "entity", "label", "entity", "label", max_dist=1,
+        ).iter_batches(batch_size=1 << 16, batch_format="pyarrow")
+    )
+    got = sorted(
+        zip(out["lid"].to_pylist(), out["rid"].to_pylist(), out["dist"].to_pylist())
+    )
+    want = sorted(
+        (li, ri, levenshtein(lv, rv))
+        for li, lv in left
+        for ri, rv in right
+        if len(lv) >= 2 and len(rv) >= 2 and levenshtein(lv, rv) <= 1
+    )
+    assert got == want
+    # "l3" ("x") is below min_len and pairs with nothing
+    assert not [g for g in got if g[0] == "l3"]
