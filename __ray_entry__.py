@@ -1858,6 +1858,25 @@ def oracle_sql() -> dict[str, str]:
 
     # sessionize: 30-min-gap sessions per user (extras.py::sessionize);
     # session breaks depend only on the sorted ts sequence
+    # Event-time watermark window: running-max watermark over the planted
+    # arrival permutation (every 50th event arrives 500 positions late,
+    # event_id tie-break), allowed lateness 2 h — mirrors
+    # extras.py::watermark_window's distributed prefix scan
+    sql["watermark_window"] = (
+        "WITH seq AS (SELECT epoch_us(ts) AS us,\n"
+        "  max(epoch_us(ts)) OVER (ORDER BY\n"
+        "      (event_id + CASE WHEN event_id % 50 = 0 THEN 500 ELSE 0 END),\n"
+        "      event_id\n"
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wm\n"
+        "  FROM events),\n"
+        "f AS (SELECT (us // 3600000000) * 3600000000 AS window_us,\n"
+        "      (us < wm - 7200000000) AS late FROM seq)\n"
+        "SELECT window_us,\n"
+        "  CAST(sum(CASE WHEN late THEN 0 ELSE 1 END) AS BIGINT) AS n_on_time,\n"
+        "  CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late\n"
+        "FROM f GROUP BY 1 ORDER BY 1"
+    )
+
     # Ordered funnel: step k's time = min event time of its type STRICTLY
     # after step k−1's (earliest-completion semantics, ties non-progressing)
     # — mirrors pipelines/extras.py::event_funnel
@@ -2901,6 +2920,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_search_bm25",
         "hybrid_rrf",
         "semdedup",
+        "watermark_window",
         "lang_id",
         "quality_score",
         "token_stats",
@@ -3223,7 +3243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the final session's additions — never driver-checked, newest first
         "link_hits", "event_funnel", "co_citation", "biblio_coupling",
         "link_components", "funnel_times", "doc_search_bm25", "hybrid_rrf",
-        "semdedup", "entity_ppr", "cross_source_linkage",
+        "semdedup", "entity_ppr", "cross_source_linkage", "watermark_window",
         "cms_user_sketch",
         "entity_cooccurrence", "registrable_domains", "link_triangles",
         "hll_users_by_type", "jaccard_ppjoin",

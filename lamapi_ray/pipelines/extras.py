@@ -2118,6 +2118,122 @@ def doc_search_bm25(sf_dir: str) -> pa.Table:
     return bm25_search(_docs(sf_dir), list(SEARCH_QUERIES), k=10)
 
 
+def watermark_window(sf_dir: str) -> pa.Table:
+    """Event-time streaming window with a LATE-DATA watermark (the
+    Dataflow-model semantics batch suites usually skip): rows arrive in
+    a deterministic arrival sequence; the watermark is the running max
+    event time over arrivals so far; a row is LATE iff its event time has
+    fallen more than 2 h behind the watermark at its arrival — exactly a
+    streaming engine's allowed-lateness drop rule, made deterministic by
+    the explicit arrival order. The synthetic stream is time-ordered, so
+    stragglers are PLANTED by the arrival permutation ``arr = event_id +
+    500·[event_id % 50 == 0]`` (ties broken by event_id — every 50th
+    event arrives 500 positions late; the oracle states the same
+    permutation). Output: per 1 h tumbling event-time window, on-time and
+    late row counts.
+
+    The running max over a global arrival order is a DISTRIBUTED PREFIX
+    SCAN: pass 1 folds per-arrival-bucket maxima map-side (one tiny
+    bucket-bounded table to the driver, a tree scan at larger scale —
+    buckets are ``event_id // 4096`` so the driver state is
+    corpus/4096-bounded); the exclusive prefix maxima broadcast back, and
+    pass 2 co-locates each bucket with ONE grouped exchange, closes the
+    scan inside the bucket (vectorized ``np.maximum.accumulate``), flags
+    lateness, and folds straight to (window, on_time, late) count
+    partials — the second exchange is windows-bounded."""
+    LATE_US = 2 * 3600 * 1_000_000
+    HOUR_US = 3600 * 1_000_000
+    BUCKET = 4096
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+    )
+
+    def arrival(eid: np.ndarray) -> np.ndarray:
+        return eid + np.where(eid % 50 == 0, 500, 0)
+
+    def bucket_max(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b = arrival(eid) // BUCKET
+        u, inv = np.unique(b, return_inverse=True)
+        mx = np.full(len(u), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, inv, ts)
+        return pa.table(
+            {"bucket": pa.array(u, pa.int64()), "mx": pa.array(mx, pa.int64())}
+        )
+
+    parts = pa.concat_tables(
+        ev.map_batches(bucket_max, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    )
+    pb = parts["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pm = parts["mx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nb = int(pb.max()) + 1 if len(pb) else 0
+    bmax = np.full(nb, np.iinfo(np.int64).min, np.int64)
+    np.maximum.at(bmax, pb, pm)
+    # exclusive prefix max per bucket (driver state = corpus/4096 ints)
+    prefix = np.full(nb, np.iinfo(np.int64).min, np.int64)
+    if nb > 1:
+        prefix[1:] = np.maximum.accumulate(bmax)[:-1]
+    pref_ref = ray.put(prefix)
+
+    def tag_bucket(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "bucket", pa.array(arrival(eid) // BUCKET, pa.int64())
+        )
+
+    def close_scan(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "window_us": pa.array([], pa.int64()),
+                "ot": pa.array([], pa.int64()),
+                "lt": pa.array([], pa.int64()),
+            }
+        )
+        if len(group) == 0:
+            return empty
+        pref = ray.get(pref_ref)
+        eid = group["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = group["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        arr = arrival(eid.astype(np.int64))
+        order = np.lexsort((eid, arr))  # arrival order, event_id tie-break
+        ts = ts[order]
+        b = int(arr[order[0]]) // BUCKET
+        run = np.maximum.accumulate(np.maximum(ts, pref[b]))
+        late = ts < run - LATE_US
+        win = (ts // HOUR_US) * HOUR_US
+        u, inv = np.unique(win, return_inverse=True)
+        ot = np.bincount(inv, weights=~late, minlength=len(u)).astype(np.int64)
+        lt = np.bincount(inv, weights=late, minlength=len(u)).astype(np.int64)
+        return pa.table(
+            {
+                "window_us": pa.array(u, pa.int64()),
+                "ot": pa.array(ot, pa.int64()),
+                "lt": pa.array(lt, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = _collect(
+        ev.map_batches(tag_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket", num_partitions=_scaled(0.5, 16))
+        .map_groups(close_scan, batch_format="pyarrow")
+        .groupby("window_us", num_partitions=_scaled(0.25, 8))
+        .aggregate(Sum("ot", alias_name="n_on_time"), Sum("lt", alias_name="n_late"))
+    ).sort_by("window_us")
+    return pa.table(
+        {
+            "window_us": agg["window_us"].cast(pa.int64()),
+            "n_on_time": agg["n_on_time"].cast(pa.int64()),
+            "n_late": agg["n_late"].cast(pa.int64()),
+        }
+    )
+
+
 def hybrid_rrf(sf_dir: str) -> pa.Table:
     """Hybrid retrieval with reciprocal-rank fusion (Cormack 2009) — the
     standard lexical+semantic fusion of modern RAG stacks: the BM25

@@ -288,3 +288,55 @@ def test_table_profile_ignores_nulls_in_minmax(tmp_path, ray_session):
     assert out["l_suppkey"]["n_nulls"] == 2
     assert out["l_suppkey"]["min_v"] == 4 and out["l_suppkey"]["max_v"] == 4
     assert out["l_suppkey"]["n_distinct"] == 1
+
+
+def test_watermark_window_flags_planted_stragglers(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lamapi_ray.pipelines.extras import watermark_window
+
+    us = 1_000_000
+    hour = 3600 * us
+    # 600 time-ordered events, 10s apart; every 50th arrives 500 positions
+    # late — by then the watermark has advanced 500·10 s ≈ 83 min < 2 h,
+    # so with this tight spacing NONE are late; stretch spacing to 30 min
+    # for ids >= 300 so the second half's stragglers fall 250 h behind.
+    n = 600
+    eid = np.arange(n, dtype=np.int64)
+    ts = np.where(eid < 300, eid * 10 * us, 300 * 10 * us + (eid - 300) * 30 * 60 * us)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(eid),
+            "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+            "user_id": pa.array(eid % 7, pa.int64()),
+            "event_type": pa.array(["view"] * n, pa.string()),
+            "value": pa.array(np.ones(n), pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = watermark_window(str(tmp_path))
+    # naive reference
+    arr = eid + np.where(eid % 50 == 0, 500, 0)
+    order = np.lexsort((eid, arr))
+    t_sorted = ts[order]
+    wm = np.maximum.accumulate(t_sorted)
+    late = t_sorted < wm - 2 * hour
+    win = (t_sorted // hour) * hour
+    import collections
+
+    want = collections.defaultdict(lambda: [0, 0])
+    for w, l in zip(win, late):
+        want[int(w)][1 if l else 0] += 1
+    got = {
+        int(w): [int(o), int(l)]
+        for w, o, l in zip(
+            out["window_us"].to_pylist(),
+            out["n_on_time"].to_pylist(),
+            out["n_late"].to_pylist(),
+        )
+    }
+    assert got == {k: v for k, v in want.items()}
+    assert sum(l for _, l in got.values()) > 0  # stragglers actually flagged
