@@ -2279,6 +2279,33 @@ def oracle_sql() -> dict[str, str]:
         "FROM r GROUP BY v ORDER BY node"
     )
 
+    # BFS k-hop distances from the seed set node % 31 == 0 along directed
+    # link edges — three unrolled frontier expansions with NOT-IN
+    # visited-set subtraction (mirrors extras.py::link_bfs_hops)
+    sql["link_bfs_hops"] = (
+        "WITH n AS (SELECT count(*) AS np FROM part),\n"
+        "e0 AS (SELECT doc_id AS s, doc_id % np AS d FROM documents, n\n"
+        "       UNION ALL SELECT doc_id, (doc_id*7+13) % np FROM documents, n),\n"
+        "e AS (SELECT DISTINCT s, d FROM e0),\n"
+        "nodes AS (SELECT DISTINCT s AS v FROM e UNION SELECT d FROM e),\n"
+        "s0 AS (SELECT v FROM nodes WHERE v % 31 = 0),\n"
+        "s1 AS (SELECT DISTINCT e.d AS v FROM e JOIN s0 ON s0.v = e.s\n"
+        "       WHERE e.d NOT IN (SELECT v FROM s0)),\n"
+        "s2 AS (SELECT DISTINCT e.d AS v FROM e JOIN s1 ON s1.v = e.s\n"
+        "       WHERE e.d NOT IN (SELECT v FROM s0)\n"
+        "         AND e.d NOT IN (SELECT v FROM s1)),\n"
+        "s3 AS (SELECT DISTINCT e.d AS v FROM e JOIN s2 ON s2.v = e.s\n"
+        "       WHERE e.d NOT IN (SELECT v FROM s0)\n"
+        "         AND e.d NOT IN (SELECT v FROM s1)\n"
+        "         AND e.d NOT IN (SELECT v FROM s2))\n"
+        "SELECT v AS node, CAST(dist AS BIGINT) AS dist FROM (\n"
+        "  SELECT v, 0 AS dist FROM s0\n"
+        "  UNION ALL SELECT v, 1 FROM s1\n"
+        "  UNION ALL SELECT v, 2 FROM s2\n"
+        "  UNION ALL SELECT v, 3 FROM s3\n"
+        ") ORDER BY node"
+    )
+
     sql["link_indegree"] = (
         "WITH n AS (SELECT count(*) AS np FROM part),\n"
         "e AS (SELECT (doc_id % np) AS k FROM documents, n\n"
@@ -2916,6 +2943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "co_citation",
         "biblio_coupling",
         "link_components",
+        "link_bfs_hops",
         "funnel_times",
         "doc_search_bm25",
         "hybrid_rrf",
@@ -3244,6 +3272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_hits", "event_funnel", "co_citation", "biblio_coupling",
         "link_components", "funnel_times", "doc_search_bm25", "hybrid_rrf",
         "semdedup", "entity_ppr", "cross_source_linkage", "watermark_window",
+        "link_bfs_hops",
         "cms_user_sketch",
         "entity_cooccurrence", "registrable_domains", "link_triangles",
         "hll_users_by_type", "jaccard_ppjoin",

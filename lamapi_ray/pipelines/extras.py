@@ -2363,6 +2363,98 @@ def event_funnel(sf_dir: str) -> pa.Table:
     )
 
 
+def link_bfs_hops(sf_dir: str, max_hops: int = 3, seed_mod: int = 31) -> pa.Table:
+    """k-hop BFS reachability over the DIRECTED hyperlink graph from a
+    seed set (here the deterministic rule ``node % seed_mod == 0``) — the
+    crawl-frontier expansion / neighborhood-extraction primitive: dist(v)
+    = min #hops from any seed following link direction, nodes beyond
+    ``max_hops`` omitted. Output (node, dist), dist ∈ [0, max_hops].
+
+    Dataflow: distinct edges once; per BFS round ONE map over the edge
+    stream (frontier broadcast as a sorted int64 array — node-bounded,
+    exactly the pagerank/HITS broadcast-state shape) + a node-bounded
+    distinct collect of the new frontier; ``max_hops`` rounds total.
+    Beyond broadcastable node counts the same rounds run as Pregel
+    exchanges (frontier semi-join on src, grouped distinct on dst)."""
+    from lamapi_ray import synth
+    from lamapi_ray.stages.linkgraph import extract_links
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        def ids(col):
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return pc.cast(pc.utf8_slice_codeunits(col, 6), pa.int64())
+
+        return pa.table({"s": ids(batch["src"]), "d": ids(batch["dst"])})
+
+    edges = (
+        extract_links(synth.pages_dataset(sf_dir))
+        .map_batches(to_ids, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()  # consumed once per BFS round
+    )
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        s = batch["s"].to_numpy(zero_copy_only=False)
+        d = batch["d"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"node": pa.array(np.unique(np.concatenate([s, d])), pa.int64())}
+        )
+
+    nodes = np.unique(
+        np.concatenate(
+            [
+                b["node"].to_numpy(zero_copy_only=False)
+                for b in edges.map_batches(
+                    endpoints, batch_format="pyarrow", zero_copy_batch=True
+                ).iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+            ]
+            or [np.array([], np.int64)]
+        )
+    )
+    dist = np.full(len(nodes), -1, np.int64)
+    frontier = nodes[nodes % seed_mod == 0]
+    dist[np.searchsorted(nodes, frontier)] = 0
+
+    for hop in range(1, max_hops + 1):
+        if len(frontier) == 0:
+            break
+        f_ref = ray.put(np.sort(frontier))
+
+        def expand(batch: pa.Table, _f=f_ref) -> pa.Table:
+            f = ray.get(_f)
+            s = batch["s"].to_numpy(zero_copy_only=False)
+            d = batch["d"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(f, s)
+            hit = (pos < len(f)) & (f[np.minimum(pos, len(f) - 1)] == s)
+            return pa.table(
+                {"node": pa.array(np.unique(d[hit]), pa.int64())}
+            )
+
+        reached = np.unique(
+            np.concatenate(
+                [
+                    b["node"].to_numpy(zero_copy_only=False)
+                    for b in edges.map_batches(
+                        expand, batch_format="pyarrow", zero_copy_batch=True
+                    ).iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+                ]
+                or [np.array([], np.int64)]
+            )
+        )
+        idx = np.searchsorted(nodes, reached)
+        new = dist[idx] == -1
+        dist[idx[new]] = hop
+        frontier = reached[new]
+
+    keep = dist >= 0
+    return pa.table(
+        {
+            "node": pa.array(nodes[keep], pa.int64()),
+            "dist": pa.array(dist[keep], pa.int64()),
+        }
+    )
+
+
 def funnel_times(sf_dir: str) -> pa.Table:
     """Per-user conversion latency for funnel completers: for every user
     who finished view → click → purchase under the strict

@@ -209,3 +209,38 @@ def test_link_components_matches_union_find(ray_session):
     got = link_components(sf)
     got_d = dict(zip(got["node"].to_pylist(), got["component"].to_pylist()))
     assert got_d == want
+
+
+def test_link_bfs_hops_matches_naive(ray_session):
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from lamapi_ray.pipelines.extras import link_bfs_hops
+
+    sf = "/root/testdata/sf0.001"
+    np_rows = pq.ParquetFile(f"{sf}/part.parquet").metadata.num_rows
+    nd = pq.ParquetFile(f"{sf}/documents.parquet").metadata.num_rows
+    adj = collections.defaultdict(set)
+    nodes = set()
+    for d in range(nd):
+        for t in (d % np_rows, (7 * d + 13) % np_rows):
+            adj[d].add(t)
+            nodes.add(d)
+            nodes.add(t)
+    dist = {v: 0 for v in nodes if v % 31 == 0}
+    frontier = set(dist)
+    for hop in (1, 2, 3):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    nxt.add(v)
+        for v in nxt:
+            dist[v] = hop
+        frontier = nxt
+
+    got = link_bfs_hops(sf)
+    got_d = dict(zip(got["node"].to_pylist(), got["dist"].to_pylist()))
+    assert got_d == dist
+    assert got["node"].to_pylist() == sorted(got_d)
