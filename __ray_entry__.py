@@ -2306,6 +2306,30 @@ def oracle_sql() -> dict[str, str]:
         ") ORDER BY node"
     )
 
+    # deterministic synchronous label propagation (2 rounds): each node
+    # adopts the smallest among max-frequency neighbor labels — mirrors
+    # extras.py::link_lpa_communities
+    sql["link_lpa_communities"] = (
+        "WITH n AS (SELECT count(*) AS np FROM part),\n"
+        "e0 AS (SELECT doc_id AS s, doc_id % np AS d FROM documents, n\n"
+        "       UNION ALL SELECT doc_id, (doc_id*7+13) % np FROM documents, n),\n"
+        "u AS (SELECT DISTINCT s AS a, d AS b FROM e0 WHERE s <> d\n"
+        "      UNION SELECT d, s FROM e0 WHERE s <> d),\n"
+        "nodes AS (SELECT DISTINCT a AS v FROM u),\n"
+        "l0 AS (SELECT v, v AS l FROM nodes),\n"
+        "r1 AS (SELECT v, l FROM (\n"
+        "  SELECT u.a AS v, l0.l, count(*) AS c,\n"
+        "    row_number() OVER (PARTITION BY u.a\n"
+        "      ORDER BY count(*) DESC, l0.l ASC) AS rn\n"
+        "  FROM u JOIN l0 ON l0.v = u.b GROUP BY u.a, l0.l) WHERE rn = 1),\n"
+        "r2 AS (SELECT v, l FROM (\n"
+        "  SELECT u.a AS v, r1.l, count(*) AS c,\n"
+        "    row_number() OVER (PARTITION BY u.a\n"
+        "      ORDER BY count(*) DESC, r1.l ASC) AS rn\n"
+        "  FROM u JOIN r1 ON r1.v = u.b GROUP BY u.a, r1.l) WHERE rn = 1)\n"
+        "SELECT v AS node, CAST(l AS BIGINT) AS community FROM r2 ORDER BY v"
+    )
+
     sql["link_indegree"] = (
         "WITH n AS (SELECT count(*) AS np FROM part),\n"
         "e AS (SELECT (doc_id % np) AS k FROM documents, n\n"
@@ -2944,6 +2968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "biblio_coupling",
         "link_components",
         "link_bfs_hops",
+        "link_lpa_communities",
         "funnel_times",
         "doc_search_bm25",
         "hybrid_rrf",
@@ -3272,7 +3297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_hits", "event_funnel", "co_citation", "biblio_coupling",
         "link_components", "funnel_times", "doc_search_bm25", "hybrid_rrf",
         "semdedup", "entity_ppr", "cross_source_linkage", "watermark_window",
-        "link_bfs_hops",
+        "link_bfs_hops", "link_lpa_communities",
         "cms_user_sketch",
         "entity_cooccurrence", "registrable_domains", "link_triangles",
         "hll_users_by_type", "jaccard_ppjoin",

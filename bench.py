@@ -260,6 +260,7 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("biblio_coupling", lambda: extras.biblio_coupling(sf_dir))
     timed("link_components", lambda: extras.link_components(sf_dir))
     timed("link_bfs_hops", lambda: extras.link_bfs_hops(sf_dir))
+    timed("link_lpa_communities", lambda: extras.link_lpa_communities(sf_dir))
     timed("funnel_times", lambda: extras.funnel_times(sf_dir))
     timed("watermark_window", lambda: extras.watermark_window(sf_dir))
     timed("doc_search_bm25", lambda: extras.doc_search_bm25(sf_dir))

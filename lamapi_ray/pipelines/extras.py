@@ -2363,6 +2363,136 @@ def event_funnel(sf_dir: str) -> pa.Table:
     )
 
 
+def link_lpa_communities(sf_dir: str, rounds: int = 2) -> pa.Table:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan
+    2007) over the undirected hyperlink graph, made fully deterministic:
+    l₀(v) = v; each round every node adopts the SMALLEST label among
+    those with maximum frequency over its neighbors' previous labels
+    (count desc, label asc — no random tie-break, no async order
+    dependence), which is what lets the DuckDB oracle unroll the same
+    rounds relationally. Fixed ``rounds`` (the standard fixed-sweep
+    variant; convergence detection is the counter-actor pattern
+    link_components uses).
+
+    Dataflow per round: the node-bounded label vector broadcasts via
+    ``ray.put`` (the pagerank/HITS state shape); one map over the
+    symmetric distinct edge stream emits (node, neighbor-label) pairs
+    map-side pre-counted, ONE node-bounded grouped exchange merges counts
+    and takes the (count desc, label asc) argmax per node."""
+    from lamapi_ray import synth
+    from lamapi_ray.stages.linkgraph import extract_links
+
+    def to_sym(batch: pa.Table) -> pa.Table:
+        def ids(col):
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return pc.cast(pc.utf8_slice_codeunits(col, 6), pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+
+        s = ids(batch["src"])
+        d = ids(batch["dst"])
+        keep = s != d
+        s, d = s[keep], d[keep]
+        a = np.concatenate([s, d])
+        b = np.concatenate([d, s])
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        if len(a):
+            first = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+            a, b = a[first], b[first]  # map-side distinct
+        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+
+    sym = (
+        extract_links(synth.pages_dataset(sf_dir))
+        .map_batches(to_sym, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["a", "b"], num_partitions=_scaled(0.5, 16))
+        .count()
+        .select_columns(["a", "b"])
+        .materialize()  # consumed once per round
+    )
+
+    nodes = np.unique(
+        np.concatenate(
+            [
+                b["a"].to_numpy(zero_copy_only=False)
+                for b in sym.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+            ]
+            or [np.array([], np.int64)]
+        )
+    )
+    labels = nodes.copy()
+    P = _scaled(0.5, 16)
+
+    def merge_pick(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return pa.table(
+                {"v": pa.array([], pa.int64()), "l": pa.array([], pa.int64())}
+            )
+        v = group["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        l = group["l"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = group["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        # merge partial counts, then argmax per v by (count desc, label asc)
+        order = np.lexsort((l, v))
+        v, l, c = v[order], l[order], c[order]
+        first = np.concatenate([[True], (v[1:] != v[:-1]) | (l[1:] != l[:-1])])
+        grp = np.cumsum(first) - 1
+        cs = np.zeros(int(grp[-1]) + 1 if len(grp) else 0, np.int64)
+        np.add.at(cs, grp, c)
+        vv, ll = v[first], l[first]
+        order2 = np.lexsort((ll, -cs, vv))
+        vv, ll, cs = vv[order2], ll[order2], cs[order2]
+        keep = np.concatenate([[True], vv[1:] != vv[:-1]])
+        return pa.table(
+            {"v": pa.array(vv[keep], pa.int64()), "l": pa.array(ll[keep], pa.int64())}
+        )
+
+    for _ in range(rounds):
+        lab_ref = ray.put(labels)
+
+        def scatter(batch: pa.Table, _l=lab_ref) -> pa.Table:
+            lab = ray.get(_l)
+            a = batch["a"].to_numpy(zero_copy_only=False)
+            b = batch["b"].to_numpy(zero_copy_only=False)
+            nl = lab[np.searchsorted(nodes, b)]  # every endpoint IS a node
+            key_order = np.lexsort((nl, a))
+            a2, nl2 = a[key_order], nl[key_order]
+            first = np.concatenate(
+                [[True], (a2[1:] != a2[:-1]) | (nl2[1:] != nl2[:-1])]
+            ) if len(a2) else np.array([], bool)
+            grp = np.cumsum(first) - 1 if len(a2) else np.array([], np.int64)
+            cnt = np.bincount(grp).astype(np.int64) if len(a2) else np.array([], np.int64)
+            va, la = a2[first] if len(a2) else a2, nl2[first] if len(a2) else nl2
+            return pa.table(
+                {
+                    "v": pa.array(va, pa.int64()),
+                    "l": pa.array(la, pa.int64()),
+                    "c": pa.array(cnt, pa.int64()),
+                    "__bucket": pa.array(va % np.int64(P), pa.int64()),
+                }
+            )
+
+        new = pa.concat_tables(
+            sym.map_batches(scatter, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("__bucket", num_partitions=P)
+            .map_groups(merge_pick, batch_format="pyarrow")
+            .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        )
+        nl = labels.copy()
+        if len(new):
+            nv = new["v"].to_numpy(zero_copy_only=False)
+            nlab = new["l"].to_numpy(zero_copy_only=False)
+            nl[np.searchsorted(nodes, nv)] = nlab
+        labels = nl
+
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "community": pa.array(labels, pa.int64()),
+        }
+    )
+
+
 def link_bfs_hops(sf_dir: str, max_hops: int = 3, seed_mod: int = 31) -> pa.Table:
     """k-hop BFS reachability over the DIRECTED hyperlink graph from a
     seed set (here the deterministic rule ``node % seed_mod == 0``) — the

@@ -244,3 +244,33 @@ def test_link_bfs_hops_matches_naive(ray_session):
     got_d = dict(zip(got["node"].to_pylist(), got["dist"].to_pylist()))
     assert got_d == dist
     assert got["node"].to_pylist() == sorted(got_d)
+
+
+def test_link_lpa_matches_naive(ray_session):
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from lamapi_ray.pipelines.extras import link_lpa_communities
+
+    sf = "/root/testdata/sf0.001"
+    np_rows = pq.ParquetFile(f"{sf}/part.parquet").metadata.num_rows
+    nd = pq.ParquetFile(f"{sf}/documents.parquet").metadata.num_rows
+    nbrs = collections.defaultdict(set)
+    for d in range(nd):
+        for t in (d % np_rows, (7 * d + 13) % np_rows):
+            if d != t:
+                nbrs[d].add(t)
+                nbrs[t].add(d)
+    lab = {v: v for v in nbrs}
+    for _ in range(2):
+        new = {}
+        for v, ns in nbrs.items():
+            cnt = collections.Counter(lab[u] for u in ns)
+            best = max(cnt.values())
+            new[v] = min(l for l, c in cnt.items() if c == best)
+        lab = new
+
+    got = link_lpa_communities(sf)
+    got_d = dict(zip(got["node"].to_pylist(), got["community"].to_pylist()))
+    assert got_d == lab
