@@ -1858,6 +1858,22 @@ def oracle_sql() -> dict[str, str]:
 
     # sessionize: 30-min-gap sessions per user (extras.py::sessionize);
     # session breaks depend only on the sorted ts sequence
+    # Efraimidis-Spirakis weighted sample: key = floor-quantized
+    # -ln(u)/w picounits, u from the scrambled id hash, k smallest win —
+    # mirrors extras.py::weighted_sample
+    sql["weighted_sample"] = (
+        "WITH h AS (SELECT event_id, user_id,\n"
+        "  CAST(printf('%.0f', value * 100) AS BIGINT) AS cents,\n"
+        "  (event_id * 2654435761) % 1000000007 AS hv FROM events),\n"
+        "kk AS (SELECT event_id, user_id, cents,\n"
+        "  CAST(floor(-ln((hv + 1.0) / 1000000008.0) / cents\n"
+        "       * 1000000000000) AS BIGINT) AS key_fp\n"
+        "  FROM h WHERE cents > 0)\n"
+        "SELECT event_id, user_id, cents, key_fp FROM kk\n"
+        "QUALIFY row_number() OVER (ORDER BY key_fp ASC, event_id ASC) <= 20\n"
+        "ORDER BY key_fp, event_id"
+    )
+
     # Event-time watermark window: running-max watermark over the planted
     # arrival permutation (every 50th event arrives 500 positions late,
     # event_id tie-break), allowed lateness 2 h — mirrors
@@ -2974,6 +2990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_rrf",
         "semdedup",
         "watermark_window",
+        "weighted_sample",
         "lang_id",
         "quality_score",
         "token_stats",
@@ -3297,7 +3314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_hits", "event_funnel", "co_citation", "biblio_coupling",
         "link_components", "funnel_times", "doc_search_bm25", "hybrid_rrf",
         "semdedup", "entity_ppr", "cross_source_linkage", "watermark_window",
-        "link_bfs_hops", "link_lpa_communities",
+        "link_bfs_hops", "link_lpa_communities", "weighted_sample",
         "cms_user_sketch",
         "entity_cooccurrence", "registrable_domains", "link_triangles",
         "hll_users_by_type", "jaccard_ppjoin",

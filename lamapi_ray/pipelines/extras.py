@@ -2118,6 +2118,57 @@ def doc_search_bm25(sf_dir: str) -> pa.Table:
     return bm25_search(_docs(sf_dir), list(SEARCH_QUERIES), k=10)
 
 
+def weighted_sample(sf_dir: str, k: int = 20) -> pa.Table:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006,
+    the A-ES one-pass scheme — the weighted leg completing the sampling
+    family: uniform hash bottom-k, stratified, shuffle-shard): each row
+    draws ``u`` from a deterministic scrambled hash of its id and keeps
+    key ``-ln(u) / w`` (w = integer cents); the k SMALLEST keys form an
+    exact w-proportional sample. The key is floor-quantized to integer
+    picounits with the SAME IEEE operand order as the SQL mirror, ties
+    broken by event_id — fully deterministic, so the oracle states the
+    identical expression.
+
+    Dataflow: one streamed pass with a map-side local bottom-k combiner —
+    the merge sees ≤ k·blocks rows at any corpus size (the cosine_topk
+    merge shape)."""
+    MOD = 1_000_000_007
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+
+    def local_bottomk(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)  # printf('%.0f') parity
+        keep = cents > 0
+        eid, uid, cents = eid[keep], uid[keep], cents[keep]
+        h = (eid * 2654435761) % MOD
+        u = (h + 1.0) / 1_000_000_008.0
+        # floor(-ln(u) / cents * 1e12) — identical left-assoc order and
+        # literals to the oracle expression
+        key = np.floor(-np.log(u) / cents * 1_000_000_000_000).astype(np.int64)
+        order = np.lexsort((eid, key))[:k]
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order], pa.int64()),
+                "user_id": pa.array(uid[order], pa.int64()),
+                "cents": pa.array(cents[order], pa.int64()),
+                "key_fp": pa.array(key[order], pa.int64()),
+            }
+        )
+
+    parts = _collect(
+        ev.map_batches(local_bottomk, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    eid = parts["event_id"].to_numpy(zero_copy_only=False)
+    key = parts["key_fp"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((eid, key))[:k]
+    return parts.take(pa.array(order))
+
+
 def watermark_window(sf_dir: str) -> pa.Table:
     """Event-time streaming window with a LATE-DATA watermark (the
     Dataflow-model semantics batch suites usually skip): rows arrive in

@@ -340,3 +340,40 @@ def test_watermark_window_flags_planted_stragglers(ray_session, tmp_path):
     }
     assert got == {k: v for k, v in want.items()}
     assert sum(l for _, l in got.values()) > 0  # stragglers actually flagged
+
+
+def test_weighted_sample_matches_naive_and_favors_weight(ray_session, tmp_path):
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lamapi_ray.pipelines.extras import weighted_sample
+
+    n = 500
+    eid = np.arange(n, dtype=np.int64)
+    # one heavy row (id 7, weight 10000x) should almost surely be sampled
+    value = np.where(eid == 7, 5000.0, 0.5)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(eid),
+            "ts": pa.array(eid * 1_000_000, pa.int64()).cast(pa.timestamp("us")),
+            "user_id": pa.array(eid % 9, pa.int64()),
+            "event_type": pa.array(["view"] * n, pa.string()),
+            "value": pa.array(value, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = weighted_sample(str(tmp_path), k=10)
+
+    cents = np.rint(value * 100).astype(np.int64)
+    h = (eid * 2654435761) % 1_000_000_007
+    key = np.floor(
+        -np.log((h + 1.0) / 1_000_000_008.0) / cents * 1_000_000_000_000
+    ).astype(np.int64)
+    order = np.lexsort((eid, key))[:10]
+    assert got["event_id"].to_pylist() == eid[order].tolist()
+    assert got["key_fp"].to_pylist() == key[order].tolist()
+    assert 7 in got["event_id"].to_pylist()  # heavy row sampled
