@@ -1858,6 +1858,31 @@ def oracle_sql() -> dict[str, str]:
 
     # sessionize: 30-min-gap sessions per user (extras.py::sessionize);
     # session breaks depend only on the sorted ts sequence
+    # MAD robust outliers: nearest-rank medians over integer cents,
+    # outlier iff |cents - med| > 3*MAD — mirrors extras.py::mad_outliers
+    sql["mad_outliers"] = (
+        "WITH c AS (SELECT event_type,\n"
+        "  CAST(printf('%.0f', value * 100) AS BIGINT) AS cents FROM events),\n"
+        "m AS (SELECT event_type, cents,\n"
+        "  row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,\n"
+        "  count(*) OVER (PARTITION BY event_type) AS n FROM c),\n"
+        "med AS (SELECT event_type, cents AS med FROM m\n"
+        "        WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)),\n"
+        "d AS (SELECT c.event_type, med.med, abs(c.cents - med.med) AS dev\n"
+        "      FROM c JOIN med USING (event_type)),\n"
+        "m2 AS (SELECT event_type, med, dev,\n"
+        "  row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,\n"
+        "  count(*) OVER (PARTITION BY event_type) AS n FROM d),\n"
+        "mad AS (SELECT event_type, med, dev AS mad FROM m2\n"
+        "        WHERE rn = CAST(ceil(n / 2.0) AS BIGINT))\n"
+        "SELECT mad.event_type, CAST(mad.med AS BIGINT) AS med_cents,\n"
+        "  CAST(mad.mad AS BIGINT) AS mad_cents,\n"
+        "  CAST(sum(CASE WHEN d.dev > 3 * mad.mad THEN 1 ELSE 0 END)\n"
+        "       AS BIGINT) AS n_outliers\n"
+        "FROM d JOIN mad USING (event_type)\n"
+        "GROUP BY 1, 2, 3 ORDER BY 1"
+    )
+
     # Efraimidis-Spirakis weighted sample: key = floor-quantized
     # -ln(u)/w picounits, u from the scrambled id hash, k smallest win —
     # mirrors extras.py::weighted_sample
@@ -2991,6 +3016,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup",
         "watermark_window",
         "weighted_sample",
+        "mad_outliers",
         "lang_id",
         "quality_score",
         "token_stats",
@@ -3315,6 +3341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_components", "funnel_times", "doc_search_bm25", "hybrid_rrf",
         "semdedup", "entity_ppr", "cross_source_linkage", "watermark_window",
         "link_bfs_hops", "link_lpa_communities", "weighted_sample",
+        "mad_outliers",
         "cms_user_sketch",
         "entity_cooccurrence", "registrable_domains", "link_triangles",
         "hll_users_by_type", "jaccard_ppjoin",

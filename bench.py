@@ -264,6 +264,7 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("funnel_times", lambda: extras.funnel_times(sf_dir))
     timed("watermark_window", lambda: extras.watermark_window(sf_dir))
     timed("weighted_sample", lambda: extras.weighted_sample(sf_dir))
+    timed("mad_outliers", lambda: extras.mad_outliers(sf_dir))
     timed("doc_search_bm25", lambda: extras.doc_search_bm25(sf_dir))
     timed("hybrid_rrf", lambda: extras.hybrid_rrf(sf_dir))
     timed("semdedup", lambda: extras.semdedup(sf_dir))

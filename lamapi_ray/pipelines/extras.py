@@ -2118,6 +2118,60 @@ def doc_search_bm25(sf_dir: str) -> pa.Table:
     return bm25_search(_docs(sf_dir), list(SEARCH_QUERIES), k=10)
 
 
+def mad_outliers(sf_dir: str) -> pa.Table:
+    """Robust outlier detection per event type by MEDIAN ABSOLUTE
+    DEVIATION (the data-quality staple that, unlike z-scores, a few
+    extreme rows cannot poison): med = nearest-rank median of integer
+    cents, MAD = nearest-rank median of |cents − med|, outlier ⟺
+    |cents − med| > 3·MAD. All-integer selection arithmetic (printf-
+    parity cents, ceil(n/2)-th order statistics, integer 3·MAD compare)
+    ⇒ the oracle states the identical expressions. Output per type:
+    (event_type, med_cents, mad_cents, n_outliers).
+
+    Distributed shape: ``groupby(event_type).map_groups`` with one
+    vectorized sort + one partition per group — same contract note as
+    :func:`event_percentiles` (at huge group sizes the identical
+    nearest-rank results come from a distributed selection)."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def group_mad(group: pa.Table) -> pa.Table:
+        n = len(group)
+        if n == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "med_cents": pa.array([], pa.int64()),
+                    "mad_cents": pa.array([], pa.int64()),
+                    "n_outliers": pa.array([], pa.int64()),
+                }
+            )
+        import math
+
+        cents = np.rint(
+            group["value"].combine_chunks().to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        k = math.ceil(n / 2.0) - 1
+        med = int(np.partition(cents, k)[k])
+        dev = np.abs(cents - med)
+        mad = int(np.partition(dev, k)[k])
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [group["event_type"][0].as_py()], pa.string()
+                ),
+                "med_cents": pa.array([med], pa.int64()),
+                "mad_cents": pa.array([mad], pa.int64()),
+                "n_outliers": pa.array([int((dev > 3 * mad).sum())], pa.int64()),
+            }
+        )
+
+    return _collect(
+        ev.groupby("event_type").map_groups(group_mad, batch_format="pyarrow")
+    ).sort_by("event_type")
+
+
 def weighted_sample(sf_dir: str, k: int = 20) -> pa.Table:
     """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006,
     the A-ES one-pass scheme — the weighted leg completing the sampling

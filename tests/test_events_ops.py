@@ -377,3 +377,47 @@ def test_weighted_sample_matches_naive_and_favors_weight(ray_session, tmp_path):
     assert got["event_id"].to_pylist() == eid[order].tolist()
     assert got["key_fp"].to_pylist() == key[order].tolist()
     assert 7 in got["event_id"].to_pylist()  # heavy row sampled
+
+
+def test_mad_outliers_flags_planted_extremes(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lamapi_ray.pipelines.extras import mad_outliers
+
+    # type 'a': tight cluster around $1.00 with two planted extremes;
+    # type 'b': all identical (MAD 0 → every deviation > 0 is an outlier)
+    vals_a = [1.00, 1.01, 0.99, 1.02, 0.98, 1.00, 50.0, -0.0 + 40.0]
+    vals_b = [2.0, 2.0, 2.0, 2.0]
+    vals = vals_a + vals_b
+    et = ["a"] * len(vals_a) + ["b"] * len(vals_b)
+    n = len(vals)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(list(range(n)), pa.int64()),
+            "ts": pa.array([i * 1_000_000 for i in range(n)], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "user_id": pa.array([0] * n, pa.int64()),
+            "event_type": pa.array(et, pa.string()),
+            "value": pa.array(vals, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = mad_outliers(str(tmp_path))
+    rows = {
+        t: (m, md, o)
+        for t, m, md, o in zip(
+            out["event_type"].to_pylist(),
+            out["med_cents"].to_pylist(),
+            out["mad_cents"].to_pylist(),
+            out["n_outliers"].to_pylist(),
+        )
+    }
+    # type a: cents sorted [98,99,100,100,101,102,4000,5000]; n=8 → 4th = 100
+    # devs sorted [0,0,1,1,2,2,3900,4900] → MAD = 4th = 1; 3*MAD=3 → 2 outliers
+    assert rows["a"] == (100, 1, 2)
+    # type b: med 200, MAD 0, no deviations → 0 outliers
+    assert rows["b"] == (200, 0, 0)
