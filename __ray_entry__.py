@@ -725,6 +725,33 @@ def oracle_sql() -> dict[str, str]:
         "SELECT entity, rf AS rank_fp, rf / 1000000000.0 AS rank FROM pr3"
     )
 
+    # KG fusion: full-outer merge of items with the CB ingest on exact
+    # label, CB description wins, popularity = max, min-entity CB
+    # representative per label — mirrors extras.py::kg_fusion
+    sql["kg_fusion"] = _with(
+        SQL_ITEMS,
+        "cb AS (SELECT 'org-' || c_custkey AS entity, c_name AS label,\n"
+        " c_mktsegment AS description,\n"
+        " CAST(c_custkey % 100 AS BIGINT) AS popularity\n"
+        " FROM customer WHERE c_custkey % 97 <> 0)",
+        "cbm AS (SELECT label, description AS cb_desc, popularity AS cb_pop\n"
+        "  FROM (SELECT cb.*, row_number() OVER (PARTITION BY label\n"
+        "          ORDER BY entity) AS rn FROM cb) WHERE rn = 1)",
+        "wl AS (SELECT DISTINCT label FROM items)",
+    ) + (
+        "SELECT entity, label, description, popularity, source FROM (\n"
+        "  SELECT i.entity, i.label,\n"
+        "    coalesce(c.cb_desc, i.description) AS description,\n"
+        "    CAST(greatest(i.popularity, coalesce(c.cb_pop, 0)) AS BIGINT)\n"
+        "      AS popularity,\n"
+        "    CASE WHEN c.label IS NOT NULL THEN 'both' ELSE 'wd' END AS source\n"
+        "  FROM items i LEFT JOIN cbm c USING (label)\n"
+        "  UNION ALL\n"
+        "  SELECT cb.entity, cb.label, cb.description, cb.popularity, 'cb'\n"
+        "  FROM cb WHERE cb.label NOT IN (SELECT label FROM wl)\n"
+        ") ORDER BY entity, label"
+    )
+
     # cross-source record linkage: CB org names × Wikidata item labels at
     # edit distance <= 1 — mirrors extras.py::cross_source_linkage (the
     # engine runs the blocked SymSpell cross join; the oracle states the
@@ -3137,6 +3164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["entity_pagerank"] = with_kg("entity_pagerank", "triples")
     out["entity_ppr"] = with_kg("entity_ppr", "triples")
     out["cross_source_linkage"] = with_kg("cross_source_linkage", "items")
+    out["kg_fusion"] = with_kg("kg_fusion", "items")
     out["lookup_literals"] = with_kg("lookup_literals", "literals")
     out["predicates_pairs"] = with_kg("predicates_pairs", "triples")
     out["entity_cooccurrence"] = with_kg("entity_cooccurrence", "linked")
@@ -3339,7 +3367,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the final session's additions — never driver-checked, newest first
         "link_hits", "event_funnel", "co_citation", "biblio_coupling",
         "link_components", "funnel_times", "doc_search_bm25", "hybrid_rrf",
-        "semdedup", "entity_ppr", "cross_source_linkage", "watermark_window",
+        "semdedup", "entity_ppr", "cross_source_linkage", "kg_fusion",
+        "watermark_window",
         "link_bfs_hops", "link_lpa_communities", "weighted_sample",
         "mad_outliers",
         "cms_user_sketch",

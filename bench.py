@@ -251,6 +251,7 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("typo_pairs", lambda: extras.typo_pairs(sf_dir))
     timed("cross_source_linkage",
           lambda: extras.cross_source_linkage(sf_dir, kg["items"]))
+    timed("kg_fusion", lambda: extras.kg_fusion(sf_dir, kg["items"]))
     timed("jaccard_ppjoin", lambda: extras.jaccard_ppjoin(sf_dir))
     timed("passage_dedup", lambda: extras.passage_dedup(sf_dir))
     timed("link_triangles", lambda: extras.link_triangles(sf_dir))

@@ -4080,6 +4080,107 @@ def cross_source_linkage(sf_dir: str, items: pa.Table) -> pa.Table:
     ).sort_by([("cb_id", "ascending"), ("wd_id", "ascending")])
 
 
+def kg_fusion(sf_dir: str, items: pa.Table) -> pa.Table:
+    """KG FUSION — the merge step downstream of cross-source linkage:
+    full-outer fusion of the Wikidata item table with the Crunchbase
+    ingest on exact label match, with deterministic field-level conflict
+    rules (the reference keeps both sources side by side; this produces
+    the single merged entity table a consumer actually wants):
+
+    * matched (label in both): keep the Wikidata entity id, take the CB
+      description (the richer business field), popularity = max of the
+      two, source='both'; when several CB rows share a label the
+      min-entity row wins (deterministic representative).
+    * Wikidata-only: row passes through, source='wd'.
+    * CB-only: row passes through under its CB id, source='cb'.
+
+    Dataflow: CB is the SMALL side by construction (reference: one CSV vs
+    the full dump), so it broadcasts as a label-keyed lookup (ray.put)
+    and the item stream merges in one map pass; matched-label discovery
+    for the CB-only remainder is a CB-bounded distinct collect — nothing
+    corpus-sized leaves the stream."""
+    from lamapi_ray.sources.crunchbase import cb_tables
+
+    cb = cb_tables(sf_dir)["items"].select(
+        ["entity", "label", "description", "popularity"]
+    )
+    # min-entity representative per CB label (CB-bounded, vectorized)
+    cbe = np.asarray(cb["entity"].to_pylist(), object)
+    cbl = np.asarray(cb["label"].to_pylist(), object)
+    cbd = np.asarray(cb["description"].to_pylist(), object)
+    cbp = cb["popularity"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((cbe, cbl))
+    first = np.concatenate([[True], cbl[order][1:] != cbl[order][:-1]]) \
+        if len(order) else np.array([], bool)
+    rep = order[first]
+    rep_labels = pa.array([str(cbl[i]) for i in rep], pa.large_string())
+    rep_desc = np.asarray([str(cbd[i]) for i in rep], object)
+    rep_pop = cbp[rep].astype(np.int64) if len(rep) else np.array([], np.int64)
+    cb_ref = ray.put((rep_labels, rep_desc, rep_pop))
+
+    ds = ray.data.from_arrow(
+        items.select(["entity", "label", "description", "popularity"])
+    )
+
+    def merge(batch: pa.Table) -> pa.Table:
+        labs_pa, descs, pops = ray.get(cb_ref)
+        lab_col = batch["label"]
+        if isinstance(lab_col, pa.ChunkedArray):
+            lab_col = lab_col.combine_chunks()
+        lab_col = lab_col.cast(pa.large_string())
+        idx = pc.fill_null(pc.index_in(lab_col, labs_pa), -1).to_numpy(
+            zero_copy_only=False
+        )
+        hit = idx >= 0
+        safe = np.maximum(idx, 0)
+        wd_desc = np.asarray(batch["description"].to_pylist(), object)
+        pop = batch["popularity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_desc = np.where(hit, descs[safe] if len(descs) else wd_desc, wd_desc)
+        out_pop = np.where(
+            hit, np.maximum(pop, pops[safe] if len(pops) else pop), pop
+        )
+        hit_pa = pa.array(hit)
+        return pa.table(
+            {
+                "entity": batch["entity"],
+                "label": batch["label"],
+                "description": pa.array(out_desc.tolist(), pa.string()),
+                "popularity": pa.array(out_pop, pa.int64()),
+                "source": pc.if_else(hit_pa, "both", "wd"),
+                "__hit": pc.if_else(
+                    hit_pa, lab_col.cast(pa.string()), pa.scalar(None, pa.string())
+                ),
+            }
+        )
+
+    merged = ds.map_batches(merge, batch_format="pyarrow").materialize()
+    # CB-bounded distinct collect of matched labels
+    matched: set[str] = set()
+    for b in merged.select_columns(["__hit"]).iter_batches(
+        batch_size=1 << 20, batch_format="pyarrow"
+    ):
+        matched.update(x for x in b["__hit"].to_pylist() if x is not None)
+    fused = pa.concat_tables(
+        merged.select_columns(
+            ["entity", "label", "description", "popularity", "source"]
+        ).iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    )
+    # CB-only remainder
+    keep = [i for i, l in enumerate(cbl) if str(l) not in matched]
+    rest = pa.table(
+        {
+            "entity": pa.array([str(cbe[i]) for i in keep], pa.string()),
+            "label": pa.array([str(cbl[i]) for i in keep], pa.string()),
+            "description": pa.array([str(cbd[i]) for i in keep], pa.string()),
+            "popularity": pa.array([int(cbp[i]) for i in keep], pa.int64()),
+            "source": pa.array(["cb"] * len(keep), pa.string()),
+        }
+    )
+    return pa.concat_tables(
+        [fused.cast(rest.schema), rest]
+    ).sort_by([("entity", "ascending"), ("label", "ascending")])
+
+
 def type_closure(sf_dir: str) -> pa.Table:
     """Ancestor transitive closure over the deterministic part-item
     hierarchy (child Q(100000+k) → parent Q(100000+(k-1)//2), k ≥ 1 — a

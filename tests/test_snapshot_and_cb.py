@@ -126,3 +126,48 @@ def test_gc_snapshots_empty_and_missing_dir(tmp_path):
 
     assert gc_snapshots(str(tmp_path / "nope")) == {"kept": [], "deleted": []}
     assert gc_snapshots(str(tmp_path)) == {"kept": [], "deleted": []}
+
+
+def test_kg_fusion_cb_only_branch(ray_session):
+    import pyarrow as pa
+
+    from lamapi_ray.pipelines.extras import kg_fusion
+    from lamapi_ray.sources.crunchbase import cb_tables
+
+    sf = "/root/testdata/sf0.001"
+    cb = cb_tables(sf)["items"]
+    # items table sharing NO label with CB → every CB row must surface
+    # under its own id with source='cb'; items rows pass through as 'wd'
+    items = pa.table(
+        {
+            "entity": pa.array(["Q1", "Q2"], pa.string()),
+            "label": pa.array(["zzz only in wd", "yyy only in wd"], pa.string()),
+            "description": pa.array(["d1", "d2"], pa.string()),
+            "popularity": pa.array([5, 6], pa.int64()),
+        }
+    )
+    out = kg_fusion(sf, items)
+    import collections
+
+    src = collections.Counter(out["source"].to_pylist())
+    assert src["wd"] == 2
+    assert src["both"] == 0
+    assert src["cb"] == cb.num_rows
+    # and the matched branch with a shared label: CB desc + max popularity win
+    one_label = cb["label"][0].as_py()
+    items2 = pa.table(
+        {
+            "entity": pa.array(["Q9"], pa.string()),
+            "label": pa.array([one_label], pa.string()),
+            "description": pa.array(["wd desc"], pa.string()),
+            "popularity": pa.array([1_000_000], pa.int64()),
+        }
+    )
+    out2 = kg_fusion(sf, items2)
+    both = out2.filter(
+        pa.compute.equal(out2["source"], "both")
+    )
+    assert both.num_rows == 1
+    assert both["entity"][0].as_py() == "Q9"
+    assert both["description"][0].as_py() == cb["description"][0].as_py()
+    assert both["popularity"][0].as_py() == 1_000_000
