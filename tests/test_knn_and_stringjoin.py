@@ -139,3 +139,43 @@ def test_similarity_cross_join_matches_naive(ray_session):
     assert got == want
     # "l3" ("x") is below min_len and pairs with nothing
     assert not [g for g in got if g[0] == "l3"]
+
+
+def test_ed1_kernel_matches_dp_on_random_pairs():
+    import numpy as np
+
+    from lamapi_ray.functions.text import levenshtein
+    from lamapi_ray.stages.stringjoin import _byte_matrix, _ed1_dists
+
+    rng = np.random.default_rng(3)
+    alph = "abcd"
+
+    def rnd(n):
+        return "".join(rng.choice(list(alph)) for _ in range(n))
+
+    L, R = [], []
+    for _ in range(400):
+        s = rnd(int(rng.integers(1, 12)))
+        L.append(s)
+        op = rng.integers(0, 5)
+        t = list(s)
+        if op == 1 and len(t):
+            t[rng.integers(0, len(t))] = rng.choice(list(alph))
+        elif op == 2:
+            t.insert(int(rng.integers(0, len(t) + 1)), str(rng.choice(list(alph))))
+        elif op == 3 and len(t) > 1:
+            del t[rng.integers(0, len(t))]
+        elif op == 4:
+            t = list(rnd(int(rng.integers(1, 12))))
+        R.append("".join(t))
+    llen = np.array([len(s) for s in L])
+    rlen = np.array([len(s) for s in R])
+    W = max(llen.max(), rlen.max()) + 1
+    lm = _byte_matrix(L, W)
+    rm = _byte_matrix(R, W)
+    idx = np.arange(len(L))
+    keep = np.abs(llen - rlen) <= 1
+    d = _ed1_dists(lm, llen, rm, rlen, idx[keep], idx[keep])
+    for k, i in enumerate(idx[keep]):
+        true = levenshtein(L[i], R[i])
+        assert int(d[k]) == (true if true <= 1 else 2), (L[i], R[i])
