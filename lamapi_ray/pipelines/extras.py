@@ -258,10 +258,14 @@ def sessionize(sf_dir: str) -> pa.Table:
     """Gap-based sessionization of the event stream: per user, events
     sorted by (ts, event_id); a gap > 30 min starts a new session; one
     output row per session with count and bounds. The canonical
-    "streaming window" re-expressed batch-native: ``groupby(user_id)``
-    co-locates each user's history, the per-group kernel is numpy diff +
-    cumsum (no per-event Python). Session bounds/counts are independent
-    of tie order at equal ts (gap 0), so results are deterministic."""
+    "streaming window" re-expressed batch-native: COARSE user-hash
+    partitions co-locate each user's history (many users per map_groups
+    call — never one Python call per user), and the kernel is one
+    lexsort + segment-aware diff/cumsum over the whole partition (user
+    boundaries force a session break). Session bounds/counts are
+    independent of tie order at equal ts (gap 0), so results are
+    deterministic."""
+    P = _scaled(0.5, 16)
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
     )
@@ -269,28 +273,41 @@ def sessionize(sf_dir: str) -> pa.Table:
 
     def sessions(group: pa.Table) -> pa.Table:
         n = len(group)
+        empty = pa.table(
+            {"user_id": pa.array([], pa.int64()),
+             "session_id": pa.array([], pa.int64()),
+             "n_events": pa.array([], pa.int64()),
+             "start_ts": pa.array([], pa.timestamp("us")),
+             "end_ts": pa.array([], pa.timestamp("us"))}
+        )
         if n == 0:
-            return pa.table(
-                {"user_id": pa.array([], pa.int64()),
-                 "session_id": pa.array([], pa.int64()),
-                 "n_events": pa.array([], pa.int64()),
-                 "start_ts": pa.array([], pa.timestamp("us")),
-                 "end_ts": pa.array([], pa.timestamp("us"))}
-            )
-        ts = group["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+            return empty
+        ts = group["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
         eid = group["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts))
-        ts = ts[order]
-        uid = int(group["user_id"][0].as_py())
-        brk = np.concatenate([[True], (ts[1:] - ts[:-1]) > GAP_US])
-        sid = np.cumsum(brk)  # 1-based session ids in time order
+        uid = group["user_id"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts = uid[order], ts[order]
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+        brk = new_user | np.concatenate([[True], (ts[1:] - ts[:-1]) > GAP_US])
         starts = np.flatnonzero(brk)
         counts = np.diff(np.concatenate([starts, [n]]))
         ends = starts + counts - 1
+        # per-user 1-based session ids: global cumsum minus the user's base
+        sid_global = np.cumsum(brk)
+        user_starts = np.flatnonzero(new_user)
+        # base for each session = sid_global just before its user's first row
+        sess_user_first = np.searchsorted(user_starts, starts, side="right") - 1
+        base = (sid_global[user_starts] - 1)[sess_user_first]
         return pa.table(
             {
-                "user_id": pa.array(np.full(len(starts), uid), pa.int64()),
-                "session_id": pa.array(sid[starts].astype(np.int64), pa.int64()),
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "session_id": pa.array(
+                    (sid_global[starts] - base).astype(np.int64), pa.int64()
+                ),
                 "n_events": pa.array(counts.astype(np.int64), pa.int64()),
                 "start_ts": pa.array(ts[starts], pa.int64()).cast(pa.timestamp("us")),
                 "end_ts": pa.array(ts[ends], pa.int64()).cast(pa.timestamp("us")),
@@ -298,9 +315,11 @@ def sessionize(sf_dir: str) -> pa.Table:
         )
 
     return _collect(
-        ev.groupby("user_id", num_partitions=_scaled(0.5, 16)).map_groups(
-            sessions, batch_format="pyarrow"
+        ev.map_batches(
+            lambda b: _user_pk(b, P), batch_format="pyarrow", zero_copy_batch=True
         )
+        .groupby("__upk", num_partitions=P)
+        .map_groups(sessions, batch_format="pyarrow")
     ).sort_by([("user_id", "ascending"), ("session_id", "ascending")])
 
 
@@ -2395,6 +2414,50 @@ def hybrid_rrf(sf_dir: str) -> pa.Table:
 FUNNEL_STEPS = ("view", "click", "purchase")
 
 
+def _funnel_state(group: pa.Table):
+    """Shared multi-user funnel kernel over one COARSE user partition
+    (many users per call — the 39× cross-join lesson applied: never one
+    Python map_groups call per user). Vectorized per step: one mask +
+    one ``np.minimum.at`` scatter over user codes; a user that misses a
+    step is parked at t=+inf so later steps cannot revive it.
+
+    → (user_codes_values, reached per user, t_first, t_last) where
+    t_first/t_last are the step-1 / final-step completion times (int64
+    us; only meaningful where reached covers them)."""
+    et = group["event_type"].combine_chunks().cast(pa.string())
+    ts = (
+        group["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+    )
+    uid = group["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    users, inv = np.unique(uid, return_inverse=True)
+    nu = len(users)
+    IMAX = np.iinfo(np.int64).max
+    t_prev = np.full(nu, np.iinfo(np.int64).min, np.int64)
+    reached = np.zeros(nu, np.int64)
+    t_first = np.zeros(nu, np.int64)
+    for si, step in enumerate(FUNNEL_STEPS):
+        m = pc.equal(et, step).to_numpy(zero_copy_only=False) & (
+            ts > t_prev[inv]
+        )
+        tmin = np.full(nu, IMAX, np.int64)
+        np.minimum.at(tmin, inv[m], ts[m])
+        alive = tmin != IMAX  # users parked at IMAX pass no rows, stay dead
+        reached += alive
+        t_prev = np.where(alive, tmin, IMAX)
+        if si == 0:
+            t_first = np.where(alive, tmin, 0)
+    return users, reached, t_first, t_prev
+
+
+def _user_pk(batch: pa.Table, P: int) -> pa.Table:
+    uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return batch.append_column(
+        "__upk", pa.array((uid * 2654435761) % 1_000_000_007 % P, pa.int64())
+    )
+
+
 def event_funnel(sf_dir: str) -> pa.Table:
     """Ordered conversion-funnel analysis: how many users performed
     'view', then 'click' STRICTLY after their first view, then 'purchase'
@@ -2407,41 +2470,26 @@ def event_funnel(sf_dir: str) -> pa.Table:
     makes equal-timestamp ties non-progressing, so the result is
     deterministic under any tie order.
 
-    Dataflow: ``groupby(user_id)`` co-locates each user's history
-    (events pruned to (user_id, event_type, ts) at the read); the
-    per-group kernel is three vectorized masked mins — no per-event
-    Python. Each group emits ONE row (its max step reached), and the
-    user-bounded step table folds to 3 rows via a per-batch bincount
-    combiner + one tiny groupby — the funnel counts cross the wire as
-    ≤ steps·blocks ints, never per-user rows."""
+    Dataflow: COARSE user-hash partitions co-locate each user's history
+    (events pruned to (user_id, event_type, ts) at the read) with MANY
+    users per ``map_groups`` call; the kernel is one masked
+    ``np.minimum.at`` scatter per step over user codes — no per-user
+    Python call, no per-event Python. Each partition folds straight to
+    steps-bounded (step, n) partials, so the funnel counts cross the
+    wire as ≤ steps·partitions ints, never per-user rows."""
+    P = _scaled(0.5, 16)
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
     )
     n_steps = len(FUNNEL_STEPS)
 
-    def reach(group: pa.Table) -> pa.Table:
-        et = group["event_type"].combine_chunks().cast(pa.string())
-        ts = (
-            group["ts"].combine_chunks().cast(pa.int64()).to_numpy(
-                zero_copy_only=False
+    def partition_counts(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return pa.table(
+                {"step": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
             )
-        )
-        reached = 0
-        t_prev = None
-        for step in FUNNEL_STEPS:
-            m = pc.equal(et, step).to_numpy(zero_copy_only=False)
-            if t_prev is not None:
-                m = m & (ts > t_prev)
-            if not m.any():
-                break
-            t_prev = ts[m].min()
-            reached += 1
-        return pa.table({"reached": pa.array([reached], pa.int64())})
-
-    def step_partials(batch: pa.Table) -> pa.Table:
-        r = batch["reached"].to_numpy(zero_copy_only=False)
-        # user counted at every step up to the one reached → suffix sums
-        per = np.bincount(r, minlength=n_steps + 1).astype(np.int64)
+        _, reached, _, _ = _funnel_state(group)
+        per = np.bincount(reached, minlength=n_steps + 1).astype(np.int64)
         cum = np.cumsum(per[::-1])[::-1]  # cum[k] = users with reached >= k
         return pa.table(
             {
@@ -2453,9 +2501,11 @@ def event_funnel(sf_dir: str) -> pa.Table:
     from ray.data.aggregate import Sum
 
     agg = _collect(
-        ev.groupby("user_id", num_partitions=_scaled(0.5, 16))
-        .map_groups(reach, batch_format="pyarrow")
-        .map_batches(step_partials, batch_format="pyarrow", zero_copy_batch=True)
+        ev.map_batches(
+            lambda b: _user_pk(b, P), batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("__upk", num_partitions=P)
+        .map_groups(partition_counts, batch_format="pyarrow")
         .groupby("step", num_partitions=1)
         .aggregate(Sum("n", alias_name="n_users"))
     ).sort_by("step")
@@ -2697,48 +2747,43 @@ def funnel_times(sf_dir: str) -> pa.Table:
     microseconds from the first view to the completing purchase — the
     time-to-convert distribution product analytics reads next. Integer
     timestamp arithmetic end to end (no float durations), one row per
-    converting user (user-bounded output), same groupby(user_id)
-    co-location + masked-min kernel as the funnel itself."""
+    converting user (user-bounded output), same coarse user-hash
+    partitions + multi-user masked-scatter kernel as the funnel itself
+    (:func:`_funnel_state` — no per-user map_groups call)."""
+    P = _scaled(0.5, 16)
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
     )
+    n_steps = len(FUNNEL_STEPS)
 
-    def convert_time(group: pa.Table) -> pa.Table:
+    def partition_times(group: pa.Table) -> pa.Table:
         empty = pa.table(
             {
                 "user_id": pa.array([], pa.int64()),
                 "us_to_convert": pa.array([], pa.int64()),
             }
         )
-        et = group["event_type"].combine_chunks().cast(pa.string())
-        ts = (
-            group["ts"].combine_chunks().cast(pa.int64()).to_numpy(
-                zero_copy_only=False
-            )
-        )
-        t_prev = None
-        t_first = None
-        for step in FUNNEL_STEPS:
-            m = pc.equal(et, step).to_numpy(zero_copy_only=False)
-            if t_prev is not None:
-                m = m & (ts > t_prev)
-            if not m.any():
-                return empty
-            t_prev = ts[m].min()
-            if t_first is None:
-                t_first = t_prev
-        uid = int(group["user_id"][0].as_py())
+        if len(group) == 0:
+            return empty
+        users, reached, t_first, t_last = _funnel_state(group)
+        done = reached == n_steps
+        if not done.any():
+            return empty
         return pa.table(
             {
-                "user_id": pa.array([uid], pa.int64()),
-                "us_to_convert": pa.array([int(t_prev - t_first)], pa.int64()),
+                "user_id": pa.array(users[done].astype(np.int64), pa.int64()),
+                "us_to_convert": pa.array(
+                    (t_last[done] - t_first[done]).astype(np.int64), pa.int64()
+                ),
             }
         )
 
     return _collect(
-        ev.groupby("user_id", num_partitions=_scaled(0.5, 16)).map_groups(
-            convert_time, batch_format="pyarrow"
+        ev.map_batches(
+            lambda b: _user_pk(b, P), batch_format="pyarrow", zero_copy_batch=True
         )
+        .groupby("__upk", num_partitions=P)
+        .map_groups(partition_times, batch_format="pyarrow")
     ).sort_by("user_id")
 
 
@@ -4446,7 +4491,13 @@ def running_user_totals(sf_dir: str) -> pa.Table:
     per user, events in (ts, event_id) order carry a running sum of integer
     cents and a running event count. groupby(user) co-locates each user's
     history; the per-group kernel is one lexsort + np.cumsum (no per-row
-    Python). Mirrors SUM/COUNT OVER (PARTITION BY user ORDER BY ts, id)."""
+    Python). Mirrors SUM/COUNT OVER (PARTITION BY user ORDER BY ts, id).
+
+    The kernel is segment-aware (per-user resets inside one array pass),
+    so co-location runs on COARSE user-hash partitions — many users per
+    map_groups call, never one Python call per user (the 39× cross-join
+    lesson)."""
+    P = _scaled(0.25, 8)
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
     )
@@ -4482,8 +4533,13 @@ def running_user_totals(sf_dir: str) -> pa.Table:
         )
 
     out = (
-        ev.groupby("user_id", num_partitions=_scaled(0.25, 8))
-        .map_groups(running, batch_format="pyarrow")
+        ev.map_batches(
+            lambda b: _user_pk(b, P), batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("__upk", num_partitions=P)
+        .map_groups(lambda g: running(g.select(
+            ["event_id", "ts", "user_id", "value"]
+        )), batch_format="pyarrow")
     )
     return _collect(out).sort_by("event_id")
 
