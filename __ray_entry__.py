@@ -1910,6 +1910,20 @@ def oracle_sql() -> dict[str, str]:
         "GROUP BY 1, 2, 3 ORDER BY 1"
     )
 
+    # weekly cohort retention: cohort = user's first epoch-week (integer
+    # epoch_us // 604800000000, the same `//` the engine computes), cell =
+    # distinct users from that cohort active week_offset weeks later —
+    # mirrors extras.py::retention_cohorts
+    sql["retention_cohorts"] = (
+        "WITH act AS (SELECT DISTINCT user_id,\n"
+        "  epoch_us(ts) // 604800000000 AS wk FROM events),\n"
+        "cohort AS (SELECT user_id, min(wk) AS w0 FROM act GROUP BY user_id)\n"
+        "SELECT c.w0 AS cohort_week, a.wk - c.w0 AS week_offset,\n"
+        "  CAST(count(*) AS BIGINT) AS n_users\n"
+        "FROM act a JOIN cohort c USING (user_id)\n"
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+
     # Efraimidis-Spirakis weighted sample: key = floor-quantized
     # -ln(u)/w picounits, u from the scrambled id hash, k smallest win —
     # mirrors extras.py::weighted_sample
@@ -3044,6 +3058,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "watermark_window",
         "weighted_sample",
         "mad_outliers",
+        "retention_cohorts",
         "lang_id",
         "quality_score",
         "token_stats",
@@ -3370,7 +3385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup", "entity_ppr", "cross_source_linkage", "kg_fusion",
         "watermark_window",
         "link_bfs_hops", "link_lpa_communities", "weighted_sample",
-        "mad_outliers",
+        "mad_outliers", "retention_cohorts",
         "cms_user_sketch",
         "entity_cooccurrence", "registrable_domains", "link_triangles",
         "hll_users_by_type", "jaccard_ppjoin",

@@ -2191,6 +2191,84 @@ def mad_outliers(sf_dir: str) -> pa.Table:
     ).sort_by("event_type")
 
 
+WEEK_US = 604_800_000_000  # 7 * 86400 * 1e6 — integer epoch-weeks
+
+
+def retention_cohorts(sf_dir: str) -> pa.Table:
+    """Cohort retention matrix — the product-analytics staple the funnel
+    family doesn't cover: users are grouped into weekly cohorts by their
+    FIRST event (cohort_week = min epoch-week), and each cell counts how
+    many users from a cohort were active again ``week_offset`` weeks
+    later. Weeks are integer epoch-us // WEEK_US (no calendar/locale
+    dependence), so the oracle states the identical ``//`` expression.
+    Output: (cohort_week, week_offset, n_users); offset 0 is the cohort
+    size by construction.
+
+    Distributed shape: a user's whole history must be co-located to know
+    its cohort, so events shuffle ONCE on coarse user-hash partitions
+    (many users per ``map_groups`` call — never one Python call per
+    user). The per-partition kernel is a single ``np.unique`` over a
+    packed (user, week) key: segment starts give each user's cohort
+    week, a second ``np.unique`` over packed (cohort, offset) folds the
+    partition to ≤ weeks² partial rows, and the final exchange is a tiny
+    ``groupby(cohort_week, week_offset).sum`` — per-user rows never
+    cross the wire after the first shuffle."""
+    P = _scaled(0.5, 16)
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def partition_cells(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "cohort_week": pa.array([], pa.int64()),
+                "week_offset": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if len(group) == 0:
+            return empty
+        uid = group["user_id"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        wk = (
+            group["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            // WEEK_US
+        )
+        # distinct (user, week) pairs, sorted → per-user segments are
+        # week-ascending, so each segment's first week IS the cohort
+        if len(uid) and (uid.max() >= (1 << 43) or uid.min() < 0 or wk.min() < 0):
+            raise ValueError("user_id/week outside the 43/20-bit pack domain")
+        pairs = np.unique((uid << 20) | wk)
+        puid, pwk = pairs >> 20, pairs & ((1 << 20) - 1)
+        new_user = np.concatenate([[True], puid[1:] != puid[:-1]])
+        cohort = pwk[np.flatnonzero(new_user)][np.cumsum(new_user) - 1]
+        cells, counts = np.unique(
+            (cohort << 20) | (pwk - cohort), return_counts=True
+        )
+        return pa.table(
+            {
+                "cohort_week": pa.array(cells >> 20, pa.int64()),
+                "week_offset": pa.array(cells & ((1 << 20) - 1), pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return _collect(
+        ev.map_batches(
+            lambda b: _user_pk(b, P), batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("__upk", num_partitions=P)
+        .map_groups(partition_cells, batch_format="pyarrow")
+        .groupby(["cohort_week", "week_offset"], num_partitions=1)
+        .aggregate(Sum("n", alias_name="n_users"))
+    ).sort_by([("cohort_week", "ascending"), ("week_offset", "ascending")])
+
+
 def weighted_sample(sf_dir: str, k: int = 20) -> pa.Table:
     """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006,
     the A-ES one-pass scheme — the weighted leg completing the sampling

@@ -421,3 +421,41 @@ def test_mad_outliers_flags_planted_extremes(ray_session, tmp_path):
     assert rows["a"] == (100, 1, 2)
     # type b: med 200, MAD 0, no deviations → 0 outliers
     assert rows["b"] == (200, 0, 0)
+
+
+def test_retention_cohorts_matrix(tmp_path, ray_session):
+    from lamapi_ray.pipelines import extras
+
+    WEEK = extras.WEEK_US
+    rows = []
+    eid = 0
+
+    def ev(uid, week):
+        nonlocal eid
+        rows.append({"event_id": eid, "user_id": uid, "event_type": "a",
+                     "ts": week * WEEK + (eid % 7) * 1_000_000, "value": 0.0})
+        eid += 1
+
+    # cohort week 10: u1 active weeks 10,11,13 (11 twice — distinct weeks
+    # count once); u2 active week 10 only
+    ev(1, 10); ev(1, 11); ev(1, 11); ev(1, 13)
+    ev(2, 10)
+    # cohort week 11: u3 active weeks 11 and 13
+    ev(3, 11); ev(3, 13)
+    _write_events(tmp_path, rows)
+    out = extras.retention_cohorts(str(tmp_path))
+    cells = {
+        (c, o): n
+        for c, o, n in zip(
+            out["cohort_week"].to_pylist(),
+            out["week_offset"].to_pylist(),
+            out["n_users"].to_pylist(),
+        )
+    }
+    assert cells == {
+        (10, 0): 2,  # u1 + u2 first seen week 10
+        (10, 1): 1,  # u1 back at week 11
+        (10, 3): 1,  # u1 back at week 13
+        (11, 0): 1,  # u3 first seen week 11
+        (11, 2): 1,  # u3 back at week 13
+    }
