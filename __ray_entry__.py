@@ -2412,6 +2412,42 @@ def oracle_sql() -> dict[str, str]:
         "SELECT v AS node, CAST(l AS BIGINT) AS community FROM r2 ORDER BY v"
     )
 
+    # k-core decomposition by iterated h-index (Lü et al. 2016): c0 = deg,
+    # c_{t+1}(v) = h-index of neighbors' c_t = max(min(value, rank)) over
+    # the value-desc neighbor prefix; monotone non-increasing, so the
+    # FIXED 12-round unroll equals the engine's converged fixed point
+    # (the engine raises if convergence needs more — mirrors
+    # extras.py::link_kcore, including the 6-clique overlay every 50 docs)
+    _kcore_rounds = 12
+    _kcore = (
+        "WITH n AS (SELECT count(*) AS np FROM part),\n"
+        "nd AS (SELECT count(*) AS ndocs FROM documents),\n"
+        "e0 AS (SELECT doc_id AS s, doc_id % np AS d FROM documents, n\n"
+        "       UNION ALL SELECT doc_id, (doc_id*7+13) % np FROM documents, n\n"
+        "       UNION ALL\n"
+        "       SELECT doc_id + i.i, doc_id + j.j\n"
+        "       FROM documents, nd,\n"
+        "            (SELECT unnest(range(0, 6)) AS i) i(i),\n"
+        "            (SELECT unnest(range(0, 6)) AS j) j(j)\n"
+        "       WHERE doc_id % 50 = 0 AND doc_id + 5 < ndocs AND i.i < j.j),\n"
+        "u AS (SELECT DISTINCT s AS a, d AS b FROM e0 WHERE s <> d\n"
+        "      UNION SELECT d, s FROM e0 WHERE s <> d),\n"
+        "c0 AS (SELECT a AS v, count(*) AS core FROM u GROUP BY a)"
+    )
+    for _t in range(1, _kcore_rounds + 1):
+        _kcore += (
+            f",\nc{_t} AS (SELECT v, max(least(nv, rn)) AS core FROM (\n"
+            f"  SELECT u.a AS v, c{_t-1}.core AS nv,\n"
+            f"    row_number() OVER (PARTITION BY u.a\n"
+            f"      ORDER BY c{_t-1}.core DESC) AS rn\n"
+            f"  FROM u JOIN c{_t-1} ON c{_t-1}.v = u.b) GROUP BY v)"
+        )
+    sql["link_kcore"] = (
+        _kcore
+        + f"\nSELECT v AS node, CAST(core AS BIGINT) AS core FROM c{_kcore_rounds}"
+        " ORDER BY node"
+    )
+
     sql["link_indegree"] = (
         "WITH n AS (SELECT count(*) AS np FROM part),\n"
         "e AS (SELECT (doc_id % np) AS k FROM documents, n\n"
@@ -3059,6 +3095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample",
         "mad_outliers",
         "retention_cohorts",
+        "link_kcore",
         "lang_id",
         "quality_score",
         "token_stats",
@@ -3385,7 +3422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup", "entity_ppr", "cross_source_linkage", "kg_fusion",
         "watermark_window",
         "link_bfs_hops", "link_lpa_communities", "weighted_sample",
-        "mad_outliers", "retention_cohorts",
+        "mad_outliers", "retention_cohorts", "link_kcore",
         "cms_user_sketch",
         "entity_cooccurrence", "registrable_domains", "link_triangles",
         "hll_users_by_type", "jaccard_ppjoin",

@@ -2726,6 +2726,209 @@ def link_lpa_communities(sf_dir: str, rounds: int = 2) -> pa.Table:
     )
 
 
+def link_kcore(
+    sf_dir: str, max_rounds: int = 12, broadcast_max: int = 50_000_000
+) -> pa.Table:
+    """k-core decomposition of the undirected hyperlink graph by
+    ITERATED H-INDEX (Lü et al. 2016, "The H-index of a network node"):
+    core₀(v) = deg(v); each round coreₜ₊₁(v) = h-index of its
+    neighbors' coreₜ values; the fixed point IS the core number. The
+    iteration is monotone non-increasing, so extra rounds after
+    convergence are no-ops — which is exactly what lets the DuckDB
+    oracle unroll a FIXED ``max_rounds`` while the engine stops at
+    convergence (raises if the graph hasn't converged by ``max_rounds``
+    so the parity bound is never silently broken; the test graphs
+    converge in ≤ 5).
+
+    The organic anchor graph alone is core-degenerate (everything ≤ 2),
+    so — like link_triangles' triads — the edge stream is unioned with
+    deterministic "related-pages" 6-cliques over {d..d+5} for every
+    d ≡ 0 (mod 50), d+5 < |docs|, giving a layered 1..6 core structure
+    the oracle restates over the same arithmetic.
+
+    Dataflow per round: the node-bounded core vector broadcasts via
+    ``ray.put`` (the pagerank/LPA state shape); one map over the
+    symmetric distinct edge stream emits map-side pre-counted
+    (v, neighbor-core, count) partials, and each node's h-index comes
+    from the (value desc, cumulative count) prefix of its merged
+    counts: h = max(min(value, cumcount)). The partial merge follows
+    entity_pagerank's two paths: node-bounded partials fold on the
+    driver while nodes fit ``broadcast_max`` (≤ distinct (v, core)
+    pairs per block cross the wire — never per-edge rows), else ONE
+    coarse-hash grouped exchange (__bucket = v % P — many nodes per
+    map_groups call, never one Python call per node)."""
+    from lamapi_ray import synth
+    from lamapi_ray.stages.linkgraph import extract_links
+
+    import pyarrow.parquet as pq
+
+    ndocs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+
+    def to_sym(batch: pa.Table) -> pa.Table:
+        def ids(col):
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return pc.cast(pc.utf8_slice_codeunits(col, 6), pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+
+        s = ids(batch["src"])
+        d = ids(batch["dst"])
+        keep = s != d
+        s, d = s[keep], d[keep]
+        a = np.concatenate([s, d])
+        b = np.concatenate([d, s])
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        if len(a):
+            first = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+            a, b = a[first], b[first]  # map-side distinct
+        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+
+    def cliques(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d0 = did[(did % 50 == 0) & (did + 5 < ndocs)]
+        ii, jj = np.triu_indices(6, k=1)
+        s = (d0[:, None] + ii[None, :]).ravel()
+        d = (d0[:, None] + jj[None, :]).ravel()
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([s, d]), pa.int64()),
+                "b": pa.array(np.concatenate([d, s]), pa.int64()),
+            }
+        )
+
+    sym = (
+        extract_links(synth.pages_dataset(sf_dir))
+        .map_batches(to_sym, batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            _docs(sf_dir, cols=("doc_id",)).map_batches(
+                cliques, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+        .groupby(["a", "b"], num_partitions=_scaled(0.5, 16))
+        .count()
+        .select_columns(["a", "b"])
+        .materialize()  # consumed once per round
+    )
+
+    nodes = np.unique(
+        np.concatenate(
+            [
+                b["a"].to_numpy(zero_copy_only=False)
+                for b in sym.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+            ]
+            or [np.array([], np.int64)]
+        )
+    )
+    P = _scaled(0.5, 16)
+    # core_0 = degree: one map-side bincount pass over the distinct edges
+    core = np.zeros(len(nodes), np.int64)
+    for bt in sym.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        av = bt["a"].to_numpy(zero_copy_only=False)
+        np.add.at(core, np.searchsorted(nodes, av), 1)
+
+    def merge_hindex(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return pa.table(
+                {"v": pa.array([], pa.int64()), "h": pa.array([], pa.int64())}
+            )
+        v = group["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        nv = group["nv"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = group["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        # merge partial counts per (v, nv), then h = max(min(nv, cum))
+        # over the value-descending cumulative-count prefix per v
+        order = np.lexsort((-nv, v))
+        v, nv, c = v[order], nv[order], c[order]
+        first = np.concatenate([[True], (v[1:] != v[:-1]) | (nv[1:] != nv[:-1])])
+        grp = np.cumsum(first) - 1
+        cm = np.zeros(int(grp[-1]) + 1, np.int64)
+        np.add.at(cm, grp, c)
+        vv, nn = v[first], nv[first]
+        starts = np.flatnonzero(np.concatenate([[True], vv[1:] != vv[:-1]]))
+        seg = np.repeat(starts, np.diff(np.concatenate([starts, [len(vv)]])))
+        cum = np.cumsum(cm) - np.concatenate([[0], np.cumsum(cm)])[seg]
+        h = np.maximum.reduceat(np.minimum(nn, cum), starts)
+        return pa.table(
+            {
+                "v": pa.array(vv[starts], pa.int64()),
+                "h": pa.array(h.astype(np.int64), pa.int64()),
+            }
+        )
+
+    for rnd in range(max_rounds):
+        core_ref = ray.put(core)
+
+        def scatter(batch: pa.Table, _c=core_ref) -> pa.Table:
+            cr = ray.get(_c)
+            a = batch["a"].to_numpy(zero_copy_only=False)
+            b = batch["b"].to_numpy(zero_copy_only=False)
+            nv = cr[np.searchsorted(nodes, b)]  # every endpoint IS a node
+            order = np.lexsort((nv, a))
+            a2, nv2 = a[order], nv[order]
+            first = np.concatenate(
+                [[True], (a2[1:] != a2[:-1]) | (nv2[1:] != nv2[:-1])]
+            ) if len(a2) else np.array([], bool)
+            grp = np.cumsum(first) - 1 if len(a2) else np.array([], np.int64)
+            cnt = (
+                np.bincount(grp).astype(np.int64)
+                if len(a2)
+                else np.array([], np.int64)
+            )
+            va = a2[first] if len(a2) else a2
+            na = nv2[first] if len(a2) else nv2
+            return pa.table(
+                {
+                    "v": pa.array(va, pa.int64()),
+                    "nv": pa.array(na, pa.int64()),
+                    "c": pa.array(cnt, pa.int64()),
+                    "__bucket": pa.array(va % np.int64(P), pa.int64()),
+                }
+            )
+
+        scattered = sym.map_batches(
+            scatter, batch_format="pyarrow", zero_copy_batch=True
+        )
+        if len(nodes) <= broadcast_max:
+            # node-bounded partials fold on the driver (pagerank's
+            # broadcast fast path) — one distributed pass, no exchange
+            parts = [
+                b.drop_columns(["__bucket"])
+                for b in scattered.iter_batches(
+                    batch_size=1 << 20, batch_format="pyarrow"
+                )
+            ]
+            if not parts:
+                break
+            new = merge_hindex(pa.concat_tables(parts))
+        else:
+            new = pa.concat_tables(
+                scattered.groupby("__bucket", num_partitions=P)
+                .map_groups(merge_hindex, batch_format="pyarrow")
+                .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+            )
+        nc = core.copy()
+        if len(new):
+            nvv = new["v"].to_numpy(zero_copy_only=False)
+            nh = new["h"].to_numpy(zero_copy_only=False)
+            nc[np.searchsorted(nodes, nvv)] = nh
+        if np.array_equal(nc, core):
+            break
+        core = nc
+    else:
+        raise RuntimeError(
+            f"k-core h-index iteration did not converge in {max_rounds} "
+            "rounds — raise max_rounds AND the oracle unroll together"
+        )
+
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "core": pa.array(core, pa.int64()),
+        }
+    )
+
+
 def link_bfs_hops(sf_dir: str, max_hops: int = 3, seed_mod: int = 31) -> pa.Table:
     """k-hop BFS reachability over the DIRECTED hyperlink graph from a
     seed set (here the deterministic rule ``node % seed_mod == 0``) — the

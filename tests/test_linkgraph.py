@@ -274,3 +274,51 @@ def test_link_lpa_matches_naive(ray_session):
     got = link_lpa_communities(sf)
     got_d = dict(zip(got["node"].to_pylist(), got["community"].to_pylist()))
     assert got_d == lab
+
+
+def test_link_kcore_matches_peeling(ray_session):
+    """h-index fixed point must equal true core numbers from the
+    textbook Matula-Beck min-degree peel — an INDEPENDENT algorithm."""
+    import pyarrow.parquet as pq
+
+    from lamapi_ray.pipelines.extras import link_kcore
+
+    sf = "/root/testdata/sf0.001"
+    np_rows = pq.ParquetFile(f"{sf}/part.parquet").metadata.num_rows
+    nd = pq.ParquetFile(f"{sf}/documents.parquet").metadata.num_rows
+    adj = {}
+
+    def add(a, b):
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+
+    for d in range(nd):
+        add(d, d % np_rows)
+        add(d, (7 * d + 13) % np_rows)
+        if d % 50 == 0 and d + 5 < nd:
+            for i in range(6):
+                for j in range(i + 1, 6):
+                    add(d + i, d + j)
+
+    deg = {v: len(ns) for v, ns in adj.items()}
+    want, k = {}, 0
+    live = set(adj)
+    while live:
+        k = max(k, min(deg[v] for v in live))
+        peel = [v for v in live if deg[v] <= k]
+        while peel:
+            v = peel.pop()
+            if v not in live:
+                continue
+            want[v] = k
+            live.discard(v)
+            for u in adj[v]:
+                if u in live:
+                    deg[u] -= 1
+                    if deg[u] <= k:
+                        peel.append(u)
+
+    got = link_kcore(sf)
+    got_d = dict(zip(got["node"].to_pylist(), got["core"].to_pylist()))
+    assert got_d == want
