@@ -2448,6 +2448,42 @@ def oracle_sql() -> dict[str, str]:
         " ORDER BY node"
     )
 
+    # deterministic DeepWalk corpus: one walk per seed (node % 17 == 0),
+    # step t moves to the out-neighbor of rank H % outdeg among distinct
+    # dst-ascending out-neighbors, H the integer step hash below; a dead
+    # end ends the walk — mirrors extras.py::link_random_walks
+    _walk_steps = 3
+    _walks = (
+        "WITH n AS (SELECT count(*) AS np FROM part),\n"
+        "e0 AS (SELECT doc_id AS s, doc_id % np AS d FROM documents, n\n"
+        "       UNION ALL SELECT doc_id, (doc_id*7+13) % np FROM documents, n),\n"
+        "e AS (SELECT DISTINCT s, d FROM e0 WHERE s <> d),\n"
+        "deg AS (SELECT s, count(*) AS dg FROM e GROUP BY s),\n"
+        "re AS (SELECT s, d,\n"
+        "       row_number() OVER (PARTITION BY s ORDER BY d) - 1 AS rn FROM e),\n"
+        "nodes AS (SELECT DISTINCT s AS v FROM e UNION SELECT d FROM e),\n"
+        "w0 AS (SELECT v AS walk, v FROM nodes WHERE v % 17 = 0)"
+    )
+    for _t in range(1, _walk_steps + 1):
+        _walks += (
+            f",\nw{_t} AS (SELECT w.walk, re.d AS v FROM w{_t-1} w\n"
+            f"  JOIN deg ON deg.s = w.v\n"
+            f"  JOIN re ON re.s = w.v AND re.rn =\n"
+            f"    (((w.walk % 1000000007) * 1315423911) % 1000000007\n"
+            f"     + ({_t} * 2654435761) % 1000000007\n"
+            f"     + ((w.v % 1000000007) * 97) % 1000000007)\n"
+            f"    % 1000000007 % deg.dg)"
+        )
+    sql["link_random_walks"] = (
+        _walks
+        + "\nSELECT walk, CAST(step AS BIGINT) AS step, node FROM (\n"
+        + "\n  UNION ALL ".join(
+            f"SELECT walk, {_t} AS step, v AS node FROM w{_t}"
+            for _t in range(0, _walk_steps + 1)
+        )
+        + "\n) ORDER BY walk, step"
+    )
+
     sql["link_indegree"] = (
         "WITH n AS (SELECT count(*) AS np FROM part),\n"
         "e AS (SELECT (doc_id % np) AS k FROM documents, n\n"
@@ -3096,6 +3132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outliers",
         "retention_cohorts",
         "link_kcore",
+        "link_random_walks",
         "lang_id",
         "quality_score",
         "token_stats",
@@ -3423,6 +3460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "watermark_window",
         "link_bfs_hops", "link_lpa_communities", "weighted_sample",
         "mad_outliers", "retention_cohorts", "link_kcore",
+        "link_random_walks",
         "cms_user_sketch",
         "entity_cooccurrence", "registrable_domains", "link_triangles",
         "hll_users_by_type", "jaccard_ppjoin",

@@ -2929,6 +2929,200 @@ def link_kcore(
     )
 
 
+def link_random_walks(
+    sf_dir: str, steps: int = 3, seed_mod: int = 17
+) -> pa.Table:
+    """DeepWalk-corpus generation over the DIRECTED hyperlink graph —
+    the graph-embedding training-data primitive: one walk per seed node
+    (``node % seed_mod == 0``), each step moving to the out-neighbor of
+    rank ``H % outdeg(v)`` among the DISTINCT out-neighbors sorted
+    ascending (0-based), with the fully deterministic step hash
+
+        H = ((walk % M)·1315423911 % M + step·2654435761 % M
+             + (v % M)·97 % M) % M,   M = 1e9+7
+
+    so the DuckDB oracle unrolls the identical integer expression. A
+    dead end (no out-neighbors) ends the walk. Output: one row per
+    visited position — (walk, step, node), step 0 at the seed.
+
+    Dataflow: the edge stream is ranked ONCE (coarse src-hash grouped
+    exchange → per-src 0-based dst-ascending rank + out-degree, packed
+    into a sorted uint64 (src, rank) key column) and materialized; per
+    step the walk-bounded frontier's wanted (v, H % deg) keys broadcast
+    via ``ray.put`` (the BFS frontier shape) and ONE map over the
+    ranked edges emits only matched (key, dst) rows — walk-bounded, so
+    the per-step exchange never carries per-edge rows. Out-degrees are
+    looked up from the node-bounded (node, deg) vector broadcast once.
+    Node/degree bounds are guarded (43-bit node, 20-bit rank)."""
+    from lamapi_ray import synth
+    from lamapi_ray.stages.linkgraph import extract_links
+
+    M = 1_000_000_007
+    P = _scaled(0.5, 16)
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        def ids(col):
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return pc.cast(pc.utf8_slice_codeunits(col, 6), pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+
+        s = ids(batch["src"])
+        d = ids(batch["dst"])
+        keep = s != d
+        s, d = s[keep], d[keep]
+        order = np.lexsort((d, s))
+        s, d = s[order], d[order]
+        if len(s):
+            first = np.concatenate([[True], (s[1:] != s[:-1]) | (d[1:] != d[:-1])])
+            s, d = s[first], d[first]  # map-side distinct
+        return pa.table({"s": pa.array(s, pa.int64()), "d": pa.array(d, pa.int64())})
+
+    def rank_src(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return pa.table(
+                {
+                    "key": pa.array([], pa.int64()),
+                    "d": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                    "deg": pa.array([], pa.int64()),
+                }
+            )
+        s = group["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = group["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, s))
+        s, d = s[order], d[order]
+        starts = np.flatnonzero(np.concatenate([[True], s[1:] != s[:-1]]))
+        lens = np.diff(np.concatenate([starts, [len(s)]]))
+        rn = np.arange(len(s)) - np.repeat(starts, lens)
+        deg = np.repeat(lens, lens).astype(np.int64)
+        if s.max() >= (1 << 43) or s.min() < 0 or deg.max() >= (1 << 20):
+            raise ValueError("node/out-degree outside the 43/20-bit pack domain")
+        return pa.table(
+            {
+                "key": pa.array((s << 20) | rn, pa.int64()),
+                "d": pa.array(d, pa.int64()),
+                "s": pa.array(s, pa.int64()),
+                "deg": pa.array(deg, pa.int64()),
+            }
+        )
+
+    ranked = (
+        extract_links(synth.pages_dataset(sf_dir))
+        .map_batches(to_ids, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["s", "d"], num_partitions=P)
+        .count()
+        .select_columns(["s", "d"])
+        .map_batches(
+            lambda b: b.append_column(
+                "__spk",
+                pa.array(
+                    (b["s"].to_numpy(zero_copy_only=False) * 2654435761)
+                    % M
+                    % P,
+                    pa.int64(),
+                ),
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("__spk", num_partitions=P)
+        .map_groups(rank_src, batch_format="pyarrow")
+        .materialize()  # consumed once per step
+    )
+
+    # node-bounded (node, out-degree) vector — one pass, driver fold
+    srcs, degs = [], []
+    for bt in ranked.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        sv = bt["s"].to_numpy(zero_copy_only=False)
+        dv = bt["deg"].to_numpy(zero_copy_only=False)
+        first = np.concatenate([[True], sv[1:] != sv[:-1]]) if len(sv) else []
+        srcs.append(sv[first])
+        degs.append(dv[first])
+    sall = np.concatenate(srcs or [np.array([], np.int64)])
+    dall = np.concatenate(degs or [np.array([], np.int64)])
+    order = np.argsort(sall, kind="stable")
+    # per-src (rank 0) rows are unique per block; blocks partition srcs
+    src_nodes, src_deg = sall[order], dall[order]
+    keep = np.concatenate([[True], src_nodes[1:] != src_nodes[:-1]]) if len(
+        src_nodes
+    ) else np.array([], bool)
+    src_nodes, src_deg = src_nodes[keep], src_deg[keep]
+
+    # all graph nodes (sources ∪ targets) for the seed rule
+    dst_parts = [
+        np.unique(bt["d"].to_numpy(zero_copy_only=False))
+        for bt in ranked.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    ]
+    nodes = np.unique(np.concatenate([src_nodes] + dst_parts))
+    seeds = nodes[nodes % seed_mod == 0]
+
+    walks = [seeds]  # step 0
+    steps_out = [np.zeros(len(seeds), np.int64)]
+    nodes_out = [seeds]
+    cur_walk, cur_v = seeds, seeds
+    for st in range(1, steps + 1):
+        # wanted rank per live walk: H % outdeg(v); dead ends drop out
+        if len(src_nodes) == 0:
+            break
+        pos = np.minimum(np.searchsorted(src_nodes, cur_v), len(src_nodes) - 1)
+        alive = src_nodes[pos] == cur_v
+        cur_walk, cur_v = cur_walk[alive], cur_v[alive]
+        if len(cur_walk) == 0:
+            break
+        dg = src_deg[np.searchsorted(src_nodes, cur_v)]
+        h = (
+            (cur_walk % M) * 1315423911 % M
+            + st * 2654435761 % M
+            + (cur_v % M) * 97 % M
+        ) % M
+        want_key = (cur_v << 20) | (h % dg)
+        uniq_keys = np.unique(want_key)
+        keys_ref = ray.put(uniq_keys)
+
+        def match(batch: pa.Table, _k=keys_ref) -> pa.Table:
+            wanted = ray.get(_k)
+            kv = batch["key"].to_numpy(zero_copy_only=False)
+            p = np.searchsorted(wanted, kv)
+            p = np.minimum(p, max(len(wanted) - 1, 0))
+            hit = (len(wanted) > 0) & (wanted[p] == kv)
+            return pa.table(
+                {
+                    "key": pa.array(kv[hit], pa.int64()),
+                    "d": pa.array(
+                        batch["d"].to_numpy(zero_copy_only=False)[hit], pa.int64()
+                    ),
+                }
+            )
+
+        got = pa.concat_tables(
+            list(
+                ranked.map_batches(
+                    match, batch_format="pyarrow", zero_copy_batch=True
+                ).iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+            )
+            or [pa.table({"key": pa.array([], pa.int64()),
+                          "d": pa.array([], pa.int64())})]
+        )
+        gk = got["key"].to_numpy(zero_copy_only=False)
+        gd = got["d"].to_numpy(zero_copy_only=False)
+        gorder = np.argsort(gk, kind="stable")
+        gk, gd = gk[gorder], gd[gorder]
+        cur_v = gd[np.searchsorted(gk, want_key)]
+        walks.append(cur_walk)
+        steps_out.append(np.full(len(cur_walk), st, np.int64))
+        nodes_out.append(cur_v)
+
+    return pa.table(
+        {
+            "walk": pa.array(np.concatenate(walks), pa.int64()),
+            "step": pa.array(np.concatenate(steps_out), pa.int64()),
+            "node": pa.array(np.concatenate(nodes_out), pa.int64()),
+        }
+    ).sort_by([("walk", "ascending"), ("step", "ascending")])
+
+
 def link_bfs_hops(sf_dir: str, max_hops: int = 3, seed_mod: int = 31) -> pa.Table:
     """k-hop BFS reachability over the DIRECTED hyperlink graph from a
     seed set (here the deterministic rule ``node % seed_mod == 0``) — the

@@ -322,3 +322,39 @@ def test_link_kcore_matches_peeling(ray_session):
     got = link_kcore(sf)
     got_d = dict(zip(got["node"].to_pylist(), got["core"].to_pylist()))
     assert got_d == want
+
+
+def test_link_random_walks_matches_naive(ray_session):
+    import pyarrow.parquet as pq
+
+    from lamapi_ray.pipelines.extras import link_random_walks
+
+    sf = "/root/testdata/sf0.001"
+    np_rows = pq.ParquetFile(f"{sf}/part.parquet").metadata.num_rows
+    nd = pq.ParquetFile(f"{sf}/documents.parquet").metadata.num_rows
+    M = 1_000_000_007
+    adj = {}
+    for d in range(nd):
+        for t in (d % np_rows, (7 * d + 13) % np_rows):
+            if t != d:
+                adj.setdefault(d, set()).add(t)
+    adj = {s: sorted(ts) for s, ts in adj.items()}
+    nodes = sorted(set(adj) | {t for ts in adj.values() for t in ts})
+
+    want = []
+    for seed in (v for v in nodes if v % 17 == 0):
+        v = seed
+        want.append((seed, 0, v))
+        for st in range(1, 4):
+            ns = adj.get(v)
+            if not ns:
+                break
+            h = ((seed % M) * 1315423911 % M + st * 2654435761 % M
+                 + (v % M) * 97 % M) % M
+            v = ns[h % len(ns)]
+            want.append((seed, st, v))
+
+    got = link_random_walks(sf)
+    got_rows = list(zip(got["walk"].to_pylist(), got["step"].to_pylist(),
+                        got["node"].to_pylist()))
+    assert sorted(got_rows) == sorted(want)
