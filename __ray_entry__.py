@@ -2484,6 +2484,50 @@ def oracle_sql() -> dict[str, str]:
         + "\n) ORDER BY walk, step"
     )
 
+    # skip-gram pairs from the walk corpus: positions 1..2 apart within a
+    # walk, both directions, counted — mirrors extras.py::walk_skipgrams
+    sql["walk_skipgrams"] = (
+        _walks
+        + ",\nW AS (\n  "
+        + "\n  UNION ALL ".join(
+            f"SELECT walk, {_t} AS step, v AS node FROM w{_t}"
+            for _t in range(0, _walk_steps + 1)
+        )
+        + ")\n"
+        "SELECT center, context, CAST(count(*) AS BIGINT) AS n_pairs FROM (\n"
+        "  SELECT a.node AS center, b.node AS context FROM W a JOIN W b\n"
+        "    ON a.walk = b.walk AND b.step - a.step BETWEEN 1 AND 2\n"
+        "  UNION ALL\n"
+        "  SELECT b.node, a.node FROM W a JOIN W b\n"
+        "    ON a.walk = b.walk AND b.step - a.step BETWEEN 1 AND 2\n"
+        ") GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+
+    # global graph structure as integer sufficient statistics: distinct
+    # directed non-loop edges, reciprocal edge count, and the degree-
+    # assortativity sums over edges (x = outdeg(src), y = indeg(dst)) —
+    # mirrors extras.py::link_graph_stats
+    sql["link_graph_stats"] = (
+        "WITH n AS (SELECT count(*) AS np FROM part),\n"
+        "e0 AS (SELECT doc_id AS s, doc_id % np AS d FROM documents, n\n"
+        "       UNION ALL SELECT doc_id, (doc_id*7+13) % np FROM documents, n),\n"
+        "e AS (SELECT DISTINCT s, d FROM e0 WHERE s <> d),\n"
+        "od AS (SELECT s, count(*) AS dg FROM e GROUP BY s),\n"
+        "idg AS (SELECT d, count(*) AS dg FROM e GROUP BY d),\n"
+        "nodes AS (SELECT DISTINCT s AS v FROM e UNION SELECT d FROM e)\n"
+        "SELECT\n"
+        "  (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,\n"
+        "  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,\n"
+        "  (SELECT CAST(count(*) AS BIGINT) FROM e e1\n"
+        "     JOIN e e2 ON e2.s = e1.d AND e2.d = e1.s) AS n_reciprocal,\n"
+        "  CAST(sum(od.dg) AS BIGINT) AS sum_x,\n"
+        "  CAST(sum(idg.dg) AS BIGINT) AS sum_y,\n"
+        "  CAST(sum(od.dg * idg.dg) AS BIGINT) AS sum_xy,\n"
+        "  CAST(sum(od.dg * od.dg) AS BIGINT) AS sum_x2,\n"
+        "  CAST(sum(idg.dg * idg.dg) AS BIGINT) AS sum_y2\n"
+        "FROM e JOIN od ON od.s = e.s JOIN idg ON idg.d = e.d"
+    )
+
     sql["link_indegree"] = (
         "WITH n AS (SELECT count(*) AS np FROM part),\n"
         "e AS (SELECT (doc_id % np) AS k FROM documents, n\n"
@@ -3133,6 +3177,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts",
         "link_kcore",
         "link_random_walks",
+        "walk_skipgrams",
+        "link_graph_stats",
         "lang_id",
         "quality_score",
         "token_stats",
@@ -3460,7 +3506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "watermark_window",
         "link_bfs_hops", "link_lpa_communities", "weighted_sample",
         "mad_outliers", "retention_cohorts", "link_kcore",
-        "link_random_walks",
+        "link_random_walks", "walk_skipgrams", "link_graph_stats",
         "cms_user_sketch",
         "entity_cooccurrence", "registrable_domains", "link_triangles",
         "hll_users_by_type", "jaccard_ppjoin",

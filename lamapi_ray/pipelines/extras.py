@@ -3123,6 +3123,167 @@ def link_random_walks(
     ).sort_by([("walk", "ascending"), ("step", "ascending")])
 
 
+def walk_skipgrams(sf_dir: str, window: int = 2) -> pa.Table:
+    """Skip-gram (center, context) pair extraction from the DeepWalk
+    corpus — the word2vec-style training-pair step that follows
+    :func:`link_random_walks` in an embedding pipeline: within each
+    walk, every ordered pair of positions at distance 1..``window``
+    yields one pair (both directions), counted across all walks.
+    Output: (center, context, n_pairs).
+
+    Dataflow: walks are generated by the walk op (walk-bounded), pairs
+    come from ONE vectorized positional self-alignment per walk batch
+    (walks arrive walk-ordered, offsets by +k alignment — no join), and
+    the count fold is a pair-bounded groupby. At corpus scale the walk
+    table streams from the walk op's partitioned output instead of a
+    driver table; the kernel is unchanged."""
+    w = link_random_walks(sf_dir)
+    wa = w["walk"].to_numpy(zero_copy_only=False)
+    st = w["step"].to_numpy(zero_copy_only=False)
+    nd = w["node"].to_numpy(zero_copy_only=False)
+    # rows are (walk, step)-sorted: +k alignment pairs positions k apart
+    cen, ctx = [], []
+    for k in range(1, window + 1):
+        if len(wa) <= k:
+            break
+        same = (wa[k:] == wa[:-k]) & (st[k:] == st[:-k] + k)
+        a, b = nd[:-k][same], nd[k:][same]
+        cen.append(np.concatenate([a, b]))
+        ctx.append(np.concatenate([b, a]))
+    if not cen:
+        return pa.table(
+            {
+                "center": pa.array([], pa.int64()),
+                "context": pa.array([], pa.int64()),
+                "n_pairs": pa.array([], pa.int64()),
+            }
+        )
+    c = np.concatenate(cen)
+    x = np.concatenate(ctx)
+    if c.max() >= (1 << 31) or x.max() >= (1 << 31):
+        raise ValueError("node id outside the 31-bit pack domain")
+    key = (c << 31) | x
+    uk, cnt = np.unique(key, return_counts=True)
+    return pa.table(
+        {
+            "center": pa.array(uk >> 31, pa.int64()),
+            "context": pa.array(uk & ((1 << 31) - 1), pa.int64()),
+            "n_pairs": pa.array(cnt.astype(np.int64), pa.int64()),
+        }
+    ).sort_by([("center", "ascending"), ("context", "ascending")])
+
+
+def link_graph_stats(sf_dir: str) -> pa.Table:
+    """Global structure statistics of the directed hyperlink graph as
+    INTEGER sufficient statistics (no float drift — the oracle states
+    the same sums; assortativity/reciprocity are one division away for
+    the consumer): n_nodes, n_edges (distinct directed, no self-loops),
+    n_reciprocal (edges whose reverse also exists), and the
+    degree-assortativity sums over edges (x = outdeg(src),
+    y = indeg(dst)): sum_x, sum_y, sum_xy, sum_x2, sum_y2.
+
+    Dataflow: distinct edges once (coarse exchange); out/in degree
+    vectors are node-bounded driver folds (the kcore/BFS state shape);
+    reciprocity via one vectorized membership of (d,s) keys in the
+    sorted (s,d) key set; the sums are one map over the edge stream.
+    All sums guarded against int64 overflow (degrees < 2^20, edges
+    counted ≤ 2^40)."""
+    from lamapi_ray import synth
+    from lamapi_ray.stages.linkgraph import extract_links
+
+    P = _scaled(0.5, 16)
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        def ids(col):
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return pc.cast(pc.utf8_slice_codeunits(col, 6), pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+
+        s = ids(batch["src"])
+        d = ids(batch["dst"])
+        keep = s != d
+        return pa.table(
+            {"s": pa.array(s[keep], pa.int64()), "d": pa.array(d[keep], pa.int64())}
+        )
+
+    edges = (
+        extract_links(synth.pages_dataset(sf_dir))
+        .map_batches(to_ids, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["s", "d"], num_partitions=P)
+        .count()
+        .select_columns(["s", "d"])
+        .materialize()  # consumed thrice (degrees, keys, sums)
+    )
+
+    # node-bounded degree folds + the sorted edge-key set
+    out_n, out_c, in_n, in_c, keys = [], [], [], [], []
+    for bt in edges.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        s = bt["s"].to_numpy(zero_copy_only=False)
+        d = bt["d"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(s, return_counts=True)
+        out_n.append(u)
+        out_c.append(c)
+        u, c = np.unique(d, return_counts=True)
+        in_n.append(u)
+        in_c.append(c)
+        if len(s) and (s.max() >= (1 << 31) or d.max() >= (1 << 31)):
+            raise ValueError("node id outside the 31-bit pack domain")
+        keys.append((s << 31) | d)
+
+    def fold(ns, cs):
+        n = np.concatenate(ns or [np.array([], np.int64)])
+        c = np.concatenate(cs or [np.array([], np.int64)])
+        order = np.argsort(n, kind="stable")
+        n, c = n[order], c[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], n[1:] != n[:-1]])
+        ) if len(n) else np.array([], np.int64)
+        return (
+            n[starts],
+            np.add.reduceat(c, starts).astype(np.int64)
+            if len(n)
+            else np.array([], np.int64),
+        )
+
+    onodes, odeg = fold(out_n, out_c)
+    inodes, ideg = fold(in_n, in_c)
+    ekeys = np.sort(np.concatenate(keys or [np.array([], np.int64)]))
+    n_nodes = len(np.union1d(onodes, inodes))
+    n_edges = len(ekeys)
+
+    # reciprocity + assortativity sums in one more pass over the edges
+    n_recip = 0
+    sx = sy = sxy = sx2 = sy2 = 0
+    for bt in edges.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        s = bt["s"].to_numpy(zero_copy_only=False)
+        d = bt["d"].to_numpy(zero_copy_only=False)
+        rev = (d << 31) | s
+        p = np.minimum(np.searchsorted(ekeys, rev), max(n_edges - 1, 0))
+        n_recip += int((ekeys[p] == rev).sum()) if n_edges else 0
+        x = odeg[np.searchsorted(onodes, s)]
+        y = ideg[np.searchsorted(inodes, d)]
+        sx += int(x.sum())
+        sy += int(y.sum())
+        sxy += int((x * y).sum())
+        sx2 += int((x * x).sum())
+        sy2 += int((y * y).sum())
+
+    return pa.table(
+        {
+            "n_nodes": pa.array([n_nodes], pa.int64()),
+            "n_edges": pa.array([n_edges], pa.int64()),
+            "n_reciprocal": pa.array([n_recip], pa.int64()),
+            "sum_x": pa.array([sx], pa.int64()),
+            "sum_y": pa.array([sy], pa.int64()),
+            "sum_xy": pa.array([sxy], pa.int64()),
+            "sum_x2": pa.array([sx2], pa.int64()),
+            "sum_y2": pa.array([sy2], pa.int64()),
+        }
+    )
+
+
 def link_bfs_hops(sf_dir: str, max_hops: int = 3, seed_mod: int = 31) -> pa.Table:
     """k-hop BFS reachability over the DIRECTED hyperlink graph from a
     seed set (here the deterministic rule ``node % seed_mod == 0``) — the

@@ -358,3 +358,66 @@ def test_link_random_walks_matches_naive(ray_session):
     got_rows = list(zip(got["walk"].to_pylist(), got["step"].to_pylist(),
                         got["node"].to_pylist()))
     assert sorted(got_rows) == sorted(want)
+
+
+def test_walk_skipgrams_window_pairs(ray_session):
+    from lamapi_ray.pipelines.extras import link_random_walks, walk_skipgrams
+
+    sf = "/root/testdata/sf0.001"
+    w = link_random_walks(sf)
+    rows = list(zip(w["walk"].to_pylist(), w["step"].to_pylist(),
+                    w["node"].to_pylist()))
+    by_walk = {}
+    for wk, st, nd in rows:
+        by_walk.setdefault(wk, []).append((st, nd))
+    want = {}
+    for seq in by_walk.values():
+        seq.sort()
+        for i, (si, ni) in enumerate(seq):
+            for j in range(i + 1, len(seq)):
+                sj, nj = seq[j]
+                if sj - si > 2:
+                    break
+                for a, b in ((ni, nj), (nj, ni)):
+                    want[(a, b)] = want.get((a, b), 0) + 1
+    got = walk_skipgrams(sf)
+    got_d = {
+        (c, x): n
+        for c, x, n in zip(got["center"].to_pylist(), got["context"].to_pylist(),
+                           got["n_pairs"].to_pylist())
+    }
+    assert got_d == want
+
+
+def test_link_graph_stats_naive(ray_session):
+    import pyarrow.parquet as pq
+
+    from lamapi_ray.pipelines.extras import link_graph_stats
+
+    sf = "/root/testdata/sf0.001"
+    np_rows = pq.ParquetFile(f"{sf}/part.parquet").metadata.num_rows
+    nd = pq.ParquetFile(f"{sf}/documents.parquet").metadata.num_rows
+    e = set()
+    for d in range(nd):
+        for t in (d % np_rows, (7 * d + 13) % np_rows):
+            if t != d:
+                e.add((d, t))
+    out_deg, in_deg = {}, {}
+    for s, d in e:
+        out_deg[s] = out_deg.get(s, 0) + 1
+        in_deg[d] = in_deg.get(d, 0) + 1
+    nodes = set(out_deg) | set(in_deg)
+    xs = [(out_deg[s], in_deg[d]) for s, d in e]
+    got = {k: v[0] for k, v in got_map(link_graph_stats(sf)).items()}
+    assert got["n_nodes"] == len(nodes)
+    assert got["n_edges"] == len(e)
+    assert got["n_reciprocal"] == sum((d, s) in e for s, d in e)
+    assert got["sum_x"] == sum(x for x, _ in xs)
+    assert got["sum_y"] == sum(y for _, y in xs)
+    assert got["sum_xy"] == sum(x * y for x, y in xs)
+    assert got["sum_x2"] == sum(x * x for x, _ in xs)
+    assert got["sum_y2"] == sum(y * y for _, y in xs)
+
+
+def got_map(tbl):
+    return {c: tbl[c].to_pylist() for c in tbl.column_names}
