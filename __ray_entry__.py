@@ -1910,6 +1910,20 @@ def oracle_sql() -> dict[str, str]:
         "GROUP BY 1, 2, 3 ORDER BY 1"
     )
 
+    # per-user RFM features: recency/frequency/monetary + distinct active
+    # epoch-days + purchase count — mirrors extras.py::user_rfm_features
+    sql["user_rfm_features"] = (
+        "SELECT user_id, max(ts) AS last_ts,\n"
+        "  CAST(count(*) AS BIGINT) AS n_events,\n"
+        "  CAST(sum(CAST(printf('%.0f', value * 100) AS BIGINT)) AS BIGINT)\n"
+        "    AS sum_cents,\n"
+        "  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)\n"
+        "    AS BIGINT) AS n_purchase,\n"
+        "  CAST(count(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT)\n"
+        "    AS n_active_days\n"
+        "FROM events GROUP BY user_id ORDER BY user_id"
+    )
+
     # weekly cohort retention: cohort = user's first epoch-week (integer
     # epoch_us // 604800000000, the same `//` the engine computes), cell =
     # distinct users from that cohort active week_offset weeks later —
@@ -3179,6 +3193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_random_walks",
         "walk_skipgrams",
         "link_graph_stats",
+        "user_rfm_features",
         "lang_id",
         "quality_score",
         "token_stats",
@@ -3507,6 +3522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_bfs_hops", "link_lpa_communities", "weighted_sample",
         "mad_outliers", "retention_cohorts", "link_kcore",
         "link_random_walks", "walk_skipgrams", "link_graph_stats",
+        "user_rfm_features",
         "cms_user_sketch",
         "entity_cooccurrence", "registrable_domains", "link_triangles",
         "hll_users_by_type", "jaccard_ppjoin",

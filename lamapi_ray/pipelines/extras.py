@@ -3123,6 +3123,153 @@ def link_random_walks(
     ).sort_by([("walk", "ascending"), ("step", "ascending")])
 
 
+def user_rfm_features(sf_dir: str) -> pa.Table:
+    """Per-user RFM feature engineering (recency / frequency / monetary
+    — the churn-model feature staple) in one pass, all-integer: last_ts
+    (max event time), n_events, sum_cents (printf-parity integer cents),
+    n_active_days (distinct epoch-days), n_purchase (event_type =
+    'purchase' count). Output one row per user.
+
+    Dataflow: per-batch partial rows fold per user inside ONE coarse
+    user-hash grouped exchange (many users per ``map_groups`` call);
+    the only non-trivially-mergeable feature, distinct active days,
+    ships as per-batch distinct (user, day) pairs — day-bounded per
+    user, so the exchange stays ~user-bounded, never per-event."""
+    P = _scaled(0.5, 16)
+    DAY_US = 86_400_000_000
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "value", "event_type"],
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            batch["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            if isinstance(batch["ts"], pa.ChunkedArray)
+            else batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        cents = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        et = batch["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        is_p = pc.equal(et, "purchase").to_numpy(zero_copy_only=False)
+        users, inv = np.unique(uid, return_inverse=True)
+        nu = len(users)
+        last = np.full(nu, np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(last, inv, ts)
+        cnt = np.bincount(inv, minlength=nu).astype(np.int64)
+        cts = np.bincount(inv, weights=cents, minlength=nu).astype(np.int64)
+        npur = np.bincount(inv[is_p], minlength=nu).astype(np.int64)
+        # distinct (user, day) pairs for the day fold
+        day = ts // DAY_US
+        if len(uid) and (users.max() >= (1 << 43) or day.min() < 0):
+            raise ValueError("user_id/day outside the 43/20-bit pack domain")
+        ud = np.unique((uid << 20) | day)
+        days_rows = pa.table(
+            {
+                "user_id": pa.array(ud >> 20, pa.int64()),
+                "last_ts": pa.array(np.full(len(ud), np.iinfo(np.int64).min),
+                                    pa.int64()),
+                "n_events": pa.array(np.zeros(len(ud), np.int64), pa.int64()),
+                "sum_cents": pa.array(np.zeros(len(ud), np.int64), pa.int64()),
+                "n_purchase": pa.array(np.zeros(len(ud), np.int64), pa.int64()),
+                "day": pa.array(ud & ((1 << 20) - 1), pa.int64()),
+            }
+        )
+        stat_rows = pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "last_ts": pa.array(last, pa.int64()),
+                "n_events": pa.array(cnt, pa.int64()),
+                "sum_cents": pa.array(cts, pa.int64()),
+                "n_purchase": pa.array(npur, pa.int64()),
+                "day": pa.array(np.full(nu, -1), pa.int64()),
+            }
+        )
+        out = pa.concat_tables([stat_rows, days_rows])
+        return out.append_column(
+            "__upk",
+            pa.array(
+                (out["user_id"].to_numpy(zero_copy_only=False) * 2654435761)
+                % 1_000_000_007
+                % P,
+                pa.int64(),
+            ),
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        cols = ["user_id", "last_ts", "n_events", "sum_cents",
+                "n_purchase", "n_active_days"]
+        if len(group) == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        uid = group["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        day = group["day"].combine_chunks().to_numpy(zero_copy_only=False)
+        users, inv = np.unique(uid, return_inverse=True)
+        nu = len(users)
+        is_stat = day < 0
+        last = np.full(nu, np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(
+            last, inv[is_stat],
+            group["last_ts"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )[is_stat],
+        )
+        cnt = np.bincount(
+            inv[is_stat],
+            weights=group["n_events"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )[is_stat],
+            minlength=nu,
+        ).astype(np.int64)
+        cts = np.bincount(
+            inv[is_stat],
+            weights=group["sum_cents"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )[is_stat],
+            minlength=nu,
+        ).astype(np.int64)
+        npur = np.bincount(
+            inv[is_stat],
+            weights=group["n_purchase"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )[is_stat],
+            minlength=nu,
+        ).astype(np.int64)
+        # distinct days across batch partials
+        ud = np.unique((uid[~is_stat] << 20) | day[~is_stat])
+        ndays = np.bincount(
+            np.searchsorted(users, ud >> 20), minlength=nu
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "last_ts": pa.array(last, pa.int64()),
+                "n_events": pa.array(cnt, pa.int64()),
+                "sum_cents": pa.array(cts, pa.int64()),
+                "n_purchase": pa.array(npur, pa.int64()),
+                "n_active_days": pa.array(ndays, pa.int64()),
+            }
+        )
+
+    out = _collect(
+        ev.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__upk", num_partitions=P)
+        .map_groups(lambda g: merge(g.drop_columns(["__upk"])),
+                    batch_format="pyarrow")
+    ).sort_by("user_id")
+    # last_ts back to timestamp for the schema-stable surface
+    return out.set_column(
+        out.schema.get_field_index("last_ts"),
+        "last_ts",
+        out["last_ts"].cast(pa.timestamp("us")),
+    )
+
+
 def walk_skipgrams(sf_dir: str, window: int = 2) -> pa.Table:
     """Skip-gram (center, context) pair extraction from the DeepWalk
     corpus — the word2vec-style training-pair step that follows

@@ -459,3 +459,29 @@ def test_retention_cohorts_matrix(tmp_path, ray_session):
         (11, 0): 1,  # u3 first seen week 11
         (11, 2): 1,  # u3 back at week 13
     }
+
+
+def test_user_rfm_features_crafted(tmp_path, ray_session):
+    from lamapi_ray.pipelines import extras
+
+    DAY = 86_400_000_000
+    rows = [
+        # u1: 3 events over 2 days, one purchase, cents 150+250+100
+        {"event_id": 0, "user_id": 1, "event_type": "view",
+         "ts": 10 * DAY, "value": 1.5},
+        {"event_id": 1, "user_id": 1, "event_type": "purchase",
+         "ts": 10 * DAY + 5, "value": 2.5},
+        {"event_id": 2, "user_id": 1, "event_type": "view",
+         "ts": 12 * DAY, "value": 1.0},
+        # u2: single event
+        {"event_id": 3, "user_id": 2, "event_type": "click",
+         "ts": 11 * DAY, "value": 0.0},
+    ]
+    _write_events(tmp_path, rows)
+    out = extras.user_rfm_features(str(tmp_path))
+    r = {row["user_id"]: row for row in out.to_pylist()}
+    assert r[1]["n_events"] == 3 and r[1]["n_purchase"] == 1
+    assert r[1]["sum_cents"] == 500 and r[1]["n_active_days"] == 2
+    assert r[1]["last_ts"].timestamp() * 1e6 == 12 * DAY
+    assert r[2]["n_events"] == 1 and r[2]["n_active_days"] == 1
+    assert r[2]["sum_cents"] == 0 and r[2]["n_purchase"] == 0
