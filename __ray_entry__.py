@@ -1910,6 +1910,21 @@ def oracle_sql() -> dict[str, str]:
         "GROUP BY 1, 2, 3 ORDER BY 1"
     )
 
+    # Z-order layout: Morton interleave of the low 21 bits of distinct
+    # (l_orderkey, l_partkey) pairs, sorted by z — the 42 shift/mask
+    # terms generated below mirror extras.py::zorder_layout exactly
+    _zterms = " + ".join(
+        f"(((l_orderkey >> {b}) & 1) << {2 * b + 1})"
+        f" + (((l_partkey >> {b}) & 1) << {2 * b})"
+        for b in range(21)
+    )
+    sql["zorder_layout"] = (
+        "SELECT l_orderkey, l_partkey,\n  CAST("
+        + _zterms
+        + " AS BIGINT) AS z\nFROM (SELECT DISTINCT l_orderkey, l_partkey"
+        " FROM lineitem)\nORDER BY z"
+    )
+
     # per-user RFM features: recency/frequency/monetary + distinct active
     # epoch-days + purchase count — mirrors extras.py::user_rfm_features
     sql["user_rfm_features"] = (
@@ -3194,6 +3209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "walk_skipgrams",
         "link_graph_stats",
         "user_rfm_features",
+        "zorder_layout",
         "lang_id",
         "quality_score",
         "token_stats",
@@ -3522,7 +3538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_bfs_hops", "link_lpa_communities", "weighted_sample",
         "mad_outliers", "retention_cohorts", "link_kcore",
         "link_random_walks", "walk_skipgrams", "link_graph_stats",
-        "user_rfm_features",
+        "user_rfm_features", "zorder_layout",
         "cms_user_sketch",
         "entity_cooccurrence", "registrable_domains", "link_triangles",
         "hll_users_by_type", "jaccard_ppjoin",

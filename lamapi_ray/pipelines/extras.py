@@ -3123,6 +3123,69 @@ def link_random_walks(
     ).sort_by([("walk", "ascending"), ("step", "ascending")])
 
 
+def zorder_layout(sf_dir: str) -> pa.Table:
+    """Z-order (Morton-curve) physical layout of the distinct
+    (l_orderkey, l_partkey) key pairs — the multi-dimensional
+    data-layout primitive a lakehouse uses so range predicates on
+    EITHER key prune contiguous file ranges: z interleaves the low 21
+    bits of both keys (orderkey on odd bit positions), and rows sort by
+    z. The interleave is pure integer bit arithmetic, so the oracle
+    states the identical 42 shift/mask terms (generated SQL). Output:
+    (l_orderkey, l_partkey, z) sorted by z.
+
+    Dataflow: keys pruned at the read; ONE distinct exchange on the
+    pair; z computed vectorized map-side (21 masked shifts per key, no
+    per-row Python); the final order is Ray Data's range-partitioned
+    distributed sort on z — exactly the write path that would feed
+    partitioned Parquet at 100 TB. Keys guarded to the 21-bit domain."""
+    P = _scaled(0.5, 16)
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    def add_z(batch: pa.Table) -> pa.Table:
+        o = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(o) and (
+            o.max() >= (1 << 21) or p.max() >= (1 << 21)
+            or o.min() < 0 or p.min() < 0
+        ):
+            raise ValueError("key outside the 21-bit Morton domain")
+        z = np.zeros(len(o), np.int64)
+        for b in range(21):
+            z |= ((o >> b) & 1) << (2 * b + 1)
+            z |= ((p >> b) & 1) << (2 * b)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(o, pa.int64()),
+                "l_partkey": pa.array(p, pa.int64()),
+                "z": pa.array(z, pa.int64()),
+            }
+        )
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        o = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(o) and (o.max() >= (1 << 21) or o.min() < 0):
+            raise ValueError("key outside the 21-bit Morton domain")
+        key = np.unique((o << 21) | p)  # map-side distinct before the wire
+        return pa.table(
+            {
+                "l_orderkey": pa.array(key >> 21, pa.int64()),
+                "l_partkey": pa.array(key & ((1 << 21) - 1), pa.int64()),
+            }
+        )
+
+    return _collect(
+        li.map_batches(local_distinct, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_orderkey", "l_partkey"], num_partitions=P)
+        .count()
+        .select_columns(["l_orderkey", "l_partkey"])
+        .map_batches(add_z, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("z")
+    )
+
+
 def user_rfm_features(sf_dir: str) -> pa.Table:
     """Per-user RFM feature engineering (recency / frequency / monetary
     — the churn-model feature staple) in one pass, all-integer: last_ts

@@ -485,3 +485,24 @@ def test_user_rfm_features_crafted(tmp_path, ray_session):
     assert r[1]["last_ts"].timestamp() * 1e6 == 12 * DAY
     assert r[2]["n_events"] == 1 and r[2]["n_active_days"] == 1
     assert r[2]["sum_cents"] == 0 and r[2]["n_purchase"] == 0
+
+
+def test_zorder_interleave_locality(tmp_path, ray_session):
+    """Morton key round-trips and orders a 2x2 quadrant before the rest."""
+    import pyarrow.parquet as pq
+
+    from lamapi_ray.pipelines import extras
+
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array([0, 0, 1, 1, 2, 0], pa.int64()),
+            "l_partkey": pa.array([0, 1, 0, 1, 0, 0], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "lineitem.parquet")
+    out = extras.zorder_layout(str(tmp_path))
+    rows = list(zip(out["l_orderkey"].to_pylist(), out["l_partkey"].to_pylist(),
+                    out["z"].to_pylist()))
+    # distinct pairs only; z bits: (0,0)=0 (0,1)=1 (1,0)=2 (1,1)=3 (2,0)=8
+    assert rows == [(0, 0, 0), (0, 1, 1), (1, 0, 2), (1, 1, 3), (2, 0, 8)]
+    # the whole 2x2 quadrant is contiguous before (2,0) — the locality point
