@@ -2054,6 +2054,28 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents"
     )
 
+    # training-mix token budget per (source, split): same mod-(2^61-1)
+    # split hash as dataset_split; tokens = whitespace-separated non-empty
+    # runs; chars = code points — mirrors extras.py::token_budget
+    sql["token_budget"] = (
+        "WITH s AS (SELECT source, text,\n"
+        " CASE WHEN ((CAST(doc_id AS HUGEINT) * 2177342782468422681)"
+        " % 2305843009213693951 + 1) % 2305843009213693951 % 100 < 80"
+        " THEN 'train'\n"
+        "      WHEN ((CAST(doc_id AS HUGEINT) * 2177342782468422681)"
+        " % 2305843009213693951 + 1) % 2305843009213693951 % 100 < 90"
+        " THEN 'val'\n"
+        "      ELSE 'test' END AS split\n"
+        " FROM documents)\n"
+        "SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,\n"
+        "  CAST(sum(CASE WHEN regexp_matches(text, '^\\s*$') THEN 0\n"
+        "       ELSE len(regexp_split_to_array(\n"
+        "         regexp_replace(regexp_replace(text, '^\\s+', ''),"
+        " '\\s+$', ''), '\\s+')) END) AS BIGINT) AS n_tokens,\n"
+        "  CAST(sum(length(text)) AS BIGINT) AS n_chars\n"
+        "FROM s GROUP BY source, split ORDER BY source, split"
+    )
+
     # REAL uncompressed-image decode: BMP roundtrip restores the exact
     # synthetic pixel spec (flat RGB pixel i = (doc_id*7 + i) % 256), so the
     # oracle reproduces the mean arithmetically
@@ -3210,6 +3232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_graph_stats",
         "user_rfm_features",
         "zorder_layout",
+        "token_budget",
         "lang_id",
         "quality_score",
         "token_stats",
@@ -3538,7 +3561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_bfs_hops", "link_lpa_communities", "weighted_sample",
         "mad_outliers", "retention_cohorts", "link_kcore",
         "link_random_walks", "walk_skipgrams", "link_graph_stats",
-        "user_rfm_features", "zorder_layout",
+        "user_rfm_features", "zorder_layout", "token_budget",
         "cms_user_sketch",
         "entity_cooccurrence", "registrable_domains", "link_triangles",
         "hll_users_by_type", "jaccard_ppjoin",

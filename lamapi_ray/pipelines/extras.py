@@ -397,6 +397,97 @@ def dataset_split(sf_dir: str) -> pa.Table:
     )
 
 
+def token_budget(sf_dir: str) -> pa.Table:
+    """Training-mix token accounting — the budget report a data team
+    publishes before a run: per (source, split) the document count,
+    whitespace-token count and char count, with split assigned by the
+    SAME content-free mod-(2^61-1) hash rule as :func:`dataset_split`
+    (bucket <80 train, <90 val, else test) so the report matches what
+    the split op will actually ship. Output: (source, split, n_docs,
+    n_tokens, n_chars).
+
+    Dataflow: one streamed map pass emits (source, split) partial sums
+    per batch (≤ sources×3 rows each — never per-doc), one tiny
+    groupby-sum folds them. Token rule = whitespace-separated non-empty
+    runs, stated identically by the oracle."""
+    from ray.data.aggregate import Sum
+
+    from lamapi_ray.functions.inthash import MOD61, fold_mod61, mulmod61
+
+    MULT = np.uint64(0x9E3779B97F4A7C15 % MOD61)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).view(np.uint64)
+        h = fold_mod61(
+            mulmod61(fold_mod61(ids), np.full(len(ids), MULT)) + np.uint64(1)
+        )
+        bucket = (h % np.uint64(100)).astype(np.int64)
+        split = np.where(bucket < 80, 0, np.where(bucket < 90, 1, 2))
+        src = batch["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        # whitespace tokens: count of non-empty split parts, vectorized
+        ntok = pc.list_value_length(
+            pc.split_pattern_regex(text, r"\s+")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        # split_pattern_regex keeps empty edge parts when text starts/ends
+        # with whitespace — subtract them exactly
+        lead = pc.match_substring_regex(text, r"^\s").to_numpy(
+            zero_copy_only=False
+        )
+        trail = pc.match_substring_regex(text, r"\s$").to_numpy(
+            zero_copy_only=False
+        )
+        empty = pc.equal(pc.utf8_length(text), 0).to_numpy(zero_copy_only=False)
+        ntok = ntok - lead.astype(np.int64) - trail.astype(np.int64)
+        ntok[empty] = 0
+        nch = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        scodes, sinv = np.unique(
+            np.asarray(src.to_numpy(zero_copy_only=False), dtype=object),
+            return_inverse=True,
+        )
+        key = sinv * 3 + split
+        nk = len(scodes) * 3
+        return pa.table(
+            {
+                "source": pa.array(
+                    np.repeat(scodes, 3).tolist(), pa.string()
+                ),
+                "split": pa.array(
+                    np.array(["train", "val", "test"] * len(scodes)),
+                    pa.string(),
+                ),
+                "n_docs": pa.array(
+                    np.bincount(key, minlength=nk).astype(np.int64), pa.int64()
+                ),
+                "n_tokens": pa.array(
+                    np.bincount(key, weights=ntok, minlength=nk).astype(np.int64),
+                    pa.int64(),
+                ),
+                "n_chars": pa.array(
+                    np.bincount(key, weights=nch, minlength=nk).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        ).filter(
+            pa.array(np.bincount(key, minlength=nk) > 0)
+        )
+
+    return _collect(
+        _docs(sf_dir, ("doc_id", "text", "source"))
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "split"], num_partitions=1)
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("n_chars", alias_name="n_chars"),
+        )
+    ).sort_by([("source", "ascending"), ("split", "ascending")])
+
+
 # --- composed curation pipeline (training-data flow end to end) -----------
 
 

@@ -252,3 +252,32 @@ def test_blocklist_scan_counts_and_flag(ray_session):
     ).sort_by("doc_id")
     assert t["n_hits"].to_pylist() == [8, 3, 0]  # 'row' matches inside words
     assert t["blocked"].to_pylist() == [True, False, False]
+
+
+def test_token_budget_whitespace_rule(tmp_path, ray_session):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lamapi_ray.pipelines import extras
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["a b  c", "  x ", "", "one"], pa.string()),
+            "source": pa.array(["s1", "s1", "s2", "s2"], pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = extras.token_budget(str(tmp_path))
+    rows = {
+        (r["source"], r["split"]): (r["n_docs"], r["n_tokens"], r["n_chars"])
+        for r in out.to_pylist()
+    }
+    # totals across splits per source are split-rule independent
+    s1 = [v for (s, _), v in rows.items() if s == "s1"]
+    s2 = [v for (s, _), v in rows.items() if s == "s2"]
+    assert sum(v[0] for v in s1) == 2 and sum(v[0] for v in s2) == 2
+    assert sum(v[1] for v in s1) == 3 + 1   # "a b  c" -> 3, "  x " -> 1
+    assert sum(v[1] for v in s2) == 0 + 1   # "" -> 0, "one" -> 1
+    assert sum(v[2] for v in s1) == 6 + 4
+    assert sum(v[2] for v in s2) == 0 + 3
