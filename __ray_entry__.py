@@ -2412,6 +2412,23 @@ def oracle_sql() -> dict[str, str]:
         "FROM r GROUP BY v ORDER BY node"
     )
 
+    # component size histogram over the same reachability closure —
+    # mirrors extras.py::component_sizes
+    sql["component_sizes"] = (
+        "WITH RECURSIVE n AS (SELECT count(*) AS np FROM part),\n"
+        "e0 AS (SELECT doc_id AS s, doc_id % np AS d FROM documents, n\n"
+        "       UNION ALL SELECT doc_id, (doc_id*7+13) % np FROM documents, n),\n"
+        "u AS (SELECT s AS a, d AS b FROM e0 UNION SELECT d, s FROM e0),\n"
+        "r AS (SELECT a AS v, a AS l FROM u\n"
+        "      UNION\n"
+        "      SELECT u.b, r.l FROM r JOIN u ON u.a = r.v),\n"
+        "c AS (SELECT v, min(l) AS comp FROM r GROUP BY v),\n"
+        "sz AS (SELECT comp, count(*) AS sz FROM c GROUP BY comp)\n"
+        "SELECT CAST(sz AS BIGINT) AS size,\n"
+        "  CAST(count(*) AS BIGINT) AS n_components\n"
+        "FROM sz GROUP BY sz ORDER BY size"
+    )
+
     # BFS k-hop distances from the seed set node % 31 == 0 along directed
     # link edges — three unrolled frontier expansions with NOT-IN
     # visited-set subtraction (mirrors extras.py::link_bfs_hops)
@@ -3233,6 +3250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_rfm_features",
         "zorder_layout",
         "token_budget",
+        "component_sizes",
         "lang_id",
         "quality_score",
         "token_stats",
@@ -3562,6 +3580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outliers", "retention_cohorts", "link_kcore",
         "link_random_walks", "walk_skipgrams", "link_graph_stats",
         "user_rfm_features", "zorder_layout", "token_budget",
+        "component_sizes",
         "cms_user_sketch",
         "entity_cooccurrence", "registrable_domains", "link_triangles",
         "hll_users_by_type", "jaccard_ppjoin",

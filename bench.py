@@ -274,6 +274,7 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("user_rfm_features", lambda: extras.user_rfm_features(sf_dir))
     timed("zorder_layout", lambda: extras.zorder_layout(sf_dir))
     timed("token_budget", lambda: extras.token_budget(sf_dir))
+    timed("component_sizes", lambda: extras.component_sizes(sf_dir))
     timed("doc_search_bm25", lambda: extras.doc_search_bm25(sf_dir))
     timed("hybrid_rrf", lambda: extras.hybrid_rrf(sf_dir))
     timed("semdedup", lambda: extras.semdedup(sf_dir))

@@ -3760,6 +3760,48 @@ def link_components(sf_dir: str) -> pa.Table:
     ).sort_by("node")
 
 
+def component_sizes(sf_dir: str) -> pa.Table:
+    """Connected-component SIZE distribution of the hyperlink graph —
+    the web-graph health report (giant-component share, fragment tail)
+    read before sharding a crawl by component: histogram rows
+    (size, n_components), plus the giant component as its own row by
+    construction (it is the largest size present). Built on the house
+    distributed min-label components (:func:`link_components` chain);
+    the size fold is a component-bounded groupby-count and the
+    histogram a size-bounded second count — per-node rows leave the
+    wire after the first fold."""
+    from lamapi_ray import synth
+    from lamapi_ray.stages.dedup import _cc_min_labels
+    from lamapi_ray.stages.linkgraph import extract_links
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        def ids(col):
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return pc.cast(pc.utf8_slice_codeunits(col, 6), pa.int64())
+
+        return pa.table(
+            {"id_a": ids(batch["src"]), "id_b": ids(batch["dst"])}
+        )
+
+    edges = extract_links(synth.pages_dataset(sf_dir)).map_batches(
+        to_ids, batch_format="pyarrow", zero_copy_batch=True
+    )
+    labels = _cc_min_labels(edges)
+    sizes = labels.group_by("label").aggregate([("node", "count")])
+    hist = (
+        pa.table({"size": sizes["node_count"].cast(pa.int64())})
+        .group_by("size")
+        .aggregate([("size", "count")])
+    )
+    return pa.table(
+        {
+            "size": hist["size"].combine_chunks(),
+            "n_components": hist["size_count"].combine_chunks().cast(pa.int64()),
+        }
+    ).sort_by("size")
+
+
 def gzip_shard_roundtrip(sf_dir: str) -> pa.Table:
     """Compressed-shard ingestion e2e: docs → range-bucketed .tsv.gz shard
     blobs → shard reader → rows; byte-exact vs the source table."""

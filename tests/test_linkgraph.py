@@ -421,3 +421,16 @@ def test_link_graph_stats_naive(ray_session):
 
 def got_map(tbl):
     return {c: tbl[c].to_pylist() for c in tbl.column_names}
+
+
+def test_component_sizes_match_components(ray_session):
+    from collections import Counter
+
+    from lamapi_ray.pipelines.extras import component_sizes, link_components
+
+    sf = "/root/testdata/sf0.001"
+    comp = link_components(sf)
+    sizes = Counter(Counter(comp["component"].to_pylist()).values())
+    got = component_sizes(sf)
+    got_d = dict(zip(got["size"].to_pylist(), got["n_components"].to_pylist()))
+    assert got_d == dict(sizes)
