@@ -1657,6 +1657,34 @@ def oracle_sql() -> dict[str, str]:
         "FROM cells GROUP BY 1, 2 ORDER BY row, col"
     )
 
+    # kmv_users: bottom-k distinct sketch — the hash chain is the literal
+    # HLL mirror (bijective on [0, p) so DISTINCT hv == distinct users);
+    # estimate (k-1)·p / h_k with both operands exactly representable in
+    # double, printf-rounded on both sides (exact count when < k distinct)
+    sql["kmv_users"] = _with(
+        f"h AS (SELECT DISTINCT {_HLL_H} AS hv FROM events)",
+        "r AS (SELECT CAST(hv AS BIGINT) AS hv,"
+        " row_number() OVER (ORDER BY hv) AS sample_rank FROM h)",
+        "t AS (SELECT * FROM r WHERE sample_rank <= 32)",
+        "kk AS (SELECT max(sample_rank) AS nk, max(hv) AS hk FROM t)",
+    ) + (
+        "SELECT sample_rank, hv,\n"
+        "  CAST(printf('%.4f', CASE WHEN nk < 32 THEN CAST(nk AS DOUBLE)\n"
+        "    ELSE 31.0 * 2305843009213693952.0 / CAST(hk AS DOUBLE) END)\n"
+        "    AS DOUBLE) AS est_distinct\n"
+        "FROM t CROSS JOIN kk ORDER BY sample_rank"
+    )
+
+    # bloom_semi_join: the Bloom prefilter has no false negatives and the
+    # bucketed semi join removes false positives, so the result is the
+    # plain relational semi join
+    sql["bloom_semi_join"] = (
+        "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem\n"
+        "WHERE l_orderkey IN\n"
+        "  (SELECT o_orderkey FROM orders WHERE o_totalprice > 480000)\n"
+        "ORDER BY l_orderkey, l_linenumber"
+    )
+
     # jaccard_ppjoin: exact Jaccard >= 3/5 pairs on the doc_id%10==0
     # subset — the oracle brute-forces via the shared-token count identity
     # (shared*(num+den) >= num*(sa+sb)), same md5 token hashes as the
@@ -3317,6 +3345,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_user_sketch",
         "quantile_sketch",
         "cms_user_sketch",
+        "kmv_users",
+        "bloom_semi_join",
         "hll_users_by_type",
         "stratified_sample",
         "events_pivot",
@@ -3572,6 +3602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # prove the fix green (events_rollup carries the same latent fix)
         "revenue_by_nation", "quantile_sketch", "events_rollup",
         # the final session's additions — never driver-checked, newest first
+        "kmv_users", "bloom_semi_join",
         "link_hits", "event_funnel", "co_citation", "biblio_coupling",
         "link_components", "funnel_times", "doc_search_bm25", "hybrid_rrf",
         "semdedup", "entity_ppr", "cross_source_linkage", "kg_fusion",

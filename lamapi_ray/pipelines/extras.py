@@ -1365,6 +1365,73 @@ def cms_user_sketch(sf_dir: str) -> pa.Table:
     )
 
 
+def kmv_users(sf_dir: str) -> pa.Table:
+    """K-minimum-values (bottom-k) distinct sketch of events.user_id —
+    the fourth leg of the sketch family (HLL cardinality, Bloom
+    membership, CMS frequency): each batch ships only its k smallest
+    distinct hashes, the fold is a tiny set-union + bottom-k, and the
+    k-th order statistic gives the distinct estimate (k-1)·p/h_k. The
+    sketch doubles as a uniform distinct-key sample.
+    See :func:`lamapi_ray.stages.sketch.kmv_sketch`."""
+    from lamapi_ray.stages.sketch import kmv_sketch
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return kmv_sketch(ev, "user_id")
+
+
+def bloom_semi_join(sf_dir: str) -> pa.Table:
+    """Bloom-prefiltered distributed SEMI join — the shuffle-saving join
+    pattern a 100 TB pipeline uses when the probe side dwarfs the build
+    side: lineitem rows of high-value orders (o_totalprice > 480000).
+
+    Dataflow: (1) build side folds to a 4096-bit Bloom filter (≤64-row
+    word table, one tiny OR-merge exchange); (2) the filter broadcasts
+    to every probe task, which drops non-member rows BEFORE the bucketed
+    exchange — no false negatives by construction, so exactness is
+    preserved; (3) the surviving ~selectivity+FP stream goes through the
+    exact bucketed semi join, which removes Bloom false positives. Wire
+    cost of step 3 scales with the SELECTED rows, not the corpus.
+    See :mod:`lamapi_ray.stages.sketch` (filter) and
+    :func:`lamapi_ray.stages.join.bucketed_semi_anti_join` (confirm)."""
+    from lamapi_ray.stages.join import bucketed_semi_anti_join
+    from lamapi_ray.stages.sketch import bloom_contains, bloom_filter
+
+    def hv_keys(b: pa.Table) -> pa.Table:
+        mask = pc.greater(b["o_totalprice"], 480000.0)
+        return pa.table({"l_orderkey": b.filter(mask)["o_orderkey"]})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).map_batches(hv_keys, batch_format="pyarrow", zero_copy_batch=True)
+    # ≤64-row merged filter — small enough to close over (each probe task
+    # gets it once via the serialized callable, the batches stream)
+    filt = _collect(bloom_filter(orders, "l_orderkey"))
+
+    def probe(b: pa.Table) -> pa.Table:
+        keys = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(bloom_contains(filt, keys)))
+
+    probe_side = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    ).map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+    out = _collect(
+        bucketed_semi_anti_join(
+            probe_side, orders, on="l_orderkey", how="semi",
+            num_buckets=_scaled(0.5, 16),
+        )
+    )
+    if out.num_rows == 0 and not out.column_names:
+        out = pa.table(
+            {"l_orderkey": pa.array([], pa.int64()),
+             "l_linenumber": pa.array([], pa.int64()),
+             "l_quantity": pa.array([], pa.float64())}
+        )
+    return out.sort_by(
+        [("l_orderkey", "ascending"), ("l_linenumber", "ascending")]
+    )
+
+
 def quantile_sketch(sf_dir: str) -> pa.Table:
     """Mergeable equi-width-histogram quantile sketch per event_type
     (p50/p95/p99 lower-bin-edge estimates, 128 bins): per-batch (group,

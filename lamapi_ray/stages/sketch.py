@@ -515,3 +515,67 @@ def heavy_hitters(
         )
 
     return exact.map_batches(finish, batch_format="pyarrow")
+
+
+KMV_K = 32                   # sample size (k minimum hash values)
+
+
+def kmv_partial(ids: np.ndarray, k: int = KMV_K) -> np.ndarray:
+    """k smallest DISTINCT key hashes of one batch, sorted ascending.
+
+    The per-batch combiner of the KMV (bottom-k) distinct sketch: the
+    house mod-(2^61-1) multiplicative hash is a bijection on [0, p), so
+    distinct hashes == distinct keys and the k-th smallest hash is an
+    order statistic of a uniform sample — estimate (k-1)·p / h_k."""
+    h = np.unique(_hash_ids(ids))
+    return h[:k]
+
+
+def kmv_sketch(ds: ray.data.Dataset, id_col: str, k: int = KMV_K) -> pa.Table:
+    """K-minimum-values distinct sketch of ``id_col`` → (sample_rank, hv,
+    est_distinct).
+
+    The third leg of the cardinality family (HLL registers, Bloom
+    membership): every batch contributes ONLY its k smallest distinct
+    hashes (≤ k rows/batch regardless of batch size), the partials merge
+    with a set-union + bottom-k — associative and commutative, so the
+    fold is one tiny exchange and nothing key-stream-sized crosses the
+    wire. Unlike HLL the sketch doubles as a uniform SAMPLE of the
+    distinct keys (useful for downstream distinct-key profiling).
+
+    Determinism: hashes are HUGEINT-reproducible in SQL (same chain as
+    ``hll_registers``); the estimate (k-1)·p / h_k is one double divide
+    of exactly-representable operands, printf-rounded on both sides. If
+    the stream holds fewer than k distinct keys the sketch IS the
+    distinct set and the estimate is exact by construction."""
+    from lamapi_ray.functions.text import round_ref
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"hv": pa.array(kmv_partial(ids, k).view(np.int64), pa.int64())}
+        )
+
+    parts = [
+        b["hv"].to_numpy(zero_copy_only=False)
+        for b in ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_size=65536, batch_format="pyarrow")
+    ]
+    merged = np.unique(np.concatenate(parts)) if parts else np.array([], np.int64)
+    top = merged[:k].astype(np.int64)
+    if len(top) == 0:
+        est = 0.0
+    elif len(top) < k:
+        est = float(len(top))
+    else:
+        est = (k - 1.0) * float(MOD61) / float(np.uint64(top[-1]))
+    return pa.table(
+        {
+            "sample_rank": pa.array(np.arange(1, len(top) + 1), pa.int64()),
+            "hv": pa.array(top, pa.int64()),
+            "est_distinct": pa.array(
+                np.full(len(top), round_ref(est, 4)), pa.float64()
+            ),
+        }
+    )

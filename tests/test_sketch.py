@@ -219,3 +219,42 @@ def test_grouped_hll_matches_per_group_global(ray_session):
         est = hll_estimate(part.select(["bucket", "max_rho"]))
         true = len(set(sub["user_id"].to_pylist()))
         assert abs(est - true) / true < 0.45  # 1.04/sqrt(64) ~ 13%, 3+ sigma
+
+
+def test_kmv_sketch_exact_bottom_k_and_estimate(ray_session):
+    """KMV rows must be EXACTLY the k smallest distinct key hashes (the
+    hash is a bijection, so brute-force hashing the distinct keys gives
+    the reference), and the estimate must be (k-1)p/h_k within KMV's
+    ~1/sqrt(k) relative error of the true distinct count."""
+    import ray.data
+
+    from lamapi_ray.functions.inthash import MOD61
+    from lamapi_ray.stages.sketch import _hash_ids, kmv_sketch
+
+    rng = np.random.default_rng(11)
+    ids = rng.integers(0, 900, 6000, dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"user_id": pa.array(ids, pa.int64())})
+    ).repartition(5)
+    out = kmv_sketch(ds, "user_id", k=32)
+    ref = np.sort(_hash_ids(np.unique(ids)))[:32]
+    assert out["hv"].to_numpy(zero_copy_only=False).view(np.uint64).tolist() == ref.tolist()
+    est = out["est_distinct"][0].as_py()
+    expect = 31.0 * float(MOD61) / float(ref[-1])
+    assert abs(est - expect) < 1e-3
+    true = len(np.unique(ids))
+    assert abs(est - true) / true < 0.6  # 3+ sigma at 1/sqrt(32) ~ 18%
+
+
+def test_kmv_sketch_small_stream_is_exact(ray_session):
+    """Fewer than k distinct keys → the sketch IS the distinct set and
+    the estimate is the exact count."""
+    import ray.data
+
+    from lamapi_ray.stages.sketch import kmv_sketch
+
+    ids = np.array([5, 7, 5, 9, 7, 5], dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"user_id": pa.array(ids, pa.int64())}))
+    out = kmv_sketch(ds, "user_id", k=32)
+    assert out.num_rows == 3
+    assert out["est_distinct"][0].as_py() == 3.0
