@@ -424,6 +424,25 @@ def oracle_sql() -> dict[str, str]:
         "GROUP BY 1, 2 ORDER BY e1, e2"
     )
 
+    # per-page entity salience: mention count per (url, id), page share,
+    # within-page rank (count desc, id asc) — mirrors
+    # extras.py::entity_salience
+    sql["entity_salience"] = _with(
+        *_KG_CHAIN,
+        SQL_LINKED,
+        "lc AS (SELECT url, id, CAST(count(*) AS BIGINT) AS n_mentions"
+        " FROM linked GROUP BY 1, 2)",
+        "lt AS (SELECT url, CAST(sum(n_mentions) AS BIGINT) AS tot"
+        " FROM lc GROUP BY 1)",
+    ) + (
+        "SELECT lc.url, lc.id, lc.n_mentions,\n"
+        "  CAST(printf('%.6f', CAST(lc.n_mentions AS DOUBLE)\n"
+        "    / CAST(lt.tot AS DOUBLE)) AS DOUBLE) AS salience,\n"
+        "  CAST(row_number() OVER (PARTITION BY lc.url\n"
+        "    ORDER BY lc.n_mentions DESC, lc.id) AS BIGINT) AS rank\n"
+        "FROM lc JOIN lt ON lt.url = lc.url ORDER BY lc.url, rank"
+    )
+
     _cand_select = (
         'SELECT f.mention, f.id, f.name, f.description, f.types,\n'
         "       CASE WHEN f.types = '' THEN '' ELSE coalesce(ti.label, f.types) END AS type_names,\n"
@@ -3405,6 +3424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["lookup_literals"] = with_kg("lookup_literals", "literals")
     out["predicates_pairs"] = with_kg("predicates_pairs", "triples")
     out["entity_cooccurrence"] = with_kg("entity_cooccurrence", "linked")
+    out["entity_salience"] = with_kg("entity_salience", "linked")
 
     def ner(sf_dir: str):
         r = _results(sf_dir)
@@ -3602,7 +3622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # prove the fix green (events_rollup carries the same latent fix)
         "revenue_by_nation", "quantile_sketch", "events_rollup",
         # the final session's additions — never driver-checked, newest first
-        "kmv_users", "bloom_semi_join",
+        "kmv_users", "bloom_semi_join", "entity_salience",
         "link_hits", "event_funnel", "co_citation", "biblio_coupling",
         "link_components", "funnel_times", "doc_search_bm25", "hybrid_rrf",
         "semdedup", "entity_ppr", "cross_source_linkage", "kg_fusion",

@@ -5601,3 +5601,82 @@ def kmeans_clusters(sf_dir: str) -> pa.Table:
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     return _collect(kmeans_fixed(ds, k=8, iters=3)).sort_by("vec_id")
+
+
+def entity_salience(sf_dir: str, linked: pa.Table) -> pa.Table:
+    """Per-page entity salience over the linked-mention chain — the
+    feature KG-construction emits for downstream ranking/weighting of
+    triples: for every (url, entity) the mention count, its share of the
+    page's linked mentions (salience), and the within-page rank (count
+    desc, entity id asc). The reference ranks candidates per lookup;
+    this is the page-level aggregate view of the same signal.
+
+    Scale shape: rows of one url are co-located by ONE coarse url-hash
+    exchange (many urls per group call), then everything is a vectorized
+    factorize/lexsort/segment kernel — per-partition work is bounded by
+    its rows, nothing corpus-sized on the driver."""
+    from lamapi_ray.functions.inthash import hash_string_array
+    from lamapi_ray.stages.textstats import round_ref_array
+
+    if isinstance(linked, ray.data.Dataset):
+        ds = linked.select_columns(["url", "id"])
+    else:
+        ds = ray.data.from_arrow(linked.select(["url", "id"]))
+
+    def coarse_key(batch: pa.Table) -> pa.Table:
+        url = batch["url"]
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        h = hash_string_array(url).view(np.int64)
+        return batch.append_column(
+            "__pk", pa.array(np.abs(h) % 16, pa.int64())
+        )
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "url": pa.array([], pa.string()),
+                "id": pa.array([], pa.string()),
+                "n_mentions": pa.array([], pa.int64()),
+                "salience": pa.array([], pa.float64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
+        if len(group) == 0:
+            return empty
+        url = group["url"].combine_chunks().to_numpy(zero_copy_only=False)
+        eid = group["id"].combine_chunks().to_numpy(zero_copy_only=False)
+        urls, ucode = np.unique(url, return_inverse=True)
+        eids, ecode = np.unique(eid, return_inverse=True)
+        pair = ucode.astype(np.int64) * len(eids) + ecode
+        upair, counts = np.unique(pair, return_counts=True)
+        pu, pe = upair // len(eids), upair % len(eids)
+        page_tot = np.bincount(pu, weights=counts, minlength=len(urls))
+        # order: url asc, count desc, entity id asc (ecode order IS
+        # lexicographic — np.unique sorts)
+        order = np.lexsort((pe, -counts, pu))
+        pu, pe, counts = pu[order], pe[order], counts[order]
+        seg_start = np.concatenate([[True], pu[1:] != pu[:-1]])
+        first = np.maximum.accumulate(
+            np.where(seg_start, np.arange(len(pu)), 0)
+        )
+        rank = np.arange(len(pu)) - first + 1
+        sal = round_ref_array(counts / page_tot[pu], 6)
+        return pa.table(
+            {
+                "url": pa.array(urls[pu].tolist(), pa.string()),
+                "id": pa.array(eids[pe].tolist(), pa.string()),
+                "n_mentions": pa.array(counts.astype(np.int64), pa.int64()),
+                "salience": pa.array(sal, pa.float64()),
+                "rank": pa.array(rank.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = _collect(
+        ds.map_batches(coarse_key, batch_format="pyarrow")
+        .groupby("__pk", num_partitions=_scaled(0.5, 16))
+        .map_groups(per_partition, batch_format="pyarrow")
+    )
+    if out.num_rows == 0 and not out.column_names:
+        return per_partition(pa.table({}))  # typed empty
+    return out.sort_by([("url", "ascending"), ("rank", "ascending")])

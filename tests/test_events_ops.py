@@ -506,3 +506,38 @@ def test_zorder_interleave_locality(tmp_path, ray_session):
     # distinct pairs only; z bits: (0,0)=0 (0,1)=1 (1,0)=2 (1,1)=3 (2,0)=8
     assert rows == [(0, 0, 0), (0, 1, 1), (1, 0, 2), (1, 1, 3), (2, 0, 8)]
     # the whole 2x2 quadrant is contiguous before (2,0) — the locality point
+
+
+def test_entity_salience_counts_share_and_rank(ray_session):
+    """Crafted linked table: counts, page-share salience, and the
+    (count desc, id asc) within-page rank — including a count tie."""
+    import pyarrow as pa
+
+    from lamapi_ray.pipelines.extras import entity_salience
+
+    linked = pa.table(
+        {
+            "url": pa.array(
+                ["p1", "p1", "p1", "p1", "p2", "p2"], pa.string()
+            ),
+            "id": pa.array(
+                ["Q2", "Q1", "Q2", "Q3", "Q9", "Q9"], pa.string()
+            ),
+        }
+    )
+    out = entity_salience("unused", linked)
+    rows = list(
+        zip(
+            out["url"].to_pylist(),
+            out["id"].to_pylist(),
+            out["n_mentions"].to_pylist(),
+            out["salience"].to_pylist(),
+            out["rank"].to_pylist(),
+        )
+    )
+    assert rows == [
+        ("p1", "Q2", 2, 0.5, 1),
+        ("p1", "Q1", 1, 0.25, 2),   # tie with Q3 → id asc
+        ("p1", "Q3", 1, 0.25, 3),
+        ("p2", "Q9", 2, 1.0, 1),
+    ]
