@@ -2371,6 +2371,30 @@ def oracle_sql() -> dict[str, str]:
         "         CAST(1 AS BIGINT) FROM documents, n\n"
         ") ORDER BY src, rank"
     )
+    # GraphSAGE-style 2-layer neighbor aggregation: node feature =
+    # in-degree over ALL edges (multiplicity + self-loops kept), layer k
+    # sums the layer-(k-1) values of in-neighbors; zero for sources with
+    # no feature row — mirrors extras.py::gnn_neighbor_agg
+    sql["gnn_neighbor_agg"] = (
+        "WITH n AS (SELECT count(*) AS np FROM part),\n"
+        "e0 AS (SELECT doc_id AS s, doc_id % np AS d FROM documents, n\n"
+        "       UNION ALL SELECT doc_id, (doc_id*7+13) % np FROM documents, n),\n"
+        "ind AS (SELECT d AS node, CAST(count(*) AS BIGINT) AS n_in\n"
+        "        FROM e0 GROUP BY 1),\n"
+        "h1 AS (SELECT e0.d AS node,\n"
+        "         CAST(sum(coalesce(i.n_in, 0)) AS BIGINT) AS h1_sum\n"
+        "       FROM e0 LEFT JOIN ind i ON i.node = e0.s GROUP BY 1),\n"
+        "h2 AS (SELECT e0.d AS node,\n"
+        "         CAST(sum(coalesce(h.h1_sum, 0)) AS BIGINT) AS h2_sum\n"
+        "       FROM e0 LEFT JOIN h1 h ON h.node = e0.s GROUP BY 1)\n"
+        "SELECT i.node, i.n_in, h1.h1_sum,\n"
+        "  CAST(printf('%.6f', CAST(h1.h1_sum AS DOUBLE)\n"
+        "    / CAST(i.n_in AS DOUBLE)) AS DOUBLE) AS h1_mean,\n"
+        "  h2.h2_sum\n"
+        "FROM ind i JOIN h1 ON h1.node = i.node JOIN h2 ON h2.node = i.node\n"
+        "ORDER BY i.node"
+    )
+
     # triangle count over the same link graph: canonical a<b distinct
     # undirected edges, one triangle (a<b<c) per ordered edge triple
     sql["link_triangles"] = (
@@ -3366,6 +3390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_user_sketch",
         "kmv_users",
         "bloom_semi_join",
+        "gnn_neighbor_agg",
         "hll_users_by_type",
         "stratified_sample",
         "events_pivot",
@@ -3623,6 +3648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation", "quantile_sketch", "events_rollup",
         # the final session's additions — never driver-checked, newest first
         "kmv_users", "bloom_semi_join", "entity_salience",
+        "gnn_neighbor_agg",
         "link_hits", "event_funnel", "co_citation", "biblio_coupling",
         "link_components", "funnel_times", "doc_search_bm25", "hybrid_rrf",
         "semdedup", "entity_ppr", "cross_source_linkage", "kg_fusion",

@@ -5680,3 +5680,102 @@ def entity_salience(sf_dir: str, linked: pa.Table) -> pa.Table:
     if out.num_rows == 0 and not out.column_names:
         return per_partition(pa.table({}))  # typed empty
     return out.sort_by([("url", "ascending"), ("rank", "ascending")])
+
+
+def gnn_neighbor_agg(sf_dir: str) -> pa.Table:
+    """GraphSAGE-style neighbor feature aggregation over the hyperlink
+    graph — the message-passing step that materializes GNN training
+    features without a learned model: node feature = in-degree; layer 1
+    aggregates each node's IN-neighbors' features (sum + mean); layer 2
+    aggregates the layer-1 sums one hop further. Output per node with
+    ≥1 in-edge: (node, n_in, h1_sum, h1_mean, h2_sum).
+
+    Scale shape: features are node-bounded tables, edges stream; each
+    message-passing layer is ONE bucketed hash join (edges × features on
+    src — no broadcast of the node table, which is corpus-scale in a
+    10^9-node web graph) + ONE grouped sum on dst. Missing-feature
+    sources contribute 0 (inner join drops them; the final assembly
+    re-inserts zero rows from the in-degree node list, guarded
+    searchsorted). Multiplicities and self-loops are kept — the
+    aggregation is over EDGES, as in sampled-neighborhood GNN training."""
+    from lamapi_ray import synth
+    from lamapi_ray.stages.join import bucketed_hash_join
+    from lamapi_ray.stages.linkgraph import extract_links
+    from lamapi_ray.stages.textstats import round_ref_array
+    from ray.data.aggregate import Sum
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        def ids(col):
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return pc.cast(pc.utf8_slice_codeunits(col, 6), pa.int64())
+
+        return pa.table({"src": ids(batch["src"]), "dst": ids(batch["dst"])})
+
+    edges = extract_links(synth.pages_dataset(sf_dir)).map_batches(
+        to_ids, batch_format="pyarrow", zero_copy_batch=True
+    )
+    nb = _scaled(0.5, 16)
+
+    def layer(feat: ray.data.Dataset, fcol: str, out: str) -> pa.Table:
+        """edges × (node, fcol) on src → Σ per dst — one join + one sum."""
+        msg = bucketed_hash_join(
+            edges.map_batches(
+                lambda b: pa.table({"node": b["src"], "dst": b["dst"]}),
+                batch_format="pyarrow", zero_copy_batch=True,
+            ),
+            feat, on="node", num_buckets=nb,
+        )
+        summed = (
+            msg.map_batches(
+                lambda b: pa.table({"node": b["dst"], "v": b[fcol]}),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+            .groupby("node", num_partitions=nb)
+            .aggregate(Sum("v"))
+        )
+        return _collect(summed).rename_columns(["node", out])
+
+    indeg_ds = edges.groupby("dst", num_partitions=nb).count()
+
+    def as_feat(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": b["dst"], "n_in": b["count()"].cast(pa.int64())}
+        )
+
+    indeg_feat = indeg_ds.map_batches(
+        as_feat, batch_format="pyarrow", zero_copy_batch=True
+    )
+    h1 = layer(indeg_feat, "n_in", "h1_sum")
+    h1_feat = ray.data.from_arrow(h1)
+    h2 = layer(h1_feat, "h1_sum", "h2_sum")
+
+    ind = _collect(indeg_feat).sort_by("node")
+    nodes = ind["node"].to_numpy(zero_copy_only=False)
+    n_in = ind["n_in"].to_numpy(zero_copy_only=False)
+
+    def aligned(tbl: pa.Table, col: str) -> np.ndarray:
+        out = np.zeros(len(nodes), np.int64)
+        tn = tbl["node"].to_numpy(zero_copy_only=False)
+        tv = tbl[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(nodes, tn)
+        ok = (pos < len(nodes)) & (nodes[np.minimum(pos, len(nodes) - 1)] == tn)
+        if not np.all(ok):  # a summed node must exist in the in-degree list
+            raise ValueError("aggregated node missing from in-degree table")
+        out[pos] = tv
+        return out
+
+    h1_sum = aligned(h1, "h1_sum")
+    h2_sum = aligned(h2, "h2_sum")
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "n_in": pa.array(n_in.astype(np.int64), pa.int64()),
+            "h1_sum": pa.array(h1_sum, pa.int64()),
+            "h1_mean": pa.array(
+                round_ref_array(h1_sum / n_in.astype(np.float64), 6),
+                pa.float64(),
+            ),
+            "h2_sum": pa.array(h2_sum, pa.int64()),
+        }
+    )

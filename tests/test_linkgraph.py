@@ -434,3 +434,46 @@ def test_component_sizes_match_components(ray_session):
     got = component_sizes(sf)
     got_d = dict(zip(got["size"].to_pylist(), got["n_components"].to_pylist()))
     assert got_d == dict(sizes)
+
+
+def test_gnn_neighbor_agg_naive_equality(ray_session, tmp_path):
+    """Two-layer in-neighbor aggregation must equal the naive per-node
+    computation over the same edge multiset (multiplicity + self-loops)."""
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from lamapi_ray import synth
+    from lamapi_ray.pipelines.extras import gnn_neighbor_agg
+    from lamapi_ray.stages.linkgraph import extract_links
+
+    sf = "/root/testdata/sf0.001"
+    out = gnn_neighbor_agg(sf)
+
+    edges_tbl = pa.concat_tables(
+        extract_links(synth.pages_dataset(sf)).iter_batches(
+            batch_size=1 << 16, batch_format="pyarrow"
+        )
+    )
+    src = [int(s[6:]) for s in edges_tbl["src"].to_pylist()]
+    dst = [int(s[6:]) for s in edges_tbl["dst"].to_pylist()]
+    indeg = defaultdict(int)
+    for d in dst:
+        indeg[d] += 1
+    h1 = defaultdict(int)
+    for s, d in zip(src, dst):
+        h1[d] += indeg.get(s, 0)
+    h2 = defaultdict(int)
+    for s, d in zip(src, dst):
+        h2[d] += h1.get(s, 0)
+    want = sorted(indeg)
+    assert out["node"].to_pylist() == want
+    assert out["n_in"].to_pylist() == [indeg[v] for v in want]
+    assert out["h1_sum"].to_pylist() == [h1[v] for v in want]
+    assert out["h2_sum"].to_pylist() == [h2[v] for v in want]
+    for m, s, c in zip(
+        out["h1_mean"].to_pylist(),
+        out["h1_sum"].to_pylist(),
+        out["n_in"].to_pylist(),
+    ):
+        assert abs(m - s / c) < 1e-6
