@@ -2752,6 +2752,38 @@ def oracle_sql() -> dict[str, str]:
         "FROM doc ORDER BY doc_id"
     )
 
+    # Bigram-LM perplexity: P(w2|w1) = (c2+1)/(c1(w1)+V) with c1 the plain
+    # unigram count and V the unigram vocab size; per-bigram surprisal
+    # floor-quantized to integer micro-nats (order-exact per-doc sums);
+    # parallel unnest zips token and position, list-extract supplies the
+    # history token; docs with <2 tokens drop via the i>1 join
+    sql["bigram_perplexity"] = (
+        "WITH tok AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),\n"
+        "uni AS (SELECT unnest(ts) AS token FROM tok),\n"
+        "cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1),\n"
+        "vv AS (SELECT count(*) AS v FROM cnt),\n"
+        "pos AS (SELECT doc_id, unnest(ts) AS w2,\n"
+        "        unnest(range(1, len(ts) + 1)) AS i FROM tok),\n"
+        "big AS (SELECT p.doc_id, t.ts[p.i - 1] AS w1, p.w2\n"
+        "        FROM pos p JOIN tok t USING (doc_id) WHERE p.i > 1),\n"
+        "bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2\n"
+        "       FROM big GROUP BY 1, 2),\n"
+        "term AS (SELECT bc.w1, bc.w2,\n"
+        "         CAST(floor(-ln((bc.c2 + 1.0) / (cnt.c + v)) * 1000000)\n"
+        "           AS BIGINT) AS s\n"
+        "         FROM bc JOIN cnt ON cnt.token = bc.w1 CROSS JOIN vv),\n"
+        "doc AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,\n"
+        "        CAST(sum(term.s) AS BIGINT) AS surprisal_micro\n"
+        "        FROM big b JOIN term ON term.w1 = b.w1 AND term.w2 = b.w2\n"
+        "        GROUP BY 1)\n"
+        "SELECT doc_id, n_bigrams, surprisal_micro,\n"
+        " round_even(CAST(surprisal_micro AS DOUBLE) / n_bigrams / 1000000, 6)"
+        " AS avg_surprisal,\n"
+        " round_even(exp(CAST(surprisal_micro AS DOUBLE) / n_bigrams / 1000000), 4)"
+        " AS ppl\n"
+        "FROM doc ORDER BY doc_id"
+    )
+
     # Full-text BM25 doc search: per-(term,doc) contribution floor-quantized
     # to integer micro-units with the SAME IEEE operand order and literals
     # as stages/search.py::bm25_search, so per-doc sums are order-exact;
@@ -3340,6 +3372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_downsample",
         "sequence_packing",
         "unigram_perplexity",
+        "bigram_perplexity",
         "chunk_windows",
         "doc_embed_hash",
         "video_mjpeg_frames",
@@ -3648,7 +3681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation", "quantile_sketch", "events_rollup",
         # the final session's additions — never driver-checked, newest first
         "kmv_users", "bloom_semi_join", "entity_salience",
-        "gnn_neighbor_agg",
+        "gnn_neighbor_agg", "bigram_perplexity",
         "link_hits", "event_funnel", "co_citation", "biblio_coupling",
         "link_components", "funnel_times", "doc_search_bm25", "hybrid_rrf",
         "semdedup", "entity_ppr", "cross_source_linkage", "kg_fusion",

@@ -5779,3 +5779,12 @@ def gnn_neighbor_agg(sf_dir: str) -> pa.Table:
             "h2_sum": pa.array(h2_sum, pa.int64()),
         }
     )
+
+
+def bigram_perplexity(sf_dir: str) -> pa.Table:
+    """Add-one-smoothed bigram-LM perplexity per doc (the n=2 step of the
+    KenLM curation ladder; unigram sibling above). Integer micro-nat
+    surprisals — see :func:`lamapi_ray.stages.lmscore.bigram_perplexity_pipeline`."""
+    from lamapi_ray.stages.lmscore import bigram_perplexity_pipeline
+
+    return _collect(bigram_perplexity_pipeline(_docs(sf_dir))).sort_by("doc_id")

@@ -176,3 +176,122 @@ def perplexity_buckets(docs: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return keyed.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bigram_counts(docs: ray.data.Dataset) -> pa.Table:
+    """→ (w1, w2, c2) corpus bigram counts — map-side per-batch pair
+    counts, ONE bigram-vocabulary-bounded grouped exchange (ships the
+    bigram vocab, never the corpus)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, flat, parents, _ = _tokens(batch)
+        toks = flat.to_numpy(zero_copy_only=False)
+        same = parents[1:] == parents[:-1]
+        w1, w2 = toks[:-1][same], toks[1:][same]
+        if len(w1) == 0:
+            return pa.table(
+                {"w1": pa.array([], pa.string()),
+                 "w2": pa.array([], pa.string()),
+                 "c2": pa.array([], pa.int64())}
+            )
+        pair = np.char.add(np.char.add(w1.astype(str), "\x1f"), w2.astype(str))
+        up, cc = np.unique(pair, return_counts=True)
+        parts = np.char.partition(up, "\x1f")
+        return pa.table(
+            {
+                "w1": pa.array(parts[:, 0].tolist(), pa.string()),
+                "w2": pa.array(parts[:, 2].tolist(), pa.string()),
+                "c2": pa.array(cc.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["w1", "w2"])
+        .sum("c2")
+    )
+    blocks = [t for t in ray.get(agg.to_arrow_refs()) if t.num_columns]
+    return pa.concat_tables(blocks).rename_columns(["w1", "w2", "c2"])
+
+
+def bigram_perplexity_pipeline(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Add-one-smoothed BIGRAM LM, trained on the corpus and scoring it:
+    P(w2|w1) = (c2(w1,w2)+1) / (c1(w1)+V) with c1 the plain unigram
+    count and V the unigram vocabulary size — the next step up from the
+    unigram filter (KenLM pipelines use n=5; the dataflow shape is
+    identical from n=2 on: an n-gram-vocab-bounded count exchange plus a
+    broadcast score pass).
+
+    Same hash-exactness design as the unigram scorer: per-DISTINCT-bigram
+    surprisal is quantized ONCE to integer micro-nats; per-doc sums are
+    order-exact; only the final division/exp are floats, identical IEEE
+    operand order both sides. Docs with <2 tokens have no bigrams and are
+    dropped (mirrors the oracle's join semantics). Scoring the training
+    corpus itself ⇒ every scored bigram exists in the count table (the
+    lookup raises on a miss rather than silently smoothing)."""
+    counts, n_total, vocab = unigram_counts(docs)
+    bc = bigram_counts(docs)
+
+    toks = counts["token"]
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    c1 = counts["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+    # per-distinct-bigram integer micro-nat surprisal, keyed by the
+    # \x1f-joined pair (tokens are whitespace-split, so \x1f cannot occur
+    # inside one)
+    w1 = bc["w1"]
+    w2 = bc["w2"]
+    if isinstance(w1, pa.ChunkedArray):
+        w1 = w1.combine_chunks()
+    if isinstance(w2, pa.ChunkedArray):
+        w2 = w2.combine_chunks()
+    c1_pos = pc.index_in(w1, value_set=toks).to_numpy(zero_copy_only=False)
+    if np.isnan(c1_pos.astype(np.float64)).any():
+        raise ValueError("bigram history token missing from unigram vocab")
+    denom = c1[c1_pos.astype(np.int64)] + float(vocab)
+    c2 = bc["c2"].to_numpy(zero_copy_only=False).astype(np.float64)
+    surp = np.floor(-np.log((c2 + 1.0) / denom) * SCALE).astype(np.int64)
+    keys = pc.binary_join_element_wise(
+        w1.cast(pa.string()), w2.cast(pa.string()), "\x1f"
+    )
+    ref = ray.put((keys, surp))
+
+    def score(batch: pa.Table) -> pa.Table:
+        key_arr, surp_arr = ray.get(ref)
+        nrows = len(batch)
+        _, flat, parents, _ = _tokens(batch)
+        toks_np = flat.to_numpy(zero_copy_only=False)
+        same = parents[1:] == parents[:-1]
+        bw1, bw2 = toks_np[:-1][same], toks_np[1:][same]
+        bparents = parents[1:][same]
+        bkeys = pa.array(
+            np.char.add(
+                np.char.add(bw1.astype(str), "\x1f"), bw2.astype(str)
+            ).tolist(),
+            pa.string(),
+        )
+        pos = pc.index_in(bkeys, value_set=key_arr)
+        posn = pos.to_numpy(zero_copy_only=False).astype(np.float64)
+        if np.isnan(posn).any():
+            raise ValueError("scored bigram missing from the count table")
+        per_big = surp_arr[posn.astype(np.int64)]
+        sm = np.bincount(bparents, weights=per_big, minlength=nrows).astype(
+            np.int64
+        )
+        nb = np.bincount(bparents, minlength=nrows).astype(np.int64)
+        keep = nb > 0
+        avg = sm[keep].astype(np.float64) / nb[keep].astype(np.float64) / SCALE
+        did = batch["doc_id"]
+        if isinstance(did, pa.ChunkedArray):
+            did = did.combine_chunks()
+        return pa.table(
+            {
+                "doc_id": did.filter(pa.array(keep)),
+                "n_bigrams": pa.array(nb[keep], pa.int64()),
+                "surprisal_micro": pa.array(sm[keep], pa.int64()),
+                "avg_surprisal": pa.array(round_ref_array(avg, 6), pa.float64()),
+                "ppl": pa.array(round_ref_array(np.exp(avg), 4), pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

@@ -69,3 +69,48 @@ def test_unseen_token_fallback():
     sa = int(np.floor(-np.log((2 + 1.0) / (n + v)) * SCALE))
     sz = int(np.floor(-np.log(1.0 / (n + v)) * SCALE))  # c=0 smoothing floor
     assert out["surprisal_micro"][0].as_py() == sa + sz
+
+
+def test_bigram_perplexity_scalar_reference(ray_session):
+    """Bigram scorer vs a scalar add-one bigram LM on a crafted corpus,
+    including a 1-token doc that must drop (no bigrams)."""
+    import math
+    from collections import Counter
+
+    import ray.data
+
+    from lamapi_ray.stages.lmscore import SCALE, bigram_perplexity_pipeline
+
+    texts = ["a b a b c", "b a b", "c c c a", "a"]
+    docs = ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(4), pa.int64()),
+             "text": pa.array(texts, pa.string())}
+        )
+    ).repartition(2)
+    out = pa.concat_tables(
+        bigram_perplexity_pipeline(docs).iter_batches(
+            batch_size=1 << 16, batch_format="pyarrow"
+        )
+    ).sort_by("doc_id")
+
+    c1 = Counter(t for s in texts for t in s.split())
+    V = len(c1)
+    c2 = Counter()
+    for s in texts:
+        ts = s.split()
+        for a, b in zip(ts, ts[1:]):
+            c2[(a, b)] += 1
+    assert out["doc_id"].to_pylist() == [0, 1, 2]  # doc 3 has no bigrams
+    for row, s in zip(range(3), texts):
+        ts = s.split()
+        bigs = list(zip(ts, ts[1:]))
+        sm = sum(
+            math.floor(-math.log((c2[b] + 1.0) / (c1[b[0]] + V)) * SCALE)
+            for b in bigs
+        )
+        assert out["n_bigrams"][row].as_py() == len(bigs)
+        assert out["surprisal_micro"][row].as_py() == sm
+        avg = sm / len(bigs) / SCALE
+        assert abs(out["avg_surprisal"][row].as_py() - avg) < 1e-6
+        assert abs(out["ppl"][row].as_py() - math.exp(avg)) < 1e-3
