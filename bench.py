@@ -275,6 +275,13 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("zorder_layout", lambda: extras.zorder_layout(sf_dir))
     timed("token_budget", lambda: extras.token_budget(sf_dir))
     timed("component_sizes", lambda: extras.component_sizes(sf_dir))
+    timed("kmv_users", lambda: extras.kmv_users(sf_dir))
+    timed("bloom_semi_join", lambda: extras.bloom_semi_join(sf_dir))
+    if "linked" in holder:
+        timed("entity_salience",
+              lambda: extras.entity_salience(sf_dir, holder["linked"]))
+    timed("gnn_neighbor_agg", lambda: extras.gnn_neighbor_agg(sf_dir))
+    timed("bigram_perplexity", lambda: extras.bigram_perplexity(sf_dir))
     timed("doc_search_bm25", lambda: extras.doc_search_bm25(sf_dir))
     timed("hybrid_rrf", lambda: extras.hybrid_rrf(sf_dir))
     timed("semdedup", lambda: extras.semdedup(sf_dir))
