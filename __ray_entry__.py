@@ -2089,6 +2089,28 @@ def oracle_sql() -> dict[str, str]:
         "FROM s GROUP BY 1, 2"
     )
 
+    # SCD type-2 dimension build: per-user runs of equal event_type →
+    # validity intervals; run_id = per-user 1-based break cumsum, valid_to
+    # = next run's first ts (NULL on the open run) — mirrors
+    # extras.py::scd2_user_state
+    sql["scd2_user_state"] = _with(
+        "r AS (SELECT user_id, event_type, ts, event_id,\n"
+        "  CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type\n"
+        "       THEN 1 ELSE 0 END AS brk\n"
+        "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))",
+        "g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id\n"
+        "  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS grp FROM r)",
+        "iv AS (SELECT user_id, CAST(grp AS BIGINT) AS run_id,\n"
+        "  min(event_type) AS event_type, min(ts) AS valid_from,\n"
+        "  CAST(count(*) AS BIGINT) AS n_events FROM g GROUP BY 1, 2)",
+        "fin AS (SELECT *, lead(valid_from) OVER\n"
+        "  (PARTITION BY user_id ORDER BY run_id) AS valid_to FROM iv)",
+    ) + (
+        "SELECT user_id, run_id, event_type, valid_from, valid_to,\n"
+        "  n_events, valid_to IS NULL AS is_current\n"
+        "FROM fin ORDER BY user_id, run_id"
+    )
+
     # stable multiplicative hash split, HUGEINT mirror of
     # functions/inthash (h = (id * K % p + 1) % p, bucket = h % 100)
     sql["dataset_split"] = (
@@ -3438,6 +3460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_ngrams",
         "event_percentiles",
         "sessionize",
+        "scd2_user_state",
         "events_asof",
         "purchase_attribution",
         "sliding_window_events",
@@ -3681,7 +3704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation", "quantile_sketch", "events_rollup",
         # the final session's additions — never driver-checked, newest first
         "kmv_users", "bloom_semi_join", "entity_salience",
-        "gnn_neighbor_agg", "bigram_perplexity",
+        "gnn_neighbor_agg", "bigram_perplexity", "scd2_user_state",
         "link_hits", "event_funnel", "co_citation", "biblio_coupling",
         "link_components", "funnel_times", "doc_search_bm25", "hybrid_rrf",
         "semdedup", "entity_ppr", "cross_source_linkage", "kg_fusion",

@@ -5788,3 +5788,88 @@ def bigram_perplexity(sf_dir: str) -> pa.Table:
     from lamapi_ray.stages.lmscore import bigram_perplexity_pipeline
 
     return _collect(bigram_perplexity_pipeline(_docs(sf_dir))).sort_by("doc_id")
+
+
+def scd2_user_state(sf_dir: str) -> pa.Table:
+    """Slowly-changing-dimension type-2 build over the event stream — the
+    lakehouse dimension-maintenance op: per user, consecutive runs of the
+    same event_type collapse into one validity interval
+    (user_id, event_type, valid_from, valid_to, n_events, is_current);
+    valid_to = next run's first ts, NULL on the open (current) run.
+
+    Scale shape: the sessionize pattern — ONE coarse user-hash exchange
+    co-locates each user's history (many users per map_groups call), the
+    kernel is one lexsort + run-boundary diff over the whole partition.
+    Run order at equal ts is pinned by the event_id tie-break, so the
+    interval table is deterministic."""
+    P = _scaled(0.5, 16)
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    )
+
+    def intervals(group: pa.Table) -> pa.Table:
+        n = len(group)
+        empty = pa.table(
+            {"user_id": pa.array([], pa.int64()),
+             "run_id": pa.array([], pa.int64()),
+             "event_type": pa.array([], pa.string()),
+             "valid_from": pa.array([], pa.timestamp("us")),
+             "valid_to": pa.array([], pa.timestamp("us")),
+             "n_events": pa.array([], pa.int64()),
+             "is_current": pa.array([], pa.bool_())}
+        )
+        if n == 0:
+            return empty
+        ts = group["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        eid = group["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        uid = group["user_id"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        et = group["event_type"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, et = uid[order], ts[order], et[order]
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+        brk = new_user | np.concatenate([[True], et[1:] != et[:-1]])
+        starts = np.flatnonzero(brk)
+        counts = np.diff(np.concatenate([starts, [n]]))
+        # valid_to = next run's start ts within the same user, else null
+        nxt = np.concatenate([starts[1:], [0]])
+        has_next = np.concatenate(
+            [~new_user[starts[1:]], [False]]
+        )  # next run belongs to the same user?
+        vto = np.where(has_next, ts[np.minimum(nxt, n - 1)], 0)
+        # per-user 1-based run ids (sessionize's base-subtraction idiom)
+        rid_global = np.cumsum(brk)
+        user_starts = np.flatnonzero(new_user)
+        run_user_first = np.searchsorted(user_starts, starts, side="right") - 1
+        base = (rid_global[user_starts] - 1)[run_user_first]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "run_id": pa.array(
+                    (rid_global[starts] - base).astype(np.int64), pa.int64()
+                ),
+                "event_type": pa.array(et[starts].tolist(), pa.string()),
+                "valid_from": pa.array(ts[starts], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "valid_to": pa.array(
+                    vto, pa.int64(), mask=~has_next
+                ).cast(pa.timestamp("us")),
+                "n_events": pa.array(counts.astype(np.int64), pa.int64()),
+                "is_current": pa.array(~has_next, pa.bool_()),
+            }
+        )
+
+    return _collect(
+        ev.map_batches(
+            lambda b: _user_pk(b, P), batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("__upk", num_partitions=P)
+        .map_groups(intervals, batch_format="pyarrow")
+    ).sort_by([("user_id", "ascending"), ("run_id", "ascending")])

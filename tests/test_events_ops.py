@@ -541,3 +541,47 @@ def test_entity_salience_counts_share_and_rank(ray_session):
         ("p1", "Q3", 1, 0.25, 3),
         ("p2", "Q9", 2, 1.0, 1),
     ]
+
+
+def test_scd2_user_state_intervals(ray_session, tmp_path):
+    """Crafted stream: run collapse, valid_to chaining, open current run,
+    and the equal-ts event_id tie-break."""
+    import pyarrow.parquet as pq
+
+    from lamapi_ray.pipelines.extras import scd2_user_state
+
+    us = 1_000_000
+    ev = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+            "ts": pa.array(
+                [10 * us, 20 * us, 20 * us, 30 * us, 40 * us, 5 * us, 9 * us],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1, 1, 1, 1, 1, 2, 2], pa.int64()),
+            "event_type": pa.array(
+                ["view", "view", "click", "click", "view", "buy", "buy"],
+                pa.string(),
+            ),
+        }
+    )
+    pq.write_table(ev, str(tmp_path / "events.parquet"))
+    out = scd2_user_state(str(tmp_path))
+    rows = list(
+        zip(
+            out["user_id"].to_pylist(),
+            out["run_id"].to_pylist(),
+            out["event_type"].to_pylist(),
+            [t.timestamp() for t in out["valid_from"].to_pylist()],
+            [None if t is None else t.timestamp()
+             for t in out["valid_to"].to_pylist()],
+            out["n_events"].to_pylist(),
+            out["is_current"].to_pylist(),
+        )
+    )
+    assert rows == [
+        (1, 1, "view", 10.0, 20.0, 2, False),   # eid tie puts view@20 first
+        (1, 2, "click", 20.0, 40.0, 2, False),
+        (1, 3, "view", 40.0, None, 1, True),
+        (2, 1, "buy", 5.0, None, 2, True),
+    ]
