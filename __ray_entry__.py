@@ -2111,6 +2111,21 @@ def oracle_sql() -> dict[str, str]:
         "FROM fin ORDER BY user_id, run_id"
     )
 
+    # per-day peak concurrency: +1/-1 boundary sweep over half-open
+    # 15 min intervals, closes before opens at equal time (ORDER BY t, d);
+    # intra-tie order cannot move the per-day max — mirrors
+    # extras.py::peak_concurrency
+    sql["peak_concurrency"] = _with(
+        "b AS (SELECT epoch_us(ts) AS t, 1 AS d FROM events\n"
+        "      UNION ALL SELECT epoch_us(ts) + 900000000, -1 FROM events)",
+        "r AS (SELECT t, d, sum(d) OVER (ORDER BY t, d\n"
+        "      ROWS UNBOUNDED PRECEDING) AS c FROM b)",
+    ) + (
+        "SELECT CAST(t // 86400000000 AS BIGINT) AS day,\n"
+        "  CAST(max(c) AS BIGINT) AS peak\n"
+        "FROM r GROUP BY 1 ORDER BY day"
+    )
+
     # stable multiplicative hash split, HUGEINT mirror of
     # functions/inthash (h = (id * K % p + 1) % p, bucket = h % 100)
     sql["dataset_split"] = (
@@ -3461,6 +3476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_percentiles",
         "sessionize",
         "scd2_user_state",
+        "peak_concurrency",
         "events_asof",
         "purchase_attribution",
         "sliding_window_events",
@@ -3705,6 +3721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the final session's additions — never driver-checked, newest first
         "kmv_users", "bloom_semi_join", "entity_salience",
         "gnn_neighbor_agg", "bigram_perplexity", "scd2_user_state",
+        "peak_concurrency",
         "link_hits", "event_funnel", "co_citation", "biblio_coupling",
         "link_components", "funnel_times", "doc_search_bm25", "hybrid_rrf",
         "semdedup", "entity_ppr", "cross_source_linkage", "kg_fusion",

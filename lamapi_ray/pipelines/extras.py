@@ -5873,3 +5873,103 @@ def scd2_user_state(sf_dir: str) -> pa.Table:
         .groupby("__upk", num_partitions=P)
         .map_groups(intervals, batch_format="pyarrow")
     ).sort_by([("user_id", "ascending"), ("run_id", "ascending")])
+
+
+def peak_concurrency(sf_dir: str) -> pa.Table:
+    """Per-day PEAK concurrent sessions — the capacity-planning sweep:
+    every event opens a half-open 15 min activity interval
+    [ts, ts+900 s); boundaries (+1 at open, −1 at close, closes before
+    opens at equal time per half-open semantics) are swept in global
+    time order and the running sum's max per epoch-day is the peak.
+
+    The running sum over a global order is the watermark_window
+    DISTRIBUTED PREFIX SCAN, reused with sum instead of max: pass 1
+    folds per-hour-bucket delta sums map-side (bucket table is
+    hours-in-range-bounded on the driver; a tree scan at larger scale),
+    the exclusive prefix sums broadcast back, pass 2 co-locates each
+    bucket with ONE grouped exchange, closes the cumsum inside
+    (vectorized), and folds straight to per-(bucket, day) maxima — the
+    final fold is days-bounded. Intra-tie order at equal (t, d) cannot
+    move the per-day max (+1 runs peak at their end, −1 runs at their
+    start), so the result is deterministic and oracle-mirrorable."""
+    DUR_US = 900 * 1_000_000
+    HOUR_US = 3600 * 1_000_000
+    DAY_US = 86_400 * 1_000_000
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def boundaries(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = np.concatenate([ts, ts + DUR_US])
+        d = np.concatenate(
+            [np.ones(len(ts), np.int64), -np.ones(len(ts), np.int64)]
+        )
+        return pa.table(
+            {"t": pa.array(t, pa.int64()), "d": pa.array(d, pa.int64())}
+        )
+
+    bnd = ev.map_batches(boundaries, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_sum(batch: pa.Table) -> pa.Table:
+        t = batch["t"].to_numpy(zero_copy_only=False)
+        d = batch["d"].to_numpy(zero_copy_only=False)
+        b = t // HOUR_US
+        u, inv = np.unique(b, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, d)
+        return pa.table(
+            {"bucket": pa.array(u, pa.int64()), "s": pa.array(s, pa.int64())}
+        )
+
+    parts = pa.concat_tables(
+        bnd.map_batches(bucket_sum, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    )
+    pb = parts["bucket"].to_numpy(zero_copy_only=False)
+    ps = parts["s"].to_numpy(zero_copy_only=False)
+    ub, inv = np.unique(pb, return_inverse=True)
+    sums = np.zeros(len(ub), np.int64)
+    np.add.at(sums, inv, ps)
+    # exclusive prefix: concurrency entering each bucket
+    offs = np.concatenate([[0], np.cumsum(sums)[:-1]])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        t = batch["t"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__bk", pa.array(t // HOUR_US, pa.int64())
+        )
+
+    def close_scan(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"day": pa.array([], pa.int64()), "peak": pa.array([], pa.int64())}
+        )
+        if len(group) == 0:
+            return empty
+        t = group["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = group["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        bk = int(group["__bk"][0].as_py())
+        pos = int(np.searchsorted(ub, bk))
+        if pos >= len(ub) or ub[pos] != bk:
+            raise ValueError("bucket missing from prefix-scan pass 1")
+        order = np.lexsort((d, t))
+        t, d = t[order], d[order]
+        c = np.cumsum(d) + offs[pos]
+        day = t // DAY_US
+        u, inv2 = np.unique(day, return_inverse=True)
+        mx = np.full(len(u), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, inv2, c)
+        return pa.table(
+            {"day": pa.array(u, pa.int64()), "peak": pa.array(mx, pa.int64())}
+        )
+
+    partials = _collect(
+        bnd.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bk", num_partitions=_scaled(0.5, 16))
+        .map_groups(close_scan, batch_format="pyarrow")
+    )
+    fin = partials.group_by("day").aggregate([("peak", "max")])
+    return pa.table(
+        {
+            "day": fin["day"].combine_chunks(),
+            "peak": fin["peak_max"].combine_chunks().cast(pa.int64()),
+        }
+    ).sort_by("day")

@@ -585,3 +585,34 @@ def test_scd2_user_state_intervals(ray_session, tmp_path):
         (1, 3, "view", 40.0, None, 1, True),
         (2, 1, "buy", 5.0, None, 2, True),
     ]
+
+
+def test_peak_concurrency_sweep(ray_session, tmp_path):
+    """Crafted stream: overlap peaks, the close-before-open rule at an
+    exact 900 s boundary (no phantom overlap), and day bucketing."""
+    import pyarrow.parquet as pq
+
+    from lamapi_ray.pipelines.extras import peak_concurrency
+
+    us = 1_000_000
+    day = 86_400 * us
+    ts = [
+        0,            # A: [0, 900s)
+        300 * us,     # B overlaps A            -> peak 2
+        600 * us,     # C overlaps A,B          -> peak 3
+        900 * us,     # D starts exactly at A's close -> stays 3
+        day + 100 * us,  # next day, single     -> peak 1
+    ]
+    ev = pa.table(
+        {
+            "event_id": pa.array(range(len(ts)), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([1] * len(ts), pa.int64()),
+            "event_type": pa.array(["view"] * len(ts), pa.string()),
+            "value": pa.array([1.0] * len(ts), pa.float64()),
+        }
+    )
+    pq.write_table(ev, str(tmp_path / "events.parquet"))
+    out = peak_concurrency(str(tmp_path))
+    assert out["day"].to_pylist() == [0, 1]
+    assert out["peak"].to_pylist() == [3, 1]
