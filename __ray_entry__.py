@@ -1694,6 +1694,36 @@ def oracle_sql() -> dict[str, str]:
         "FROM t CROSS JOIN kk ORDER BY sample_rank"
     )
 
+    # kmv_set_ops: theta-sketch set algebra between even- and odd-epoch-day
+    # user populations — bottom-k union sketch, exact side membership,
+    # union/Jaccard/intersection estimates; raw doubles combined BEFORE the
+    # per-output printf, same IEEE order as the engine
+    sql["kmv_set_ops"] = _with(
+        f"ha AS (SELECT DISTINCT {_HLL_H} AS hv FROM events"
+        " WHERE (epoch_us(ts) // 86400000000) % 2 = 0)",
+        "sa AS (SELECT CAST(hv AS BIGINT) AS hv FROM ha ORDER BY hv LIMIT 32)",
+        f"hb AS (SELECT DISTINCT {_HLL_H} AS hv FROM events"
+        " WHERE (epoch_us(ts) // 86400000000) % 2 = 1)",
+        "sb AS (SELECT CAST(hv AS BIGINT) AS hv FROM hb ORDER BY hv LIMIT 32)",
+        "un AS (SELECT hv FROM (SELECT hv FROM sa UNION SELECT hv FROM sb)"
+        " ORDER BY hv LIMIT 32)",
+        "st AS (SELECT count(*) AS n_sketch, max(hv) AS hk,\n"
+        "  sum(CASE WHEN hv IN (SELECT hv FROM sa)\n"
+        "        AND hv IN (SELECT hv FROM sb) THEN 1 ELSE 0 END) AS n_both\n"
+        "  FROM un)",
+        "raw AS (SELECT n_sketch, n_both,\n"
+        "  CASE WHEN n_sketch < 32 THEN CAST(n_sketch AS DOUBLE)\n"
+        "    ELSE 31.0 * 2305843009213693952.0 / CAST(hk AS DOUBLE) END AS ue,\n"
+        "  CAST(n_both AS DOUBLE) / CAST(n_sketch AS DOUBLE) AS je FROM st)",
+    ) + (
+        "SELECT CAST(n_sketch AS BIGINT) AS sketch_size,\n"
+        "  CAST(n_both AS BIGINT) AS n_both,\n"
+        "  CAST(printf('%.4f', ue) AS DOUBLE) AS union_est,\n"
+        "  CAST(printf('%.4f', je) AS DOUBLE) AS jaccard_est,\n"
+        "  CAST(printf('%.4f', je * ue) AS DOUBLE) AS inter_est\n"
+        "FROM raw"
+    )
+
     # bloom_semi_join: the Bloom prefilter has no false negatives and the
     # bucketed semi join removes false positives, so the result is the
     # plain relational semi join
@@ -3459,6 +3489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_sketch",
         "cms_user_sketch",
         "kmv_users",
+        "kmv_set_ops",
         "bloom_semi_join",
         "gnn_neighbor_agg",
         "hll_users_by_type",
@@ -3721,7 +3752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the final session's additions — never driver-checked, newest first
         "kmv_users", "bloom_semi_join", "entity_salience",
         "gnn_neighbor_agg", "bigram_perplexity", "scd2_user_state",
-        "peak_concurrency",
+        "peak_concurrency", "kmv_set_ops",
         "link_hits", "event_funnel", "co_citation", "biblio_coupling",
         "link_components", "funnel_times", "doc_search_bm25", "hybrid_rrf",
         "semdedup", "entity_ppr", "cross_source_linkage", "kg_fusion",

@@ -276,6 +276,7 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("token_budget", lambda: extras.token_budget(sf_dir))
     timed("component_sizes", lambda: extras.component_sizes(sf_dir))
     timed("kmv_users", lambda: extras.kmv_users(sf_dir))
+    timed("kmv_set_ops", lambda: extras.kmv_set_ops(sf_dir))
     timed("bloom_semi_join", lambda: extras.bloom_semi_join(sf_dir))
     if "linked" in holder:
         timed("entity_salience",

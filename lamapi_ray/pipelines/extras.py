@@ -5973,3 +5973,31 @@ def peak_concurrency(sf_dir: str) -> pa.Table:
             "peak": fin["peak_max"].combine_chunks().cast(pa.int64()),
         }
     ).sort_by("day")
+
+
+def kmv_set_ops(sf_dir: str) -> pa.Table:
+    """Sketch set algebra (theta-sketch style) between two user
+    populations — even-epoch-day vs odd-epoch-day activity: bottom-k
+    union sketch, exact side membership of every sketch member, and
+    union / Jaccard / intersection estimates, without shuffling either
+    key stream. See :func:`lamapi_ray.stages.sketch.kmv_set_ops`."""
+    from lamapi_ray.stages.sketch import kmv_set_ops as _kmv_set_ops
+
+    DAY_US = 86_400_000_000
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def half(parity: int):
+        def pick(b: pa.Table) -> pa.Table:
+            ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            keep = (ts // DAY_US) % 2 == parity
+            return pa.table(
+                {"user_id": b["user_id"].combine_chunks().filter(pa.array(keep))
+                 if isinstance(b["user_id"], pa.ChunkedArray)
+                 else b["user_id"].filter(pa.array(keep))}
+            )
+
+        return ev.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+    return _kmv_set_ops(half(0), half(1), "user_id")

@@ -579,3 +579,70 @@ def kmv_sketch(ds: ray.data.Dataset, id_col: str, k: int = KMV_K) -> pa.Table:
             ),
         }
     )
+
+
+def kmv_set_ops(
+    ds_a: ray.data.Dataset, ds_b: ray.data.Dataset, id_col: str, k: int = KMV_K
+) -> pa.Table:
+    """KMV sketch SET ALGEBRA over two key streams — the theta-sketch
+    trick: build the bottom-k union sketch, count its members present in
+    each side, and estimates for |A∪B|, Jaccard and |A∩B| follow without
+    ever shuffling either key stream.
+
+    θ = h_k of the UNION sketch; members below θ are a uniform sample of
+    A∪B, so jaccard_est = |{s ≤ θ} ∩ A ∩ B| / |sketch| and
+    inter_est = jaccard_est · union_est. Side membership of each sketch
+    member is exact (searchsorted into each side's OWN bottom-k sketch:
+    every union-sketch member h ≤ θ ≤ that side's h_k, so membership of
+    h in the side's sketch ⟺ membership of the key in the side — no
+    second corpus pass). Output is ONE row of estimates plus the exact
+    integer sufficient statistics, printf-parity doubles."""
+    from lamapi_ray.functions.text import round_ref
+
+    def side(ds) -> np.ndarray:
+        def partial(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"hv": pa.array(kmv_partial(ids, k).view(np.int64), pa.int64())}
+            )
+
+        parts = [
+            b["hv"].to_numpy(zero_copy_only=False)
+            for b in ds.map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True
+            ).iter_batches(batch_size=65536, batch_format="pyarrow")
+        ]
+        merged = (
+            np.unique(np.concatenate(parts)) if parts else np.array([], np.int64)
+        )
+        return merged[:k].view(np.uint64)
+
+    sa, sb = side(ds_a), side(ds_b)
+    union = np.unique(np.concatenate([sa, sb]))[:k]
+
+    def est_distinct(sk: np.ndarray) -> float:
+        if len(sk) == 0:
+            return 0.0
+        if len(sk) < k:
+            return float(len(sk))
+        return (k - 1.0) * float(MOD61) / float(sk[-1])
+
+    def member(sk: np.ndarray, h: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(sk, h)
+        return (pos < len(sk)) & (sk[np.minimum(pos, max(len(sk) - 1, 0))] == h)
+
+    in_a = member(sa, union)
+    in_b = member(sb, union)
+    n_union_sketch = len(union)
+    n_both = int(np.sum(in_a & in_b))
+    union_est = est_distinct(union)
+    jac = n_both / n_union_sketch if n_union_sketch else 0.0
+    return pa.table(
+        {
+            "sketch_size": pa.array([n_union_sketch], pa.int64()),
+            "n_both": pa.array([n_both], pa.int64()),
+            "union_est": pa.array([round_ref(union_est, 4)], pa.float64()),
+            "jaccard_est": pa.array([round_ref(jac, 4)], pa.float64()),
+            "inter_est": pa.array([round_ref(jac * union_est, 4)], pa.float64()),
+        }
+    )
