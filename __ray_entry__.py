@@ -1694,6 +1694,22 @@ def oracle_sql() -> dict[str, str]:
         "FROM t CROSS JOIN kk ORDER BY sample_rank"
     )
 
+    # spatial_near_pairs: Chebyshev-distance-3 pairs over the closed-form
+    # integer point cloud — the oracle is the brute-force range self join
+    # (DuckDB IEJoin); the engine's 3x3 cell exchange must reproduce it
+    # exactly (integer geometry, no float drift)
+    sql["spatial_near_pairs"] = _with(
+        "pts AS (SELECT event_id AS id, (event_id * 7919) % 10000 AS x,\n"
+        "        (event_id * 104729) % 10000 AS y FROM events)",
+    ) + (
+        "SELECT a.id AS id_a, b.id AS id_b,\n"
+        "  b.x - a.x AS dx, b.y - a.y AS dy\n"
+        "FROM pts a JOIN pts b ON a.id < b.id\n"
+        "  AND b.x BETWEEN a.x - 3 AND a.x + 3\n"
+        "  AND b.y BETWEEN a.y - 3 AND a.y + 3\n"
+        "ORDER BY id_a, id_b"
+    )
+
     # kmv_set_ops: theta-sketch set algebra between even- and odd-epoch-day
     # user populations — bottom-k union sketch, exact side membership,
     # union/Jaccard/intersection estimates; raw doubles combined BEFORE the
@@ -3491,6 +3507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_users",
         "kmv_set_ops",
         "bloom_semi_join",
+        "spatial_near_pairs",
         "gnn_neighbor_agg",
         "hll_users_by_type",
         "stratified_sample",
@@ -3752,7 +3769,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the final session's additions — never driver-checked, newest first
         "kmv_users", "bloom_semi_join", "entity_salience",
         "gnn_neighbor_agg", "bigram_perplexity", "scd2_user_state",
-        "peak_concurrency", "kmv_set_ops",
+        "peak_concurrency", "kmv_set_ops", "spatial_near_pairs",
         "link_hits", "event_funnel", "co_citation", "biblio_coupling",
         "link_components", "funnel_times", "doc_search_bm25", "hybrid_rrf",
         "semdedup", "entity_ppr", "cross_source_linkage", "kg_fusion",

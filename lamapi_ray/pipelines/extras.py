@@ -6001,3 +6001,40 @@ def kmv_set_ops(sf_dir: str) -> pa.Table:
         return ev.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
 
     return _kmv_set_ops(half(0), half(1), "user_id")
+
+
+def spatial_near_pairs(sf_dir: str) -> pa.Table:
+    """Spatial near-pair self-join over a synthetic point cloud — the
+    geo blocking pattern (geohash/grid cells) that replaces the all-pairs
+    distance join: deterministic integer points derived from event ids
+    (x = id·7919 mod 10000, y = id·104729 mod 10000), pairs within
+    Chebyshev distance 3 via the 3×3 grid-cell exchange.
+    See :mod:`lamapi_ray.stages.spatial`."""
+    from lamapi_ray.stages.spatial import near_pairs
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def pts(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "id": pa.array(eid, pa.int64()),
+                "x": pa.array((eid * 7919) % 10000, pa.int64()),
+                "y": pa.array((eid * 104729) % 10000, pa.int64()),
+            }
+        )
+
+    out = _collect(
+        near_pairs(
+            ev.map_batches(pts, batch_format="pyarrow", zero_copy_batch=True),
+            radius=3, cell=4, num_partitions=_scaled(0.5, 16),
+        )
+    )
+    if out.num_rows == 0 and not out.column_names:
+        out = pa.table(
+            {"id_a": pa.array([], pa.int64()),
+             "id_b": pa.array([], pa.int64()),
+             "dx": pa.array([], pa.int64()),
+             "dy": pa.array([], pa.int64())}
+        )
+    return out.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
