@@ -1699,8 +1699,14 @@ def oracle_sql() -> dict[str, str]:
     # (DuckDB IEJoin); the engine's 3x3 cell exchange must reproduce it
     # exactly (integer geometry, no float drift)
     sql["spatial_near_pairs"] = _with(
-        "pts AS (SELECT event_id AS id, (event_id * 7919) % 10000 AS x,\n"
-        "        (event_id * 104729) % 10000 AS y FROM events)",
+        "base AS (SELECT event_id AS id,\n"
+        "    CAST((CAST(event_id AS HUGEINT) * 2177342782468422681)\n"
+        "      % 2305843009213693951 % 600 AS BIGINT) AS x,\n"
+        "    CAST((CAST(event_id AS HUGEINT) * 194409311614856021)\n"
+        "      % 2305843009213693951 % 600 AS BIGINT) AS y FROM events)",
+        "pts AS (SELECT id, x, y FROM base\n"
+        "  UNION ALL SELECT id + 1000000000, x + 1, y + 2 FROM base\n"
+        "  WHERE id % 5 = 0)",
     ) + (
         "SELECT a.id AS id_a, b.id AS id_b,\n"
         "  b.x - a.x AS dx, b.y - a.y AS dy\n"
@@ -1708,6 +1714,45 @@ def oracle_sql() -> dict[str, str]:
         "  AND b.x BETWEEN a.x - 3 AND a.x + 3\n"
         "  AND b.y BETWEEN a.y - 3 AND a.y + 3\n"
         "ORDER BY id_a, id_b"
+    )
+
+    # grid_dbscan: deterministic DBSCAN (eps=Chebyshev 3, minPts=3, min-id
+    # cluster labels, border → min neighboring core label, noise dropped)
+    # over the dense %600 point cloud; core components via the recursive
+    # min-label closure (subcritical density keeps it component-bounded)
+    sql["grid_dbscan"] = (
+        "WITH RECURSIVE pts AS (SELECT event_id AS id,\n"
+        "    CAST((CAST(event_id AS HUGEINT) * 2177342782468422681)\n"
+        "      % 2305843009213693951 % 600 AS BIGINT) AS x,\n"
+        "    CAST((CAST(event_id AS HUGEINT) * 194409311614856021)\n"
+        "      % 2305843009213693951 % 600 AS BIGINT) AS y FROM events),\n"
+        "prs AS (SELECT a.id AS ia, b.id AS ib\n"
+        "  FROM pts a JOIN pts b ON a.id < b.id\n"
+        "    AND b.x BETWEEN a.x - 3 AND a.x + 3\n"
+        "    AND b.y BETWEEN a.y - 3 AND a.y + 3),\n"
+        "deg AS (SELECT id, count(*) AS d FROM\n"
+        "  (SELECT ia AS id FROM prs UNION ALL SELECT ib FROM prs)\n"
+        "  GROUP BY 1),\n"
+        "core AS (SELECT id FROM deg WHERE d >= 3),\n"
+        "ce AS (SELECT ia, ib FROM prs\n"
+        "  WHERE ia IN (SELECT id FROM core) AND ib IN (SELECT id FROM core)),\n"
+        "u AS (SELECT ia AS a, ib AS b FROM ce UNION SELECT ib, ia FROM ce),\n"
+        "r AS (SELECT id AS v, id AS l FROM core\n"
+        "      UNION\n"
+        "      SELECT u.b, r.l FROM r JOIN u ON u.a = r.v),\n"
+        "lab AS (SELECT v AS id, CAST(min(l) AS BIGINT) AS cluster\n"
+        "  FROM r GROUP BY v),\n"
+        "be AS (SELECT ib AS id, ia AS cid FROM prs\n"
+        "    WHERE ia IN (SELECT id FROM core)\n"
+        "      AND ib NOT IN (SELECT id FROM core)\n"
+        "  UNION ALL SELECT ia, ib FROM prs\n"
+        "    WHERE ib IN (SELECT id FROM core)\n"
+        "      AND ia NOT IN (SELECT id FROM core)),\n"
+        "bl AS (SELECT be.id, CAST(min(lab.cluster) AS BIGINT) AS cluster\n"
+        "  FROM be JOIN lab ON lab.id = be.cid GROUP BY be.id)\n"
+        "SELECT id, cluster, TRUE AS is_core FROM lab\n"
+        "UNION ALL SELECT id, cluster, FALSE FROM bl\n"
+        "ORDER BY id"
     )
 
     # kmv_set_ops: theta-sketch set algebra between even- and odd-epoch-day
@@ -3508,6 +3553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_set_ops",
         "bloom_semi_join",
         "spatial_near_pairs",
+        "grid_dbscan",
         "gnn_neighbor_agg",
         "hll_users_by_type",
         "stratified_sample",
@@ -3770,6 +3816,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_users", "bloom_semi_join", "entity_salience",
         "gnn_neighbor_agg", "bigram_perplexity", "scd2_user_state",
         "peak_concurrency", "kmv_set_ops", "spatial_near_pairs",
+        "grid_dbscan",
         "link_hits", "event_funnel", "co_citation", "biblio_coupling",
         "link_components", "funnel_times", "doc_search_bm25", "hybrid_rrf",
         "semdedup", "entity_ppr", "cross_source_linkage", "kg_fusion",

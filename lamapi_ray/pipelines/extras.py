@@ -6006,21 +6006,40 @@ def kmv_set_ops(sf_dir: str) -> pa.Table:
 def spatial_near_pairs(sf_dir: str) -> pa.Table:
     """Spatial near-pair self-join over a synthetic point cloud — the
     geo blocking pattern (geohash/grid cells) that replaces the all-pairs
-    distance join: deterministic integer points derived from event ids
-    (x = id·7919 mod 10000, y = id·104729 mod 10000), pairs within
-    Chebyshev distance 3 via the 3×3 grid-cell exchange.
+    distance join: points are the two house 61-bit mixes of the event id
+    reduced mod 600 (same decorrelated cloud as ``grid_dbscan``), PLUS a
+    planted companion at (x+1, y+2) for every 5th event (id offset 10^9)
+    so every scale has guaranteed cross-cell pairs — the rank-1 lattice
+    structure of the bare cloud has min pairwise distance > 3 at small n
+    (the link_triangles planting idiom). Pairs within Chebyshev
+    distance 3 via the 3×3 grid-cell exchange.
     See :mod:`lamapi_ray.stages.spatial`."""
     from lamapi_ray.stages.spatial import near_pairs
 
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
 
     def pts(b: pa.Table) -> pa.Table:
+        from lamapi_ray.functions.inthash import fold_mod61, mulmod61
+
         eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = fold_mod61(eid.view(np.uint64))
+        M1 = np.uint64(2177342782468422681)
+        M2 = np.uint64(194409311614856021)
+        x = (mulmod61(h, np.full(len(h), M1)) % np.uint64(600)).astype(np.int64)
+        y = (mulmod61(h, np.full(len(h), M2)) % np.uint64(600)).astype(np.int64)
+        plant = eid % 5 == 0
         return pa.table(
             {
-                "id": pa.array(eid, pa.int64()),
-                "x": pa.array((eid * 7919) % 10000, pa.int64()),
-                "y": pa.array((eid * 104729) % 10000, pa.int64()),
+                "id": pa.array(
+                    np.concatenate([eid, eid[plant] + 1_000_000_000]),
+                    pa.int64(),
+                ),
+                "x": pa.array(
+                    np.concatenate([x, x[plant] + 1]), pa.int64()
+                ),
+                "y": pa.array(
+                    np.concatenate([y, y[plant] + 2]), pa.int64()
+                ),
             }
         )
 
@@ -6038,3 +6057,184 @@ def spatial_near_pairs(sf_dir: str) -> pa.Table:
              "dy": pa.array([], pa.int64())}
         )
     return out.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+
+def grid_dbscan(sf_dir: str) -> pa.Table:
+    """Deterministic DBSCAN over a dense synthetic point cloud — the
+    density-clustering step spatial/embedding curation pipelines run
+    after blocking: eps = Chebyshev 3, minPts = 3 neighbors (self
+    excluded); core points cluster by connected components of the
+    core-core neighbor graph (label = min core id — the house min-label
+    rule replaces DBSCAN's arbitrary first-visitor assignment); border
+    points attach to the MIN label among their core neighbors; noise is
+    dropped. Points: x/y = the two house mod-(2^61-1) multiplicative
+    mixes of the id, reduced mod 600 (a plain ``id·k mod 600`` would
+    alias both coordinates to period 600 → 600 coincident-point stacks;
+    the 61-bit mix decorrelates them into a uniform cloud) —
+    subcritical density at oracle scales (mean degree ≈ 1.4 at sf0.01,
+    below the ≈4.5 continuum-percolation threshold) so the recursive
+    oracle closure stays component-bounded; at bench scale the giant
+    component exercises the distributed min-label path.
+
+    Dataflow: ONE 3×3 cell exchange (stages/spatial.py) → pair stream;
+    degrees by a flat-endpoint groupby-count; core set broadcasts as a
+    sorted id array; core-core edges feed the distributed min-label
+    components; border assignment is one vectorized min-fold over the
+    single-core pairs. Pairs never materialize beyond their own stream
+    except the core/label tables (core-bounded)."""
+    from lamapi_ray.stages.dedup import _cc_min_labels
+    from lamapi_ray.stages.spatial import near_pairs
+
+    MINPTS = 3
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def pts(b: pa.Table) -> pa.Table:
+        from lamapi_ray.functions.inthash import fold_mod61, mulmod61
+
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = fold_mod61(eid.view(np.uint64))
+        M1 = np.uint64(2177342782468422681)
+        M2 = np.uint64(194409311614856021)
+        x = (mulmod61(h, np.full(len(h), M1)) % np.uint64(600)).astype(np.int64)
+        y = (mulmod61(h, np.full(len(h), M2)) % np.uint64(600)).astype(np.int64)
+        return pa.table(
+            {
+                "id": pa.array(eid, pa.int64()),
+                "x": pa.array(x, pa.int64()),
+                "y": pa.array(y, pa.int64()),
+            }
+        )
+
+    P = _scaled(0.5, 16)
+    # pair stream is consumed three times (degrees, core-core edges,
+    # border fold) — materialize ONCE into the object store (pair-bounded,
+    # ~mean-degree × points rows, never corpus²)
+    pairs = near_pairs(
+        ev.map_batches(pts, batch_format="pyarrow", zero_copy_batch=True),
+        radius=3, cell=4, num_partitions=P,
+    ).select_columns(["id_a", "id_b"]).materialize()
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        ids = np.concatenate(
+            [
+                b["id_a"].to_numpy(zero_copy_only=False),
+                b["id_b"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        u, c = np.unique(ids, return_counts=True)
+        return pa.table(
+            {"id": pa.array(u, pa.int64()), "c": pa.array(c, pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    deg = _collect(
+        pairs.map_batches(endpoints, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("id", num_partitions=P)
+        .aggregate(Sum("c"))
+    )
+    if "id" not in deg.column_names:  # zero near pairs at this scale
+        deg = pa.table(
+            {"id": pa.array([], pa.int64()), "sum(c)": pa.array([], pa.int64())}
+        )
+    dd = deg["sum(c)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cores = np.sort(
+        deg["id"].to_numpy(zero_copy_only=False)[dd >= MINPTS]
+    ).astype(np.int64)
+
+    def is_core(a: np.ndarray) -> np.ndarray:
+        if len(cores) == 0:
+            return np.zeros(len(a), bool)
+        pos = np.searchsorted(cores, a)
+        return (pos < len(cores)) & (
+            cores[np.minimum(pos, len(cores) - 1)] == a
+        )
+
+    if len(cores) == 0:  # subcritical cloud with no dense spot at this sf
+        return pa.table(
+            {"id": pa.array([], pa.int64()),
+             "cluster": pa.array([], pa.int64()),
+             "is_core": pa.array([], pa.bool_())}
+        )
+
+    def core_core(b: pa.Table) -> pa.Table:
+        a = b["id_a"].to_numpy(zero_copy_only=False)
+        bb = b["id_b"].to_numpy(zero_copy_only=False)
+        keep = is_core(a) & is_core(bb)
+        return pa.table(
+            {"id_a": pa.array(a[keep], pa.int64()),
+             "id_b": pa.array(bb[keep], pa.int64())}
+        )
+
+    # isolated cores (no core neighbor) still form singleton clusters:
+    # seed them as self-loops so _cc_min_labels emits them
+    ce = pairs.map_batches(core_core, batch_format="pyarrow", zero_copy_batch=True)
+    seeds = ray.data.from_arrow(
+        pa.table(
+            {"id_a": pa.array(cores, pa.int64()),
+             "id_b": pa.array(cores, pa.int64())}
+        )
+    )
+    labels = _cc_min_labels(ce.union(seeds), num_partitions=P)
+    lab_node = labels["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lab_val = labels["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(lab_node)
+    lab_node, lab_val = lab_node[order], lab_val[order]
+
+    def core_label(a: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(lab_node, a)
+        if len(a) and not np.all(
+            (pos < len(lab_node)) & (lab_node[np.minimum(pos, len(lab_node) - 1)] == a)
+        ):
+            raise ValueError("core id missing from component labels")
+        return lab_val[pos]
+
+    def border_pairs(b: pa.Table) -> pa.Table:
+        a = b["id_a"].to_numpy(zero_copy_only=False)
+        bb = b["id_b"].to_numpy(zero_copy_only=False)
+        ca, cb = is_core(a), is_core(bb)
+        one_a = ca & ~cb  # a core, b border
+        one_b = cb & ~ca
+        bid = np.concatenate([bb[one_a], a[one_b]])
+        cl = np.concatenate([core_label(a[one_a]), core_label(bb[one_b])])
+        if len(bid) == 0:
+            return pa.table(
+                {"id": pa.array([], pa.int64()),
+                 "cl": pa.array([], pa.int64())}
+            )
+        # map-side min combine
+        u, inv = np.unique(bid, return_inverse=True)
+        mn = np.full(len(u), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mn, inv, cl)
+        return pa.table(
+            {"id": pa.array(u, pa.int64()), "cl": pa.array(mn, pa.int64())}
+        )
+
+    from ray.data.aggregate import Min
+
+    bl = _collect(
+        pairs.map_batches(border_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("id", num_partitions=P)
+        .aggregate(Min("cl"))
+    )
+    if "id" not in bl.column_names:  # no border points anywhere
+        bl = pa.table(
+            {"id": pa.array([], pa.int64()), "min(cl)": pa.array([], pa.int64())}
+        )
+    out_id = np.concatenate(
+        [lab_node, bl["id"].to_numpy(zero_copy_only=False).astype(np.int64)]
+    )
+    out_cl = np.concatenate(
+        [lab_val, bl["min(cl)"].to_numpy(zero_copy_only=False).astype(np.int64)]
+    )
+    out_core = np.concatenate(
+        [np.ones(len(lab_node), bool), np.zeros(bl.num_rows, bool)]
+    )
+    order = np.argsort(out_id)
+    return pa.table(
+        {
+            "id": pa.array(out_id[order], pa.int64()),
+            "cluster": pa.array(out_cl[order], pa.int64()),
+            "is_core": pa.array(out_core[order], pa.bool_()),
+        }
+    )
