@@ -1694,6 +1694,26 @@ def oracle_sql() -> dict[str, str]:
         "FROM t CROSS JOIN kk ORDER BY sample_rank"
     )
 
+    # cdc_upsert_merge: MERGE INTO semantics — latest version per key wins,
+    # DELETE tombstones drop the key; delta = closed-form updates/inserts/
+    # tombstones over orders — mirrors extras.py::cdc_upsert_merge
+    sql["cdc_upsert_merge"] = _with(
+        "mx AS (SELECT max(o_orderkey) AS m FROM orders)",
+        "allr AS (SELECT o_orderkey, o_totalprice, o_orderstatus,\n"
+        "    1 AS version, 'B' AS op FROM orders\n"
+        "  UNION ALL SELECT o_orderkey, o_totalprice + 10.0, 'U', 2, 'U'\n"
+        "    FROM orders WHERE o_orderkey % 10 = 0\n"
+        "  UNION ALL SELECT o_orderkey, 0.0, 'D', 2, 'D'\n"
+        "    FROM orders WHERE o_orderkey % 100 = 7\n"
+        "  UNION ALL SELECT o_orderkey + m + 1, o_totalprice / 2.0, 'I', 2, 'I'\n"
+        "    FROM orders, mx WHERE o_orderkey < 500)",
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey\n"
+        "    ORDER BY version DESC) AS rn FROM allr)",
+    ) + (
+        "SELECT o_orderkey, o_totalprice, o_orderstatus FROM rk\n"
+        "WHERE rn = 1 AND op <> 'D' ORDER BY o_orderkey"
+    )
+
     # spatial_near_pairs: Chebyshev-distance-3 pairs over the closed-form
     # integer point cloud — the oracle is the brute-force range self join
     # (DuckDB IEJoin); the engine's 3x3 cell exchange must reproduce it
@@ -3554,6 +3574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join",
         "spatial_near_pairs",
         "grid_dbscan",
+        "cdc_upsert_merge",
         "gnn_neighbor_agg",
         "hll_users_by_type",
         "stratified_sample",
@@ -3816,7 +3837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_users", "bloom_semi_join", "entity_salience",
         "gnn_neighbor_agg", "bigram_perplexity", "scd2_user_state",
         "peak_concurrency", "kmv_set_ops", "spatial_near_pairs",
-        "grid_dbscan",
+        "grid_dbscan", "cdc_upsert_merge",
         "link_hits", "event_funnel", "co_citation", "biblio_coupling",
         "link_components", "funnel_times", "doc_search_bm25", "hybrid_rrf",
         "semdedup", "entity_ppr", "cross_source_linkage", "kg_fusion",

@@ -6238,3 +6238,130 @@ def grid_dbscan(sf_dir: str) -> pa.Table:
             "is_core": pa.array(out_core[order], pa.bool_()),
         }
     )
+
+
+def cdc_upsert_merge(sf_dir: str) -> pa.Table:
+    """MERGE INTO (CDC upsert) over a keyed relational table — the
+    row-level sibling of the postings LSM merge: base = orders at
+    version 1; a deterministic CDC delta carries version-2 UPDATEs for
+    o_orderkey % 10 == 0 (+1000 cents on the total, status 'U'),
+    INSERTs for 500 new keys above max(o_orderkey), and DELETE
+    tombstones for o_orderkey % 100 == 7. Latest version wins per key;
+    tombstoned keys vanish.
+
+    Scale shape: base and delta stream through ONE coarse key-hash
+    exchange; the per-partition kernel is a vectorized lexsort by
+    (key, version desc) + segment-first pick + tombstone mask — never a
+    per-key Python loop, nothing table-sized on the driver (the output
+    itself is the merged table, as any MERGE materializes)."""
+    import pyarrow.parquet as pq
+
+    base = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderstatus"],
+    )
+    mx = int(
+        pc.max(
+            pq.read_table(
+                f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+            )["o_orderkey"]
+        ).as_py()
+    )
+
+    def tag_base(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "o_totalprice": b["o_totalprice"],
+                "o_orderstatus": b["o_orderstatus"],
+                "version": pa.array(np.ones(n, np.int64), pa.int64()),
+                "op": pa.array(["B"] * n, pa.string()),
+            }
+        )
+
+    def delta_rows(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tp = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        upd = k % 10 == 0
+        dele = k % 100 == 7
+        ins = k < 500  # one INSERT per first-500 base row, key above max
+        keys = np.concatenate([k[upd], k[dele], k[ins] + mx + 1])
+        price = np.concatenate(
+            [tp[upd] + 10.0, np.zeros(int(dele.sum())), tp[ins] / 2.0]
+        )
+        status = np.concatenate(
+            [
+                np.full(int(upd.sum()), "U", dtype=object),
+                np.full(int(dele.sum()), "D", dtype=object),
+                np.full(int(ins.sum()), "I", dtype=object),
+            ]
+        )
+        op = status.copy()
+        return pa.table(
+            {
+                "o_orderkey": pa.array(keys, pa.int64()),
+                "o_totalprice": pa.array(price, pa.float64()),
+                "o_orderstatus": pa.array(status.tolist(), pa.string()),
+                "version": pa.array(
+                    np.full(len(keys), 2, np.int64), pa.int64()
+                ),
+                "op": pa.array(op.tolist(), pa.string()),
+            }
+        )
+
+    delta = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).map_batches(delta_rows, batch_format="pyarrow", zero_copy_batch=True)
+    both = base.map_batches(
+        tag_base, batch_format="pyarrow", zero_copy_batch=True
+    ).union(delta)
+
+    P = _scaled(0.5, 16)
+
+    def key_pk(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column(
+            "__kpk", pa.array((k * 2654435761 % 4294967296) % P, pa.int64())
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_totalprice": pa.array([], pa.float64()),
+                "o_orderstatus": pa.array([], pa.string()),
+            }
+        )
+        if len(group) == 0:
+            return empty
+        k = group["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = group["version"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((-v, k))
+        k, v = k[order], v[order]
+        first = np.concatenate([[True], k[1:] != k[:-1]])
+        pick = np.flatnonzero(first)
+        ops = group["op"].combine_chunks().take(
+            pa.array(order[pick])
+        )
+        keep = pc.invert(pc.equal(ops, "D")).to_numpy(zero_copy_only=False)
+        sel = order[pick][keep]
+        return pa.table(
+            {
+                "o_orderkey": group["o_orderkey"].combine_chunks().take(
+                    pa.array(sel)
+                ),
+                "o_totalprice": group["o_totalprice"].combine_chunks().take(
+                    pa.array(sel)
+                ),
+                "o_orderstatus": group["o_orderstatus"].combine_chunks().take(
+                    pa.array(sel)
+                ),
+            }
+        )
+
+    return _collect(
+        both.map_batches(key_pk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__kpk", num_partitions=P)
+        .map_groups(merge, batch_format="pyarrow")
+    ).sort_by("o_orderkey")

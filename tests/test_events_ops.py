@@ -616,3 +616,39 @@ def test_peak_concurrency_sweep(ray_session, tmp_path):
     out = peak_concurrency(str(tmp_path))
     assert out["day"].to_pylist() == [0, 1]
     assert out["peak"].to_pylist() == [3, 1]
+
+
+def test_cdc_upsert_merge_semantics(ray_session, tmp_path):
+    """Crafted base: update wins over base, tombstone removes, insert
+    appears, untouched rows pass through."""
+    import pyarrow.parquet as pq
+
+    from lamapi_ray.pipelines.extras import cdc_upsert_merge
+
+    base = pa.table(
+        {
+            "o_orderkey": pa.array([7, 10, 11, 107], pa.int64()),
+            "o_totalprice": pa.array([70.0, 100.0, 110.0, 1070.0], pa.float64()),
+            "o_orderstatus": pa.array(["O", "O", "O", "O"], pa.string()),
+        }
+    )
+    pq.write_table(base, str(tmp_path / "orders.parquet"))
+    out = cdc_upsert_merge(str(tmp_path))
+    rows = list(
+        zip(
+            out["o_orderkey"].to_pylist(),
+            out["o_totalprice"].to_pylist(),
+            out["o_orderstatus"].to_pylist(),
+        )
+    )
+    # key 7: tombstone (7 % 100 == 7) -> gone; key 107: also % 100 == 7 -> gone
+    # key 10: updated (+10.0, 'U'); key 11: untouched
+    # inserts: base keys < 500 -> 4 new keys above max (107), price halved
+    assert rows == [
+        (10, 110.0, "U"),
+        (11, 110.0, "O"),
+        (115, 35.0, "I"),     # 7 + 107 + 1
+        (118, 50.0, "I"),     # 10 + 108
+        (119, 55.0, "I"),     # 11 + 108
+        (215, 535.0, "I"),    # 107 + 108
+    ]
