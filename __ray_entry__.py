@@ -902,6 +902,32 @@ def oracle_sql() -> dict[str, str]:
         + "\nSELECT id, min(lab) AS cluster FROM reach GROUP BY id"
     )
 
+    # fuzzy benchmark decontamination: cross-set LSH (corpus × bench) with
+    # the dedup_minhash band + >=48-slot rule; bench = doc_id%50==0, corpus
+    # = the rest plus ' xx'-edited benchmark copies (id+2e6) — mirrors
+    # extras.py::decontaminate_fuzzy
+    sql["decontaminate_fuzzy"] = _with(
+        "dup AS (SELECT doc_id, text FROM documents\n"
+        "  UNION ALL SELECT doc_id + 2000000, text || ' xx' FROM documents\n"
+        "  WHERE doc_id % 50 = 0)",
+        *_MINHASH_SIG_CTES,
+        "csig AS (SELECT * FROM sigs\n"
+        "  WHERE doc_id % 50 <> 0 OR doc_id >= 2000000)",
+        "bsig AS (SELECT * FROM sigs\n"
+        "  WHERE doc_id % 50 = 0 AND doc_id < 2000000)",
+        "cand AS (SELECT c.doc_id AS cid, b.doc_id AS bid,\n"
+        "    c.sig AS sc, b.sig AS sb\n"
+        "  FROM csig c JOIN bsig b ON list_contains(list_transform(range(0, 16),\n"
+        "    bb -> c.sig[4*bb+1:4*bb+4] = b.sig[4*bb+1:4*bb+4]), true))",
+        "ver AS (SELECT cid, count(*) AS nm FROM cand\n"
+        "  WHERE len(list_filter(range(1, 65), i -> sc[i] = sb[i])) >= 48\n"
+        "  GROUP BY 1)",
+    ) + (
+        "SELECT c.doc_id, CAST(coalesce(v.nm, 0) AS BIGINT) AS n_bench_matches,\n"
+        "  coalesce(v.nm, 0) > 0 AS contaminated\n"
+        "FROM csig c LEFT JOIN ver v ON v.cid = c.doc_id ORDER BY c.doc_id"
+    )
+
     sql["ngram_jaccard_dup"] = _with(SQL_DUP_NEAR, SQL_SHINGLES) + (
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b,\n"
         "  round_even(len(list_intersect(a.s, b.s))\n"
@@ -3575,6 +3601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_near_pairs",
         "grid_dbscan",
         "cdc_upsert_merge",
+        "decontaminate_fuzzy",
         "gnn_neighbor_agg",
         "hll_users_by_type",
         "stratified_sample",
@@ -3837,7 +3864,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_users", "bloom_semi_join", "entity_salience",
         "gnn_neighbor_agg", "bigram_perplexity", "scd2_user_state",
         "peak_concurrency", "kmv_set_ops", "spatial_near_pairs",
-        "grid_dbscan", "cdc_upsert_merge",
+        "grid_dbscan", "cdc_upsert_merge", "decontaminate_fuzzy",
         "link_hits", "event_funnel", "co_citation", "biblio_coupling",
         "link_components", "funnel_times", "doc_search_bm25", "hybrid_rrf",
         "semdedup", "entity_ppr", "cross_source_linkage", "kg_fusion",

@@ -6365,3 +6365,46 @@ def cdc_upsert_merge(sf_dir: str) -> pa.Table:
         .groupby("__kpk", num_partitions=P)
         .map_groups(merge, batch_format="pyarrow")
     ).sort_by("o_orderkey")
+
+
+def decontaminate_fuzzy(sf_dir: str) -> pa.Table:
+    """MinHash-LSH benchmark decontamination: every 50th doc plays the
+    held-out benchmark; the corpus is the remaining docs PLUS a
+    lightly-edited copy of each benchmark doc (' xx' appended,
+    id + 2,000,000) — the paraphrased-leakage case the exact 4-gram rule
+    is complemented by. See
+    :func:`lamapi_ray.stages.curation.decontaminate_fuzzy`."""
+    import pyarrow.parquet as pq
+
+    from lamapi_ray.stages.curation import decontaminate_fuzzy as _fuzzy
+
+    full = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    did = full["doc_id"].to_numpy()
+    bench = full.filter(pa.array(did % 50 == 0))
+
+    def to_corpus(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        txt = t["text"].combine_chunks()
+        keep = d % 50 != 0
+        plant = ~keep
+        planted_txt = pc.binary_join_element_wise(
+            txt.filter(pa.array(plant)).cast(pa.string()), "xx", " "
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate([d[keep], d[plant] + 2_000_000]), pa.int64()
+                ),
+                "text": pa.concat_arrays(
+                    [
+                        txt.filter(pa.array(keep)).cast(pa.string()),
+                        planted_txt,
+                    ]
+                ),
+            }
+        )
+
+    corpus = _docs(sf_dir, ("doc_id", "text")).map_batches(
+        to_corpus, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _collect(_fuzzy(corpus, bench)).sort_by("doc_id")

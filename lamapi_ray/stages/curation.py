@@ -402,3 +402,95 @@ def blocklist_scan(
         )
 
     return ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def decontaminate_fuzzy(
+    corpus: ray.data.Dataset,
+    bench: pa.Table,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 16,
+    threshold_rows: int = 48,
+) -> ray.data.Dataset:
+    """NEAR-DUP benchmark decontamination — the MinHash sibling of the
+    exact k-gram rule above, for paraphrased/lightly-edited benchmark
+    leakage the n-gram test misses: a corpus doc is contaminated iff
+    some LSH band of its 64-slot signature agrees with a benchmark
+    doc's band AND ≥ ``threshold_rows`` of the 64 slots agree (the
+    dedup family's 0.75-Jaccard near-dup rule, applied CROSS-set).
+
+    Scale shape: the benchmark side is always tiny relative to the
+    corpus (that is the premise of decontamination), so its signature
+    matrix + per-band sorted digest tables broadcast once via
+    ``ray.put``; the corpus streams through one map_batches — per batch
+    a vectorized band-digest searchsorted probe, candidate expansion by
+    range, and an exact ≥threshold slot verify against the true bench
+    signatures (band-digest equality stands in for exact band equality
+    modulo a 2^-61 fold collision — the dedup_minhash convention).
+    Output: one row per corpus doc (doc_id, n_bench_matches,
+    contaminated)."""
+    from lamapi_ray.stages.dedup import MinHasher, _horner_cols, _sig_matrix
+
+    rows_per_band = MinHasher.NUM_PERM // bands
+    bids, bsigs = _sig_matrix(bench, id_col, text_col)
+    band_tables = []
+    for b in range(bands):
+        d = _horner_cols(
+            bsigs[:, b * rows_per_band : (b + 1) * rows_per_band], init=b + 1
+        )
+        order = np.argsort(d, kind="stable")
+        band_tables.append((d[order], order))
+    bref = ray.put((bids, bsigs, band_tables))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        b_ids, b_sigs, b_tables = ray.get(bref)
+        ids, sigs = _sig_matrix(batch, id_col, text_col)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_bench_matches": pa.array([], pa.int64()),
+                "contaminated": pa.array([], pa.bool_()),
+            }
+        )
+        if len(ids) == 0:
+            return empty
+        ci_all, bi_all = [], []
+        for b, (bd_sorted, bd_order) in enumerate(b_tables):
+            if len(bd_sorted) == 0:
+                continue
+            cd = _horner_cols(
+                sigs[:, b * rows_per_band : (b + 1) * rows_per_band],
+                init=b + 1,
+            )
+            lo = np.searchsorted(bd_sorted, cd, side="left")
+            hi = np.searchsorted(bd_sorted, cd, side="right")
+            cnt = hi - lo
+            hit = cnt > 0
+            if not hit.any():
+                continue
+            ci = np.repeat(np.flatnonzero(hit), cnt[hit])
+            # offsets into the sorted digest array, expanded per range
+            offs = np.concatenate(
+                [np.arange(l, h) for l, h in zip(lo[hit], hi[hit])]
+            )
+            ci_all.append(ci)
+            bi_all.append(bd_order[offs])
+        n_match = np.zeros(len(ids), np.int64)
+        if ci_all:
+            ci = np.concatenate(ci_all)
+            bi = np.concatenate(bi_all)
+            # dedupe (corpus, bench) candidate pairs across bands
+            key = ci.astype(np.int64) * len(b_ids) + bi
+            ukey = np.unique(key)
+            ci, bi = ukey // len(b_ids), ukey % len(b_ids)
+            agree = (sigs[ci] == b_sigs[bi]).sum(axis=1) >= threshold_rows
+            np.add.at(n_match, ci[agree], 1)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_bench_matches": pa.array(n_match, pa.int64()),
+                "contaminated": pa.array(n_match > 0, pa.bool_()),
+            }
+        )
+
+    return corpus.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)

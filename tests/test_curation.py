@@ -281,3 +281,53 @@ def test_token_budget_whitespace_rule(tmp_path, ray_session):
     assert sum(v[1] for v in s2) == 0 + 1   # "" -> 0, "one" -> 1
     assert sum(v[2] for v in s1) == 6 + 4
     assert sum(v[2] for v in s2) == 0 + 3
+
+
+def test_decontaminate_fuzzy_flags_edited_copies(ray_session):
+    """Planted ' xx'-edited benchmark copies must flag as contaminated;
+    unrelated docs must not; counts match a brute-force signature check."""
+    import ray.data
+
+    from lamapi_ray.stages.curation import decontaminate_fuzzy
+    from lamapi_ray.stages.dedup import _sig_matrix
+
+    bench = pa.table(
+        {
+            "doc_id": pa.array([0, 50], pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+                    "one two three four five six seven eight nine ten",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    corpus = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 2000000, 2000050], pa.int64()),
+            "text": pa.array(
+                [
+                    "completely unrelated text about other things entirely now",
+                    "another distinct document with its own word stream here",
+                    "alpha beta gamma delta epsilon zeta eta theta iota kappa xx",
+                    "one two three four five six seven eight nine ten xx",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = pa.concat_tables(
+        decontaminate_fuzzy(
+            ray.data.from_arrow(corpus).repartition(2), bench
+        ).iter_batches(batch_size=1 << 16, batch_format="pyarrow")
+    ).sort_by("doc_id")
+    got = dict(
+        zip(out["doc_id"].to_pylist(), out["contaminated"].to_pylist())
+    )
+    assert got[1] is False and got[2] is False
+    assert got[2000000] is True and got[2000050] is True
+    # brute-force the >=48 rule for one planted pair
+    _, bs = _sig_matrix(bench, "doc_id", "text")
+    _, cs = _sig_matrix(corpus, "doc_id", "text")
+    assert (cs[2] == bs[0]).sum() >= 48
