@@ -2987,6 +2987,65 @@ def oracle_sql() -> dict[str, str]:
         "FROM rk ORDER BY query, rank"
     )
 
+    # retrieval_metrics: nDCG@10 / MRR@10 eval over the BM25 top-10 —
+    # graded rel = # distinct query tokens in the doc, hit = rel >= 2;
+    # per-rank DCG terms floor-quantized to integer micro-units with the
+    # log2 discounts as SHARED literal constants (identical doubles both
+    # sides) — mirrors extras.py::retrieval_metrics
+    sql["retrieval_metrics"] = (
+        "WITH q(query) AS (VALUES ('customer query'), ('fast scan slow'),\n"
+        "                         ('hash join'), ('window agg sort')),\n"
+        "qt AS (SELECT DISTINCT query, unnest(str_split(query, ' ')) AS tk FROM q),\n"
+        "tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tk FROM documents),\n"
+        "dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),\n"
+        "st AS (SELECT CAST(count(*) AS BIGINT) AS sumdl FROM tok),\n"
+        "nn AS (SELECT count(*) AS n FROM documents),\n"
+        "tf AS (SELECT doc_id, tk, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),\n"
+        "df AS (SELECT tk, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tk),\n"
+        "contrib AS (SELECT qt.query, t.doc_id,\n"
+        "  CAST(floor(ln(1 + (nn.n - d.df + 0.5) / (d.df + 0.5)) * t.tf * 2.2\n"
+        "       / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / (CAST(st.sumdl AS DOUBLE) / nn.n)))\n"
+        "       * 1000000) AS BIGINT) AS c\n"
+        "  FROM qt JOIN tf t USING (tk) JOIN df d USING (tk)\n"
+        "  JOIN dl l ON l.doc_id = t.doc_id CROSS JOIN nn CROSS JOIN st),\n"
+        "sc AS (SELECT query, doc_id, CAST(sum(c) AS BIGINT) AS bm25_micro\n"
+        "       FROM contrib GROUP BY 1, 2 HAVING sum(c) <> 0),\n"
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY query\n"
+        "         ORDER BY bm25_micro DESC, doc_id ASC) AS rank FROM sc\n"
+        "       QUALIFY rank <= 10),\n"
+        "rel AS (SELECT qt.query, t.doc_id,\n"
+        "  CAST(count(DISTINCT qt.tk) AS BIGINT) AS rel\n"
+        "  FROM qt JOIN tf t USING (tk) GROUP BY 1, 2),\n"
+        "disc(i, d) AS (VALUES (1, 1.0), (2, 1.584962500721156), (3, 2.0),\n"
+        "  (4, 2.321928094887362), (5, 2.584962500721156),\n"
+        "  (6, 2.807354922057604), (7, 3.0), (8, 3.169925001442312),\n"
+        "  (9, 3.321928094887362), (10, 3.4594316186372973)),\n"
+        "hitrel AS (SELECT rk.query, rk.rank, coalesce(rel.rel, 0) AS rel\n"
+        "  FROM rk LEFT JOIN rel ON rel.query = rk.query\n"
+        "    AND rel.doc_id = rk.doc_id),\n"
+        "dcg AS (SELECT query,\n"
+        "  CAST(sum(CAST(floor(rel * 1000000 / d) AS BIGINT)) AS BIGINT)\n"
+        "    AS dcg10_micro,\n"
+        "  CAST(coalesce(min(rank) FILTER (WHERE rel >= 2), 0) AS BIGINT)\n"
+        "    AS first_hit_rank\n"
+        "  FROM hitrel JOIN disc ON disc.i = hitrel.rank GROUP BY 1),\n"
+        "ideal AS (SELECT query, rel,\n"
+        "  row_number() OVER (PARTITION BY query ORDER BY rel DESC) AS i\n"
+        "  FROM rel QUALIFY i <= 10),\n"
+        "idcg AS (SELECT query,\n"
+        "  CAST(sum(CAST(floor(rel * 1000000 / d) AS BIGINT)) AS BIGINT)\n"
+        "    AS idcg10_micro\n"
+        "  FROM ideal JOIN disc ON disc.i = ideal.i GROUP BY 1)\n"
+        "SELECT q.query, d.first_hit_rank, d.dcg10_micro, i.idcg10_micro,\n"
+        "  CAST(printf('%.6f', CASE WHEN i.idcg10_micro > 0\n"
+        "    THEN CAST(d.dcg10_micro AS DOUBLE) / CAST(i.idcg10_micro AS DOUBLE)\n"
+        "    ELSE 0.0 END) AS DOUBLE) AS ndcg10,\n"
+        "  CAST(printf('%.6f', CASE WHEN d.first_hit_rank > 0\n"
+        "    THEN 1.0 / d.first_hit_rank ELSE 0.0 END) AS DOUBLE) AS mrr10\n"
+        "FROM q JOIN dcg d USING (query) JOIN idcg i USING (query)\n"
+        "ORDER BY q.query"
+    )
+
     # Hybrid RRF: the BM25 CTEs above + the ann_cosine ranking (query
     # vectors 0-3 aligned index-wise with the text queries), fused by
     # integer 10^6 // (60 + rank) — mirrors extras.py::hybrid_rrf
@@ -3602,6 +3661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grid_dbscan",
         "cdc_upsert_merge",
         "decontaminate_fuzzy",
+        "retrieval_metrics",
         "gnn_neighbor_agg",
         "hll_users_by_type",
         "stratified_sample",
@@ -3865,6 +3925,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gnn_neighbor_agg", "bigram_perplexity", "scd2_user_state",
         "peak_concurrency", "kmv_set_ops", "spatial_near_pairs",
         "grid_dbscan", "cdc_upsert_merge", "decontaminate_fuzzy",
+        "retrieval_metrics",
         "link_hits", "event_funnel", "co_citation", "biblio_coupling",
         "link_components", "funnel_times", "doc_search_bm25", "hybrid_rrf",
         "semdedup", "entity_ppr", "cross_source_linkage", "kg_fusion",

