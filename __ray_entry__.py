@@ -970,6 +970,38 @@ def oracle_sql() -> dict[str, str]:
         "FROM s"
     )
 
+    # classifier_pr_curve: threshold sweep over the quality score vs the
+    # lang=='en' ground truth — counts via FILTER, ratios from raw doubles
+    # printf-rounded at the end only (mirrors extras.py::classifier_pr_curve)
+    _THR_VALS = ", ".join(f"({i * 5 / 100:.2f})" for i in range(1, 20))
+    sql["classifier_pr_curve"] = _with(
+        "t AS (SELECT doc_id, lang, str_split(text, ' ') AS toks FROM documents)",
+        f"""s AS (SELECT doc_id, lang = 'en' AS y,
+  round_even(0.4 * least(len(toks) / 100, 1)
+    + 0.3 * (1 - len(list_filter(toks, x -> x IN {STOP_EN})) / len(toks))
+    + 0.3 * least((list_aggregate(list_transform(toks, x -> len(x)), 'sum')
+                   / len(toks)) / 8, 1), 4) AS q
+ FROM t)""",
+        f"thr(thr) AS (VALUES {_THR_VALS})",
+        "cm AS (SELECT thr,\n"
+        "  CAST(count(*) FILTER (WHERE q >= thr AND y) AS BIGINT) AS tp,\n"
+        "  CAST(count(*) FILTER (WHERE q >= thr AND NOT y) AS BIGINT) AS fp,\n"
+        "  CAST(count(*) FILTER (WHERE q < thr AND y) AS BIGINT) AS fn,\n"
+        "  CAST(count(*) FILTER (WHERE q < thr AND NOT y) AS BIGINT) AS tn\n"
+        "  FROM s CROSS JOIN thr GROUP BY 1)",
+        "pr AS (SELECT *,\n"
+        "  CASE WHEN tp + fp > 0 THEN tp / (tp + fp) ELSE 0.0 END AS p,\n"
+        "  CASE WHEN tp + fn > 0 THEN tp / (tp + fn) ELSE 0.0 END AS r\n"
+        "  FROM cm)",
+    ) + (
+        "SELECT thr, tp, fp, fn, tn,\n"
+        "  CAST(printf('%.6f', p) AS DOUBLE) AS precision,\n"
+        "  CAST(printf('%.6f', r) AS DOUBLE) AS recall,\n"
+        "  CAST(printf('%.6f', CASE WHEN p + r > 0\n"
+        "    THEN 2 * p * r / (p + r) ELSE 0.0 END) AS DOUBLE) AS f1\n"
+        "FROM pr ORDER BY thr"
+    )
+
     sql["token_stats"] = (
         "SELECT doc_id, len(str_split(text, ' ')) AS n_ws_tokens,\n"
         " len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]+')) AS n_re_tokens,\n"
@@ -3662,6 +3694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_upsert_merge",
         "decontaminate_fuzzy",
         "retrieval_metrics",
+        "classifier_pr_curve",
         "gnn_neighbor_agg",
         "hll_users_by_type",
         "stratified_sample",
@@ -3925,7 +3958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gnn_neighbor_agg", "bigram_perplexity", "scd2_user_state",
         "peak_concurrency", "kmv_set_ops", "spatial_near_pairs",
         "grid_dbscan", "cdc_upsert_merge", "decontaminate_fuzzy",
-        "retrieval_metrics",
+        "retrieval_metrics", "classifier_pr_curve",
         "link_hits", "event_funnel", "co_citation", "biblio_coupling",
         "link_components", "funnel_times", "doc_search_bm25", "hybrid_rrf",
         "semdedup", "entity_ppr", "cross_source_linkage", "kg_fusion",

@@ -6539,3 +6539,80 @@ def retrieval_metrics(sf_dir: str) -> pa.Table:
             "mrr10": pa.array([r[5] for r in rows], pa.float64()),
         }
     )
+
+
+def classifier_pr_curve(sf_dir: str) -> pa.Table:
+    """Classifier evaluation sweep — the precision/recall/F1-vs-threshold
+    curve a curation pipeline reads before picking its quality cutoff:
+    score = the heuristic quality score (4-dp printf-rounded, so the
+    threshold comparisons are decided on identical doubles both sides),
+    ground truth = the table's own ``lang == 'en'`` label (the usual
+    "keep English" target the quality heuristic proxies for),
+    thresholds 0.05 … 0.95 step 0.05.
+
+    Scale shape: ONE corpus pass; each batch folds to a 19×4 confusion
+    partial (thresholds × tp/fp/fn/tn), the driver fold is
+    thresholds-bounded. Ratios computed from raw doubles and printf-
+    rounded at the end only (identical IEEE chains in the oracle)."""
+    from lamapi_ray.functions.text import round_ref
+    from lamapi_ray.stages.textstats import quality_batch
+
+    THR = np.round(np.arange(1, 20) * 0.05, 2)  # exact 2-dp literals
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch)["quality"].to_numpy(zero_copy_only=False)
+        lang = batch["lang"]
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        y = pc.equal(lang, "en").to_numpy(zero_copy_only=False)
+        pred = q[None, :] >= THR[:, None]        # (19, n)
+        tp = (pred & y[None, :]).sum(axis=1)
+        fp = (pred & ~y[None, :]).sum(axis=1)
+        fn = (~pred & y[None, :]).sum(axis=1)
+        tn = (~pred & ~y[None, :]).sum(axis=1)
+        return pa.table(
+            {
+                "thr": pa.array(THR, pa.float64()),
+                "tp": pa.array(tp.astype(np.int64), pa.int64()),
+                "fp": pa.array(fp.astype(np.int64), pa.int64()),
+                "fn": pa.array(fn.astype(np.int64), pa.int64()),
+                "tn": pa.array(tn.astype(np.int64), pa.int64()),
+            }
+        )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    parts = _collect(
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    agg = parts.group_by("thr").aggregate(
+        [("tp", "sum"), ("fp", "sum"), ("fn", "sum"), ("tn", "sum")]
+    )
+    thr = agg["thr"].to_numpy(zero_copy_only=False)
+    order = np.argsort(thr)
+    cols = {
+        c: agg[f"{c}_sum"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+        for c in ("tp", "fp", "fn", "tn")
+    }
+    thr = thr[order]
+    prec, rec, f1 = [], [], []
+    for tp, fp, fn in zip(cols["tp"], cols["fp"], cols["fn"]):
+        p = tp / (tp + fp) if tp + fp > 0 else 0.0
+        r = tp / (tp + fn) if tp + fn > 0 else 0.0
+        f = 2 * p * r / (p + r) if p + r > 0 else 0.0
+        prec.append(round_ref(p, 6))
+        rec.append(round_ref(r, 6))
+        f1.append(round_ref(f, 6))
+    return pa.table(
+        {
+            "thr": pa.array(thr, pa.float64()),
+            "tp": pa.array(cols["tp"], pa.int64()),
+            "fp": pa.array(cols["fp"], pa.int64()),
+            "fn": pa.array(cols["fn"], pa.int64()),
+            "tn": pa.array(cols["tn"], pa.int64()),
+            "precision": pa.array(prec, pa.float64()),
+            "recall": pa.array(rec, pa.float64()),
+            "f1": pa.array(f1, pa.float64()),
+        }
+    )

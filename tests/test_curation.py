@@ -331,3 +331,30 @@ def test_decontaminate_fuzzy_flags_edited_copies(ray_session):
     _, bs = _sig_matrix(bench, "doc_id", "text")
     _, cs = _sig_matrix(corpus, "doc_id", "text")
     assert (cs[2] == bs[0]).sum() >= 48
+
+
+def test_classifier_pr_curve_invariants(ray_session):
+    """Monotone invariants of the sweep: recall non-increasing in the
+    threshold, tp+fn constant (= positive count), confusion cells sum to
+    the corpus size, f1 consistent with p/r."""
+    from lamapi_ray.pipelines.extras import classifier_pr_curve
+
+    out = classifier_pr_curve("/root/testdata/sf0.001")
+    assert out.num_rows == 19
+    tp = out["tp"].to_pylist()
+    fp = out["fp"].to_pylist()
+    fn = out["fn"].to_pylist()
+    tn = out["tn"].to_pylist()
+    rec = out["recall"].to_pylist()
+    prec = out["precision"].to_pylist()
+    f1 = out["f1"].to_pylist()
+    n = tp[0] + fp[0] + fn[0] + tn[0]
+    npos = tp[0] + fn[0]
+    for i in range(19):
+        assert tp[i] + fp[i] + fn[i] + tn[i] == n
+        assert tp[i] + fn[i] == npos
+        if i:
+            assert rec[i] <= rec[i - 1] + 1e-9
+        p, r = prec[i], rec[i]
+        want = 2 * p * r / (p + r) if p + r > 0 else 0.0
+        assert abs(f1[i] - want) < 2e-3  # p/r are rounded displays
