@@ -1734,6 +1734,30 @@ def oracle_sql() -> dict[str, str]:
         "FROM cells GROUP BY 1, 2 ORDER BY row, col"
     )
 
+    # join_size_estimate: CMS inner-product upper bound on the
+    # many-to-many (all events × purchases on user_id) join size, plus
+    # the exact count — mirrors extras.py::join_size_estimate
+    sql["join_size_estimate"] = _with(
+        f"eh AS (SELECT event_type, {_B_H1} AS h1, {_B_H2} AS h2 FROM events)",
+        "ca AS (SELECT r.r AS row, (h1 + r.r * h2) % 1024 AS col,\n"
+        "  CAST(count(*) AS BIGINT) AS n\n"
+        "  FROM eh, (SELECT unnest(range(0, 4)) AS r) r(r) GROUP BY 1, 2)",
+        "cb AS (SELECT r.r AS row, (h1 + r.r * h2) % 1024 AS col,\n"
+        "  CAST(count(*) AS BIGINT) AS n\n"
+        "  FROM eh, (SELECT unnest(range(0, 4)) AS r) r(r)\n"
+        "  WHERE event_type = 'purchase' GROUP BY 1, 2)",
+        "ip AS (SELECT ca.row, CAST(sum(ca.n * cb.n) AS BIGINT) AS inner_product\n"
+        "  FROM ca JOIN cb ON cb.row = ca.row AND cb.col = ca.col GROUP BY 1)",
+        "es AS (SELECT min(inner_product) AS est FROM ip)",
+        "ex AS (SELECT CAST(count(*) AS BIGINT) AS exact FROM events a\n"
+        "  JOIN events b ON b.user_id = a.user_id\n"
+        "  AND b.event_type = 'purchase')",
+    ) + (
+        "SELECT CAST(ip.row AS BIGINT) AS row, inner_product,\n"
+        "  CAST(es.est AS BIGINT) AS est_pairs, ex.exact AS exact_pairs\n"
+        "FROM ip CROSS JOIN es CROSS JOIN ex ORDER BY row"
+    )
+
     # kmv_users: bottom-k distinct sketch — the hash chain is the literal
     # HLL mirror (bijective on [0, p) so DISTINCT hv == distinct users);
     # estimate (k-1)·p / h_k with both operands exactly representable in
@@ -3695,6 +3719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_fuzzy",
         "retrieval_metrics",
         "classifier_pr_curve",
+        "join_size_estimate",
         "gnn_neighbor_agg",
         "hll_users_by_type",
         "stratified_sample",
@@ -3958,7 +3983,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gnn_neighbor_agg", "bigram_perplexity", "scd2_user_state",
         "peak_concurrency", "kmv_set_ops", "spatial_near_pairs",
         "grid_dbscan", "cdc_upsert_merge", "decontaminate_fuzzy",
-        "retrieval_metrics", "classifier_pr_curve",
+        "retrieval_metrics", "classifier_pr_curve", "join_size_estimate",
         "link_hits", "event_funnel", "co_citation", "biblio_coupling",
         "link_components", "funnel_times", "doc_search_bm25", "hybrid_rrf",
         "semdedup", "entity_ppr", "cross_source_linkage", "kg_fusion",

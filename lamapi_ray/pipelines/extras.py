@@ -6616,3 +6616,85 @@ def classifier_pr_curve(sf_dir: str) -> pa.Table:
             "f1": pa.array(f1, pa.float64()),
         }
     )
+
+
+def join_size_estimate(sf_dir: str) -> pa.Table:
+    """Join-cardinality estimation from sketches — the query-optimizer
+    statistic that prices a shuffle join without running it: the inner
+    product of two Count-Min sketch rows upper-bounds the equi-join size
+    (Σ_k a(k)·b(k) ≤ Σ_col A[d][col]·B[d][col] for every row d; the MIN
+    over the d rows is the estimate, never an underestimate). Sides: ALL
+    events vs purchase events, joined on user_id — genuinely
+    many-to-many, so the exact size Σ_u n_u·p_u is non-trivial.
+
+    Scale shape: each side folds to its ≤4·1024-cell register table
+    (one tiny grouped exchange each — the CMS contract); the inner
+    products are a 4×1024 numpy dot on the driver. The EXACT size (the
+    verification column) folds per-user partial counts through one
+    user-bounded exchange and sums n_u·p_u — never materializing the
+    join. Output: one row per CMS row d with its inner product, plus the
+    estimate (min) and exact size as constant columns."""
+    from ray.data.aggregate import Sum
+
+    from lamapi_ray.stages.sketch import CMS_D, CMS_W, count_min_sketch
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def purchases(b: pa.Table) -> pa.Table:
+        mask = pc.equal(b["event_type"], "purchase")
+        return pa.table({"user_id": b.filter(mask)["user_id"]})
+
+    side_a = ev.select_columns(["user_id"])
+    side_b = ev.map_batches(purchases, batch_format="pyarrow", zero_copy_batch=True)
+
+    def registers(ds) -> np.ndarray:
+        tbl = _collect(count_min_sketch(ds, "user_id"))
+        m = np.zeros(CMS_D * CMS_W, np.int64)
+        key = (
+            tbl["row"].to_numpy(zero_copy_only=False) * CMS_W
+            + tbl["col"].to_numpy(zero_copy_only=False)
+        )
+        m[key] = tbl["n"].to_numpy(zero_copy_only=False)
+        return m.reshape(CMS_D, CMS_W)
+
+    A, B = registers(side_a), registers(side_b)
+    inner = (A * B).sum(axis=1)
+    est = int(inner.min())
+
+    # exact Σ_u n_u · p_u, user-bounded fold
+    def per_user(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        isp = pc.equal(b["event_type"], "purchase").to_numpy(
+            zero_copy_only=False
+        )
+        uu, inv = np.unique(u, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uu)).astype(np.int64)
+        p = np.zeros(len(uu), np.int64)
+        np.add.at(p, inv, isp.astype(np.int64))
+        return pa.table(
+            {"u": pa.array(uu, pa.int64()),
+             "n": pa.array(n, pa.int64()),
+             "p": pa.array(p, pa.int64())}
+        )
+
+    peru = _collect(
+        ev.map_batches(per_user, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("u")
+        .aggregate(Sum("n"), Sum("p"))
+    )
+    exact = int(
+        np.sum(
+            peru["sum(n)"].to_numpy(zero_copy_only=False).astype(np.int64)
+            * peru["sum(p)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+    )
+    return pa.table(
+        {
+            "row": pa.array(np.arange(CMS_D), pa.int64()),
+            "inner_product": pa.array(inner, pa.int64()),
+            "est_pairs": pa.array(np.full(CMS_D, est), pa.int64()),
+            "exact_pairs": pa.array(np.full(CMS_D, exact), pa.int64()),
+        }
+    )

@@ -291,3 +291,21 @@ def test_kmv_set_ops_estimates_and_membership(ray_session):
     # has ~18% relative error; allow 3 sigma
     assert abs(out["union_est"][0].as_py() - 900) / 900 < 0.6
     assert abs(out["inter_est"][0].as_py() - 300) / 300 < 0.9
+
+
+def test_join_size_estimate_bound(ray_session):
+    """CMS inner-product estimate must never underestimate the exact
+    many-to-many join size, and should be within the e*Na*Nb/w slack."""
+    from lamapi_ray.pipelines.extras import join_size_estimate
+
+    out = join_size_estimate("/root/testdata/sf0.001")
+    est = out["est_pairs"][0].as_py()
+    exact = out["exact_pairs"][0].as_py()
+    inner = out["inner_product"].to_pylist()
+    assert est == min(inner)
+    assert est >= exact > 0
+    # slack bound: Na*Nb/w with w=1024 (expected collision mass)
+    import duckdb
+    na = duckdb.sql("SELECT count(*) FROM '/root/testdata/sf0.001/events.parquet'").fetchone()[0]
+    nb = duckdb.sql("SELECT count(*) FROM '/root/testdata/sf0.001/events.parquet' WHERE event_type='purchase'").fetchone()[0]
+    assert est - exact <= 8 * na * nb / 1024  # generous multiple of E[slack]
