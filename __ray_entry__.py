@@ -1734,6 +1734,28 @@ def oracle_sql() -> dict[str, str]:
         "FROM cells GROUP BY 1, 2 ORDER BY row, col"
     )
 
+    # embedding_standardize: per-dim feature stats — floats quantized once
+    # to integer micro-units (exact f32→f64 widening), order-exact integer
+    # sums, closed-form mean/std printf-rounded at the end; parallel
+    # unnest zips value and dimension — mirrors
+    # extras.py::embedding_standardize
+    sql["embedding_standardize"] = _with(
+        "f AS (SELECT CAST(floor(CAST(unnest(embedding) AS DOUBLE)"
+        " * 1000000) AS BIGINT) AS q,\n"
+        "  unnest(range(0, len(embedding))) AS dim FROM embeddings)",
+        "s AS (SELECT CAST(dim AS BIGINT) AS dim,"
+        " CAST(count(*) AS BIGINT) AS n,\n"
+        "  CAST(sum(q) AS BIGINT) AS sum_q,"
+        " CAST(sum(q * q) AS BIGINT) AS sumsq_q FROM f GROUP BY 1)",
+    ) + (
+        "SELECT dim, n, sum_q, sumsq_q,\n"
+        " CAST(printf('%.6f', sum_q / n / 1000000) AS DOUBLE) AS mean,\n"
+        " CAST(printf('%.6f', CASE WHEN sumsq_q / n - (sum_q / n) * (sum_q / n) > 0\n"
+        "   THEN sqrt(sumsq_q / n - (sum_q / n) * (sum_q / n)) / 1000000\n"
+        "   ELSE 0.0 END) AS DOUBLE) AS std\n"
+        "FROM s ORDER BY dim"
+    )
+
     # join_size_estimate: CMS inner-product upper bound on the
     # many-to-many (all events × purchases on user_id) join size, plus
     # the exact count — mirrors extras.py::join_size_estimate
@@ -3720,6 +3742,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retrieval_metrics",
         "classifier_pr_curve",
         "join_size_estimate",
+        "embedding_standardize",
         "gnn_neighbor_agg",
         "hll_users_by_type",
         "stratified_sample",
@@ -3984,6 +4007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_concurrency", "kmv_set_ops", "spatial_near_pairs",
         "grid_dbscan", "cdc_upsert_merge", "decontaminate_fuzzy",
         "retrieval_metrics", "classifier_pr_curve", "join_size_estimate",
+        "embedding_standardize",
         "link_hits", "event_funnel", "co_citation", "biblio_coupling",
         "link_components", "funnel_times", "doc_search_bm25", "hybrid_rrf",
         "semdedup", "entity_ppr", "cross_source_linkage", "kg_fusion",

@@ -292,6 +292,7 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("retrieval_metrics", lambda: extras.retrieval_metrics(sf_dir))
     timed("classifier_pr_curve", lambda: extras.classifier_pr_curve(sf_dir))
     timed("join_size_estimate", lambda: extras.join_size_estimate(sf_dir))
+    timed("embedding_standardize", lambda: extras.embedding_standardize(sf_dir))
     timed("doc_search_bm25", lambda: extras.doc_search_bm25(sf_dir))
     timed("hybrid_rrf", lambda: extras.hybrid_rrf(sf_dir))
     timed("semdedup", lambda: extras.semdedup(sf_dir))

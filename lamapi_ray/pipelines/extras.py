@@ -6698,3 +6698,81 @@ def join_size_estimate(sf_dir: str) -> pa.Table:
             "exact_pairs": pa.array(np.full(CMS_D, exact), pa.int64()),
         }
     )
+
+
+def embedding_standardize(sf_dir: str) -> pa.Table:
+    """Per-dimension feature statistics for embedding standardization —
+    the scaling pass run before kNN/clustering on raw features: each
+    float is quantized ONCE to integer micro-units (floor(v·10⁶) after
+    the exact float32→float64 widening), so the per-dim sums and
+    sums-of-squares are order-exact integers; mean/std are then closed-
+    form doubles printf-rounded at the end (population variance,
+    Σq²/n − (Σq/n)² in micro² units).
+
+    Scale shape: per-batch (dim, n, Σq, Σq²) partials — dims-bounded —
+    into one tiny grouped exchange. Output: one row per dimension."""
+    from ray.data.aggregate import Sum
+
+    from lamapi_ray.functions.text import round_ref
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = batch["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        lens = pc.list_value_length(emb).to_numpy(zero_copy_only=False)
+        if len(lens) == 0:
+            return pa.table(
+                {"dim": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64()),
+                 "sum_q": pa.array([], pa.int64()),
+                 "sumsq_q": pa.array([], pa.int64())}
+            )
+        d = int(lens[0])
+        if not np.all(lens == d):
+            raise ValueError("ragged embedding lengths")
+        q = np.floor(flat * 1_000_000).astype(np.int64).reshape(-1, d)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(d), pa.int64()),
+                "n": pa.array(np.full(d, q.shape[0], np.int64), pa.int64()),
+                "sum_q": pa.array(q.sum(axis=0), pa.int64()),
+                "sumsq_q": pa.array((q * q).sum(axis=0), pa.int64()),
+            }
+        )
+
+    agg = _collect(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("dim")
+        .aggregate(Sum("n"), Sum("sum_q"), Sum("sumsq_q"))
+    )
+    dim = agg["dim"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(dim)
+    n = agg["sum(n)"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    s1 = agg["sum(sum_q)"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    s2 = agg["sum(sumsq_q)"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    mean = [round_ref(a / b / 1_000_000, 6) for a, b in zip(s1, n)]
+    import math
+
+    std = [
+        round_ref(
+            math.sqrt(b / c - (a / c) * (a / c)) / 1_000_000
+            if b / c - (a / c) * (a / c) > 0 else 0.0,
+            6,
+        )
+        for a, b, c in zip(s1, s2, n)
+    ]
+    return pa.table(
+        {
+            "dim": pa.array(dim[order], pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "sum_q": pa.array(s1, pa.int64()),
+            "sumsq_q": pa.array(s2, pa.int64()),
+            "mean": pa.array(mean, pa.float64()),
+            "std": pa.array(std, pa.float64()),
+        }
+    )

@@ -76,3 +76,30 @@ def test_zero_dims_omitted():
     a, b = pair
     out = _collect(hash_embed(_docs([(0, f"{a} {b}")]), dims=16))
     assert len(out) == 0  # the single touched dim cancelled to zero
+
+
+def test_embedding_standardize_matches_numpy(ray_session):
+    """Per-dim quantized stats vs a direct numpy computation."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from lamapi_ray.pipelines.extras import embedding_standardize
+
+    out = embedding_standardize("/root/testdata/sf0.001")
+    tbl = pq.read_table(
+        "/root/testdata/sf0.001/embeddings.parquet", columns=["embedding"]
+    )
+    emb = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    q = np.floor(emb * 1_000_000).astype(np.int64)
+    assert out["n"].to_pylist() == [emb.shape[0]] * emb.shape[1]
+    assert out["sum_q"].to_pylist() == q.sum(axis=0).tolist()
+    assert out["sumsq_q"].to_pylist() == (q * q).sum(axis=0).tolist()
+    for d in range(emb.shape[1]):
+        m = q[:, d].sum() / emb.shape[0] / 1e6
+        assert abs(out["mean"][d].as_py() - m) < 1e-6
+        var = (q[:, d] * q[:, d]).sum() / emb.shape[0] - (
+            q[:, d].sum() / emb.shape[0]
+        ) ** 2
+        s = math.sqrt(var) / 1e6 if var > 0 else 0.0
+        assert abs(out["std"][d].as_py() - s) < 1e-6
