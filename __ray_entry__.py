@@ -1756,6 +1756,26 @@ def oracle_sql() -> dict[str, str]:
         "FROM s ORDER BY dim"
     )
 
+    # embedding_covariance: upper-triangle d×d covariance from integer
+    # milli-unit quantized second moments — mirrors
+    # extras.py::embedding_covariance
+    sql["embedding_covariance"] = _with(
+        "f AS (SELECT vec_id,\n"
+        "  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q,\n"
+        "  unnest(range(0, len(embedding))) AS dim FROM embeddings)",
+        "p AS (SELECT a.dim AS i, b.dim AS j, CAST(count(*) AS BIGINT) AS n,\n"
+        "  CAST(sum(a.q) AS BIGINT) AS si, CAST(sum(b.q) AS BIGINT) AS sj,\n"
+        "  CAST(sum(a.q * b.q) AS BIGINT) AS sij\n"
+        "  FROM f a JOIN f b ON b.vec_id = a.vec_id AND b.dim >= a.dim\n"
+        "  GROUP BY 1, 2)",
+    ) + (
+        "SELECT CAST(i AS BIGINT) AS dim_i, CAST(j AS BIGINT) AS dim_j,\n"
+        "  n, sij AS sum_ij,\n"
+        "  CAST(printf('%.6f', (sij / n - (si / n) * (sj / n)) / 1000000)\n"
+        "    AS DOUBLE) AS cov\n"
+        "FROM p ORDER BY dim_i, dim_j"
+    )
+
     # join_size_estimate: CMS inner-product upper bound on the
     # many-to-many (all events × purchases on user_id) join size, plus
     # the exact count — mirrors extras.py::join_size_estimate
@@ -3743,6 +3763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classifier_pr_curve",
         "join_size_estimate",
         "embedding_standardize",
+        "embedding_covariance",
         "gnn_neighbor_agg",
         "hll_users_by_type",
         "stratified_sample",
@@ -4007,7 +4028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_concurrency", "kmv_set_ops", "spatial_near_pairs",
         "grid_dbscan", "cdc_upsert_merge", "decontaminate_fuzzy",
         "retrieval_metrics", "classifier_pr_curve", "join_size_estimate",
-        "embedding_standardize",
+        "embedding_standardize", "embedding_covariance",
         "link_hits", "event_funnel", "co_citation", "biblio_coupling",
         "link_components", "funnel_times", "doc_search_bm25", "hybrid_rrf",
         "semdedup", "entity_ppr", "cross_source_linkage", "kg_fusion",

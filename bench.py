@@ -293,6 +293,7 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("classifier_pr_curve", lambda: extras.classifier_pr_curve(sf_dir))
     timed("join_size_estimate", lambda: extras.join_size_estimate(sf_dir))
     timed("embedding_standardize", lambda: extras.embedding_standardize(sf_dir))
+    timed("embedding_covariance", lambda: extras.embedding_covariance(sf_dir))
     timed("doc_search_bm25", lambda: extras.doc_search_bm25(sf_dir))
     timed("hybrid_rrf", lambda: extras.hybrid_rrf(sf_dir))
     timed("semdedup", lambda: extras.semdedup(sf_dir))

@@ -6776,3 +6776,82 @@ def embedding_standardize(sf_dir: str) -> pa.Table:
             "std": pa.array(std, pa.float64()),
         }
     )
+
+
+def embedding_covariance(sf_dir: str) -> pa.Table:
+    """Full d×d covariance matrix of the embedding corpus — the
+    whitening/PCA-prep pass: values quantized once to integer
+    milli-units (floor(v·10³) after exact f32→f64 widening; second
+    moments then stay < 2^63 up to ~10¹² rows of unit-scale features),
+    per-batch QᵀQ + column-sum partials — d²-bounded — into one tiny
+    grouped exchange; covariance ΣᵢΣⱼ/n − μᵢμⱼ in closed form,
+    printf-rounded at the end only.
+
+    Output: one row per (dim_i ≤ dim_j) upper-triangle pair."""
+    from ray.data.aggregate import Sum
+
+    from lamapi_ray.functions.text import round_ref
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = batch["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        lens = pc.list_value_length(emb).to_numpy(zero_copy_only=False)
+        if len(lens) == 0:
+            return pa.table(
+                {"i": pa.array([], pa.int64()),
+                 "j": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64()),
+                 "sum_i": pa.array([], pa.int64()),
+                 "sum_j": pa.array([], pa.int64()),
+                 "sum_ij": pa.array([], pa.int64())}
+            )
+        d = int(lens[0])
+        q = np.floor(flat * 1_000).astype(np.int64).reshape(-1, d)
+        g = q.T @ q  # (d, d) exact int64
+        s = q.sum(axis=0)
+        iu, ju = np.triu_indices(d)
+        return pa.table(
+            {
+                "i": pa.array(iu.astype(np.int64), pa.int64()),
+                "j": pa.array(ju.astype(np.int64), pa.int64()),
+                "n": pa.array(
+                    np.full(len(iu), q.shape[0], np.int64), pa.int64()
+                ),
+                "sum_i": pa.array(s[iu], pa.int64()),
+                "sum_j": pa.array(s[ju], pa.int64()),
+                "sum_ij": pa.array(g[iu, ju], pa.int64()),
+            }
+        )
+
+    agg = _collect(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["i", "j"])
+        .aggregate(Sum("n"), Sum("sum_i"), Sum("sum_j"), Sum("sum_ij"))
+    )
+    i = agg["i"].to_numpy(zero_copy_only=False).astype(np.int64)
+    j = agg["j"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((j, i))
+    i, j = i[order], j[order]
+    n = agg["sum(n)"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    si = agg["sum(sum_i)"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    sj = agg["sum(sum_j)"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    sij = agg["sum(sum_ij)"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    cov = [
+        round_ref((c / m - (a / m) * (b / m)) / 1_000_000, 6)
+        for a, b, c, m in zip(si, sj, sij, n)
+    ]
+    return pa.table(
+        {
+            "dim_i": pa.array(i, pa.int64()),
+            "dim_j": pa.array(j, pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "sum_ij": pa.array(sij, pa.int64()),
+            "cov": pa.array(cov, pa.float64()),
+        }
+    )

@@ -103,3 +103,28 @@ def test_embedding_standardize_matches_numpy(ray_session):
         ) ** 2
         s = math.sqrt(var) / 1e6 if var > 0 else 0.0
         assert abs(out["std"][d].as_py() - s) < 1e-6
+
+
+def test_embedding_covariance_matches_numpy(ray_session):
+    """Upper-triangle covariance vs a direct numpy computation on the
+    quantized matrix (population covariance, milli-unit scale)."""
+    import pyarrow.parquet as pq
+
+    from lamapi_ray.pipelines.extras import embedding_covariance
+
+    out = embedding_covariance("/root/testdata/sf0.001")
+    tbl = pq.read_table(
+        "/root/testdata/sf0.001/embeddings.parquet", columns=["embedding"]
+    )
+    emb = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    q = np.floor(emb * 1000).astype(np.int64)
+    d = q.shape[1]
+    assert out.num_rows == d * (d + 1) // 2
+    g = q.T @ q
+    m = q.shape[0]
+    for r in range(0, out.num_rows, 97):  # sample rows
+        i = out["dim_i"][r].as_py()
+        j = out["dim_j"][r].as_py()
+        assert out["sum_ij"][r].as_py() == int(g[i, j])
+        want = (g[i, j] / m - (q[:, i].sum() / m) * (q[:, j].sum() / m)) / 1e6
+        assert abs(out["cov"][r].as_py() - want) < 1e-6
