@@ -1776,6 +1776,36 @@ def oracle_sql() -> dict[str, str]:
         "FROM p ORDER BY dim_i, dim_j"
     )
 
+    # mi_feature_ranking: MI(dim bin, label) with per-term nano-nat floor
+    # quantization (order-exact per-dim sums) — mirrors
+    # extras.py::mi_feature_ranking
+    sql["mi_feature_ranking"] = _with(
+        "f AS (SELECT label,\n"
+        "  CAST(greatest(least(floor(CAST(unnest(embedding) AS DOUBLE)), 1),\n"
+        "    -2) AS BIGINT) AS bin,\n"
+        "  unnest(range(0, len(embedding))) AS dim FROM embeddings)",
+        "cbl AS (SELECT dim, bin, label, CAST(count(*) AS BIGINT) AS c\n"
+        "  FROM f GROUP BY 1, 2, 3)",
+        "nbt AS (SELECT dim, bin, CAST(sum(c) AS BIGINT) AS nb\n"
+        "  FROM cbl GROUP BY 1, 2)",
+        "nlt AS (SELECT dim, label, CAST(sum(c) AS BIGINT) AS nl\n"
+        "  FROM cbl GROUP BY 1, 2)",
+        "nt AS (SELECT dim, CAST(sum(c) AS BIGINT) AS n FROM cbl GROUP BY 1)",
+        "terms AS (SELECT cbl.dim,\n"
+        "  CAST(floor((c / n) * ln((c * n) / (nbt.nb * nlt.nl))\n"
+        "    * 1000000000) AS BIGINT) AS t\n"
+        "  FROM cbl JOIN nbt USING (dim, bin)\n"
+        "  JOIN nlt ON nlt.dim = cbl.dim AND nlt.label = cbl.label\n"
+        "  JOIN nt ON nt.dim = cbl.dim)",
+        "mi AS (SELECT CAST(dim AS BIGINT) AS dim,\n"
+        "  CAST(sum(t) AS BIGINT) AS mi_nano FROM terms GROUP BY 1)",
+    ) + (
+        "SELECT dim, mi_nano,\n"
+        "  CAST(row_number() OVER (ORDER BY mi_nano DESC, dim) AS BIGINT)\n"
+        "    AS mi_rank\n"
+        "FROM mi ORDER BY dim"
+    )
+
     # join_size_estimate: CMS inner-product upper bound on the
     # many-to-many (all events × purchases on user_id) join size, plus
     # the exact count — mirrors extras.py::join_size_estimate
@@ -3764,6 +3794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_size_estimate",
         "embedding_standardize",
         "embedding_covariance",
+        "mi_feature_ranking",
         "gnn_neighbor_agg",
         "hll_users_by_type",
         "stratified_sample",
@@ -4029,6 +4060,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grid_dbscan", "cdc_upsert_merge", "decontaminate_fuzzy",
         "retrieval_metrics", "classifier_pr_curve", "join_size_estimate",
         "embedding_standardize", "embedding_covariance",
+        "mi_feature_ranking",
         "link_hits", "event_funnel", "co_citation", "biblio_coupling",
         "link_components", "funnel_times", "doc_search_bm25", "hybrid_rrf",
         "semdedup", "entity_ppr", "cross_source_linkage", "kg_fusion",

@@ -294,6 +294,7 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("join_size_estimate", lambda: extras.join_size_estimate(sf_dir))
     timed("embedding_standardize", lambda: extras.embedding_standardize(sf_dir))
     timed("embedding_covariance", lambda: extras.embedding_covariance(sf_dir))
+    timed("mi_feature_ranking", lambda: extras.mi_feature_ranking(sf_dir))
     timed("doc_search_bm25", lambda: extras.doc_search_bm25(sf_dir))
     timed("hybrid_rrf", lambda: extras.hybrid_rrf(sf_dir))
     timed("semdedup", lambda: extras.semdedup(sf_dir))

@@ -6855,3 +6855,94 @@ def embedding_covariance(sf_dir: str) -> pa.Table:
             "cov": pa.array(cov, pa.float64()),
         }
     )
+
+
+def mi_feature_ranking(sf_dir: str) -> pa.Table:
+    """Mutual-information feature ranking — the feature-selection pass a
+    training pipeline runs over (embedding dim, class label): each value
+    is binned by the fixed rule clip(floor(v), -2, 1) (4 bins on a
+    unit-scale feature), MI(dim) = Σ_{b,l} (n_bl/n)·ln(n_bl·n/(n_b·n_l))
+    with every term floor-quantized to integer NANO-nats so the per-dim
+    sum is order-exact.
+
+    Scale shape: ONE corpus pass emitting (dim, bin, label, count)
+    partials — ≤ dims×bins×labels rows per batch — into one tiny grouped
+    exchange; the MI fold is contingency-table-bounded on the driver.
+    Output: (dim, mi_nano, mi_rank) with rank by MI desc, dim asc."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = batch["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        lens = pc.list_value_length(emb).to_numpy(zero_copy_only=False)
+        if len(lens) == 0:
+            return pa.table(
+                {"dim": pa.array([], pa.int64()),
+                 "bin": pa.array([], pa.int64()),
+                 "label": pa.array([], pa.int64()),
+                 "c": pa.array([], pa.int64())}
+            )
+        d = int(lens[0])
+        b = np.clip(np.floor(flat), -2, 1).astype(np.int64).reshape(-1, d)
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dims = np.tile(np.arange(d, dtype=np.int64), b.shape[0])
+        labs = np.repeat(lab, d)
+        # packed (dim, bin+2, label) key — labels < 2^16 by contract
+        key = (dims * 4 + (b.ravel() + 2)) * np.int64(1 << 16) + labs
+        u, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "dim": pa.array((u >> np.int64(16)) // 4, pa.int64()),
+                "bin": pa.array((u >> np.int64(16)) % 4 - 2, pa.int64()),
+                "label": pa.array(u & np.int64(0xFFFF), pa.int64()),
+                "c": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = _collect(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["dim", "bin", "label"])
+        .aggregate(Sum("c"))
+    )
+    dim = agg["dim"].to_numpy(zero_copy_only=False).astype(np.int64)
+    bn = agg["bin"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lb = agg["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    c = agg["sum(c)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dims = np.unique(dim)
+    mi = {}
+    for dd in dims:
+        m = dim == dd
+        nbl = {}
+        for bb, ll, cc in zip(bn[m], lb[m], c[m]):
+            nbl[(int(bb), int(ll))] = int(cc)
+        n = sum(nbl.values())
+        nb = {}
+        nl = {}
+        for (bb, ll), cc in nbl.items():
+            nb[bb] = nb.get(bb, 0) + cc
+            nl[ll] = nl.get(ll, 0) + cc
+        tot = 0
+        for (bb, ll), cc in nbl.items():
+            term = (cc / n) * math.log((cc * n) / (nb[bb] * nl[ll]))
+            tot += int(math.floor(term * 1_000_000_000))
+        mi[int(dd)] = tot
+    out_dim = sorted(mi)
+    vals = np.array([mi[x] for x in out_dim], np.int64)
+    order = np.lexsort((out_dim, -vals))
+    rank = np.empty(len(vals), np.int64)
+    rank[order] = np.arange(1, len(vals) + 1)
+    return pa.table(
+        {
+            "dim": pa.array(out_dim, pa.int64()),
+            "mi_nano": pa.array(vals, pa.int64()),
+            "mi_rank": pa.array(rank, pa.int64()),
+        }
+    )

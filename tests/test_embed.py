@@ -128,3 +128,34 @@ def test_embedding_covariance_matches_numpy(ray_session):
         assert out["sum_ij"][r].as_py() == int(g[i, j])
         want = (g[i, j] / m - (q[:, i].sum() / m) * (q[:, j].sum() / m)) / 1e6
         assert abs(out["cov"][r].as_py() - want) < 1e-6
+
+
+def test_mi_feature_ranking_crafted(ray_session, tmp_path):
+    """A dim perfectly predictive of the label must out-rank a constant
+    dim (MI 0) — crafted 2-dim embeddings."""
+    import pyarrow.parquet as pq
+
+    from lamapi_ray.pipelines.extras import mi_feature_ranking
+
+    n = 200
+    lab = np.arange(n, dtype=np.int64) % 2
+    # dim 0 encodes the label exactly (bins -1 vs 0); dim 1 constant
+    emb = np.stack(
+        [np.where(lab == 0, -0.5, 0.5), np.full(n, 0.25)], axis=1
+    ).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+            "label": pa.array(lab.astype(np.int32), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    out = mi_feature_ranking(str(tmp_path))
+    got = dict(zip(out["dim"].to_pylist(), out["mi_nano"].to_pylist()))
+    ranks = dict(zip(out["dim"].to_pylist(), out["mi_rank"].to_pylist()))
+    import math
+    # perfect binary MI = ln 2 nats
+    assert abs(got[0] / 1e9 - math.log(2)) < 1e-6
+    assert got[1] <= 0  # constant dim: single bin, terms are 0 (or -1 nano from floor)
+    assert ranks[0] == 1 and ranks[1] == 2
