@@ -1002,6 +1002,31 @@ def oracle_sql() -> dict[str, str]:
         "FROM pr ORDER BY thr"
     )
 
+    # calibration_bins: reliability diagram of the quality score vs the
+    # lang=='en' truth — bin = floor(q*10) clipped to 9; the 4-dp score
+    # times 1e6 is an exact integer, so the per-bin score sum is
+    # order-exact — mirrors extras.py::calibration_bins
+    sql["calibration_bins"] = _with(
+        "t AS (SELECT doc_id, lang, str_split(text, ' ') AS toks FROM documents)",
+        f"""s AS (SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS y,
+  round_even(0.4 * least(len(toks) / 100, 1)
+    + 0.3 * (1 - len(list_filter(toks, x -> x IN {STOP_EN})) / len(toks))
+    + 0.3 * least((list_aggregate(list_transform(toks, x -> len(x)), 'sum')
+                   / len(toks)) / 8, 1), 4) AS q
+ FROM t)""",
+        "cb2 AS (SELECT least(CAST(floor(q * 10) AS BIGINT), 9) AS bin,\n"
+        "  CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos,\n"
+        "  CAST(sum(CAST(round(q * 1000000) AS BIGINT)) AS BIGINT)\n"
+        "    AS sum_q_micro\n"
+        "  FROM s GROUP BY 1)",
+    ) + (
+        "SELECT bin, n, n_pos,\n"
+        "  CAST(printf('%.6f', sum_q_micro / n / 1000000) AS DOUBLE)\n"
+        "    AS mean_score,\n"
+        "  CAST(printf('%.6f', n_pos / n) AS DOUBLE) AS pos_rate\n"
+        "FROM cb2 ORDER BY bin"
+    )
+
     sql["token_stats"] = (
         "SELECT doc_id, len(str_split(text, ' ')) AS n_ws_tokens,\n"
         " len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]+')) AS n_re_tokens,\n"
@@ -3795,6 +3820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_standardize",
         "embedding_covariance",
         "mi_feature_ranking",
+        "calibration_bins",
         "gnn_neighbor_agg",
         "hll_users_by_type",
         "stratified_sample",
@@ -4060,7 +4086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grid_dbscan", "cdc_upsert_merge", "decontaminate_fuzzy",
         "retrieval_metrics", "classifier_pr_curve", "join_size_estimate",
         "embedding_standardize", "embedding_covariance",
-        "mi_feature_ranking",
+        "mi_feature_ranking", "calibration_bins",
         "link_hits", "event_funnel", "co_citation", "biblio_coupling",
         "link_components", "funnel_times", "doc_search_bm25", "hybrid_rrf",
         "semdedup", "entity_ppr", "cross_source_linkage", "kg_fusion",

@@ -6946,3 +6946,71 @@ def mi_feature_ranking(sf_dir: str) -> pa.Table:
             "mi_rank": pa.array(rank, pa.int64()),
         }
     )
+
+
+def calibration_bins(sf_dir: str) -> pa.Table:
+    """Reliability diagram (calibration) of the quality score against the
+    lang=='en' ground truth — the third eval-family leg next to the PR
+    sweep and retrieval metrics: scores bucketed into 10 equal-width
+    bins (floor(q·10) clipped to 9), per bin the count, positive count,
+    mean predicted score (order-exact micro-unit sum of the 4-dp scores)
+    and observed positive rate; ECE summands derivable downstream.
+
+    ONE corpus pass, ≤10-row per-batch partials, tiny grouped fold."""
+    from ray.data.aggregate import Sum
+
+    from lamapi_ray.functions.text import round_ref
+    from lamapi_ray.stages.textstats import quality_batch
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch)["quality"].to_numpy(zero_copy_only=False)
+        lang = batch["lang"]
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        y = pc.equal(lang, "en").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.minimum(np.floor(q * 10).astype(np.int64), 9)
+        # q is 4-dp printf-rounded → q·1e6 is an exact integer in double
+        qmicro = np.rint(q * 1_000_000).astype(np.int64)
+        u, inv = np.unique(b, return_inverse=True)
+        n = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        pos = np.zeros(len(u), np.int64)
+        np.add.at(pos, inv, y)
+        sq = np.zeros(len(u), np.int64)
+        np.add.at(sq, inv, qmicro)
+        return pa.table(
+            {
+                "bin": pa.array(u, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "n_pos": pa.array(pos, pa.int64()),
+                "sum_q_micro": pa.array(sq, pa.int64()),
+            }
+        )
+
+    agg = _collect(
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bin")
+        .aggregate(Sum("n"), Sum("n_pos"), Sum("sum_q_micro"))
+    )
+    b = agg["bin"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(b)
+    n = agg["sum(n)"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    pos = agg["sum(n_pos)"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    sq = agg["sum(sum_q_micro)"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    return pa.table(
+        {
+            "bin": pa.array(b[order], pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "n_pos": pa.array(pos, pa.int64()),
+            "mean_score": pa.array(
+                [round_ref(a / c / 1_000_000, 6) for a, c in zip(sq, n)],
+                pa.float64(),
+            ),
+            "pos_rate": pa.array(
+                [round_ref(p / c, 6) for p, c in zip(pos, n)], pa.float64()
+            ),
+        }
+    )

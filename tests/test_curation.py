@@ -358,3 +358,30 @@ def test_classifier_pr_curve_invariants(ray_session):
         p, r = prec[i], rec[i]
         want = 2 * p * r / (p + r) if p + r > 0 else 0.0
         assert abs(f1[i] - want) < 2e-3  # p/r are rounded displays
+
+
+def test_calibration_bins_conservation(ray_session):
+    """Bin counts sum to the corpus size; positives sum to the en count;
+    mean_score lies inside each bin's [lo, hi) range."""
+    import duckdb
+
+    from lamapi_ray.pipelines.extras import calibration_bins
+
+    out = calibration_bins("/root/testdata/sf0.001")
+    n_docs = duckdb.sql(
+        "SELECT count(*) FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchone()[0]
+    n_en = duckdb.sql(
+        "SELECT count(*) FROM '/root/testdata/sf0.001/documents.parquet'"
+        " WHERE lang = 'en'"
+    ).fetchone()[0]
+    assert sum(out["n"].to_pylist()) == n_docs
+    assert sum(out["n_pos"].to_pylist()) == n_en
+    for i in range(out.num_rows):
+        b = out["bin"][i].as_py()
+        m = out["mean_score"][i].as_py()
+        lo = b / 10.0
+        hi = 1.01 if b == 9 else (b + 1) / 10.0  # top bin clips scores >= .9
+        assert lo - 1e-6 <= m < hi
+        pr = out["pos_rate"][i].as_py()
+        assert 0.0 <= pr <= 1.0
