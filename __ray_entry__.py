@@ -2746,6 +2746,41 @@ def oracle_sql() -> dict[str, str]:
         "          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b"
     )
 
+    # per-node local clustering coefficient over the SAME planted-triad
+    # undirected edge set — mirrors extras.py::local_clustering
+    sql["local_clustering"] = (
+        "WITH n AS (SELECT count(*) AS np FROM part),\n"
+        "nd AS (SELECT count(*) AS ndocs FROM documents),\n"
+        "e0 AS (SELECT doc_id AS x, doc_id % np AS y FROM documents, n\n"
+        "       UNION ALL\n"
+        "       SELECT doc_id, (doc_id*7+13) % np FROM documents, n\n"
+        "       UNION ALL\n"
+        "       SELECT doc_id, doc_id + 1 FROM documents, nd\n"
+        "         WHERE doc_id % 7 = 0 AND doc_id + 2 < ndocs\n"
+        "       UNION ALL\n"
+        "       SELECT doc_id + 1, doc_id + 2 FROM documents, nd\n"
+        "         WHERE doc_id % 7 = 0 AND doc_id + 2 < ndocs\n"
+        "       UNION ALL\n"
+        "       SELECT doc_id, doc_id + 2 FROM documents, nd\n"
+        "         WHERE doc_id % 7 = 0 AND doc_id + 2 < ndocs),\n"
+        "e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b\n"
+        "      FROM e0 WHERE x <> y),\n"
+        "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM\n"
+        "  (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),\n"
+        "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z\n"
+        "  FROM e e1 JOIN e e2 ON e2.a = e1.b\n"
+        "            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),\n"
+        "tn AS (SELECT node, CAST(count(*) AS BIGINT) AS t FROM\n"
+        "  (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri\n"
+        "   UNION ALL SELECT z FROM tri) GROUP BY 1)\n"
+        "SELECT deg.node, deg.degree,\n"
+        "  CAST(coalesce(tn.t, 0) AS BIGINT) AS n_triangles,\n"
+        "  CAST(printf('%.6f', 2.0 * coalesce(tn.t, 0)\n"
+        "    / (deg.degree * (deg.degree - 1.0))) AS DOUBLE) AS cc\n"
+        "FROM deg LEFT JOIN tn USING (node)\n"
+        "WHERE deg.degree >= 2 ORDER BY deg.node"
+    )
+
     # HITS hubs/authorities, 2 integer-exact un-normalized iterations over
     # the same synthetic anchor graph (multiplicity + self-loops kept, hence
     # UNION ALL): a1 = in-multiplicity, h1 = Σ a1 over out-edges, then once
@@ -3821,6 +3856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance",
         "mi_feature_ranking",
         "calibration_bins",
+        "local_clustering",
         "gnn_neighbor_agg",
         "hll_users_by_type",
         "stratified_sample",
@@ -4086,7 +4122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grid_dbscan", "cdc_upsert_merge", "decontaminate_fuzzy",
         "retrieval_metrics", "classifier_pr_curve", "join_size_estimate",
         "embedding_standardize", "embedding_covariance",
-        "mi_feature_ranking", "calibration_bins",
+        "mi_feature_ranking", "calibration_bins", "local_clustering",
         "link_hits", "event_funnel", "co_citation", "biblio_coupling",
         "link_components", "funnel_times", "doc_search_bm25", "hybrid_rrf",
         "semdedup", "entity_ppr", "cross_source_linkage", "kg_fusion",

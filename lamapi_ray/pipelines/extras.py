@@ -7014,3 +7014,250 @@ def calibration_bins(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+def local_clustering(sf_dir: str) -> pa.Table:
+    """Per-node local clustering coefficient over the hyperlink graph
+    (same planted-triad edge set as ``link_triangles`` — the organic
+    anchor graph is triangle-free): cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1))
+    on the undirected distinct graph, the node-level spam/community
+    signal next to the global triangle count.
+
+    Scale shape: the degree-ordered orientation (every edge directed
+    from its lower (deg, id) endpoint) caps out-degrees at O(√m), so
+    wedge volume is O(m^1.5) regardless of skew; wedges are generated
+    inside ONE apex-hash exchange (vectorized run pairs) and closed with
+    ONE bucketed hash join against the oriented edge set; each closed
+    triangle emits its three node increments into a node-bounded count
+    fold. Degrees broadcast sorted (node-bounded — the pagerank
+    fast path; the bucketed attach documented in triangle_count is the
+    >50M-node path). Output: (node, degree, n_triangles, cc) for nodes
+    with degree ≥ 2."""
+    from lamapi_ray import synth
+    from lamapi_ray.stages.dedup import _pairs_in_runs, _run_bounds
+    from lamapi_ray.stages.join import bucketed_hash_join
+    from lamapi_ray.stages.linkgraph import extract_links
+    from lamapi_ray.stages.textstats import round_ref_array
+    from ray.data.aggregate import Sum
+
+    import pyarrow.parquet as pq
+
+    P = _scaled(0.5, 16)
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        def ids(col):
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return pc.cast(pc.utf8_slice_codeunits(col, 6), pa.int64())
+
+        return pa.table({"a": ids(batch["src"]), "b": ids(batch["dst"])})
+
+    ndocs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+
+    def triads(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = did[(did % 7 == 0) & (did + 2 < ndocs)]
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([d, d + 1, d]), pa.int64()),
+                "b": pa.array(np.concatenate([d + 1, d + 2, d + 2]), pa.int64()),
+            }
+        )
+
+    raw = (
+        extract_links(synth.pages_dataset(sf_dir))
+        .map_batches(to_ids, batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            _docs(sf_dir, cols=("doc_id",)).map_batches(
+                triads, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+    )
+
+    def canon(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        key = lo * np.int64(1 << 32) + hi  # ids < 2^31 by construction
+        u = np.unique(key)
+        return pa.table(
+            {
+                "a": pa.array(u >> np.int64(32), pa.int64()),
+                "b": pa.array(u & np.int64((1 << 32) - 1), pa.int64()),
+            }
+        )
+
+    # distinct undirected edges: map-side distinct + one grouped distinct
+    edges = (
+        raw.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["a", "b"], num_partitions=P)
+        .count()
+        .select_columns(["a", "b"])
+        .materialize()
+    )
+
+    # node-bounded degrees, broadcast sorted
+    def ends(b: pa.Table) -> pa.Table:
+        ids = np.concatenate(
+            [
+                b["a"].to_numpy(zero_copy_only=False),
+                b["b"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        u, c = np.unique(ids, return_counts=True)
+        return pa.table(
+            {"node": pa.array(u, pa.int64()), "c": pa.array(c, pa.int64())}
+        )
+
+    degt = _collect(
+        edges.map_batches(ends, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node", num_partitions=P)
+        .aggregate(Sum("c"))
+    )
+    nodes = degt["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    degs = degt["sum(c)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(nodes)
+    nodes, degs = nodes[order], degs[order]
+
+    def rank(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        pos = np.searchsorted(nodes, v)
+        if len(v) and not np.all(nodes[np.minimum(pos, len(nodes) - 1)] == v):
+            raise ValueError("edge endpoint missing from degree table")
+        return degs[pos], v
+
+    def orient(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        da, _ = rank(a)
+        db, _ = rank(b)
+        # direct from the lower (deg, id) endpoint
+        a_first = (da < db) | ((da == db) & (a < b))
+        src = np.where(a_first, a, b)
+        dst = np.where(a_first, b, a)
+        return pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+
+    oriented = edges.map_batches(
+        orient, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def apex_key(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "__ak", pa.array((s * 2654435761 % 4294967296) % P, pa.int64())
+        )
+
+    def wedges(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"wsrc": pa.array([], pa.int64()),
+             "wdst": pa.array([], pa.int64()),
+             "apex": pa.array([], pa.int64())}
+        )
+        if len(group) == 0:
+            return empty
+        s = group["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = group["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, s))
+        s, d = s[order], d[order]
+        starts, lens = _run_bounds([s])
+        xs, ys, ap = [], [], []
+        for ia, ib in _pairs_in_runs(starts, lens):
+            # wedge legs d[ia] < d[ib] by run sort; the closing edge is
+            # oriented from its lower (deg, id) endpoint — recompute
+            xs.append(d[ia])
+            ys.append(d[ib])
+            ap.append(s[ia])
+        if not xs:
+            return empty
+        v = np.concatenate(xs)
+        w = np.concatenate(ys)
+        a_ = np.concatenate(ap)
+        dv, _ = rank(v)
+        dw, _ = rank(w)
+        vf = (dv < dw) | ((dv == dw) & (v < w))
+        return pa.table(
+            {
+                "wsrc": pa.array(np.where(vf, v, w), pa.int64()),
+                "wdst": pa.array(np.where(vf, w, v), pa.int64()),
+                "apex": pa.array(a_, pa.int64()),
+            }
+        )
+
+    wedge_ds = (
+        oriented.map_batches(apex_key, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__ak", num_partitions=P)
+        .map_groups(wedges, batch_format="pyarrow")
+    )
+
+    def edge_key(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"ekey": pa.array(s * np.int64(1 << 32) + d, pa.int64())}
+        )
+
+    def wedge_key(b: pa.Table) -> pa.Table:
+        s = b["wsrc"].to_numpy(zero_copy_only=False)
+        d = b["wdst"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "ekey": pa.array(s * np.int64(1 << 32) + d, pa.int64()),
+                "wsrc": b["wsrc"],
+                "wdst": b["wdst"],
+                "apex": b["apex"],
+            }
+        )
+
+    closed = bucketed_hash_join(
+        wedge_ds.map_batches(wedge_key, batch_format="pyarrow", zero_copy_batch=True),
+        oriented.map_batches(edge_key, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            lambda b: pa.table(
+                {"ekey": b["ekey"], "hit": pa.array(
+                    np.ones(len(b), np.int8), pa.int8())}
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ),
+        on="ekey", num_buckets=P,
+    )
+
+    def tri_nodes(b: pa.Table) -> pa.Table:
+        v = np.concatenate(
+            [
+                b["wsrc"].to_numpy(zero_copy_only=False),
+                b["wdst"].to_numpy(zero_copy_only=False),
+                b["apex"].to_numpy(zero_copy_only=False),
+            ]
+        ).astype(np.int64)
+        u, c = np.unique(v, return_counts=True)
+        return pa.table(
+            {"node": pa.array(u, pa.int64()), "t": pa.array(c, pa.int64())}
+        )
+
+    trit = _collect(
+        closed.map_batches(tri_nodes, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node", num_partitions=P)
+        .aggregate(Sum("t"))
+    )
+    tri = np.zeros(len(nodes), np.int64)
+    if trit.num_rows and "node" in trit.column_names:
+        tn = trit["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tv = trit["sum(t)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(nodes, tn)
+        if not np.all(nodes[np.minimum(pos, len(nodes) - 1)] == tn):
+            raise ValueError("triangle node missing from degree table")
+        tri[pos] = tv
+    keep = degs >= 2
+    n2, d2, t2 = nodes[keep], degs[keep], tri[keep]
+    cc = round_ref_array(2.0 * t2 / (d2 * (d2 - 1.0)), 6)
+    return pa.table(
+        {
+            "node": pa.array(n2, pa.int64()),
+            "degree": pa.array(d2, pa.int64()),
+            "n_triangles": pa.array(t2, pa.int64()),
+            "cc": pa.array(cc, pa.float64()),
+        }
+    )

@@ -477,3 +477,20 @@ def test_gnn_neighbor_agg_naive_equality(ray_session, tmp_path):
         out["n_in"].to_pylist(),
     ):
         assert abs(m - s / c) < 1e-6
+
+
+def test_local_clustering_consistent_with_global_triangles(ray_session):
+    """Σ per-node triangle counts == 3 × the global triangle count, and
+    every planted-triad node's cc is consistent with its degree."""
+    from lamapi_ray.pipelines.extras import link_triangles, local_clustering
+
+    sf = "/root/testdata/sf0.001"
+    out = local_clustering(sf)
+    glob = link_triangles(sf)["n_triangles"][0].as_py()
+    assert sum(out["n_triangles"].to_pylist()) == 3 * glob
+    for i in range(out.num_rows):
+        d = out["degree"][i].as_py()
+        t = out["n_triangles"][i].as_py()
+        cc = out["cc"][i].as_py()
+        assert 0 <= t <= d * (d - 1) // 2
+        assert abs(cc - 2 * t / (d * (d - 1))) < 1e-6
