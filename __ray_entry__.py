@@ -957,6 +957,37 @@ def oracle_sql() -> dict[str, str]:
         " round_even(s_en, 4) AS en_ratio\nFROM s"
     )
 
+    # lang_confusion: confusion matrix of the stopword lang-ID vs the true
+    # lang, diagonal recall printf-rounded — mirrors
+    # extras.py::lang_confusion
+    sql["lang_confusion"] = _with(
+        "t AS (SELECT doc_id, lang, str_split(text, ' ') AS toks FROM documents)",
+        f"""s AS (SELECT doc_id, lang,
+  len(list_filter(toks, x -> x IN {STOP_EN})) / len(toks) AS s_en,
+  len(list_filter(toks, x -> x IN {STOP_DE})) / len(toks) AS s_de,
+  len(list_filter(toks, x -> x IN {STOP_ES})) / len(toks) AS s_es,
+  len(list_filter(toks, x -> x IN {STOP_FR})) / len(toks) AS s_fr,
+  0.0 AS s_zh
+ FROM t)""",
+        "pred AS (SELECT lang AS lang_true,\n"
+        " CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'unknown'\n"
+        "      WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'\n"
+        "      WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'\n"
+        "      WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'\n"
+        "      WHEN s_fr >= s_zh THEN 'fr'\n"
+        "      ELSE 'zh' END AS lang_pred FROM s)",
+        "cm3 AS (SELECT lang_true, lang_pred,\n"
+        "  CAST(count(*) AS BIGINT) AS n FROM pred GROUP BY 1, 2)",
+        "tt AS (SELECT lang_true, CAST(sum(n) AS BIGINT) AS tot\n"
+        "  FROM cm3 GROUP BY 1)",
+    ) + (
+        "SELECT cm3.lang_true, cm3.lang_pred, cm3.n,\n"
+        "  CAST(printf('%.6f', CASE WHEN cm3.lang_true = cm3.lang_pred\n"
+        "    THEN cm3.n / tt.tot ELSE 0.0 END) AS DOUBLE) AS recall\n"
+        "FROM cm3 JOIN tt USING (lang_true)\n"
+        "ORDER BY cm3.lang_true, cm3.lang_pred"
+    )
+
     sql["quality_score"] = _with(
         "t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)",
         f"""s AS (SELECT doc_id, len(toks) AS n,
@@ -3857,6 +3888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mi_feature_ranking",
         "calibration_bins",
         "local_clustering",
+        "lang_confusion",
         "gnn_neighbor_agg",
         "hll_users_by_type",
         "stratified_sample",
@@ -4123,6 +4155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retrieval_metrics", "classifier_pr_curve", "join_size_estimate",
         "embedding_standardize", "embedding_covariance",
         "mi_feature_ranking", "calibration_bins", "local_clustering",
+        "lang_confusion",
         "link_hits", "event_funnel", "co_citation", "biblio_coupling",
         "link_components", "funnel_times", "doc_search_bm25", "hybrid_rrf",
         "semdedup", "entity_ppr", "cross_source_linkage", "kg_fusion",

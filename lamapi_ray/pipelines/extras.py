@@ -7261,3 +7261,57 @@ def local_clustering(sf_dir: str) -> pa.Table:
             "cc": pa.array(cc, pa.float64()),
         }
     )
+
+
+def lang_confusion(sf_dir: str) -> pa.Table:
+    """Language-ID confusion matrix — the eval view of the heuristic
+    stopword classifier against the table's true ``lang``: one corpus
+    pass folding per-batch (lang_true, lang_pred) count partials —
+    ≤ |langs|²-bounded — through one tiny exchange, plus per-true-lang
+    recall (printf-rounded). The matrix is what a curation team reads
+    before trusting lang_id for filtering."""
+    from ray.data.aggregate import Sum
+
+    from lamapi_ray.functions.text import round_ref
+    from lamapi_ray.stages.textstats import lang_id_batch
+
+    docs = _docs(sf_dir, ("doc_id", "lang", "text"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        scored = lang_id_batch(batch)
+        t = scored["lang"].to_numpy(zero_copy_only=False)
+        p = scored["lang_pred"].to_numpy(zero_copy_only=False)
+        key = np.char.add(np.char.add(t.astype(str), "|"), p.astype(str))
+        u, c = np.unique(key, return_counts=True)
+        parts = np.char.partition(u, "|")
+        return pa.table(
+            {
+                "lang_true": pa.array(parts[:, 0].tolist(), pa.string()),
+                "lang_pred": pa.array(parts[:, 2].tolist(), pa.string()),
+                "c": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = _collect(
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang_true", "lang_pred"])
+        .aggregate(Sum("c"))
+    ).sort_by([("lang_true", "ascending"), ("lang_pred", "ascending")])
+    t = agg["lang_true"].to_pylist()
+    p = agg["lang_pred"].to_pylist()
+    c = agg["sum(c)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    tot = {}
+    for tt, cc in zip(t, c):
+        tot[tt] = tot.get(tt, 0) + int(cc)
+    rec = [
+        round_ref((int(cc) / tot[tt]) if tt == pp else 0.0, 6)
+        for tt, pp, cc in zip(t, p, c)
+    ]
+    return pa.table(
+        {
+            "lang_true": pa.array(t, pa.string()),
+            "lang_pred": pa.array(p, pa.string()),
+            "n": pa.array(c, pa.int64()),
+            "recall": pa.array(rec, pa.float64()),
+        }
+    )

@@ -385,3 +385,29 @@ def test_calibration_bins_conservation(ray_session):
         assert lo - 1e-6 <= m < hi
         pr = out["pos_rate"][i].as_py()
         assert 0.0 <= pr <= 1.0
+
+
+def test_lang_confusion_conservation(ray_session):
+    """Matrix cells sum to corpus size; per-true-lang rows sum to the
+    true-lang counts; diagonal recall = n / row-total."""
+    import duckdb
+
+    from lamapi_ray.pipelines.extras import lang_confusion
+
+    out = lang_confusion("/root/testdata/sf0.001")
+    n_docs = duckdb.sql(
+        "SELECT count(*) FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchone()[0]
+    assert sum(out["n"].to_pylist()) == n_docs
+    rows = list(
+        zip(out["lang_true"].to_pylist(), out["lang_pred"].to_pylist(),
+            out["n"].to_pylist(), out["recall"].to_pylist())
+    )
+    tot = {}
+    for t, _, n, _ in rows:
+        tot[t] = tot.get(t, 0) + n
+    for t, p, n, r in rows:
+        if t == p:
+            assert abs(r - n / tot[t]) < 1e-6
+        else:
+            assert r == 0.0
