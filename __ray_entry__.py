@@ -2777,6 +2777,21 @@ def oracle_sql() -> dict[str, str]:
         "          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b"
     )
 
+    # degree_histogram: log2-binned in-degree distribution over ALL link
+    # edges (multiplicity kept) — mirrors extras.py::degree_histogram
+    sql["degree_histogram"] = (
+        "WITH n AS (SELECT count(*) AS np FROM part),\n"
+        "e0 AS (SELECT doc_id AS s, doc_id % np AS d FROM documents, n\n"
+        "       UNION ALL SELECT doc_id, (doc_id*7+13) % np FROM documents, n),\n"
+        "deg AS (SELECT d AS node, CAST(count(*) AS BIGINT) AS dg\n"
+        "  FROM e0 GROUP BY 1),\n"
+        "h AS (SELECT CAST(floor(log2(dg)) AS BIGINT) AS bin,\n"
+        "  CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY 1)\n"
+        "SELECT bin, CAST(1::BIGINT << CAST(bin AS INTEGER) AS BIGINT)\n"
+        "  AS lo_degree, n_nodes\n"
+        "FROM h ORDER BY bin"
+    )
+
     # per-node local clustering coefficient over the SAME planted-triad
     # undirected edge set — mirrors extras.py::local_clustering
     sql["local_clustering"] = (
@@ -3889,6 +3904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "calibration_bins",
         "local_clustering",
         "lang_confusion",
+        "degree_histogram",
         "gnn_neighbor_agg",
         "hll_users_by_type",
         "stratified_sample",
@@ -4155,7 +4171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retrieval_metrics", "classifier_pr_curve", "join_size_estimate",
         "embedding_standardize", "embedding_covariance",
         "mi_feature_ranking", "calibration_bins", "local_clustering",
-        "lang_confusion",
+        "lang_confusion", "degree_histogram",
         "link_hits", "event_funnel", "co_citation", "biblio_coupling",
         "link_components", "funnel_times", "doc_search_bm25", "hybrid_rrf",
         "semdedup", "entity_ppr", "cross_source_linkage", "kg_fusion",

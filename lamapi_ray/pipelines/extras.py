@@ -7315,3 +7315,63 @@ def lang_confusion(sf_dir: str) -> pa.Table:
             "recall": pa.array(rec, pa.float64()),
         }
     )
+
+
+def degree_histogram(sf_dir: str) -> pa.Table:
+    """Log-binned in-degree distribution of the hyperlink graph — the
+    power-law diagnostic every web-graph paper opens with: bin =
+    floor(log2(indegree)) (bin 0 = degree 1), one node-bounded degree
+    fold then a bins-bounded histogram fold; nothing edge-sized leaves
+    the first exchange."""
+    from ray.data.aggregate import Sum
+
+    from lamapi_ray import synth
+    from lamapi_ray.stages.linkgraph import extract_links
+
+    def dst_ids(batch: pa.Table) -> pa.Table:
+        col = batch["dst"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ids = pc.cast(pc.utf8_slice_codeunits(col, 6), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        u, c = np.unique(ids, return_counts=True)
+        return pa.table(
+            {"node": pa.array(u, pa.int64()), "c": pa.array(c, pa.int64())}
+        )
+
+    deg = (
+        extract_links(synth.pages_dataset(sf_dir))
+        .map_batches(dst_ids, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node", num_partitions=_scaled(0.5, 16))
+        .aggregate(Sum("c"))
+    )
+
+    def to_bins(b: pa.Table) -> pa.Table:
+        d = b["sum(c)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # exact integer log2 bin (degrees < 2^31: powers of two are exact
+        # in double and log2(2^k - 1) < k, so floor never crosses a bin)
+        bins = np.floor(np.log2(d.astype(np.float64))).astype(np.int64)
+        u, c = np.unique(bins, return_counts=True)
+        return pa.table(
+            {"bin": pa.array(u, pa.int64()), "c": pa.array(c, pa.int64())}
+        )
+
+    hist = _collect(
+        deg.map_batches(to_bins, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bin")
+        .aggregate(Sum("c"))
+    )
+    b = hist["bin"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(b)
+    return pa.table(
+        {
+            "bin": pa.array(b[order], pa.int64()),
+            "lo_degree": pa.array((np.int64(1) << b[order]), pa.int64()),
+            "n_nodes": pa.array(
+                hist["sum(c)"].to_numpy(zero_copy_only=False)
+                .astype(np.int64)[order],
+                pa.int64(),
+            ),
+        }
+    )
