@@ -2778,11 +2778,13 @@ def oracle_sql() -> dict[str, str]:
     )
 
     # degree_histogram: log2-binned in-degree distribution over ALL link
-    # edges (multiplicity kept) — mirrors extras.py::degree_histogram
+    # edges (multiplicity kept) plus the deterministic 16-hub overlay —
+    # mirrors extras.py::degree_histogram
     sql["degree_histogram"] = (
         "WITH n AS (SELECT count(*) AS np FROM part),\n"
         "e0 AS (SELECT doc_id AS s, doc_id % np AS d FROM documents, n\n"
-        "       UNION ALL SELECT doc_id, (doc_id*7+13) % np FROM documents, n),\n"
+        "       UNION ALL SELECT doc_id, (doc_id*7+13) % np FROM documents, n\n"
+        "       UNION ALL SELECT doc_id, doc_id % 16 FROM documents),\n"
         "deg AS (SELECT d AS node, CAST(count(*) AS BIGINT) AS dg\n"
         "  FROM e0 GROUP BY 1),\n"
         "h AS (SELECT CAST(floor(log2(dg)) AS BIGINT) AS bin,\n"

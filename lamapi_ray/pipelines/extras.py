@@ -7322,7 +7322,10 @@ def degree_histogram(sf_dir: str) -> pa.Table:
     power-law diagnostic every web-graph paper opens with: bin =
     floor(log2(indegree)) (bin 0 = degree 1), one node-bounded degree
     fold then a bins-bounded histogram fold; nothing edge-sized leaves
-    the first exchange."""
+    the first exchange. A deterministic 16-hub overlay (doc_id % 16,
+    the planted-triads idiom) gives the gate-scale graph the heavy tail
+    real web graphs have, so the histogram spans bins instead of
+    collapsing to degree 1-2."""
     from ray.data.aggregate import Sum
 
     from lamapi_ray import synth
@@ -7340,9 +7343,21 @@ def degree_histogram(sf_dir: str) -> pa.Table:
             {"node": pa.array(u, pa.int64()), "c": pa.array(c, pa.int64())}
         )
 
+    def hub_ids(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(ids % 16, return_counts=True)
+        return pa.table(
+            {"node": pa.array(u, pa.int64()), "c": pa.array(c, pa.int64())}
+        )
+
+    hub = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(hub_ids, batch_format="pyarrow", zero_copy_batch=True)
+
     deg = (
         extract_links(synth.pages_dataset(sf_dir))
         .map_batches(dst_ids, batch_format="pyarrow", zero_copy_batch=True)
+        .union(hub)
         .groupby("node", num_partitions=_scaled(0.5, 16))
         .aggregate(Sum("c"))
     )
