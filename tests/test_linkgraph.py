@@ -494,3 +494,34 @@ def test_local_clustering_consistent_with_global_triangles(ray_session):
         cc = out["cc"][i].as_py()
         assert 0 <= t <= d * (d - 1) // 2
         assert abs(cc - 2 * t / (d * (d - 1))) < 1e-6
+
+
+def test_degree_histogram_matches_direct_recompute(ray_session):
+    """Histogram equals a direct numpy recomputation of the synthetic
+    edge model (doc_id % P, (7*doc_id+13) % P, hub doc_id % 16)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from lamapi_ray.pipelines.extras import degree_histogram
+
+    sf = "/root/testdata/sf0.001"
+    out = degree_histogram(sf)
+    doc_id = (
+        pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])["doc_id"]
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    nparts = pq.read_metadata(f"{sf}/part.parquet").num_rows
+    dst = np.concatenate(
+        [doc_id % nparts, (doc_id * 7 + 13) % nparts, doc_id % 16]
+    )
+    _, deg = np.unique(dst, return_counts=True)
+    bins, n_nodes = np.unique(
+        np.floor(np.log2(deg.astype(np.float64))).astype(np.int64),
+        return_counts=True,
+    )
+    assert out["bin"].to_pylist() == bins.tolist()
+    assert out["n_nodes"].to_pylist() == n_nodes.tolist()
+    assert out["lo_degree"].to_pylist() == (1 << bins).tolist()
+    # the hub overlay guarantees a heavy-tail bin beyond degree 1-2
+    assert max(out["bin"].to_pylist()) >= 2
