@@ -668,6 +668,25 @@ def oracle_sql() -> dict[str, str]:
         "FROM o FULL OUTER JOIN i ON o.entity = i.entity"
     )
 
+    # predicate_functionality: PARIS functionality / inverse-functionality
+    # per predicate — mirrors extras.py::predicate_functionality (IEEE
+    # division of exact counts, printf-rounded on both sides)
+    sql["predicate_functionality"] = _with(
+        SQL_ITEMS,
+        SQL_ADJACENCY,
+        "f AS (SELECT pred, CAST(count(*) AS BIGINT) AS n_triples,\n"
+        "  CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects,\n"
+        "  CAST(count(DISTINCT obj) AS BIGINT) AS n_objects\n"
+        " FROM adjacency GROUP BY 1)",
+    ) + (
+        "SELECT pred, n_triples, n_subjects, n_objects,\n"
+        "  round_even(CAST(n_subjects AS DOUBLE) / n_triples, 6)\n"
+        "    AS functionality,\n"
+        "  round_even(CAST(n_objects AS DOUBLE) / n_triples, 6)\n"
+        "    AS inverse_functionality\n"
+        "FROM f ORDER BY pred"
+    )
+
     # entity_pagerank: 3 unrolled iterations of INTEGER fixed-point PageRank
     # (rank × 10^9; contribution rf // out_deg; update base + 85·Σ // 100) —
     # all-integer arithmetic, so the engine's distributed scatter/gather
@@ -3907,6 +3926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_clustering",
         "lang_confusion",
         "degree_histogram",
+        "predicate_functionality",
         "gnn_neighbor_agg",
         "hll_users_by_type",
         "stratified_sample",
@@ -3959,6 +3979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["lookup_labels"] = with_kg("lookup_labels", "items")
     out["lookup_objects"] = with_kg("lookup_objects", "triples")
     out["kg_degrees"] = with_kg("kg_degrees", "triples")
+    out["predicate_functionality"] = with_kg("predicate_functionality", "triples")
     out["kg_negative_samples"] = with_kg("kg_negative_samples", "triples")
     out["kg_neighbor_sample"] = with_kg("kg_neighbor_sample", "triples")
     out["entity_pagerank"] = with_kg("entity_pagerank", "triples")
@@ -4173,7 +4194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retrieval_metrics", "classifier_pr_curve", "join_size_estimate",
         "embedding_standardize", "embedding_covariance",
         "mi_feature_ranking", "calibration_bins", "local_clustering",
-        "lang_confusion", "degree_histogram",
+        "lang_confusion", "degree_histogram", "predicate_functionality",
         "link_hits", "event_funnel", "co_citation", "biblio_coupling",
         "link_components", "funnel_times", "doc_search_bm25", "hybrid_rrf",
         "semdedup", "entity_ppr", "cross_source_linkage", "kg_fusion",

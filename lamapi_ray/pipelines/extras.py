@@ -7390,3 +7390,109 @@ def degree_histogram(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+def predicate_functionality(sf_dir: str, adjacency: pa.Table) -> pa.Table:
+    """PARIS-style predicate functionality profile over the KG edge list
+    (Suchanek et al., "PARIS: Probabilistic Alignment of Relations,
+    Instances, and Schema", VLDB 2012) — the schema-quality signal KG
+    construction uses to pick functional predicates for conflict
+    resolution and alignment: per predicate, n_triples, distinct
+    subject/object counts, functionality = n_subjects / n_triples
+    (1.0 = strictly functional) and inverse_functionality =
+    n_objects / n_triples.
+
+    Dataflow: ONE distinct exchange over tagged ``pred\\x01{s,o}\\x01id``
+    keys (per-batch pre-unique halves what ships), a predicate-bounded
+    count fold on top, plus a separate predicate-bounded triple-count
+    fold; nothing edge-sized reaches the driver. Ratios are IEEE
+    divisions of exact int64 counts, printf-rounded (round_ref) on both
+    engine and oracle sides."""
+    from ray.data.aggregate import Sum
+
+    from lamapi_ray.stages.dedup import scaled_partitions
+
+    edges = ray.data.from_arrow(adjacency).repartition(scaled_partitions(1.0, 8))
+
+    def _col(batch: pa.Table, n: str) -> pa.Array:
+        c = batch[n]
+        return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+    def tag_pairs(batch: pa.Table) -> pa.Table:
+        p = _col(batch, "pred")
+        n = len(batch)
+        ks = pc.binary_join_element_wise(
+            p, pa.array(["s"] * n), _col(batch, "subj"), "\x01"
+        )
+        ko = pc.binary_join_element_wise(
+            p, pa.array(["o"] * n), _col(batch, "obj"), "\x01"
+        )
+        u = pc.unique(
+            pa.chunked_array([ks.cast(pa.string()), ko.cast(pa.string())])
+        )
+        return pa.table({"key": u})
+
+    def pair_fold(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(_col(batch, "key"), "\x01")
+        pk = pc.binary_join_element_wise(
+            pc.list_element(parts, 0), pc.list_element(parts, 1), "\x01"
+        )
+        vc = pc.value_counts(pk)
+        return pa.table(
+            {
+                "pk": vc.field("values").cast(pa.string()),
+                "c": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    pair_counts = _collect(
+        edges.map_batches(tag_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("key", num_partitions=scaled_partitions(1.0, 8))
+        .count()
+        .map_batches(pair_fold, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pk")
+        .aggregate(Sum("c"))
+    )
+
+    def pred_counts(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(_col(batch, "pred"))
+        return pa.table(
+            {
+                "pred": vc.field("values").cast(pa.string()),
+                "c": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    totals = _collect(
+        edges.map_batches(pred_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pred")
+        .aggregate(Sum("c"))
+    )
+
+    n_tri = {
+        p: c
+        for p, c in zip(totals["pred"].to_pylist(), totals["sum(c)"].to_pylist())
+    }
+    n_subj = dict.fromkeys(n_tri, 0)
+    n_obj = dict.fromkeys(n_tri, 0)
+    for pk, c in zip(
+        pair_counts["pk"].to_pylist(), pair_counts["sum(c)"].to_pylist()
+    ):
+        p, tag = pk.split("\x01")
+        (n_subj if tag == "s" else n_obj)[p] = c
+
+    preds = sorted(n_tri)
+    return pa.table(
+        {
+            "pred": pa.array(preds, pa.string()),
+            "n_triples": pa.array([n_tri[p] for p in preds], pa.int64()),
+            "n_subjects": pa.array([n_subj[p] for p in preds], pa.int64()),
+            "n_objects": pa.array([n_obj[p] for p in preds], pa.int64()),
+            "functionality": pa.array(
+                [round_ref(n_subj[p] / n_tri[p], 6) for p in preds], pa.float64()
+            ),
+            "inverse_functionality": pa.array(
+                [round_ref(n_obj[p] / n_tri[p], 6) for p in preds], pa.float64()
+            ),
+        }
+    )

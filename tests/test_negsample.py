@@ -97,3 +97,32 @@ def test_negatives_are_in_class_and_never_real(ray_session):
     assert all(ks <= {0, 1} for ks in by_cls.values())
     # accidental-positive filtering can drop samples, but not everything
     assert len(neg) >= len(real)
+
+
+def test_predicate_functionality_crafted(ray_session):
+    """Exact PARIS functionality on a hand-built edge list: P1 is
+    strictly functional (3 subjects, 3 triples, 3 objects reused as 2),
+    P2 is multi-valued (2 subjects over 4 triples)."""
+    import pyarrow as pa
+
+    from lamapi_ray.pipelines.extras import predicate_functionality
+
+    adj = pa.table(
+        {
+            "subj": ["a", "b", "c", "x", "x", "y", "y"],
+            "pred": ["P1", "P1", "P1", "P2", "P2", "P2", "P2"],
+            "obj": ["o1", "o1", "o2", "u", "v", "u", "w"],
+        }
+    )
+    out = predicate_functionality("unused", adj)
+    rows = {r["pred"]: r for r in out.to_pylist()}
+    assert rows["P1"]["n_triples"] == 3
+    assert rows["P1"]["n_subjects"] == 3
+    assert rows["P1"]["n_objects"] == 2
+    assert rows["P1"]["functionality"] == 1.0
+    assert abs(rows["P1"]["inverse_functionality"] - 0.666667) < 1e-9
+    assert rows["P2"]["n_triples"] == 4
+    assert rows["P2"]["n_subjects"] == 2
+    assert rows["P2"]["n_objects"] == 3
+    assert rows["P2"]["functionality"] == 0.5
+    assert rows["P2"]["inverse_functionality"] == 0.75
