@@ -2098,6 +2098,31 @@ def oracle_sql() -> dict[str, str]:
         "HAVING count(*) * 512 > tot ORDER BY token"
     )
 
+    # zipf_slope: OLS fit of ln(count) vs ln(rank) over the top-100
+    # unigram frequencies, micro-nat floor-quantized integer sums —
+    # mirrors extras.py::zipf_slope
+    sql["zipf_slope"] = (
+        "WITH tok AS (SELECT unnest(str_split(text, ' ')) AS token\n"
+        "             FROM documents),\n"
+        "f AS (SELECT token, CAST(count(*) AS BIGINT) AS c\n"
+        "      FROM tok GROUP BY 1),\n"
+        "r AS (SELECT c, row_number() OVER (ORDER BY c DESC, token ASC)\n"
+        "        AS rnk FROM f),\n"
+        "q AS (SELECT CAST(floor(ln(rnk) * 1000000.0) AS BIGINT) AS x,\n"
+        "             CAST(floor(ln(c) * 1000000.0) AS BIGINT) AS y\n"
+        "      FROM r WHERE rnk <= 100),\n"
+        "s AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,\n"
+        "             sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx\n"
+        "      FROM q),\n"
+        "sl AS (SELECT n, sx, sy,\n"
+        "  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)\n"
+        "    AS slope FROM s)\n"
+        "SELECT n AS n_top, round_even(slope, 6) AS slope,\n"
+        "  round_even((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))\n"
+        "             / (n * 1000000.0), 6) AS intercept\n"
+        "FROM sl"
+    )
+
     # LSM postings compaction: the merged index must equal a fresh build
     # over (base kept + delta updated) minus tombstones
     sql["postings_delta_merge"] = _with(
@@ -3927,6 +3952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_confusion",
         "degree_histogram",
         "predicate_functionality",
+        "zipf_slope",
         "gnn_neighbor_agg",
         "hll_users_by_type",
         "stratified_sample",
@@ -4195,6 +4221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_standardize", "embedding_covariance",
         "mi_feature_ranking", "calibration_bins", "local_clustering",
         "lang_confusion", "degree_histogram", "predicate_functionality",
+        "zipf_slope",
         "link_hits", "event_funnel", "co_citation", "biblio_coupling",
         "link_components", "funnel_times", "doc_search_bm25", "hybrid_rrf",
         "semdedup", "entity_ppr", "cross_source_linkage", "kg_fusion",

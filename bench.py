@@ -299,6 +299,7 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("local_clustering", lambda: extras.local_clustering(sf_dir))
     timed("lang_confusion", lambda: extras.lang_confusion(sf_dir))
     timed("degree_histogram", lambda: extras.degree_histogram(sf_dir))
+    timed("zipf_slope", lambda: extras.zipf_slope(sf_dir))
     timed("doc_search_bm25", lambda: extras.doc_search_bm25(sf_dir))
     timed("hybrid_rrf", lambda: extras.hybrid_rrf(sf_dir))
     timed("semdedup", lambda: extras.semdedup(sf_dir))

@@ -7496,3 +7496,78 @@ def predicate_functionality(sf_dir: str, adjacency: pa.Table) -> pa.Table:
             ),
         }
     )
+
+
+def zipf_slope(sf_dir: str, top_n: int = 100) -> pa.Table:
+    """Zipf rank-frequency power-law fit over the corpus unigram
+    distribution — the classic webtext sanity diagnostic (Zipf's law:
+    log f ≈ intercept + slope·log r with slope near −1; a corpus whose
+    head deviates hard is boilerplate- or spam-skewed). OLS over
+    (ln rank, ln count) of the top ``top_n`` tokens by (count desc,
+    token asc).
+
+    Dataflow: per-batch exact token partials (one dictionary-encode +
+    bincount per batch, same tokenization as ``heavy_tokens``) → ONE
+    vocabulary-bounded groupby.sum → per-block local top-N (each token
+    lives in exactly one post-shuffle partition, and block-local top-N
+    under a total order is a superset filter for the global top-N) →
+    driver merges blocks×N rows. Logs are micro-nat floor-quantized
+    int64 (math.log ≡ DuckDB ln — same libm), so the OLS sums are exact
+    integers on both sides and the final slope/intercept are identical
+    IEEE expressions, printf-rounded."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from lamapi_ray.stages.dedup import scaled_partitions
+    from lamapi_ray.stages.textstats import _tokens
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        _, flat, _, _ = _tokens(batch)
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        counts = np.bincount(codes, minlength=len(enc.dictionary)).astype(np.int64)
+        return pa.table(
+            {
+                "token": enc.dictionary.cast(pa.string()),
+                "c": pa.array(counts, pa.int64()),
+            }
+        )
+
+    def local_topn(batch: pa.Table) -> pa.Table:
+        if len(batch) <= top_n:
+            return batch
+        cnt = batch["sum(c)"].combine_chunks().to_numpy(zero_copy_only=False)
+        tok = np.array(batch["token"].to_pylist())
+        order = np.lexsort((tok, -cnt))[:top_n]
+        return batch.take(pa.array(np.sort(order)))
+
+    cand = _collect(
+        _docs(sf_dir)
+        .map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token", num_partitions=scaled_partitions(1.0, 16))
+        .aggregate(Sum("c"))
+        .map_batches(local_topn, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    cnt = cand["sum(c)"].combine_chunks().to_numpy(zero_copy_only=False)
+    tok = np.array(cand["token"].to_pylist())
+    order = np.lexsort((tok, -cnt))[:top_n]
+    c_top = cnt[order]
+
+    n = len(c_top)
+    x = [math.floor(math.log(r) * 1e6) for r in range(1, n + 1)]
+    y = [math.floor(math.log(int(c)) * 1e6) for c in c_top]
+    sx, sy = sum(x), sum(y)
+    sxy = sum(a * b for a, b in zip(x, y))
+    sxx = sum(a * a for a in x)
+    slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    intercept = (float(sy) - slope * float(sx)) / (n * 1e6)
+    return pa.table(
+        {
+            "n_top": pa.array([n], pa.int64()),
+            "slope": pa.array([round_ref(slope, 6)], pa.float64()),
+            "intercept": pa.array([round_ref(intercept, 6)], pa.float64()),
+        }
+    )

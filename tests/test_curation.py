@@ -411,3 +411,34 @@ def test_lang_confusion_conservation(ray_session):
             assert abs(r - n / tot[t]) < 1e-6
         else:
             assert r == 0.0
+
+
+def test_zipf_slope_planted_powerlaw(ray_session, tmp_path):
+    """On a corpus whose token counts are exactly c_r = round(1000·r^-1)
+    for ranks 1..50, the fitted slope recovers ≈ -1."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lamapi_ray.pipelines.extras import zipf_slope
+
+    toks = []
+    for r in range(1, 51):
+        toks.extend([f"tok{r:02d}"] * round(1000 / r))
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(toks)), pa.int64()),
+            "text": pa.array(toks, pa.string()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(docs, d / "documents.parquet")
+    out = zipf_slope(str(d), top_n=50)
+    assert out.num_rows == 1
+    assert out["n_top"][0].as_py() == 50
+    slope = out["slope"][0].as_py()
+    assert abs(slope - (-1.0)) < 0.02
+    # intercept recovers ln(1000) within rounding of the planted counts
+    assert abs(out["intercept"][0].as_py() - math.log(1000)) < 0.05
