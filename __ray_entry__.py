@@ -2639,6 +2639,28 @@ def oracle_sql() -> dict[str, str]:
         "FROM e GROUP BY 1, 2 ORDER BY dst, anchor"
     )
 
+    # anchor_prior: Milne-Witten commonness prior P(dst | anchor) over
+    # the same anchor derivation as anchor_texts — mirrors
+    # extras.py::anchor_prior
+    sql["anchor_prior"] = (
+        "WITH n AS (SELECT count(*) AS np FROM part),\n"
+        "e AS (SELECT 'doc://' || (d.doc_id % np) AS dst, p1.p_name AS anchor\n"
+        "      FROM documents d CROSS JOIN n\n"
+        "      JOIN part p1 ON p1.p_partkey = d.doc_id % np\n"
+        "      UNION ALL\n"
+        "      SELECT 'doc://' || ((d.doc_id*7+13) % np), p2.p_name\n"
+        "      FROM documents d CROSS JOIN n\n"
+        "      JOIN part p2 ON p2.p_partkey = (d.doc_id*7+13) % np),\n"
+        "pcnt AS (SELECT dst, anchor, CAST(count(*) AS BIGINT) AS n\n"
+        "         FROM e GROUP BY 1, 2),\n"
+        "t AS (SELECT anchor, CAST(sum(n) AS BIGINT) AS anchor_total\n"
+        "      FROM pcnt GROUP BY 1)\n"
+        "SELECT pcnt.anchor, pcnt.dst, pcnt.n, t.anchor_total,\n"
+        "  round_even(CAST(pcnt.n AS DOUBLE) / t.anchor_total, 6) AS prior\n"
+        "FROM pcnt JOIN t ON t.anchor = pcnt.anchor\n"
+        "ORDER BY pcnt.anchor, pcnt.dst"
+    )
+
     # crawl politeness: the oracle states the same max-plus closed form
     # t_k = d*k + max_{j<=k}(arr_j - d*j) as a window max (d = 2)
     sql["crawl_schedule"] = (
@@ -3953,6 +3975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_histogram",
         "predicate_functionality",
         "zipf_slope",
+        "anchor_prior",
         "gnn_neighbor_agg",
         "hll_users_by_type",
         "stratified_sample",
@@ -4221,7 +4244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_standardize", "embedding_covariance",
         "mi_feature_ranking", "calibration_bins", "local_clustering",
         "lang_confusion", "degree_histogram", "predicate_functionality",
-        "zipf_slope",
+        "zipf_slope", "anchor_prior",
         "link_hits", "event_funnel", "co_citation", "biblio_coupling",
         "link_components", "funnel_times", "doc_search_bm25", "hybrid_rrf",
         "semdedup", "entity_ppr", "cross_source_linkage", "kg_fusion",

@@ -7571,3 +7571,53 @@ def zipf_slope(sf_dir: str, top_n: int = 100) -> pa.Table:
             "intercept": pa.array([round_ref(intercept, 6)], pa.float64()),
         }
     )
+
+
+def anchor_prior(sf_dir: str) -> pa.Table:
+    """Anchor-text → entity link prior P(dst | anchor) — the dictionary
+    Wikipedia-style entity linkers build from inbound anchors (the
+    commonness prior of Milne & Witten, CIKM 2008); lamAPI derives the
+    same surface→entity prior from labels/aliases
+    (scripts/parse_wikidata_dump.py:151). Per (anchor, dst): inbound
+    count n, per-anchor total, prior = n / total.
+
+    Dataflow: the pair counts come from ONE vocabulary-bounded
+    groupby-sum (stages/linkgraph.py::anchor_surface_forms, map-side
+    combined — the only corpus-sized pass); the anchor totals and ratio
+    composition are driver folds over that surface-vocabulary-sized
+    output by contract (the same shape as the summary sinks). Priors
+    are IEEE divisions of exact int64 counts, printf-rounded."""
+    from lamapi_ray import synth
+    from lamapi_ray.stages.linkgraph import (
+        anchor_surface_forms,
+        extract_anchor_texts,
+    )
+
+    pairs = _collect(
+        anchor_surface_forms(extract_anchor_texts(synth.pages_dataset(sf_dir)))
+    ).combine_chunks()
+    tot: dict[str, int] = {}
+    for a, c in zip(pairs["anchor"].to_pylist(), pairs["n"].to_pylist()):
+        tot[a] = tot.get(a, 0) + c
+
+    anchor = pairs["anchor"].to_pylist()
+    dst = pairs["dst"].to_pylist()
+    n = pairs["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = sorted(range(len(anchor)), key=lambda i: (anchor[i], dst[i]))
+    return pa.table(
+        {
+            "anchor": pa.array([anchor[i] for i in order], pa.string()),
+            "dst": pa.array([dst[i] for i in order], pa.string()),
+            "n": pa.array([int(n[i]) for i in order], pa.int64()),
+            "anchor_total": pa.array(
+                [tot[anchor[i]] for i in order], pa.int64()
+            ),
+            "prior": pa.array(
+                [
+                    round_ref(int(n[i]) / tot[anchor[i]], 6)
+                    for i in order
+                ],
+                pa.float64(),
+            ),
+        }
+    )

@@ -102,3 +102,22 @@ def test_anchor_extraction_and_counts(ray_session):
     assert counts["dst"].to_pylist() == ["doc://8", "doc://9"]
     assert counts["anchor"].to_pylist() == ["blue cup", "red plate"]
     assert counts["n"].to_pylist() == [1, 2]
+
+
+def test_anchor_prior_sums_to_one_per_anchor(ray_session):
+    """Per-anchor priors sum to 1 (within printf rounding) and each
+    (anchor, dst) prior equals n / anchor_total exactly."""
+    from collections import defaultdict
+
+    from lamapi_ray.pipelines.extras import anchor_prior
+
+    out = anchor_prior("/root/testdata/sf0.001")
+    assert out.num_rows > 0
+    by_anchor = defaultdict(float)
+    for r in out.to_pylist():
+        assert r["n"] >= 1
+        assert r["anchor_total"] >= r["n"]
+        assert abs(r["prior"] - round(r["n"] / r["anchor_total"], 6)) < 1e-12
+        by_anchor[r["anchor"]] += r["prior"]
+    for a, s in by_anchor.items():
+        assert abs(s - 1.0) < 1e-4, (a, s)
