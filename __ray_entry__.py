@@ -2895,6 +2895,44 @@ def oracle_sql() -> dict[str, str]:
         "WHERE deg.degree >= 2 ORDER BY deg.node"
     )
 
+    # adamic_adar: common-neighbor link-prediction scores over the SAME
+    # planted-triad undirected edge set as local_clustering — per-apex
+    # weight floor-quantized to integer micro-nats (DuckDB ln ≡ math.log
+    # on integer-valued doubles) so the per-pair sums are order-exact
+    # int64 on both sides; mirrors extras.py::adamic_adar
+    sql["adamic_adar"] = (
+        "WITH n AS (SELECT count(*) AS np FROM part),\n"
+        "nd AS (SELECT count(*) AS ndocs FROM documents),\n"
+        "e0 AS (SELECT doc_id AS x, doc_id % np AS y FROM documents, n\n"
+        "       UNION ALL\n"
+        "       SELECT doc_id, (doc_id*7+13) % np FROM documents, n\n"
+        "       UNION ALL\n"
+        "       SELECT doc_id, doc_id + 1 FROM documents, nd\n"
+        "         WHERE doc_id % 7 = 0 AND doc_id + 2 < ndocs\n"
+        "       UNION ALL\n"
+        "       SELECT doc_id + 1, doc_id + 2 FROM documents, nd\n"
+        "         WHERE doc_id % 7 = 0 AND doc_id + 2 < ndocs\n"
+        "       UNION ALL\n"
+        "       SELECT doc_id, doc_id + 2 FROM documents, nd\n"
+        "         WHERE doc_id % 7 = 0 AND doc_id + 2 < ndocs),\n"
+        "e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b\n"
+        "      FROM e0 WHERE x <> y),\n"
+        "adj AS (SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e),\n"
+        "w AS (SELECT x AS node,\n"
+        "        CAST(floor(1000000.0 / ln(count(*))) AS BIGINT) AS q\n"
+        "      FROM adj GROUP BY 1 HAVING count(*) >= 2),\n"
+        "wed AS (SELECT a1.y AS u, a2.y AS v, a1.x AS z\n"
+        "        FROM adj a1 JOIN adj a2 ON a2.x = a1.x AND a1.y < a2.y),\n"
+        "sc AS (SELECT u AS a, v AS b, CAST(count(*) AS BIGINT) AS n_common,\n"
+        "         CAST(sum(w.q) AS BIGINT) AS score_micro\n"
+        "       FROM wed JOIN w ON w.node = wed.z GROUP BY 1, 2)\n"
+        "SELECT a, b, n_common, score_micro,\n"
+        "  CAST(printf('%.6f', score_micro / 1000000.0) AS DOUBLE) AS score\n"
+        "FROM sc WHERE NOT EXISTS\n"
+        "  (SELECT 1 FROM e WHERE e.a = sc.a AND e.b = sc.b)\n"
+        "ORDER BY a, b"
+    )
+
     # HITS hubs/authorities, 2 integer-exact un-normalized iterations over
     # the same synthetic anchor graph (multiplicity + self-loops kept, hence
     # UNION ALL): a1 = in-multiplicity, h1 = Σ a1 over out-edges, then once
@@ -3976,6 +4014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "predicate_functionality",
         "zipf_slope",
         "anchor_prior",
+        "adamic_adar",
         "gnn_neighbor_agg",
         "hll_users_by_type",
         "stratified_sample",
@@ -4235,6 +4274,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # this round — must land inside the driver's ~50-entry sample to
         # prove the fix green (events_rollup carries the same latent fix)
         "revenue_by_nation", "quantile_sketch", "events_rollup",
+        # this session's additions — never driver-checked
+        "adamic_adar",
         # the final session's additions — never driver-checked, newest first
         "kmv_users", "bloom_semi_join", "entity_salience",
         "gnn_neighbor_agg", "bigram_perplexity", "scd2_user_state",

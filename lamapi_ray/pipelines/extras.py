@@ -7621,3 +7621,199 @@ def anchor_prior(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+def adamic_adar(sf_dir: str, max_apex_degree: int | None = None) -> pa.Table:
+    """Adamic-Adar link prediction over the hyperlink graph (Adamic &
+    Adar, "Friends and neighbors on the Web", Social Networks 2003) —
+    the common-neighbor score KG-completion and related-page systems
+    rank candidate edges with: for every non-adjacent pair (a, b),
+    score = Σ_{z ∈ N(a)∩N(b)} 1/ln(deg(z)). Same undirected distinct
+    edge set as ``local_clustering`` (organic anchor links + planted
+    triads; the 16-hub overlay is deliberately excluded — a hub apex
+    contributes Θ(deg²) wedges of near-zero 1/ln weight, which is
+    exactly what ``max_apex_degree`` prunes at real scale).
+
+    Scale shape: adjacency rows (apex, neighbor) go through ONE
+    apex-hash exchange so each apex's full neighborhood is co-located;
+    wedge pairs are emitted vectorized per run with the apex weight
+    quantized ONCE to integer micro-nats (q = floor(1e6/ln(deg)),
+    math.log ≡ DuckDB ln on integer-valued doubles) so the per-pair
+    sums are order-exact int64; a pair-bounded groupby-sum folds them;
+    existing edges are removed by a broadcast sorted-edge-key filter
+    (edge set is node-bounded here; the >10⁸-edge path is the bucketed
+    anti-join of ``bloom_semi_join``). ``max_apex_degree`` caps the
+    per-apex wedge volume (standard AA approximation: high-degree
+    apexes carry the least weight) — None (exact) at gate scale.
+
+    Output: (a, b, n_common, score_micro, score) for non-adjacent
+    pairs with ≥1 common neighbor, sorted by (a, b)."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    from lamapi_ray import synth
+    from lamapi_ray.stages.dedup import _pairs_in_runs, _run_bounds
+    from lamapi_ray.stages.linkgraph import extract_links
+
+    P = _scaled(0.5, 16)
+    ndocs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        def ids(col):
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return pc.cast(pc.utf8_slice_codeunits(col, 6), pa.int64())
+
+        return pa.table({"a": ids(batch["src"]), "b": ids(batch["dst"])})
+
+    def triads(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = did[(did % 7 == 0) & (did + 2 < ndocs)]
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([d, d + 1, d]), pa.int64()),
+                "b": pa.array(np.concatenate([d + 1, d + 2, d + 2]), pa.int64()),
+            }
+        )
+
+    def canon(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        key = lo * np.int64(1 << 32) + hi  # ids < 2^31 by construction
+        u = np.unique(key)
+        return pa.table(
+            {
+                "a": pa.array(u >> np.int64(32), pa.int64()),
+                "b": pa.array(u & np.int64((1 << 32) - 1), pa.int64()),
+            }
+        )
+
+    edges = (
+        extract_links(synth.pages_dataset(sf_dir))
+        .map_batches(to_ids, batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            _docs(sf_dir, cols=("doc_id",)).map_batches(
+                triads, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+        .map_batches(canon, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["a", "b"], num_partitions=P)
+        .count()
+        .select_columns(["a", "b"])
+        .materialize()
+    )
+
+    # both directions, apex-hash key: each apex's neighborhood co-locates
+    def adj(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = b["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = np.concatenate([a, bb])
+        y = np.concatenate([bb, a])
+        return pa.table(
+            {
+                "x": pa.array(x, pa.int64()),
+                "y": pa.array(y, pa.int64()),
+                "__ak": pa.array((x * 2654435761 % 4294967296) % P, pa.int64()),
+            }
+        )
+
+    def wedge_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "pa_": pa.array([], pa.int64()),
+                "pb": pa.array([], pa.int64()),
+                "q": pa.array([], pa.int64()),
+                "one": pa.array([], pa.int64()),
+            }
+        )
+        if len(group) == 0:
+            return empty
+        x = group["x"].combine_chunks().to_numpy(zero_copy_only=False)
+        y = group["y"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((y, x))
+        x, y = x[order], y[order]
+        starts, lens = _run_bounds([x])
+        # apex degree = run length (edges are distinct); quantized weight
+        if max_apex_degree is not None:
+            keep = lens <= max_apex_degree
+            starts, lens = starts[keep], lens[keep]
+            if len(starts) == 0:
+                return empty
+        run_q = np.zeros(len(lens), np.int64)
+        m2 = lens >= 2  # deg-1 apexes emit no pairs; avoid ln(1)=0 division
+        run_q[m2] = np.floor(
+            1e6 / np.log(lens[m2].astype(np.float64))
+        ).astype(np.int64)
+        # absolute index → its run's weight, via run id lookup
+        run_of = np.zeros(len(x), np.int64)
+        run_of[starts[1:]] = 1
+        run_of = np.cumsum(run_of)
+        us, vs, qs = [], [], []
+        for ia, ib in _pairs_in_runs(starts, lens):
+            us.append(y[ia])  # y sorted within run → y[ia] < y[ib]
+            vs.append(y[ib])
+            qs.append(run_q[run_of[ia]])
+        if not us:
+            return empty
+        u = np.concatenate(us)
+        v = np.concatenate(vs)
+        q = np.concatenate(qs)
+        return pa.table(
+            {
+                "pa_": pa.array(u, pa.int64()),
+                "pb": pa.array(v, pa.int64()),
+                "q": pa.array(q, pa.int64()),
+                "one": pa.array(np.ones(len(u), np.int64), pa.int64()),
+            }
+        )
+
+    scored = (
+        edges.map_batches(adj, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__ak", num_partitions=P)
+        .map_groups(wedge_pairs, batch_format="pyarrow")
+        .groupby(["pa_", "pb"], num_partitions=P)
+        .aggregate(Sum("q"), Sum("one"))
+    )
+
+    # broadcast sorted edge keys; drop pairs that are already edges
+    et = _collect(edges)
+    ekeys = np.sort(
+        et["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        * np.int64(1 << 32)
+        + et["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    ekeys_ref = ray.put(ekeys)
+
+    def non_edges(b: pa.Table) -> pa.Table:
+        ek = ray.get(ekeys_ref)
+        a = b["pa_"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = b["pb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = a * np.int64(1 << 32) + bb
+        pos = np.searchsorted(ek, key)
+        hit = (pos < len(ek)) & (ek[np.minimum(pos, len(ek) - 1)] == key)
+        return b.filter(pa.array(~hit))
+
+    out = _collect(
+        scored.map_batches(non_edges, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    a = out["pa_"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = out["pb"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sm = out["sum(q)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nc = out["sum(one)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((b, a))
+    from lamapi_ray.stages.textstats import round_ref_array
+
+    return pa.table(
+        {
+            "a": pa.array(a[order], pa.int64()),
+            "b": pa.array(b[order], pa.int64()),
+            "n_common": pa.array(nc[order], pa.int64()),
+            "score_micro": pa.array(sm[order], pa.int64()),
+            "score": pa.array(
+                round_ref_array(sm[order] / 1e6, 6), pa.float64()
+            ),
+        }
+    )

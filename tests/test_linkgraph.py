@@ -525,3 +525,92 @@ def test_degree_histogram_matches_direct_recompute(ray_session):
     assert out["lo_degree"].to_pylist() == (1 << bins).tolist()
     # the hub overlay guarantees a heavy-tail bin beyond degree 1-2
     assert max(out["bin"].to_pylist()) >= 2
+
+
+def test_adamic_adar_matches_bruteforce(ray_session):
+    """Engine AA scores equal a brute-force neighbor-set recompute over
+    the same closed-form edge model (organic links + planted triads,
+    distinct undirected), including the micro-nat weight quantization
+    and the existing-edge anti-join."""
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from lamapi_ray.pipelines.extras import adamic_adar
+
+    sf = "/root/testdata/sf0.001"
+    out = adamic_adar(sf)
+
+    doc_id = (
+        pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])["doc_id"]
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    nparts = pq.read_metadata(f"{sf}/part.parquet").num_rows
+    ndocs = len(doc_id)
+    edges = set()
+    for d in doc_id:
+        for t in (int(d) % nparts, (int(d) * 7 + 13) % nparts):
+            if t != int(d):
+                edges.add((min(int(d), t), max(int(d), t)))
+        if d % 7 == 0 and d + 2 < ndocs:
+            d = int(d)
+            edges.update({(d, d + 1), (d + 1, d + 2), (d, d + 2)})
+    nbrs: dict[int, set[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    scores: dict[tuple[int, int], int] = {}
+    common: dict[tuple[int, int], int] = {}
+    for z, ns in nbrs.items():
+        if len(ns) < 2:
+            continue
+        q = math.floor(1e6 / math.log(len(ns)))
+        sn = sorted(ns)
+        for i in range(len(sn)):
+            for j in range(i + 1, len(sn)):
+                k = (sn[i], sn[j])
+                scores[k] = scores.get(k, 0) + q
+                common[k] = common.get(k, 0) + 1
+    expect = sorted(
+        (a, b, common[(a, b)], scores[(a, b)])
+        for (a, b) in scores
+        if (a, b) not in edges
+    )
+    got = list(
+        zip(
+            out["a"].to_pylist(),
+            out["b"].to_pylist(),
+            out["n_common"].to_pylist(),
+            out["score_micro"].to_pylist(),
+        )
+    )
+    assert got == expect
+    assert out.num_rows > 0
+    for sm, s in zip(out["score_micro"].to_pylist(), out["score"].to_pylist()):
+        assert s == float("%.6f" % (sm / 1e6))
+
+
+def test_adamic_adar_apex_degree_cap(ray_session):
+    """max_apex_degree prunes every wedge whose apex degree exceeds the
+    cap — capped output is a subset with scores ≤ the exact run's."""
+    from lamapi_ray.pipelines.extras import adamic_adar
+
+    sf = "/root/testdata/sf0.001"
+    exact = adamic_adar(sf)
+    capped = adamic_adar(sf, max_apex_degree=3)
+    ex = {
+        (a, b): (n, s)
+        for a, b, n, s in zip(
+            exact["a"].to_pylist(), exact["b"].to_pylist(),
+            exact["n_common"].to_pylist(), exact["score_micro"].to_pylist(),
+        )
+    }
+    assert 0 < capped.num_rows < exact.num_rows
+    for a, b, n, s in zip(
+        capped["a"].to_pylist(), capped["b"].to_pylist(),
+        capped["n_common"].to_pylist(), capped["score_micro"].to_pylist(),
+    ):
+        n0, s0 = ex[(a, b)]
+        assert n <= n0 and s <= s0
