@@ -1595,6 +1595,30 @@ def oracle_sql() -> dict[str, str]:
         " FROM er GROUP BY ROLLUP (day, event_type)"
     )
 
+    # itemset_pairs: A-Priori frequent 2-itemsets over per-user DISTINCT
+    # event-type baskets with lift — mirrors extras.py::itemset_pairs
+    # (lift = (support·n_users) / (sup_a·sup_b): exact int64 products
+    # well under 2^53, one IEEE division, printf-rounded on both sides)
+    sql["itemset_pairs"] = (
+        "WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),\n"
+        "nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n\n"
+        "       FROM events),\n"
+        "sup1 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS s\n"
+        "         FROM ut GROUP BY 1),\n"
+        "p AS (SELECT ua.event_type AS item_a, ub.event_type AS item_b,\n"
+        "        CAST(count(*) AS BIGINT) AS support\n"
+        "      FROM ut ua JOIN ut ub ON ub.user_id = ua.user_id\n"
+        "        AND ua.event_type < ub.event_type\n"
+        "      GROUP BY 1, 2)\n"
+        "SELECT item_a, item_b, support,\n"
+        "  CAST(printf('%.6f', support * nu.n / (sa.s * sb.s)) AS DOUBLE)\n"
+        "    AS lift\n"
+        "FROM p JOIN sup1 sa ON sa.event_type = p.item_a\n"
+        "       JOIN sup1 sb ON sb.event_type = p.item_b\n"
+        "       CROSS JOIN nu\n"
+        "WHERE support >= 2 ORDER BY item_a, item_b"
+    )
+
     # event_transitions: per-user next-event transition matrix
     sql["event_transitions"] = _with(
         "sq AS (SELECT user_id, event_type, lead(event_type) OVER"
@@ -4015,6 +4039,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_slope",
         "anchor_prior",
         "adamic_adar",
+        "itemset_pairs",
         "gnn_neighbor_agg",
         "hll_users_by_type",
         "stratified_sample",
@@ -4275,7 +4300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # prove the fix green (events_rollup carries the same latent fix)
         "revenue_by_nation", "quantile_sketch", "events_rollup",
         # this session's additions — never driver-checked
-        "adamic_adar",
+        "adamic_adar", "itemset_pairs",
         # the final session's additions — never driver-checked, newest first
         "kmv_users", "bloom_semi_join", "entity_salience",
         "gnn_neighbor_agg", "bigram_perplexity", "scd2_user_state",

@@ -7817,3 +7817,142 @@ def adamic_adar(sf_dir: str, max_apex_degree: int | None = None) -> pa.Table:
             ),
         }
     )
+
+
+def itemset_pairs(sf_dir: str, min_support: int = 2) -> pa.Table:
+    """A-Priori frequent 2-itemsets over per-user event-type baskets
+    (Agrawal & Srikant, VLDB 1994 — the market-basket leg of the mining
+    family next to term_pmi's token association): basket = the DISTINCT
+    set of event types a user ever emitted, support(a,b) = #users whose
+    basket holds both, lift = support·n_users / (sup_a·sup_b). Pairs
+    with support < ``min_support`` are pruned (the A-Priori downward
+    closure step — at 2 items the candidate set is the type-vocabulary
+    square, so pruning happens after the single count fold).
+
+    Scale shape: map-side per-batch distinct (user, type) halves the
+    wire, then ONE coarse user-hash exchange co-locates each user's
+    basket; the per-partition kernel is np.unique over packed
+    (user, type-code) keys + vectorized within-run pair expansion —
+    partials are ≤ |types|² + |types| + 1 rows per partition (singleton
+    supports and the user count ride the same fold tagged by a sentinel
+    item_b), so the final exchange is vocabulary-bounded. Lift is an
+    IEEE division of exact int64 products (well under 2^53),
+    printf-rounded identically on both sides."""
+    from ray.data.aggregate import Sum
+
+    from lamapi_ray.stages.dedup import _pairs_in_runs, _run_bounds
+
+    P = _scaled(0.5, 16)
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def pre_distinct(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        if len(et) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "event_type": pa.array([], pa.string()),
+                }
+            )
+        types, code = np.unique(et, return_inverse=True)
+        key = np.unique(uid * np.int64(len(types)) + code)
+        return pa.table(
+            {
+                "user_id": pa.array(key // len(types), pa.int64()),
+                "event_type": pa.array(
+                    types[key % len(types)].tolist(), pa.string()
+                ),
+            }
+        )
+
+    def basket_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "item_a": pa.array([], pa.string()),
+                "item_b": pa.array([], pa.string()),
+                "c": pa.array([], pa.int64()),
+            }
+        )
+        if len(group) == 0:
+            return empty
+        uid = group["user_id"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        et = group["event_type"].combine_chunks().to_numpy(zero_copy_only=False)
+        types, code = np.unique(et, return_inverse=True)
+        K = np.int64(len(types))
+        if len(uid) and (uid.max() >= (1 << 56) // K or uid.min() < 0):
+            raise ValueError("user_id outside the pack domain")
+        key = np.unique(uid * K + code)
+        ku, kc = key // K, (key % K).astype(np.int64)
+        starts, lens = _run_bounds([ku])
+        ia_all, ib_all = [], []
+        for ia, ib in _pairs_in_runs(starts, lens):
+            ia_all.append(kc[ia])
+            ib_all.append(kc[ib])
+        out_a, out_b, out_c = [], [], []
+        if ia_all:
+            pk = np.concatenate(ia_all) * K + np.concatenate(ib_all)
+            u, c = np.unique(pk, return_counts=True)
+            out_a += types[(u // K).astype(np.int64)].tolist()
+            out_b += types[(u % K).astype(np.int64)].tolist()
+            out_c += c.astype(np.int64).tolist()
+        # singleton supports (item_b = "" sentinel) + user count ("","")
+        su, sc = np.unique(kc, return_counts=True)
+        out_a += types[su].tolist()
+        out_b += [""] * len(su)
+        out_c += sc.astype(np.int64).tolist()
+        out_a.append("")
+        out_b.append("")
+        out_c.append(int(len(starts)))
+        return pa.table(
+            {
+                "item_a": pa.array(out_a, pa.string()),
+                "item_b": pa.array(out_b, pa.string()),
+                "c": pa.array(out_c, pa.int64()),
+            }
+        )
+
+    folded = _collect(
+        ev.map_batches(pre_distinct, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            lambda b: _user_pk(b, P), batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("__upk", num_partitions=P)
+        .map_groups(basket_pairs, batch_format="pyarrow")
+        .groupby(["item_a", "item_b"], num_partitions=1)
+        .aggregate(Sum("c"))
+    )
+    a = folded["item_a"].to_pylist()
+    b = folded["item_b"].to_pylist()
+    c = folded["sum(c)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_users = 0
+    sup1: dict[str, int] = {}
+    pairs: list[tuple[str, str, int]] = []
+    for aa, bb, cc in zip(a, b, c):
+        if aa == "" and bb == "":
+            n_users = int(cc)
+        elif bb == "":
+            sup1[aa] = int(cc)
+        else:
+            pairs.append((aa, bb, int(cc)))
+    pairs = sorted(p for p in pairs if p[2] >= min_support)
+    return pa.table(
+        {
+            "item_a": pa.array([p[0] for p in pairs], pa.string()),
+            "item_b": pa.array([p[1] for p in pairs], pa.string()),
+            "support": pa.array([p[2] for p in pairs], pa.int64()),
+            "lift": pa.array(
+                [
+                    round_ref(
+                        (p[2] * n_users) / (sup1[p[0]] * sup1[p[1]]), 6
+                    )
+                    for p in pairs
+                ],
+                pa.float64(),
+            ),
+        }
+    )

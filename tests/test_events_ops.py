@@ -652,3 +652,34 @@ def test_cdc_upsert_merge_semantics(ray_session, tmp_path):
         (119, 55.0, "I"),     # 11 + 108
         (215, 535.0, "I"),    # 107 + 108
     ]
+
+
+def test_itemset_pairs_crafted_baskets(tmp_path):
+    """Known baskets → exact supports, lift, and min-support pruning.
+    Baskets: u1={a,b,c}, u2={a,b}, u3={a,c}, u4={d} (d never pairs,
+    (b,c) has support 1 → pruned at min_support=2)."""
+    from lamapi_ray.pipelines import extras
+
+    baskets = {1: ["a", "b", "c", "a"], 2: ["b", "a"], 3: ["a", "c"], 4: ["d"]}
+    rows = []
+    i = 0
+    for u, ts in baskets.items():
+        for t in ts:
+            rows.append(
+                {"event_id": i, "user_id": u, "event_type": t,
+                 "ts": 1_000_000 * i, "value": 1.0}
+            )
+            i += 1
+    _write_events(tmp_path, rows)
+    out = extras.itemset_pairs(str(tmp_path)).to_pylist()
+    got = {(r["item_a"], r["item_b"]): (r["support"], r["lift"]) for r in out}
+    # sup: a=3, b=2, c=2, d=1; n_users=4
+    assert set(got) == {("a", "b"), ("a", "c")}
+    assert got[("a", "b")][0] == 2 and got[("a", "c")][0] == 2
+    # lift(a,b) = 2*4/(3*2) = 1.333333 ; lift(a,c) identical
+    assert got[("a", "b")][1] == float("%.6f" % (8 / 6))
+    assert got[("a", "c")][1] == float("%.6f" % (8 / 6))
+    # no pruning at min_support=1: (b,c) support 1 appears
+    all_pairs = extras.itemset_pairs(str(tmp_path), min_support=1).to_pylist()
+    keys = {(r["item_a"], r["item_b"]) for r in all_pairs}
+    assert ("b", "c") in keys and ("a", "d") not in keys
