@@ -687,6 +687,26 @@ def oracle_sql() -> dict[str, str]:
         "FROM f ORDER BY pred"
     )
 
+    # predicate_inverse_align: PARIS inverse-relation alignment — ordered
+    # predicate pairs (p, q) with |{(s,o): p(s,o) ∧ q(o,s)}| over DISTINCT
+    # triples, align = n_overlap / n_p; mirrors
+    # extras.py::predicate_inverse_align
+    sql["predicate_inverse_align"] = _with(
+        SQL_ITEMS,
+        SQL_ADJACENCY,
+        "d AS (SELECT DISTINCT subj, pred, obj FROM adjacency)",
+        "np AS (SELECT pred, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1)",
+        "ov AS (SELECT f.pred AS pred_p, r.pred AS pred_q,\n"
+        "  CAST(count(*) AS BIGINT) AS n_overlap\n"
+        " FROM d f JOIN d r ON r.obj = f.subj AND r.subj = f.obj\n"
+        " GROUP BY 1, 2)",
+    ) + (
+        "SELECT pred_p, pred_q, n_overlap, np.n AS n_p,\n"
+        "  round_even(CAST(n_overlap AS DOUBLE) / np.n, 6) AS align\n"
+        "FROM ov JOIN np ON np.pred = ov.pred_p\n"
+        "ORDER BY pred_p, pred_q"
+    )
+
     # entity_pagerank: 3 unrolled iterations of INTEGER fixed-point PageRank
     # (rank × 10^9; contribution rf // out_deg; update base + 85·Σ // 100) —
     # all-integer arithmetic, so the engine's distributed scatter/gather
@@ -4093,6 +4113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["lookup_objects"] = with_kg("lookup_objects", "triples")
     out["kg_degrees"] = with_kg("kg_degrees", "triples")
     out["predicate_functionality"] = with_kg("predicate_functionality", "triples")
+    out["predicate_inverse_align"] = with_kg("predicate_inverse_align", "triples")
     out["kg_negative_samples"] = with_kg("kg_negative_samples", "triples")
     out["kg_neighbor_sample"] = with_kg("kg_neighbor_sample", "triples")
     out["entity_pagerank"] = with_kg("entity_pagerank", "triples")
@@ -4300,7 +4321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # prove the fix green (events_rollup carries the same latent fix)
         "revenue_by_nation", "quantile_sketch", "events_rollup",
         # this session's additions — never driver-checked
-        "adamic_adar", "itemset_pairs",
+        "adamic_adar", "itemset_pairs", "predicate_inverse_align",
         # the final session's additions — never driver-checked, newest first
         "kmv_users", "bloom_semi_join", "entity_salience",
         "gnn_neighbor_agg", "bigram_perplexity", "scd2_user_state",

@@ -309,6 +309,8 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("kg_degrees", lambda: extras.kg_degrees(sf_dir, kg["triples"]))
     timed("predicate_functionality",
           lambda: extras.predicate_functionality(sf_dir, kg["triples"]))
+    timed("predicate_inverse_align",
+          lambda: extras.predicate_inverse_align(sf_dir, kg["triples"]))
     timed("kg_negative_samples",
           lambda: extras.kg_negative_samples(sf_dir, kg["triples"]))
     timed("kg_neighbor_sample",

@@ -7956,3 +7956,126 @@ def itemset_pairs(sf_dir: str, min_support: int = 2) -> pa.Table:
             ),
         }
     )
+
+
+def predicate_inverse_align(sf_dir: str, adjacency: pa.Table) -> pa.Table:
+    """PARIS inverse-relation alignment over the KG edge list (Suchanek
+    et al., VLDB 2012, §relation alignment — the companion statistic to
+    ``predicate_functionality``): for each ordered predicate pair
+    (p, q), n_overlap = |{(s,o) : p(s,o) ∧ q(o,s)}| over DISTINCT
+    triples and align = n_overlap / n_p — the evidence that q is p's
+    inverse (p = q gives the predicate's symmetry score). lamAPI's
+    summary layer counts predicate usage (reference
+    datasets_statistics.py) but has no alignment analytics; this is the
+    schema-discovery step KG fusion runs before merging sources.
+
+    Scale shape: triples are made distinct by ONE groupby exchange,
+    then the forward side (key s␁o, pred_p) joins the reversed side
+    (key o␁s, pred_q) through ONE bucketed hash join — no broadcast of
+    the edge list — and the matches fold to a ≤ |preds|²-bounded count
+    exchange; per-predicate totals are a pred-bounded fold. The ratio
+    is one IEEE division of exact int64 counts, printf-rounded on both
+    sides."""
+    from ray.data.aggregate import Sum
+
+    from lamapi_ray.stages.dedup import scaled_partitions
+    from lamapi_ray.stages.join import bucketed_hash_join
+
+    P = scaled_partitions(1.0, 8)
+    distinct = (
+        ray.data.from_arrow(adjacency)
+        .groupby(["subj", "pred", "obj"], num_partitions=P)
+        .count()
+        .select_columns(["subj", "pred", "obj"])
+        .materialize()
+    )
+
+    def _col(batch: pa.Table, n: str) -> pa.Array:
+        c = batch[n]
+        return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+    def fwd(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pc.binary_join_element_wise(
+                    _col(batch, "subj"), _col(batch, "obj"), "\x01"
+                ),
+                "pred_p": _col(batch, "pred"),
+            }
+        )
+
+    def rev(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pc.binary_join_element_wise(
+                    _col(batch, "obj"), _col(batch, "subj"), "\x01"
+                ),
+                "pred_q": _col(batch, "pred"),
+            }
+        )
+
+    joined = bucketed_hash_join(
+        distinct.map_batches(fwd, batch_format="pyarrow", zero_copy_batch=True),
+        distinct.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True),
+        on="key", num_buckets=P,
+    )
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        p = _col(batch, "pred_p").to_numpy(zero_copy_only=False)
+        q = _col(batch, "pred_q").to_numpy(zero_copy_only=False)
+        key = np.char.add(np.char.add(p.astype(str), "\x01"), q.astype(str))
+        u, c = np.unique(key, return_counts=True)
+        parts = np.char.partition(u, "\x01")
+        return pa.table(
+            {
+                "pred_p": pa.array(parts[:, 0].tolist(), pa.string()),
+                "pred_q": pa.array(parts[:, 2].tolist(), pa.string()),
+                "c": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    overlap = _collect(
+        joined.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["pred_p", "pred_q"], num_partitions=1)
+        .aggregate(Sum("c", alias_name="n_overlap"))
+    )
+
+    def pred_partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(_col(batch, "pred"))
+        return pa.table(
+            {
+                "pred": vc.field("values").cast(pa.string()),
+                "c": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    totals = _collect(
+        distinct.map_batches(
+            pred_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("pred", num_partitions=1)
+        .aggregate(Sum("c"))
+    )
+    n_p = {
+        p: int(c)
+        for p, c in zip(totals["pred"].to_pylist(), totals["sum(c)"].to_pylist())
+    }
+    rows = sorted(
+        zip(
+            overlap["pred_p"].to_pylist(),
+            overlap["pred_q"].to_pylist(),
+            overlap["n_overlap"].to_pylist(),
+        )
+    )
+    return pa.table(
+        {
+            "pred_p": pa.array([r[0] for r in rows], pa.string()),
+            "pred_q": pa.array([r[1] for r in rows], pa.string()),
+            "n_overlap": pa.array([int(r[2]) for r in rows], pa.int64()),
+            "n_p": pa.array([n_p[r[0]] for r in rows], pa.int64()),
+            "align": pa.array(
+                [round_ref(int(r[2]) / n_p[r[0]], 6) for r in rows],
+                pa.float64(),
+            ),
+        }
+    )

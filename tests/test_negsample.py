@@ -126,3 +126,37 @@ def test_predicate_functionality_crafted(ray_session):
     assert rows["P2"]["n_objects"] == 3
     assert rows["P2"]["functionality"] == 0.5
     assert rows["P2"]["inverse_functionality"] == 0.75
+
+
+def test_predicate_inverse_align_crafted(ray_session):
+    """Exact inverse alignment on a hand-built edge list: P2 is the
+    exact inverse of P1 (align(P1→P2) = 1.0, align(P2→P1) = 2/3 since
+    P2 has one extra unreversed triple), P3 is symmetric on one pair
+    (self-align 2/3 of its 3 distinct triples), duplicates collapse."""
+    import pyarrow as pa
+
+    from lamapi_ray.pipelines.extras import predicate_inverse_align
+
+    adj = pa.table(
+        {
+            "subj": ["a", "b", "o1", "o2", "o3", "s", "t", "u", "s"],
+            "pred": ["P1", "P1", "P2", "P2", "P2", "P3", "P3", "P3", "P3"],
+            "obj":  ["o1", "o2", "a",  "b",  "c",  "t", "s", "v", "t"],
+        }
+    )
+    out = predicate_inverse_align("unused", adj)
+    rows = {(r["pred_p"], r["pred_q"]): r for r in out.to_pylist()}
+    # P1 has 2 triples, both reversed in P2; P2 has 3, two reversed in P1
+    assert rows[("P1", "P2")]["n_overlap"] == 2
+    assert rows[("P1", "P2")]["n_p"] == 2
+    assert rows[("P1", "P2")]["align"] == 1.0
+    assert rows[("P2", "P1")]["n_overlap"] == 2
+    assert rows[("P2", "P1")]["n_p"] == 3
+    assert abs(rows[("P2", "P1")]["align"] - 0.666667) < 1e-9
+    # P3: distinct triples (s,t),(t,s),(u,v) — the (s,t) dup collapses;
+    # (s,t) and (t,s) reverse each other → self-overlap 2 of 3
+    assert rows[("P3", "P3")]["n_overlap"] == 2
+    assert rows[("P3", "P3")]["n_p"] == 3
+    assert abs(rows[("P3", "P3")]["align"] - 0.666667) < 1e-9
+    # no cross pairs between P3 and P1/P2
+    assert set(rows) == {("P1", "P2"), ("P2", "P1"), ("P3", "P3")}
