@@ -1615,6 +1615,27 @@ def oracle_sql() -> dict[str, str]:
         " FROM er GROUP BY ROLLUP (day, event_type)"
     )
 
+    # key_skew_profile: Gini of the user-key frequency distribution +
+    # top-10 heavy keys — mirrors extras.py::key_skew_profile (tie blocks
+    # make Σ i·cᵢ order-invariant, so row_number within count ties is safe)
+    sql["key_skew_profile"] = (
+        "WITH kc AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n\n"
+        "            FROM events GROUP BY 1),\n"
+        "s AS (SELECT CAST(count(*) AS BIGINT) AS m,\n"
+        "        CAST(sum(n) AS BIGINT) AS t FROM kc),\n"
+        "r AS (SELECT n, row_number() OVER (ORDER BY n) AS i FROM kc),\n"
+        "g AS (SELECT CAST(sum(i * n) AS BIGINT) AS sin FROM r),\n"
+        "top AS (SELECT user_id, n,\n"
+        "          row_number() OVER (ORDER BY n DESC, user_id) AS rank\n"
+        "        FROM kc QUALIFY rank <= 10)\n"
+        "SELECT rank, user_id, n,\n"
+        "  CAST(printf('%.6f', n / t) AS DOUBLE) AS share,\n"
+        "  m AS n_keys, t AS n_rows,\n"
+        "  CAST(printf('%.6f', 2.0 * sin / (m * t) - (m + 1.0) / m)\n"
+        "    AS DOUBLE) AS gini\n"
+        "FROM top, s, g ORDER BY rank"
+    )
+
     # itemset_pairs: A-Priori frequent 2-itemsets over per-user DISTINCT
     # event-type baskets with lift — mirrors extras.py::itemset_pairs
     # (lift = (support·n_users) / (sup_a·sup_b): exact int64 products
@@ -4060,6 +4081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_prior",
         "adamic_adar",
         "itemset_pairs",
+        "key_skew_profile",
         "gnn_neighbor_agg",
         "hll_users_by_type",
         "stratified_sample",
@@ -4322,6 +4344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation", "quantile_sketch", "events_rollup",
         # this session's additions — never driver-checked
         "adamic_adar", "itemset_pairs", "predicate_inverse_align",
+        "key_skew_profile",
         # the final session's additions — never driver-checked, newest first
         "kmv_users", "bloom_semi_join", "entity_salience",
         "gnn_neighbor_agg", "bigram_perplexity", "scd2_user_state",

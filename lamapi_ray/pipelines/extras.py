@@ -8079,3 +8079,67 @@ def predicate_inverse_align(sf_dir: str, adjacency: pa.Table) -> pa.Table:
             ),
         }
     )
+
+
+def key_skew_profile(sf_dir: str, top_k: int = 10) -> pa.Table:
+    """Partition-key skew profile over the event stream's user key — the
+    diagnostic a shuffle planner reads before choosing salting/bucketing
+    (this engine's own mention-canonicalization salting decision is the
+    north-rule case): per-key counts, the Gini coefficient of the key
+    frequency distribution (0 = uniform, →1 = one hot key), and the
+    ``top_k`` heaviest keys with their row share.
+
+    Gini uses the exact rank formula over counts sorted ascending,
+    G = 2·Σ i·cᵢ / (m·Σc) − (m+1)/m — all sums are exact int64 (tie
+    blocks contribute the same Σ i·cᵢ under any within-tie order, so
+    row_number nondeterminism on the oracle side cannot move it), with
+    ONE IEEE expression printf-rounded identically on both sides.
+
+    Scale shape: per-batch np.unique partials fold through ONE
+    user-bounded groupby-sum; the Gini rank-sum and top-k run on the
+    driver over that key-bounded table (the pagerank broadcast-fast-path
+    contract; past ~10⁸ keys the rank sum becomes a distributed sort +
+    the peak_concurrency prefix-scan, and top-k a per-block bottom-k
+    merge). Output: one row per top-k key with the global stats
+    repeated (rank, user_id, n, share, n_keys, n_rows, gini)."""
+    from ray.data.aggregate import Sum
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(uid, return_counts=True)
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "c": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    kc = _collect(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id", num_partitions=_scaled(0.5, 16))
+        .aggregate(Sum("c", alias_name="n"))
+    )
+    uid = kc["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = kc["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = len(n)
+    t = int(n.sum())
+    asc = np.sort(n)
+    s_in = int((np.arange(1, m + 1, dtype=np.int64) * asc).sum())
+    gini = round_ref(2.0 * s_in / (m * t) - (m + 1.0) / m, 6)
+    # top-k by count desc, user_id asc
+    order = np.lexsort((uid, -n))[:top_k]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            "user_id": pa.array(uid[order], pa.int64()),
+            "n": pa.array(n[order], pa.int64()),
+            "share": pa.array(
+                [round_ref(int(v) / t, 6) for v in n[order]], pa.float64()
+            ),
+            "n_keys": pa.array([m] * len(order), pa.int64()),
+            "n_rows": pa.array([t] * len(order), pa.int64()),
+            "gini": pa.array([gini] * len(order), pa.float64()),
+        }
+    )

@@ -683,3 +683,37 @@ def test_itemset_pairs_crafted_baskets(tmp_path):
     all_pairs = extras.itemset_pairs(str(tmp_path), min_support=1).to_pylist()
     keys = {(r["item_a"], r["item_b"]) for r in all_pairs}
     assert ("b", "c") in keys and ("a", "d") not in keys
+
+
+def test_key_skew_profile_crafted(tmp_path):
+    """Exact Gini and heavy-key table on a hand-built distribution:
+    counts {1:6, 2:2, 3:1, 4:1} → asc (1,1,2,6), Σ i·c = 1+2+6+24 = 33,
+    G = 2·33/(4·10) − 5/4 = 0.4; top keys ordered count desc, id asc."""
+    from lamapi_ray.pipelines import extras
+
+    rows = []
+    i = 0
+    for u, k in [(1, 6), (2, 2), (3, 1), (4, 1)]:
+        for _ in range(k):
+            rows.append(
+                {"event_id": i, "user_id": u, "event_type": "a",
+                 "ts": 1_000_000 * i, "value": 1.0}
+            )
+            i += 1
+    _write_events(tmp_path, rows)
+    out = extras.key_skew_profile(str(tmp_path), top_k=3).to_pylist()
+    assert [r["user_id"] for r in out] == [1, 2, 3]
+    assert [r["n"] for r in out] == [6, 2, 1]
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert all(r["n_keys"] == 4 and r["n_rows"] == 10 for r in out)
+    assert all(abs(r["gini"] - 0.4) < 1e-9 for r in out)
+    assert out[0]["share"] == 0.6
+    # uniform distribution → Gini 0
+    rows = [
+        {"event_id": j, "user_id": j % 5, "event_type": "a",
+         "ts": 1_000_000 * j, "value": 1.0}
+        for j in range(10)
+    ]
+    _write_events(tmp_path, rows)
+    out2 = extras.key_skew_profile(str(tmp_path)).to_pylist()
+    assert all(r["gini"] == 0.0 for r in out2)
