@@ -1636,6 +1636,21 @@ def oracle_sql() -> dict[str, str]:
         "FROM top, s, g ORDER BY rank"
     )
 
+    # equidepth_histogram: NTILE-semantics equal-height histogram over
+    # event value cents — mirrors extras.py::equidepth_histogram (tie
+    # blocks may straddle a boundary but the per-bucket value multiset is
+    # position-determined, so n/lo/hi cannot drift under ntile's
+    # arbitrary within-tie assignment)
+    sql["equidepth_histogram"] = (
+        "WITH c AS (SELECT CAST(printf('%.0f', value * 100) AS BIGINT)\n"
+        "             AS cents FROM events),\n"
+        "b AS (SELECT cents, ntile(16) OVER (ORDER BY cents) AS bucket\n"
+        "      FROM c)\n"
+        "SELECT bucket, CAST(count(*) AS BIGINT) AS n,\n"
+        "  min(cents) AS lo_cents, max(cents) AS hi_cents\n"
+        "FROM b GROUP BY 1 ORDER BY 1"
+    )
+
     # itemset_pairs: A-Priori frequent 2-itemsets over per-user DISTINCT
     # event-type baskets with lift — mirrors extras.py::itemset_pairs
     # (lift = (support·n_users) / (sup_a·sup_b): exact int64 products
@@ -4082,6 +4097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adamic_adar",
         "itemset_pairs",
         "key_skew_profile",
+        "equidepth_histogram",
         "gnn_neighbor_agg",
         "hll_users_by_type",
         "stratified_sample",
@@ -4344,7 +4360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation", "quantile_sketch", "events_rollup",
         # this session's additions — never driver-checked
         "adamic_adar", "itemset_pairs", "predicate_inverse_align",
-        "key_skew_profile",
+        "key_skew_profile", "equidepth_histogram",
         # the final session's additions — never driver-checked, newest first
         "kmv_users", "bloom_semi_join", "entity_salience",
         "gnn_neighbor_agg", "bigram_perplexity", "scd2_user_state",

@@ -8143,3 +8143,68 @@ def key_skew_profile(sf_dir: str, top_k: int = 10) -> pa.Table:
             "gini": pa.array([gini] * len(order), pa.float64()),
         }
     )
+
+
+def equidepth_histogram(sf_dir: str, n_buckets: int = 16) -> pa.Table:
+    """Equi-depth (equal-height) histogram over the event value stream —
+    the optimizer statistic a cost-based planner builds per column
+    (reference keeps only count summaries, ``database.py:41``; this is the
+    analytics-grade upgrade). Values are exact integer cents
+    (``rint(value·100)``, the events_rollup idiom), bucketed by NTILE
+    semantics over ``ORDER BY cents``: with N rows and B buckets the
+    first ``N mod B`` buckets hold ``ceil(N/B)`` rows, the rest
+    ``floor(N/B)``. Tie blocks may straddle a boundary, but the per-bucket
+    value MULTISET is position-determined, so (n, lo, hi) per bucket is
+    deterministic — the oracle's ``ntile(16)`` cannot drift.
+
+    Scale shape: per-batch (cents → count) partials via ``np.unique``
+    fold through ONE value-bounded groupby-sum; the boundary scan runs on
+    the driver over the distinct-value table (cents domain ≪ row count;
+    same contract as key_skew_profile — past ~10⁸ distinct values this
+    becomes a distributed sort + the peak_concurrency prefix-scan, with
+    bucket cut-points found by rank searchsorted per block). No row-level
+    expansion anywhere: lo/hi come from cumulative-count searchsorted.
+    """
+    from ray.data.aggregate import Sum
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        cents = np.rint(v * 100.0).astype(np.int64)
+        u, c = np.unique(cents, return_counts=True)
+        return pa.table(
+            {
+                "cents": pa.array(u, pa.int64()),
+                "c": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    vc = _collect(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cents", num_partitions=_scaled(0.5, 16))
+        .aggregate(Sum("c", alias_name="n"))
+    )
+    vals = vc["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cnt = vc["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(vals, kind="mergesort")
+    vals, cnt = vals[order], cnt[order]
+    total = int(cnt.sum())
+    b = min(n_buckets, total)
+    # NTILE sizes: first (total % b) buckets get ceil, the rest floor.
+    size = np.full(b, total // b, dtype=np.int64)
+    size[: total % b] += 1
+    ends = np.cumsum(size)          # exclusive end position per bucket
+    starts = ends - size            # inclusive start position per bucket
+    cum = np.cumsum(cnt)            # inclusive cumulative counts
+    # position p (0-based, sorted order) holds vals[searchsorted(cum, p, 'right')]
+    lo = vals[np.searchsorted(cum, starts, side="right")]
+    hi = vals[np.searchsorted(cum, ends - 1, side="right")]
+    return pa.table(
+        {
+            "bucket": pa.array(np.arange(1, b + 1), pa.int64()),
+            "n": pa.array(size, pa.int64()),
+            "lo_cents": pa.array(lo, pa.int64()),
+            "hi_cents": pa.array(hi, pa.int64()),
+        }
+    )

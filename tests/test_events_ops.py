@@ -717,3 +717,35 @@ def test_key_skew_profile_crafted(tmp_path):
     _write_events(tmp_path, rows)
     out2 = extras.key_skew_profile(str(tmp_path)).to_pylist()
     assert all(r["gini"] == 0.0 for r in out2)
+
+
+def test_equidepth_histogram_ntile_semantics(tmp_path):
+    """NTILE sizes and tie-straddling boundaries on a crafted stream:
+    10 rows, 4 buckets → sizes (3,3,2,2); values (in cents) sorted are
+    [100×4, 200×3, 300×2, 400×1], so the 100-tie block straddles the
+    bucket-1/2 boundary — bucket 1 = (100,100), bucket 2 = (100,200)."""
+    from lamapi_ray.pipelines import extras
+
+    cents = [100, 100, 100, 100, 200, 200, 200, 300, 300, 400]
+    rows = [
+        {"event_id": i, "user_id": 1, "event_type": "a",
+         "ts": 1_000_000 * i, "value": c / 100.0}
+        for i, c in enumerate(reversed(cents))
+    ]
+    _write_events(tmp_path, rows)
+    out = extras.equidepth_histogram(str(tmp_path), n_buckets=4).to_pylist()
+    assert [r["bucket"] for r in out] == [1, 2, 3, 4]
+    assert [r["n"] for r in out] == [3, 3, 2, 2]
+    assert [(r["lo_cents"], r["hi_cents"]) for r in out] == [
+        (100, 100), (100, 200), (200, 300), (300, 400)
+    ]
+    # more buckets than rows: b clamps to N, one row per bucket
+    rows = [
+        {"event_id": i, "user_id": 1, "event_type": "a",
+         "ts": 1_000_000 * i, "value": float(i + 1)}
+        for i in range(3)
+    ]
+    _write_events(tmp_path, rows)
+    out2 = extras.equidepth_histogram(str(tmp_path), n_buckets=16).to_pylist()
+    assert [r["n"] for r in out2] == [1, 1, 1]
+    assert [r["lo_cents"] for r in out2] == [100, 200, 300]
