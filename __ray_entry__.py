@@ -1651,6 +1651,32 @@ def oracle_sql() -> dict[str, str]:
         "FROM b GROUP BY 1 ORDER BY 1"
     )
 
+    # value_trend_ols: per-event-type OLS of value cents vs day index via
+    # exact int64 sufficient statistics — mirrors extras.py::value_trend_ols
+    # (intercept composes from the ROUNDED slope on both sides)
+    sql["value_trend_ols"] = (
+        "WITH e AS (SELECT event_type,\n"
+        "    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))\n"
+        "      AS BIGINT) AS x,\n"
+        "    CAST(printf('%.0f', value * 100) AS BIGINT) AS y FROM events),\n"
+        "s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,\n"
+        "    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,\n"
+        "    CAST(sum(x*y) AS BIGINT) AS sxy,\n"
+        "    CAST(sum(x*x) AS BIGINT) AS sxx\n"
+        "  FROM e GROUP BY 1),\n"
+        "sl AS (SELECT event_type, n, sx, sy,\n"
+        "    CASE WHEN n*sxx - sx*sx = 0 THEN NULL\n"
+        "      ELSE CAST(printf('%.6f', CAST(n*sxy - sx*sy AS DOUBLE)\n"
+        "        / CAST(n*sxx - sx*sx AS DOUBLE)) AS DOUBLE) END AS slope\n"
+        "  FROM s)\n"
+        "SELECT event_type, n, slope,\n"
+        "  CASE WHEN slope IS NULL THEN NULL\n"
+        "    ELSE CAST(printf('%.6f', (CAST(sy AS DOUBLE)\n"
+        "      - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))\n"
+        "      AS DOUBLE) END AS intercept\n"
+        "FROM sl ORDER BY event_type"
+    )
+
     # itemset_pairs: A-Priori frequent 2-itemsets over per-user DISTINCT
     # event-type baskets with lift — mirrors extras.py::itemset_pairs
     # (lift = (support·n_users) / (sup_a·sup_b): exact int64 products
@@ -4098,6 +4124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "itemset_pairs",
         "key_skew_profile",
         "equidepth_histogram",
+        "value_trend_ols",
         "gnn_neighbor_agg",
         "hll_users_by_type",
         "stratified_sample",
@@ -4360,7 +4387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation", "quantile_sketch", "events_rollup",
         # this session's additions — never driver-checked
         "adamic_adar", "itemset_pairs", "predicate_inverse_align",
-        "key_skew_profile", "equidepth_histogram",
+        "key_skew_profile", "equidepth_histogram", "value_trend_ols",
         # the final session's additions — never driver-checked, newest first
         "kmv_users", "bloom_semi_join", "entity_salience",
         "gnn_neighbor_agg", "bigram_perplexity", "scd2_user_state",

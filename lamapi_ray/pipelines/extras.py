@@ -8208,3 +8208,99 @@ def equidepth_histogram(sf_dir: str, n_buckets: int = 16) -> pa.Table:
             "hi_cents": pa.array(hi, pa.int64()),
         }
     )
+
+
+def value_trend_ols(sf_dir: str) -> pa.Table:
+    """Per-event-type OLS trend of value (integer cents) against day index
+    — grouped linear regression via MERGEABLE SUFFICIENT STATISTICS, the
+    textbook way to regress at any scale without materializing points:
+    each batch contributes exact int64 partials (n, Σx, Σy, Σxy, Σx²)
+    per group; ONE group-bounded groupby-sum folds them; slope/intercept
+    are composed on the driver from exact integers with a single IEEE
+    division each (printf-rounded, DuckDB-mirrorable).
+
+    x = calendar days since 2024-01-01 (day-floor of ts, exact int);
+    y = rint(value·100) cents (the events_rollup idiom). Day-centering
+    keeps per-row products ≤ ~10⁷ so Σxy stays well inside int64 even at
+    10¹² rows per group; intercept composes from the ROUNDED slope so
+    both sides evaluate the same expression. Degenerate groups (all rows
+    on one day → zero variance) yield NULL slope/intercept.
+
+    Scale shape: partials are |types|-bounded per batch; the exchange
+    ships ≤ groups×5 ints; nothing row-sized leaves the map side.
+    """
+    from ray.data.aggregate import Sum
+
+    EPOCH_DAY_2024 = 19723  # days from unix epoch to 2024-01-01
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].combine_chunks()
+        enc = pc.dictionary_encode(et)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        g = len(enc.dictionary)
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        x = us // 86_400_000_000 - EPOCH_DAY_2024
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        y = np.rint(v * 100.0).astype(np.int64)
+        # exact int64 group sums: stable sort by code + add.reduceat
+        # (np.bincount weights accumulate in float64 — not exact at scale)
+        order = np.argsort(codes, kind="stable")
+        sc = codes[order]
+        starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+        gid = sc[starts]
+
+        def gsum(arr: np.ndarray) -> np.ndarray:
+            out = np.zeros(g, dtype=np.int64)
+            if len(arr):
+                out[gid] = np.add.reduceat(arr[order], starts)
+            return out
+
+        n = np.zeros(g, dtype=np.int64)
+        if len(sc):
+            n[gid] = np.diff(np.r_[starts, len(sc)])
+        return pa.table(
+            {
+                "event_type": enc.dictionary.cast(pa.string()),
+                "n": pa.array(n),
+                "sx": pa.array(gsum(x)),
+                "sy": pa.array(gsum(y)),
+                "sxy": pa.array(gsum(x * y)),
+                "sxx": pa.array(gsum(x * x)),
+            }
+        )
+
+    agg = _collect(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type", num_partitions=_scaled(0.25, 4))
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"), Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"),
+        )
+    )
+    rows = sorted(agg.to_pylist(), key=lambda r: r["event_type"])
+    et, ns, slopes, intercepts = [], [], [], []
+    for r in rows:
+        n, sx, sy, sxy, sxx = (int(r[k]) for k in ("n", "sx", "sy", "sxy", "sxx"))
+        den = n * sxx - sx * sx
+        if den == 0:
+            sl = ic = None
+        else:
+            sl = round_ref(float(n * sxy - sx * sy) / float(den), 6)
+            ic = round_ref((float(sy) - sl * float(sx)) / float(n), 6)
+        et.append(r["event_type"]); ns.append(n)
+        slopes.append(sl); intercepts.append(ic)
+    return pa.table(
+        {
+            "event_type": pa.array(et, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "slope": pa.array(slopes, pa.float64()),
+            "intercept": pa.array(intercepts, pa.float64()),
+        }
+    )

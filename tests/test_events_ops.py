@@ -749,3 +749,32 @@ def test_equidepth_histogram_ntile_semantics(tmp_path):
     out2 = extras.equidepth_histogram(str(tmp_path), n_buckets=16).to_pylist()
     assert [r["n"] for r in out2] == [1, 1, 1]
     assert [r["lo_cents"] for r in out2] == [100, 200, 300]
+
+
+def test_value_trend_ols_exact_line(tmp_path):
+    """Points on an exact line recover slope/intercept exactly; a group
+    with zero day-variance yields NULL slope/intercept."""
+    from lamapi_ray.pipelines import extras
+
+    DAY_US = 86_400_000_000
+    base = 19723 * DAY_US  # 2024-01-01
+    rows = []
+    # type a: cents = 100 + 100·day for days 0..2 → slope 100, icpt 100
+    for d in range(3):
+        rows.append(
+            {"event_id": d, "user_id": 1, "event_type": "a",
+             "ts": base + d * DAY_US, "value": (100 + 100 * d) / 100.0}
+        )
+    # type b: all rows on one day → degenerate
+    for j in range(2):
+        rows.append(
+            {"event_id": 10 + j, "user_id": 1, "event_type": "b",
+             "ts": base + j, "value": 5.0}
+        )
+    _write_events(tmp_path, rows)
+    out = {r["event_type"]: r for r in
+           extras.value_trend_ols(str(tmp_path)).to_pylist()}
+    assert out["a"]["n"] == 3
+    assert out["a"]["slope"] == 100.0 and out["a"]["intercept"] == 100.0
+    assert out["b"]["n"] == 2
+    assert out["b"]["slope"] is None and out["b"]["intercept"] is None
