@@ -1651,6 +1651,33 @@ def oracle_sql() -> dict[str, str]:
         "FROM b GROUP BY 1 ORDER BY 1"
     )
 
+    # neighborhood_function: exact ANF curve N(t) for t=0,1,2 over the
+    # parsed link graph — mirrors extras.py::neighborhood_function (pair
+    # min-hop fold; same two arithmetic anchor generators as page_links)
+    sql["neighborhood_function"] = (
+        "WITH n AS (SELECT count(*) AS np FROM part),\n"
+        "e AS (SELECT doc_id AS s, doc_id % np AS d FROM documents, n\n"
+        "      UNION ALL\n"
+        "      SELECT doc_id, (doc_id*7+13) % np FROM documents, n),\n"
+        "lv AS (SELECT s AS a, s AS b, 0 AS l FROM e\n"
+        "   UNION ALL SELECT d, d, 0 FROM e\n"
+        "   UNION ALL SELECT s, d, 1 FROM e\n"
+        "   UNION ALL SELECT e1.s, e2.d, 2 FROM e e1\n"
+        "     JOIN e e2 ON e2.s = e1.d),\n"
+        "m AS (SELECT a, b, min(l) AS l FROM lv GROUP BY 1, 2),\n"
+        "c AS (SELECT l, CAST(count(*) AS BIGINT) AS c FROM m GROUP BY 1),\n"
+        "t AS (SELECT 0 AS t UNION ALL SELECT 1 UNION ALL SELECT 2)\n"
+        "SELECT CAST(t.t AS BIGINT) AS t,\n"
+        "  (SELECT CAST(sum(cc.c) AS BIGINT) FROM c cc WHERE cc.l <= t.t)\n"
+        "    AS reach_pairs,\n"
+        "  (SELECT cc.c FROM c cc WHERE cc.l = 0) AS n_nodes,\n"
+        "  CAST(printf('%.6f',\n"
+        "    CAST((SELECT sum(cc.c) FROM c cc WHERE cc.l <= t.t) AS DOUBLE)\n"
+        "    / CAST((SELECT cc.c FROM c cc WHERE cc.l = 0) AS DOUBLE))\n"
+        "    AS DOUBLE) AS avg_reach\n"
+        "FROM t ORDER BY t"
+    )
+
     # value_trend_ols: per-event-type OLS of value cents vs day index via
     # exact int64 sufficient statistics — mirrors extras.py::value_trend_ols
     # (intercept composes from the ROUNDED slope on both sides)
@@ -4125,6 +4152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_skew_profile",
         "equidepth_histogram",
         "value_trend_ols",
+        "neighborhood_function",
         "gnn_neighbor_agg",
         "hll_users_by_type",
         "stratified_sample",
@@ -4388,6 +4416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # this session's additions — never driver-checked
         "adamic_adar", "itemset_pairs", "predicate_inverse_align",
         "key_skew_profile", "equidepth_histogram", "value_trend_ols",
+        "neighborhood_function",
         # the final session's additions — never driver-checked, newest first
         "kmv_users", "bloom_semi_join", "entity_salience",
         "gnn_neighbor_agg", "bigram_perplexity", "scd2_user_state",

@@ -306,6 +306,8 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("key_skew_profile", lambda: extras.key_skew_profile(sf_dir))
     timed("equidepth_histogram", lambda: extras.equidepth_histogram(sf_dir))
     timed("value_trend_ols", lambda: extras.value_trend_ols(sf_dir))
+    timed("neighborhood_function",
+          lambda: extras.neighborhood_function(sf_dir))
     timed("doc_search_bm25", lambda: extras.doc_search_bm25(sf_dir))
     timed("hybrid_rrf", lambda: extras.hybrid_rrf(sf_dir))
     timed("semdedup", lambda: extras.semdedup(sf_dir))

@@ -62,6 +62,7 @@ def bucketed_hash_join(
     right: ray.data.Dataset,
     on: list[str] | str,
     num_buckets: int = 32,
+    dedup_sides: bool = False,
 ) -> ray.data.Dataset:
     """Inner equi-join of two large Datasets via one bucket shuffle.
 
@@ -70,6 +71,13 @@ def bucketed_hash_join(
     exchange; each bucket is then merged with ``pa.Table.join`` (pyarrow's
     C++ hash join). Output columns: key columns, then left payload, then
     right payload.
+
+    ``dedup_sides=True`` makes each side row-DISTINCT (over key + payload)
+    before the merge, inside the join bucket: a key lands in exactly one
+    bucket, so per-bucket dedup is exact global dedup — a caller that
+    would otherwise need its own distinct exchange before the join rides
+    this one for free (used by predicate_inverse_align on 3M triples:
+    one exchange instead of two).
     """
     on = [on] if isinstance(on, str) else list(on)
     lschema = left.schema()
@@ -117,6 +125,9 @@ def bucketed_hash_join(
         lmask = pc.equal(side, "l")
         lpart = group.filter(lmask).select(on + lpayload)
         rpart = group.filter(pc.invert(lmask)).select(on + rpayload)
+        if dedup_sides:
+            lpart = lpart.group_by(lpart.column_names).aggregate([])
+            rpart = rpart.group_by(rpart.column_names).aggregate([])
         if len(lpart) == 0 or len(rpart) == 0:
             return pa.table(
                 {c: pa.array([], types[c]) for c in all_cols}

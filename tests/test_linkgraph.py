@@ -614,3 +614,43 @@ def test_adamic_adar_apex_degree_cap(ray_session):
     ):
         n0, s0 = ex[(a, b)]
         assert n <= n0 and s <= s0
+
+
+def test_neighborhood_function_matches_bruteforce(ray_session):
+    """ANF curve equals a brute-force BFS-set recompute over the same
+    closed-form edge model (doc % P, (7·doc+13) % P, directed, with
+    self pairs at t=0): reach_pairs is exactly Σ_v |N≤t(v)|."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from lamapi_ray.pipelines.extras import neighborhood_function
+
+    sf = "/root/testdata/sf0.001"
+    out = neighborhood_function(sf)
+    doc_id = (
+        pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])["doc_id"]
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    nparts = pq.read_metadata(f"{sf}/part.parquet").num_rows
+    src = np.concatenate([doc_id, doc_id])
+    dst = np.concatenate([doc_id % nparts, (doc_id * 7 + 13) % nparts])
+    adj: dict[int, set] = {}
+    for s, d in zip(src.tolist(), dst.tolist()):
+        adj.setdefault(s, set()).add(d)
+    nodes = set(src.tolist()) | set(dst.tolist())
+    n0 = len(nodes)
+    r1 = {v: {v} | adj.get(v, set()) for v in nodes}
+    r2 = {
+        v: r1[v] | set().union(*(adj.get(m, set()) for m in r1[v]))
+        for v in nodes
+    }
+    expect = [n0, sum(len(s) for s in r1.values()),
+              sum(len(s) for s in r2.values())]
+    assert out["t"].to_pylist() == [0, 1, 2]
+    assert out["n_nodes"].to_pylist() == [n0] * 3
+    assert out["reach_pairs"].to_pylist() == expect
+    # curve is monotone and avg_reach consistent
+    av = out["avg_reach"].to_pylist()
+    assert all(abs(av[i] - float("%.6f" % (expect[i] / n0))) < 1e-12
+               for i in range(3))

@@ -160,3 +160,30 @@ def test_predicate_inverse_align_crafted(ray_session):
     assert abs(rows[("P3", "P3")]["align"] - 0.666667) < 1e-9
     # no cross pairs between P3 and P1/P2
     assert set(rows) == {("P1", "P2"), ("P2", "P1"), ("P3", "P3")}
+
+
+def test_bucketed_hash_join_dedup_sides(ray_session):
+    """dedup_sides makes each side row-distinct inside its join bucket:
+    duplicated input rows produce exactly the distinct-side join result."""
+    import ray as _ray
+
+    from lamapi_ray.stages.join import bucketed_hash_join
+
+    left = pa.table(
+        {"k": ["a", "a", "a", "b"], "lv": [1, 1, 2, 3]}  # (a,1) duplicated
+    )
+    right = pa.table(
+        {"k": ["a", "b", "b"], "rv": [10, 20, 20]}  # (b,20) duplicated
+    )
+    out = bucketed_hash_join(
+        _ray.data.from_arrow(left), _ray.data.from_arrow(right),
+        on="k", num_buckets=4, dedup_sides=True,
+    ).take_all()
+    got = sorted((r["k"], r["lv"], r["rv"]) for r in out)
+    assert got == [("a", 1, 10), ("a", 2, 10), ("b", 3, 20)]
+    # without dedup: multiplicities multiply (2·1 for (a,1,10), 1·2 for b)
+    out2 = bucketed_hash_join(
+        _ray.data.from_arrow(left), _ray.data.from_arrow(right),
+        on="k", num_buckets=4,
+    ).take_all()
+    assert len(out2) == 2 * 1 + 1 * 1 + 1 * 2
