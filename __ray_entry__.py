@@ -1651,6 +1651,21 @@ def oracle_sql() -> dict[str, str]:
         "FROM b GROUP BY 1 ORDER BY 1"
     )
 
+    # skyline_parts: 2-D strict-domination skyline over the part catalog
+    # — mirrors extras.py::skyline_parts (minimize price cents, maximize
+    # size; duplicate points dominate neither way)
+    sql["skyline_parts"] = (
+        "WITH p AS (SELECT p_partkey,\n"
+        "    CAST(printf('%.0f', p_retailprice * 100) AS BIGINT)\n"
+        "      AS price_cents,\n"
+        "    CAST(p_size AS BIGINT) AS size FROM part)\n"
+        "SELECT p_partkey, price_cents, size FROM p r\n"
+        "WHERE NOT EXISTS (SELECT 1 FROM p o\n"
+        "  WHERE o.price_cents <= r.price_cents AND o.size >= r.size\n"
+        "    AND (o.price_cents < r.price_cents OR o.size > r.size))\n"
+        "ORDER BY p_partkey"
+    )
+
     # neighborhood_function: exact ANF curve N(t) for t=0,1,2 over the
     # parsed link graph — mirrors extras.py::neighborhood_function (pair
     # min-hop fold; same two arithmetic anchor generators as page_links)
@@ -4153,6 +4168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "equidepth_histogram",
         "value_trend_ols",
         "neighborhood_function",
+        "skyline_parts",
         "gnn_neighbor_agg",
         "hll_users_by_type",
         "stratified_sample",
@@ -4416,7 +4432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # this session's additions — never driver-checked
         "adamic_adar", "itemset_pairs", "predicate_inverse_align",
         "key_skew_profile", "equidepth_histogram", "value_trend_ols",
-        "neighborhood_function",
+        "neighborhood_function", "skyline_parts",
         # the final session's additions — never driver-checked, newest first
         "kmv_users", "bloom_semi_join", "entity_salience",
         "gnn_neighbor_agg", "bigram_perplexity", "scd2_user_state",

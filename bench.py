@@ -308,6 +308,7 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("value_trend_ols", lambda: extras.value_trend_ols(sf_dir))
     timed("neighborhood_function",
           lambda: extras.neighborhood_function(sf_dir))
+    timed("skyline_parts", lambda: extras.skyline_parts(sf_dir))
     timed("doc_search_bm25", lambda: extras.doc_search_bm25(sf_dir))
     timed("hybrid_rrf", lambda: extras.hybrid_rrf(sf_dir))
     timed("semdedup", lambda: extras.semdedup(sf_dir))

@@ -8454,3 +8454,82 @@ def neighborhood_function(sf_dir: str) -> pa.Table:
             "avg_reach": pa.array(avg, pa.float64()),
         }
     )
+
+
+def _skyline2d(price: np.ndarray, size: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask of the 2-D skyline (minimize price, maximize
+    size, STRICT domination: all-≤/≥ with one strict; duplicate points
+    dominate neither way and all survive). Vectorized: sort by (price
+    asc, size desc); a row is dominated iff the max size over strictly
+    cheaper rows is ≥ its size, or a same-price row has strictly larger
+    size (that group's size-desc head)."""
+    n = len(price)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((-size, price))
+    p, s = price[order], size[order]
+    grp_start = np.r_[True, p[1:] != p[:-1]]
+    # max size over all strictly-cheaper rows = running max of group heads
+    # carried from the PREVIOUS price group (heads hold each group's max)
+    head_sizes = s[grp_start]
+    prev_group_max = np.r_[np.iinfo(np.int64).min,
+                           np.maximum.accumulate(head_sizes)[:-1]]
+    gidx = np.cumsum(grp_start) - 1
+    dom_cheaper = prev_group_max[gidx] >= s
+    dom_sameprice = head_sizes[gidx] > s
+    keep_sorted = ~(dom_cheaper | dom_sameprice)
+    keep = np.zeros(n, dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def skyline_parts(sf_dir: str) -> pa.Table:
+    """2-D skyline (Pareto frontier) over the part catalog — minimize
+    retail price (exact cents), maximize size: the multi-criteria
+    shortlist query (Börzsönyi et al. ICDE'01 "The Skyline Operator").
+
+    Distributed via the local-skyline superset property: the global
+    skyline is a subset of the union of per-block skylines (any global
+    dominator of a point lands either in the point's own block — where
+    it already removed it — or in its own block's skyline), so each
+    batch emits only its local frontier (frontier-sized, typically
+    O(log n) points for independent dimensions) and ONE driver pass over
+    the tiny union finishes. No exchange at all: the map side prunes
+    ~everything. Strict-domination ties keep duplicate points, matching
+    the oracle's NOT EXISTS formulation row for row.
+    """
+    pt = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_retailprice", "p_size"],
+    )
+
+    def local_skyline(batch: pa.Table) -> pa.Table:
+        price = np.rint(
+            batch["p_retailprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        size = batch["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = _skyline2d(price, size)
+        return pa.table(
+            {
+                "p_partkey": pa.array(key[keep], pa.int64()),
+                "price_cents": pa.array(price[keep], pa.int64()),
+                "size": pa.array(size[keep], pa.int64()),
+            }
+        )
+
+    cand = _collect(
+        pt.map_batches(local_skyline, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    price = cand["price_cents"].to_numpy(zero_copy_only=False)
+    size = cand["size"].to_numpy(zero_copy_only=False)
+    key = cand["p_partkey"].to_numpy(zero_copy_only=False)
+    keep = _skyline2d(price, size)
+    order = np.argsort(key[keep], kind="mergesort")
+    return pa.table(
+        {
+            "p_partkey": pa.array(key[keep][order], pa.int64()),
+            "price_cents": pa.array(price[keep][order], pa.int64()),
+            "size": pa.array(size[keep][order], pa.int64()),
+        }
+    )

@@ -778,3 +778,42 @@ def test_value_trend_ols_exact_line(tmp_path):
     assert out["a"]["slope"] == 100.0 and out["a"]["intercept"] == 100.0
     assert out["b"]["n"] == 2
     assert out["b"]["slope"] is None and out["b"]["intercept"] is None
+
+
+def test_skyline_parts_strict_domination(tmp_path):
+    """Crafted frontier: duplicates both survive, equal-price smaller
+    size is dominated, equal-size higher price is dominated; result
+    matches a brute-force NOT EXISTS recompute."""
+    from lamapi_ray.pipelines import extras
+
+    rows = [
+        (1, 10.00, 5), (2, 10.00, 5),   # duplicate frontier point — both stay
+        (3, 10.00, 4),                  # same price, smaller size → dominated
+        (4, 12.00, 5),                  # same size, higher price → dominated
+        (5, 8.00, 3),                   # cheaper, smaller → frontier
+        (6, 15.00, 9),                  # bigger, pricier → frontier
+        (7, 16.00, 9),                  # dominated by 6
+    ]
+    tbl = pa.table(
+        {
+            "p_partkey": pa.array([r[0] for r in rows], pa.int64()),
+            "p_retailprice": pa.array([r[1] for r in rows], pa.float64()),
+            "p_size": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "part.parquet")
+    out = extras.skyline_parts(str(tmp_path)).to_pylist()
+    assert [r["p_partkey"] for r in out] == [1, 2, 5, 6]
+    # brute-force NOT EXISTS recompute (strict clause excludes equal
+    # points, so duplicates never dominate each other)
+    pts = {k: (int(p * 100), s) for k, p, s in rows}
+
+    def dominated(k):
+        pc_, sz = pts[k]
+        return any(
+            o[0] <= pc_ and o[1] >= sz and (o[0] < pc_ or o[1] > sz)
+            for o in pts.values()
+        )
+
+    brute = sorted(k for k in pts if not dominated(k))
+    assert [r["p_partkey"] for r in out] == brute
