@@ -1651,6 +1651,34 @@ def oracle_sql() -> dict[str, str]:
         "FROM b GROUP BY 1 ORDER BY 1"
     )
 
+    # link_assortativity: total-degree assortativity (Newman PRL'02)
+    # over the parsed link graph — mirrors
+    # extras.py::link_assortativity (exact int sufficient statistics;
+    # each sqrt factor cast to DOUBLE before multiplying, as the engine)
+    sql["link_assortativity"] = (
+        "WITH np AS (SELECT count(*) AS np FROM part),\n"
+        "e AS (SELECT doc_id AS s, doc_id % np AS d FROM documents, np\n"
+        "      UNION ALL\n"
+        "      SELECT doc_id, (doc_id*7+13) % np FROM documents, np),\n"
+        "dg AS (SELECT node, CAST(count(*) AS BIGINT) AS c FROM\n"
+        "   (SELECT s AS node FROM e UNION ALL SELECT d FROM e)\n"
+        "   GROUP BY 1),\n"
+        "x AS (SELECT ds.c AS x, dd.c AS y FROM e\n"
+        "      JOIN dg ds ON ds.node = e.s JOIN dg dd ON dd.node = e.d),\n"
+        "s AS (SELECT CAST(count(*) AS BIGINT) AS n,\n"
+        "    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,\n"
+        "    CAST(sum(x*y) AS BIGINT) AS sxy,\n"
+        "    CAST(sum(x*x) AS BIGINT) AS sxx,\n"
+        "    CAST(sum(y*y) AS BIGINT) AS syy FROM x)\n"
+        "SELECT n AS n_edges,\n"
+        "  CASE WHEN n*sxx - sx*sx <= 0 OR n*syy - sy*sy <= 0 THEN NULL\n"
+        "    ELSE CAST(printf('%.6f', CAST(n*sxy - sx*sy AS DOUBLE)\n"
+        "      / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)\n"
+        "           * CAST(n*syy - sy*sy AS DOUBLE))) AS DOUBLE) END\n"
+        "    AS assortativity\n"
+        "FROM s"
+    )
+
     # skyline_parts: 2-D strict-domination skyline over the part catalog
     # — mirrors extras.py::skyline_parts (minimize price cents, maximize
     # size; duplicate points dominate neither way)
@@ -4169,6 +4197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_trend_ols",
         "neighborhood_function",
         "skyline_parts",
+        "link_assortativity",
         "gnn_neighbor_agg",
         "hll_users_by_type",
         "stratified_sample",
@@ -4432,7 +4461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # this session's additions — never driver-checked
         "adamic_adar", "itemset_pairs", "predicate_inverse_align",
         "key_skew_profile", "equidepth_histogram", "value_trend_ols",
-        "neighborhood_function", "skyline_parts",
+        "neighborhood_function", "skyline_parts", "link_assortativity",
         # the final session's additions — never driver-checked, newest first
         "kmv_users", "bloom_semi_join", "entity_salience",
         "gnn_neighbor_agg", "bigram_perplexity", "scd2_user_state",

@@ -8533,3 +8533,120 @@ def skyline_parts(sf_dir: str) -> pa.Table:
             "size": pa.array(size[keep][order], pa.int64()),
         }
     )
+
+
+def link_assortativity(sf_dir: str) -> pa.Table:
+    """Degree assortativity of the hyperlink graph (Newman PRL'02):
+    Pearson r over edges between the TOTAL degree (in + out) of the
+    source and of the target — the classic "do hubs link to hubs?"
+    web-graph diagnostic (real webs are disassortative, r < 0). Total
+    degree, not out-in: the synthetic crawl model gives every page the
+    same out-degree, which would make the Foster out-in variant
+    identically degenerate (zero x-variance → NULL).
+
+    Exact integer sufficient statistics end to end: two node-bounded
+    degree folds, then one streaming edge pass with the degree arrays
+    broadcast once via ``ray.put`` (sorted-key searchsorted lookup with
+    an exact-hit guard — the distinct_users_daily PACK-guard pattern);
+    per-batch partials (n, Σx, Σy, Σxy, Σx², Σy²) are int64, summed as
+    Python ints on the driver, and r composes as ONE IEEE expression
+    (each factor cast to double before multiplying, mirrored verbatim in
+    the oracle's sqrt) printf-rounded. Multigraph semantics: duplicate
+    edges count with multiplicity on both sides.
+
+    Scale shape: the broadcast is node-bounded (the pagerank
+    broadcast-fast-path contract; past ~10⁸ nodes the lookup becomes the
+    two bucketed joins of gnn_neighbor_agg). Nothing edge-sized leaves
+    the map side."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from lamapi_ray import synth
+    from lamapi_ray.stages.linkgraph import extract_links
+
+    def to_int_edges(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for name, out in (("src", "s"), ("dst", "d")):
+            c = batch[name]
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            cols[out] = pc.cast(pc.utf8_slice_codeunits(c, 6), pa.int64())
+        return pa.table(cols)
+
+    edges = extract_links(synth.pages_dataset(sf_dir)).map_batches(
+        to_int_edges, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        # both endpoints contribute to TOTAL degree
+        v = np.concatenate(
+            [
+                batch["s"].to_numpy(zero_copy_only=False),
+                batch["d"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        u, c = np.unique(v, return_counts=True)
+        return pa.table(
+            {"node": pa.array(u, pa.int64()),
+             "c": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    t = _collect(
+        edges.map_batches(
+            deg_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("node", num_partitions=_scaled(0.5, 16))
+        .aggregate(Sum("c", alias_name="deg"))
+    )
+    keys = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = t["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(keys, kind="mergesort")
+    deg_ref = ray.put((keys[order], vals[order]))
+
+    def edge_partial(batch: pa.Table) -> pa.Table:
+        keys, vals = ray.get(deg_ref)
+
+        def look(arr):
+            pos = np.searchsorted(keys, arr)
+            if len(keys) == 0 or not np.array_equal(
+                keys[np.clip(pos, 0, len(keys) - 1)], arr
+            ):
+                raise ValueError("edge endpoint missing from degree table")
+            return vals[pos]
+
+        s = batch["s"].to_numpy(zero_copy_only=False)
+        d = batch["d"].to_numpy(zero_copy_only=False)
+        x = look(s)
+        y = look(d)
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sy": pa.array([int(y.sum())], pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], pa.int64()),
+                "syy": pa.array([int((y * y).sum())], pa.int64()),
+            }
+        )
+
+    parts = _collect(
+        edges.map_batches(edge_partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    n, sx, sy, sxy, sxx, syy = (
+        sum(int(v) for v in parts[c].to_pylist())
+        for c in ("n", "sx", "sy", "sxy", "sxx", "syy")
+    )
+    num = n * sxy - sx * sy
+    b1, b2 = n * sxx - sx * sx, n * syy - sy * sy
+    r = (
+        round_ref(float(num) / math.sqrt(float(b1) * float(b2)), 6)
+        if b1 > 0 and b2 > 0
+        else None
+    )
+    return pa.table(
+        {
+            "n_edges": pa.array([n], pa.int64()),
+            "assortativity": pa.array([r], pa.float64()),
+        }
+    )

@@ -654,3 +654,36 @@ def test_neighborhood_function_matches_bruteforce(ray_session):
     av = out["avg_reach"].to_pylist()
     assert all(abs(av[i] - float("%.6f" % (expect[i] / n0))) < 1e-12
                for i in range(3))
+
+
+def test_link_assortativity_matches_bruteforce(ray_session):
+    """Pearson r over (total-deg(src), total-deg(dst)) equals an exact numpy
+    recompute of the closed-form edge model, including the rounding."""
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from lamapi_ray.pipelines.extras import link_assortativity
+
+    sf = "/root/testdata/sf0.001"
+    out = link_assortativity(sf)
+    doc_id = (
+        pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])["doc_id"]
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    nparts = pq.read_metadata(f"{sf}/part.parquet").num_rows
+    src = np.concatenate([doc_id, doc_id])
+    dst = np.concatenate([doc_id % nparts, (doc_id * 7 + 13) % nparts])
+    u, c = np.unique(np.concatenate([src, dst]), return_counts=True)
+    x = c[np.searchsorted(u, src)].astype(object)
+    y = c[np.searchsorted(u, dst)].astype(object)
+    n = len(src)
+    sx, sy = int(sum(x)), int(sum(y))
+    sxy, sxx, syy = int(sum(x * y)), int(sum(x * x)), int(sum(y * y))
+    r = float(n * sxy - sx * sy) / math.sqrt(
+        float(n * sxx - sx * sx) * float(n * syy - sy * sy)
+    )
+    assert out["n_edges"].to_pylist() == [n]
+    assert out["assortativity"].to_pylist() == [float("%.6f" % r)]
