@@ -1679,6 +1679,24 @@ def oracle_sql() -> dict[str, str]:
         "FROM s"
     )
 
+    # link_reciprocity: fraction of distinct directed edges with a
+    # reverse edge — mirrors extras.py::link_reciprocity (self-loops
+    # are their own reverse on both sides)
+    sql["link_reciprocity"] = (
+        "WITH np AS (SELECT count(*) AS np FROM part),\n"
+        "e0 AS (SELECT doc_id AS s, doc_id % np AS d FROM documents, np\n"
+        "      UNION ALL\n"
+        "      SELECT doc_id, (doc_id*7+13) % np FROM documents, np),\n"
+        "e AS (SELECT DISTINCT s, d FROM e0),\n"
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),\n"
+        "r AS (SELECT CAST(count(*) AS BIGINT) AS r FROM e\n"
+        "      JOIN e x ON x.s = e.d AND x.d = e.s)\n"
+        "SELECT m AS n_edges, r AS n_reciprocal,\n"
+        "  CAST(printf('%.6f', r / CAST(m AS DOUBLE)) AS DOUBLE)\n"
+        "    AS reciprocity\n"
+        "FROM m, r"
+    )
+
     # skyline_parts: 2-D strict-domination skyline over the part catalog
     # — mirrors extras.py::skyline_parts (minimize price cents, maximize
     # size; duplicate points dominate neither way)
@@ -4198,6 +4216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neighborhood_function",
         "skyline_parts",
         "link_assortativity",
+        "link_reciprocity",
         "gnn_neighbor_agg",
         "hll_users_by_type",
         "stratified_sample",
@@ -4462,6 +4481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adamic_adar", "itemset_pairs", "predicate_inverse_align",
         "key_skew_profile", "equidepth_histogram", "value_trend_ols",
         "neighborhood_function", "skyline_parts", "link_assortativity",
+        "link_reciprocity",
         # the final session's additions — never driver-checked, newest first
         "kmv_users", "bloom_semi_join", "entity_salience",
         "gnn_neighbor_agg", "bigram_perplexity", "scd2_user_state",

@@ -311,6 +311,7 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("skyline_parts", lambda: extras.skyline_parts(sf_dir))
     timed("link_assortativity",
           lambda: extras.link_assortativity(sf_dir))
+    timed("link_reciprocity", lambda: extras.link_reciprocity(sf_dir))
     timed("doc_search_bm25", lambda: extras.doc_search_bm25(sf_dir))
     timed("hybrid_rrf", lambda: extras.hybrid_rrf(sf_dir))
     timed("semdedup", lambda: extras.semdedup(sf_dir))

@@ -8650,3 +8650,76 @@ def link_assortativity(sf_dir: str) -> pa.Table:
             "assortativity": pa.array([r], pa.float64()),
         }
     )
+
+
+def link_reciprocity(sf_dir: str) -> pa.Table:
+    """Reciprocity of the hyperlink graph — the fraction of DISTINCT
+    directed edges whose reverse edge also exists (Garlaschelli & Loffredo
+    PRL'04; the web-graph mutual-linking diagnostic, self-loops count as
+    their own reverse, matching the oracle's self-join).
+
+    ONE exchange: each edge is bucketed by its UNORDERED pair key
+    (min␀max), so an edge and its reverse always land in the same bucket
+    — per-bucket packed-int64 unique gives exact global distinct, and
+    reverse membership is a sorted ``np.isin`` inside the bucket. The
+    fold ships two ints per bucket. Packing uses 2³¹-bounded node ids
+    (the adamic_adar bound; past that the pack widens to the string-key
+    form of predicate_inverse_align).
+    """
+    from ray.data.aggregate import Sum
+
+    from lamapi_ray import synth
+    from lamapi_ray.stages.dedup import scaled_partitions
+    from lamapi_ray.stages.linkgraph import extract_links
+
+    NB = scaled_partitions(1.0, 16)
+    K = np.int64(1) << np.int64(31)
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        s = pc.cast(
+            pc.utf8_slice_codeunits(batch["src"].combine_chunks(), 6), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        d = pc.cast(
+            pc.utf8_slice_codeunits(batch["dst"].combine_chunks(), 6), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        if len(s) and (s.max() >= K or d.max() >= K):
+            raise ValueError("node id exceeds the 2^31 pack bound")
+        pk = np.unique(s * K + d)  # per-batch pre-dedup before the exchange
+        lo, hi = np.minimum(pk // K, pk % K), np.maximum(pk // K, pk % K)
+        u = (lo * K + hi).view(np.uint64)
+        pkey = (u * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(NB)
+        return pa.table(
+            {
+                "pkey": pa.array(pkey.astype(np.int64), pa.int64()),
+                "pk": pa.array(pk, pa.int64()),
+            }
+        )
+
+    def bucket_counts(group: pa.Table) -> pa.Table:
+        pk = np.unique(group["pk"].to_numpy(zero_copy_only=False))
+        rev = (pk % K) * K + pk // K
+        recip = int(np.isin(rev, pk).sum())
+        return pa.table(
+            {
+                "m": pa.array([len(pk)], pa.int64()),
+                "r": pa.array([recip], pa.int64()),
+            }
+        )
+
+    t = _collect(
+        extract_links(synth.pages_dataset(sf_dir))
+        .map_batches(to_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pkey", num_partitions=NB)
+        .map_groups(bucket_counts, batch_format="pyarrow")
+    )
+    m = sum(int(v) for v in t["m"].to_pylist())
+    r = sum(int(v) for v in t["r"].to_pylist())
+    return pa.table(
+        {
+            "n_edges": pa.array([m], pa.int64()),
+            "n_reciprocal": pa.array([r], pa.int64()),
+            "reciprocity": pa.array(
+                [round_ref(r / m, 6) if m else None], pa.float64()
+            ),
+        }
+    )
