@@ -1679,6 +1679,29 @@ def oracle_sql() -> dict[str, str]:
         "FROM s"
     )
 
+    # user_entropy_histogram: per-user event-type Shannon entropy binned
+    # at 0.1 nat — mirrors extras.py::user_entropy_histogram (integer
+    # micro-nat logs: ln ≡ math.log, floored once per count value)
+    sql["user_entropy_histogram"] = (
+        "WITH ut AS (SELECT user_id, event_type,\n"
+        "    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),\n"
+        "un AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n\n"
+        "       FROM ut GROUP BY 1),\n"
+        "hu AS (SELECT ut.user_id,\n"
+        "    CAST(un.n * CAST(floor(ln(un.n) * 1e6) AS BIGINT)\n"
+        "      - sum(ut.c * CAST(floor(ln(ut.c) * 1e6) AS BIGINT))\n"
+        "      AS BIGINT) AS hm,\n"
+        "    un.n AS n\n"
+        "  FROM ut JOIN un ON un.user_id = ut.user_id\n"
+        "  GROUP BY ut.user_id, un.n),\n"
+        "hb AS (SELECT CAST(floor(hm / (n * 1e6) * 10) AS BIGINT) AS bin\n"
+        "       FROM hu)\n"
+        "SELECT bin,\n"
+        "  CAST(printf('%.6f', bin / 10.0) AS DOUBLE) AS entropy_lo,\n"
+        "  CAST(count(*) AS BIGINT) AS n_users\n"
+        "FROM hb GROUP BY 1 ORDER BY 1"
+    )
+
     # link_reciprocity: fraction of distinct directed edges with a
     # reverse edge — mirrors extras.py::link_reciprocity (self-loops
     # are their own reverse on both sides)
@@ -4217,6 +4240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline_parts",
         "link_assortativity",
         "link_reciprocity",
+        "user_entropy_histogram",
         "gnn_neighbor_agg",
         "hll_users_by_type",
         "stratified_sample",
@@ -4481,7 +4505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adamic_adar", "itemset_pairs", "predicate_inverse_align",
         "key_skew_profile", "equidepth_histogram", "value_trend_ols",
         "neighborhood_function", "skyline_parts", "link_assortativity",
-        "link_reciprocity",
+        "link_reciprocity", "user_entropy_histogram",
         # the final session's additions — never driver-checked, newest first
         "kmv_users", "bloom_semi_join", "entity_salience",
         "gnn_neighbor_agg", "bigram_perplexity", "scd2_user_state",

@@ -8723,3 +8723,114 @@ def link_reciprocity(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+def user_entropy_histogram(sf_dir: str) -> pa.Table:
+    """Histogram of per-user behavioral entropy — Shannon entropy of each
+    user's event-type distribution, binned at 0.1-nat granularity: the
+    personalization / bot-detection diagnostic (a user who only ever
+    fires one event type has H = 0; a uniform 5-type user has H = ln 5).
+
+    Exactness contract: per-user H is composed from INTEGER micro-nat
+    logs, H_micro = Σ_t c_t·(L(n) − L(c_t)) with L(x) = floor(ln(x)·10⁶)
+    (math.log ≡ DuckDB ln — same libm; L built as a lookup table over
+    the count domain, never vectorized np.log, whose SIMD path can
+    differ in ULPs), so the per-user sum is order-exact int64 and the
+    single IEEE expression floor(H_micro/(n·10⁶)·10) is evaluated
+    identically on both sides.
+
+    Scale shape: (user, type) counts fold through ONE packed-int64
+    exchange (user·8 + tid, the distinct_users_daily PACK guard on
+    unknown types), per-user composition rides a SECOND user-bucketed
+    exchange with sort + add.reduceat (vectorized, no per-user Python),
+    and the output fold is bins-bounded (≤ ~17 rows). Nothing user-sized
+    reaches the driver."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from lamapi_ray.stages.dedup import scaled_partitions
+
+    TYPES = np.array(sorted(EVENT_TYPES))
+    NB = scaled_partitions(0.5, 16)
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        tid = np.minimum(np.searchsorted(TYPES, et), len(TYPES) - 1)
+        if not (TYPES[tid] == et).all():
+            bad = et[TYPES[tid] != et][:3]
+            raise ValueError(f"unknown event types: {bad!r}")
+        pk = uid * 8 + tid
+        u, c = np.unique(pk, return_counts=True)
+        return pa.table(
+            {
+                "pk": pa.array(u, pa.int64()),
+                "c": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    pairs = (
+        ev.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pk", num_partitions=NB)
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def to_user_bucket(batch: pa.Table) -> pa.Table:
+        pk = batch["pk"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "ub": pa.array((pk // 8) % NB, pa.int64()),
+                "pk": batch["pk"],
+                "c": batch["c"],
+            }
+        )
+
+    def bucket_entropy_bins(group: pa.Table) -> pa.Table:
+        pk = group["pk"].to_numpy(zero_copy_only=False)
+        c = group["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(pk, kind="mergesort")  # pk sorts by (user, tid)
+        pk, c = pk[order], c[order]
+        user = pk // 8
+        starts = np.flatnonzero(np.r_[True, user[1:] != user[:-1]])
+        n = np.add.reduceat(c, starts)
+        # integer micro-nat log lookup over the count domain (math.log,
+        # never np.log — see docstring)
+        top = int(max(int(c.max()), int(n.max())))
+        L = np.zeros(top + 1, dtype=np.int64)
+        for v in range(1, top + 1):
+            L[v] = math.floor(math.log(v) * 1e6)
+        cl = c * L[c]
+        h_micro = n * L[n] - np.add.reduceat(cl, starts)
+        h = np.floor(h_micro / (n * 1e6) * 10).astype(np.int64)
+        u, cnt = np.unique(h, return_counts=True)
+        return pa.table(
+            {
+                "bin": pa.array(u, pa.int64()),
+                "nu": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = _collect(
+        pairs.map_batches(to_user_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ub", num_partitions=NB)
+        .map_groups(bucket_entropy_bins, batch_format="pyarrow")
+        .groupby("bin", num_partitions=1)
+        .aggregate(Sum("nu", alias_name="n_users"))
+    )
+    b = out["bin"].to_numpy(zero_copy_only=False)
+    nu = out["n_users"].to_numpy(zero_copy_only=False)
+    order = np.argsort(b, kind="mergesort")
+    return pa.table(
+        {
+            "bin": pa.array(b[order], pa.int64()),
+            "entropy_lo": pa.array(
+                [round_ref(int(v) / 10.0, 6) for v in b[order]], pa.float64()
+            ),
+            "n_users": pa.array(nu[order].astype(np.int64), pa.int64()),
+        }
+    )

@@ -817,3 +817,33 @@ def test_skyline_parts_strict_domination(tmp_path):
 
     brute = sorted(k for k in pts if not dominated(k))
     assert [r["p_partkey"] for r in out] == brute
+
+
+def test_user_entropy_histogram_crafted(tmp_path):
+    """Hand-built users: H=0 single-type user lands in bin 0; a uniform
+    2-type user has H = ln 2 ≈ 0.693 → bin 6; a uniform 4-type user has
+    H = ln 4 ≈ 1.386 → bin 13 (micro-nat floors cannot cross these bin
+    edges: the fractional parts sit far from the 0.1 boundaries)."""
+    from lamapi_ray.pipelines import extras
+
+    rows = []
+    i = 0
+    # user 1: 4 events of one type → H = 0
+    for _ in range(4):
+        rows.append({"event_id": i, "user_id": 1, "event_type": "view",
+                     "ts": 1_000_000 * i, "value": 1.0}); i += 1
+    # user 2: 2+2 of two types → H = ln 2
+    for t in ("view", "click", "view", "click"):
+        rows.append({"event_id": i, "user_id": 2, "event_type": t,
+                     "ts": 1_000_000 * i, "value": 1.0}); i += 1
+    # user 3: one each of four types → H = ln 4
+    for t in ("view", "click", "purchase", "signup"):
+        rows.append({"event_id": i, "user_id": 3, "event_type": t,
+                     "ts": 1_000_000 * i, "value": 1.0}); i += 1
+    _write_events(tmp_path, rows)
+    out = {r["bin"]: r for r in
+           extras.user_entropy_histogram(str(tmp_path)).to_pylist()}
+    assert set(out) == {0, 6, 13}
+    assert out[0]["n_users"] == 1
+    assert out[6]["n_users"] == 1 and out[6]["entropy_lo"] == 0.6
+    assert out[13]["n_users"] == 1 and out[13]["entropy_lo"] == 1.3
