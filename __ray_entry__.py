@@ -1679,6 +1679,39 @@ def oracle_sql() -> dict[str, str]:
         "FROM s"
     )
 
+    # daily_autocorr: lag-1 Pearson autocorrelation of each type's daily
+    # count series, zero-filled over the global day span — mirrors
+    # extras.py::daily_autocorr (cast-each-factor-to-double sqrt)
+    sql["daily_autocorr"] = (
+        "WITH RECURSIVE c AS (SELECT event_type,\n"
+        "    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))\n"
+        "      AS BIGINT) AS d,\n"
+        "    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),\n"
+        "b AS (SELECT min(d) AS lo, max(d) AS hi FROM c),\n"
+        "days(d) AS (SELECT lo FROM b\n"
+        "  UNION ALL SELECT d + 1 FROM days, b WHERE d < hi),\n"
+        "ty AS (SELECT DISTINCT event_type FROM events),\n"
+        "g AS (SELECT ty.event_type, days.d, COALESCE(c.c, 0) AS x\n"
+        "  FROM ty CROSS JOIN days LEFT JOIN c\n"
+        "    ON c.event_type = ty.event_type AND c.d = days.d),\n"
+        "p AS (SELECT g1.event_type, g1.x AS x, g2.x AS y FROM g g1\n"
+        "  JOIN g g2 ON g2.event_type = g1.event_type\n"
+        "    AND g2.d = g1.d + 1),\n"
+        "s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,\n"
+        "    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,\n"
+        "    CAST(sum(x*y) AS BIGINT) AS sxy,\n"
+        "    CAST(sum(x*x) AS BIGINT) AS sxx,\n"
+        "    CAST(sum(y*y) AS BIGINT) AS syy\n"
+        "  FROM p GROUP BY 1)\n"
+        "SELECT event_type, n AS n_pairs,\n"
+        "  CASE WHEN n*sxx - sx*sx <= 0 OR n*syy - sy*sy <= 0 THEN NULL\n"
+        "    ELSE CAST(printf('%.6f', CAST(n*sxy - sx*sy AS DOUBLE)\n"
+        "      / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)\n"
+        "           * CAST(n*syy - sy*sy AS DOUBLE))) AS DOUBLE) END\n"
+        "    AS autocorr1\n"
+        "FROM s ORDER BY event_type"
+    )
+
     # user_entropy_histogram: per-user event-type Shannon entropy binned
     # at 0.1 nat — mirrors extras.py::user_entropy_histogram (integer
     # micro-nat logs: ln ≡ math.log, floored once per count value)
@@ -4241,6 +4274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_assortativity",
         "link_reciprocity",
         "user_entropy_histogram",
+        "daily_autocorr",
         "gnn_neighbor_agg",
         "hll_users_by_type",
         "stratified_sample",
@@ -4505,7 +4539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adamic_adar", "itemset_pairs", "predicate_inverse_align",
         "key_skew_profile", "equidepth_histogram", "value_trend_ols",
         "neighborhood_function", "skyline_parts", "link_assortativity",
-        "link_reciprocity", "user_entropy_histogram",
+        "link_reciprocity", "user_entropy_histogram", "daily_autocorr",
         # the final session's additions — never driver-checked, newest first
         "kmv_users", "bloom_semi_join", "entity_salience",
         "gnn_neighbor_agg", "bigram_perplexity", "scd2_user_state",

@@ -8834,3 +8834,94 @@ def user_entropy_histogram(sf_dir: str) -> pa.Table:
             "n_users": pa.array(nu[order].astype(np.int64), pa.int64()),
         }
     )
+
+
+def daily_autocorr(sf_dir: str) -> pa.Table:
+    """Lag-1 autocorrelation of each event type's DAILY count series —
+    the burst/seasonality diagnostic a stream monitor fits first (r₁ → 1:
+    trending/bursty; r₁ ≈ 0: memoryless; r₁ < 0: alternating). The
+    series is zero-filled over the GLOBAL [min_day, max_day] span (a
+    type with no events on a day contributes x=0, exactly like the
+    oracle's calendar cross join), and r₁ is Pearson over the
+    (x_d, x_{d+1}) pairs.
+
+    Exact end to end: ONE (type × day)-bounded count fold; the driver
+    composes per-type sufficient statistics as Python ints over the
+    day-span arrays (types × span values — the key_skew_profile
+    driver-side contract; a multi-year 10⁶-day span would move the pair
+    sums into a second bounded fold) and evaluates the same
+    cast-each-factor-to-double Pearson expression as link_assortativity,
+    printf-rounded. Zero-variance series → NULL."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    EPOCH_DAY_2024 = 19723
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].combine_chunks()
+        enc = pc.dictionary_encode(et)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d = us // 86_400_000_000 - EPOCH_DAY_2024
+        # pack (type code, day): days are small non-negative offsets here;
+        # guard the pack domain explicitly
+        if len(d) and (d.min() < 0 or d.max() >= (1 << 22)):
+            raise ValueError("day offset outside the 2^22 pack domain")
+        pk = codes * (1 << 22) + d
+        u, c = np.unique(pk, return_counts=True)
+        return pa.table(
+            {
+                "event_type": enc.dictionary.cast(pa.string()).take(
+                    pa.array(u >> 22, pa.int64())
+                ),
+                "d": pa.array(u & ((1 << 22) - 1), pa.int64()),
+                "c": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    t = _collect(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "d"], num_partitions=_scaled(0.25, 4))
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    types = t["event_type"].to_pylist()
+    days = t["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cnts = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lo, hi = int(days.min()), int(days.max())
+    span = hi - lo + 1
+    series: dict[str, np.ndarray] = {}
+    for et, d, c in zip(types, days.tolist(), cnts.tolist()):
+        series.setdefault(et, np.zeros(span, dtype=np.int64))[d - lo] = c
+    et_out, n_out, r_out = [], [], []
+    for et in sorted(series):
+        arr = series[et]
+        x, y = arr[:-1], arr[1:]
+        n = len(x)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy = int((x * y).sum())
+        sxx, syy = int((x * x).sum()), int((y * y).sum())
+        b1, b2 = n * sxx - sx * sx, n * syy - sy * sy
+        r = (
+            round_ref(
+                float(n * sxy - sx * sy) / math.sqrt(float(b1) * float(b2)), 6
+            )
+            if b1 > 0 and b2 > 0
+            else None
+        )
+        et_out.append(et)
+        n_out.append(n)
+        r_out.append(r)
+    return pa.table(
+        {
+            "event_type": pa.array(et_out, pa.string()),
+            "n_pairs": pa.array(n_out, pa.int64()),
+            "autocorr1": pa.array(r_out, pa.float64()),
+        }
+    )

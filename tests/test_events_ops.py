@@ -847,3 +847,35 @@ def test_user_entropy_histogram_crafted(tmp_path):
     assert out[0]["n_users"] == 1
     assert out[6]["n_users"] == 1 and out[6]["entropy_lo"] == 0.6
     assert out[13]["n_users"] == 1 and out[13]["entropy_lo"] == 1.3
+
+
+def test_daily_autocorr_crafted_series(tmp_path):
+    """A strictly increasing daily series has r1 = 1 exactly (both
+    (x,y) vectors affine images of each other); a constant series is
+    zero-variance → NULL; zero-filled gap days enter the pairs."""
+    from lamapi_ray.pipelines import extras
+
+    DAY_US = 86_400_000_000
+    base = 19723 * DAY_US  # 2024-01-01
+    rows = []
+    i = 0
+    # type "a": counts 1,2,3,4 on days 0-3 → perfectly linear, r1 = 1
+    for d in range(4):
+        for _ in range(d + 1):
+            rows.append({"event_id": i, "user_id": 1, "event_type": "a",
+                         "ts": base + d * DAY_US + i, "value": 1.0}); i += 1
+    # type "b": one event on day 0 and day 3 → zero-filled days 1, 2
+    # series (1,0,0,1): pairs (1,0),(0,0),(0,1) → r1 = -1/2
+    for d in (0, 3):
+        rows.append({"event_id": i, "user_id": 2, "event_type": "b",
+                     "ts": base + d * DAY_US + i, "value": 1.0}); i += 1
+    # type "c": constant 1 per day on all 4 days → NULL
+    for d in range(4):
+        rows.append({"event_id": i, "user_id": 3, "event_type": "c",
+                     "ts": base + d * DAY_US + i, "value": 1.0}); i += 1
+    _write_events(tmp_path, rows)
+    out = {r["event_type"]: r for r in
+           extras.daily_autocorr(str(tmp_path)).to_pylist()}
+    assert out["a"]["n_pairs"] == 3 and out["a"]["autocorr1"] == 1.0
+    assert out["b"]["autocorr1"] == -0.5
+    assert out["c"]["autocorr1"] is None
