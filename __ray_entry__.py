@@ -1679,6 +1679,32 @@ def oracle_sql() -> dict[str, str]:
         "FROM s"
     )
 
+    # source_vocab_overlap: pairwise Jaccard of distinct-token
+    # vocabularies between sources — mirrors
+    # extras.py::source_vocab_overlap (same md5-mod-2^61 token hash CTE)
+    sql["source_vocab_overlap"] = _with(
+        _tkh_cte("tkc", "documents"),
+        "tok AS (SELECT DISTINCT d.source, CAST(t2.th AS BIGINT) AS th\n"
+        "  FROM (SELECT doc_id, unnest(th) AS th FROM tkc) t2\n"
+        "  JOIN documents d ON d.doc_id = t2.doc_id)",
+        "na AS (SELECT source, CAST(count(*) AS BIGINT) AS c\n"
+        "  FROM tok GROUP BY 1)",
+        "pr AS (SELECT a.source AS sa, b.source AS sb, a.c AS n_a,\n"
+        "         b.c AS n_b FROM na a JOIN na b ON a.source < b.source)",
+        "cm AS (SELECT x.source AS sa, y.source AS sb,\n"
+        "         CAST(count(*) AS BIGINT) AS c FROM tok x\n"
+        "  JOIN tok y ON y.th = x.th AND x.source < y.source\n"
+        "  GROUP BY 1, 2)",
+    ) + (
+        "SELECT pr.sa AS source_a, pr.sb AS source_b, pr.n_a, pr.n_b,\n"
+        "  COALESCE(cm.c, 0) AS n_common,\n"
+        "  CAST(printf('%.6f', COALESCE(cm.c, 0)\n"
+        "    / CAST(pr.n_a + pr.n_b - COALESCE(cm.c, 0) AS DOUBLE))\n"
+        "    AS DOUBLE) AS jaccard\n"
+        "FROM pr LEFT JOIN cm ON cm.sa = pr.sa AND cm.sb = pr.sb\n"
+        "ORDER BY source_a, source_b"
+    )
+
     # daily_autocorr: lag-1 Pearson autocorrelation of each type's daily
     # count series, zero-filled over the global day span — mirrors
     # extras.py::daily_autocorr (cast-each-factor-to-double sqrt)
@@ -4275,6 +4301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_reciprocity",
         "user_entropy_histogram",
         "daily_autocorr",
+        "source_vocab_overlap",
         "gnn_neighbor_agg",
         "hll_users_by_type",
         "stratified_sample",
@@ -4540,6 +4567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_skew_profile", "equidepth_histogram", "value_trend_ols",
         "neighborhood_function", "skyline_parts", "link_assortativity",
         "link_reciprocity", "user_entropy_histogram", "daily_autocorr",
+        "source_vocab_overlap",
         # the final session's additions — never driver-checked, newest first
         "kmv_users", "bloom_semi_join", "entity_salience",
         "gnn_neighbor_agg", "bigram_perplexity", "scd2_user_state",

@@ -315,6 +315,8 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("user_entropy_histogram",
           lambda: extras.user_entropy_histogram(sf_dir))
     timed("daily_autocorr", lambda: extras.daily_autocorr(sf_dir))
+    timed("source_vocab_overlap",
+          lambda: extras.source_vocab_overlap(sf_dir))
     timed("doc_search_bm25", lambda: extras.doc_search_bm25(sf_dir))
     timed("hybrid_rrf", lambda: extras.hybrid_rrf(sf_dir))
     timed("semdedup", lambda: extras.semdedup(sf_dir))

@@ -8925,3 +8925,109 @@ def daily_autocorr(sf_dir: str) -> pa.Table:
             "autocorr1": pa.array(r_out, pa.float64()),
         }
     )
+
+
+def source_vocab_overlap(sf_dir: str) -> pa.Table:
+    """Pairwise vocabulary overlap between corpus sources — for every
+    unordered source pair, the Jaccard of their DISTINCT-token sets
+    (token = the engine's standard md5-mod-2⁶¹ hash, the same value the
+    oracle's list_transform CTE computes): the corpus-mixture diversity
+    diagnostic a pre-training data curator reads before weighting
+    sources (near-1 overlap ⇒ redundant source; near-0 ⇒ new domain).
+
+    Dataflow: per-batch distinct (token, source-id) pairs (k=1 shingle
+    path of ``_doc_shingle_hashes`` — one md5 per distinct token, numpy
+    elsewhere; source ids via a broadcast sorted source list with
+    exact-hit guard) → ONE token-bucketed exchange → per-bucket
+    ``bitwise_or.reduceat`` collapses each token to a ≤64-bit source
+    mask → mask-bounded count fold (≤ 2^|sources| rows) → the driver
+    composes every pair's |A∩B| / |A∪B| from the mask counts as exact
+    ints, one printf-rounded IEEE division each. Zero-overlap pairs are
+    emitted with jaccard 0, mirroring the oracle's LEFT JOIN."""
+    from ray.data.aggregate import Sum
+
+    from lamapi_ray.stages.dedup import _doc_shingle_hashes, scaled_partitions
+
+    NB = scaled_partitions(1.0, 16)
+
+    def src_partial(batch: pa.Table) -> pa.Table:
+        return pa.table({"source": pc.unique(batch["source"].combine_chunks())})
+
+    st = _collect(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+        .map_batches(src_partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    srcs = sorted(set(st["source"].to_pylist()))
+    if len(srcs) > 64:
+        raise ValueError("source mask path supports at most 64 sources")
+    src_arr = np.array(srcs)
+    src_ref = ray.put(src_arr)
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        sl = ray.get(src_ref)
+        ids, doc_idx, sh = _doc_shingle_hashes(batch, "doc_id", "text", k=1)
+        et = np.asarray(batch["source"].to_pylist(), dtype=object)
+        sid_doc = np.searchsorted(sl, et)
+        if not (sl[np.clip(sid_doc, 0, len(sl) - 1)] == et).all():
+            raise ValueError("unknown source value")
+        sid = sid_doc[doc_idx]
+        pk = np.unique(sh.view(np.int64) * 64 + sid)
+        u = (pk // 64).astype(np.uint64)
+        pkey = (u * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(NB)
+        return pa.table(
+            {
+                "pkey": pa.array(pkey.astype(np.int64), pa.int64()),
+                "pk": pa.array(pk, pa.int64()),
+            }
+        )
+
+    def bucket_masks(group: pa.Table) -> pa.Table:
+        pk = np.unique(group["pk"].to_numpy(zero_copy_only=False))
+        th, sid = pk // 64, pk % 64
+        starts = np.flatnonzero(np.r_[True, th[1:] != th[:-1]])
+        masks = np.bitwise_or.reduceat(
+            np.int64(1) << sid.astype(np.int64), starts
+        )
+        u, c = np.unique(masks, return_counts=True)
+        return pa.table(
+            {
+                "mask": pa.array(u, pa.int64()),
+                "c": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    mc = _collect(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+        )
+        .map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pkey", num_partitions=NB)
+        .map_groups(bucket_masks, batch_format="pyarrow")
+        .groupby("mask", num_partitions=1)
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    masks = mc["mask"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cnts = mc["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+    rows = []
+    for a in range(len(srcs)):
+        for b in range(a + 1, len(srcs)):
+            ba, bb = np.int64(1) << a, np.int64(1) << b
+            na = int(cnts[(masks & ba) != 0].sum())
+            nb_ = int(cnts[(masks & bb) != 0].sum())
+            common = int(cnts[((masks & ba) != 0) & ((masks & bb) != 0)].sum())
+            union = na + nb_ - common
+            rows.append(
+                {
+                    "source_a": srcs[a], "source_b": srcs[b],
+                    "n_a": na, "n_b": nb_, "n_common": common,
+                    "jaccard": round_ref(common / union, 6) if union else None,
+                }
+            )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("source_a", pa.string()), ("source_b", pa.string()),
+             ("n_a", pa.int64()), ("n_b", pa.int64()),
+             ("n_common", pa.int64()), ("jaccard", pa.float64())]
+        ),
+    )

@@ -442,3 +442,37 @@ def test_zipf_slope_planted_powerlaw(ray_session, tmp_path):
     assert abs(slope - (-1.0)) < 0.02
     # intercept recovers ln(1000) within rounding of the planted counts
     assert abs(out["intercept"][0].as_py() - math.log(1000)) < 0.05
+
+
+def test_source_vocab_overlap_crafted(tmp_path, ray_session):
+    """Hand-built sources: A={x,y,z}, B={y,z,w}, C={q} → J(A,B)=2/4,
+    J(A,C)=J(B,C)=0 (zero-overlap pairs still emitted)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lamapi_ray.pipelines.extras import source_vocab_overlap
+
+    docs = [
+        (0, "x y z", "A"), (1, "y x", "A"),
+        (2, "y z w", "B"),
+        (3, "q", "C"),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs], pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+            "source": pa.array([d[2] for d in docs], pa.string()),
+            "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = {(r["source_a"], r["source_b"]): r
+           for r in source_vocab_overlap(str(tmp_path)).to_pylist()}
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = out[("A", "B")]
+    assert (ab["n_a"], ab["n_b"], ab["n_common"]) == (3, 3, 2)
+    assert ab["jaccard"] == 0.5
+    assert out[("A", "C")]["n_common"] == 0
+    assert out[("A", "C")]["jaccard"] == 0.0
+    assert out[("B", "C")]["jaccard"] == 0.0
