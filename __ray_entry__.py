@@ -1679,6 +1679,32 @@ def oracle_sql() -> dict[str, str]:
         "FROM s"
     )
 
+    # ewma_daily: α=1/2 EWMA over zero-filled daily counts — mirrors
+    # extras.py::ewma_daily (dyadic α: identical IEEE chain both sides)
+    sql["ewma_daily"] = (
+        "WITH RECURSIVE c AS (SELECT event_type,\n"
+        "    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))\n"
+        "      AS BIGINT) AS d,\n"
+        "    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),\n"
+        "b AS (SELECT min(d) AS lo, max(d) AS hi FROM c),\n"
+        "days(d) AS (SELECT lo FROM b\n"
+        "  UNION ALL SELECT d + 1 FROM days, b WHERE d < hi),\n"
+        "ty AS (SELECT DISTINCT event_type FROM events),\n"
+        "g AS (SELECT ty.event_type, days.d, COALESCE(c.c, 0) AS x\n"
+        "  FROM ty CROSS JOIN days LEFT JOIN c\n"
+        "    ON c.event_type = ty.event_type AND c.d = days.d),\n"
+        "w(event_type, d, e) AS (\n"
+        "  SELECT event_type, d, CAST(x AS DOUBLE) FROM g\n"
+        "    WHERE d = (SELECT lo FROM b)\n"
+        "  UNION ALL\n"
+        "  SELECT g.event_type, g.d, (CAST(g.x AS DOUBLE) + w.e) / 2\n"
+        "  FROM w JOIN g ON g.event_type = w.event_type\n"
+        "    AND g.d = w.d + 1)\n"
+        "SELECT event_type, d AS day,\n"
+        "  CAST(printf('%.6f', e) AS DOUBLE) AS ewma\n"
+        "FROM w ORDER BY event_type, day"
+    )
+
     # source_vocab_overlap: pairwise Jaccard of distinct-token
     # vocabularies between sources — mirrors
     # extras.py::source_vocab_overlap (same md5-mod-2^61 token hash CTE)
@@ -4302,6 +4328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_entropy_histogram",
         "daily_autocorr",
         "source_vocab_overlap",
+        "ewma_daily",
         "gnn_neighbor_agg",
         "hll_users_by_type",
         "stratified_sample",
@@ -4567,7 +4594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_skew_profile", "equidepth_histogram", "value_trend_ols",
         "neighborhood_function", "skyline_parts", "link_assortativity",
         "link_reciprocity", "user_entropy_histogram", "daily_autocorr",
-        "source_vocab_overlap",
+        "source_vocab_overlap", "ewma_daily",
         # the final session's additions — never driver-checked, newest first
         "kmv_users", "bloom_semi_join", "entity_salience",
         "gnn_neighbor_agg", "bigram_perplexity", "scd2_user_state",

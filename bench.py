@@ -317,6 +317,7 @@ def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("daily_autocorr", lambda: extras.daily_autocorr(sf_dir))
     timed("source_vocab_overlap",
           lambda: extras.source_vocab_overlap(sf_dir))
+    timed("ewma_daily", lambda: extras.ewma_daily(sf_dir))
     timed("doc_search_bm25", lambda: extras.doc_search_bm25(sf_dir))
     timed("hybrid_rrf", lambda: extras.hybrid_rrf(sf_dir))
     timed("semdedup", lambda: extras.semdedup(sf_dir))

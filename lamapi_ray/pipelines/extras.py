@@ -8836,24 +8836,12 @@ def user_entropy_histogram(sf_dir: str) -> pa.Table:
     )
 
 
-def daily_autocorr(sf_dir: str) -> pa.Table:
-    """Lag-1 autocorrelation of each event type's DAILY count series —
-    the burst/seasonality diagnostic a stream monitor fits first (r₁ → 1:
-    trending/bursty; r₁ ≈ 0: memoryless; r₁ < 0: alternating). The
-    series is zero-filled over the GLOBAL [min_day, max_day] span (a
-    type with no events on a day contributes x=0, exactly like the
-    oracle's calendar cross join), and r₁ is Pearson over the
-    (x_d, x_{d+1}) pairs.
-
-    Exact end to end: ONE (type × day)-bounded count fold; the driver
-    composes per-type sufficient statistics as Python ints over the
-    day-span arrays (types × span values — the key_skew_profile
-    driver-side contract; a multi-year 10⁶-day span would move the pair
-    sums into a second bounded fold) and evaluates the same
-    cast-each-factor-to-double Pearson expression as link_assortativity,
-    printf-rounded. Zero-variance series → NULL."""
-    import math
-
+def _daily_count_series(sf_dir: str) -> tuple[dict[str, np.ndarray], int]:
+    """Per-type daily event-count series, zero-filled over the global
+    [min_day, max_day] span — the shared fold behind daily_autocorr and
+    ewma_daily. ONE (type × day)-bounded exchange; day = calendar days
+    since 2024-01-01 (the value_trend_ols epoch), pack-guarded to 2²².
+    Returns ({event_type: int64 span array}, lo_day)."""
     from ray.data.aggregate import Sum
 
     EPOCH_DAY_2024 = 19723
@@ -8870,8 +8858,6 @@ def daily_autocorr(sf_dir: str) -> pa.Table:
         codes = np.asarray(enc.indices, dtype=np.int64)
         us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         d = us // 86_400_000_000 - EPOCH_DAY_2024
-        # pack (type code, day): days are small non-negative offsets here;
-        # guard the pack domain explicitly
         if len(d) and (d.min() < 0 or d.max() >= (1 << 22)):
             raise ValueError("day offset outside the 2^22 pack domain")
         pk = codes * (1 << 22) + d
@@ -8899,6 +8885,28 @@ def daily_autocorr(sf_dir: str) -> pa.Table:
     series: dict[str, np.ndarray] = {}
     for et, d, c in zip(types, days.tolist(), cnts.tolist()):
         series.setdefault(et, np.zeros(span, dtype=np.int64))[d - lo] = c
+    return series, lo
+
+
+def daily_autocorr(sf_dir: str) -> pa.Table:
+    """Lag-1 autocorrelation of each event type's DAILY count series —
+    the burst/seasonality diagnostic a stream monitor fits first (r₁ → 1:
+    trending/bursty; r₁ ≈ 0: memoryless; r₁ < 0: alternating). The
+    series is zero-filled over the GLOBAL [min_day, max_day] span (a
+    type with no events on a day contributes x=0, exactly like the
+    oracle's calendar cross join), and r₁ is Pearson over the
+    (x_d, x_{d+1}) pairs.
+
+    Exact end to end: ONE (type × day)-bounded count fold; the driver
+    composes per-type sufficient statistics as Python ints over the
+    day-span arrays (types × span values — the key_skew_profile
+    driver-side contract; a multi-year 10⁶-day span would move the pair
+    sums into a second bounded fold) and evaluates the same
+    cast-each-factor-to-double Pearson expression as link_assortativity,
+    printf-rounded. Zero-variance series → NULL."""
+    import math
+
+    series, _lo = _daily_count_series(sf_dir)
     et_out, n_out, r_out = [], [], []
     for et in sorted(series):
         arr = series[et]
@@ -9030,4 +9038,34 @@ def source_vocab_overlap(sf_dir: str) -> pa.Table:
              ("n_a", pa.int64()), ("n_b", pa.int64()),
              ("n_common", pa.int64()), ("jaccard", pa.float64())]
         ),
+    )
+
+
+def ewma_daily(sf_dir: str) -> pa.Table:
+    """EWMA smoothing of each event type's daily count series with
+    α = 1/2 — the streaming monitor's trend line (dyadic α: every update
+    e_d = (x_d + e_{d-1})/2 is an exact double operation, so the whole
+    recursion is bit-reproducible and the oracle's recursive CTE walks
+    the identical IEEE chain; e_lo seeds at x_lo). Series are
+    zero-filled over the global day span via the shared
+    :func:`_daily_count_series` fold; the driver recursion is
+    types × span (the key_skew_profile driver-side contract). Output:
+    one row per (event_type, day)."""
+    series, lo = _daily_count_series(sf_dir)
+    et_out, d_out, e_out = [], [], []
+    for et in sorted(series):
+        arr = series[et]
+        e = float(arr[0])
+        for i, x in enumerate(arr.tolist()):
+            if i:
+                e = (float(x) + e) / 2.0
+            et_out.append(et)
+            d_out.append(lo + i)
+            e_out.append(round_ref(e, 6))
+    return pa.table(
+        {
+            "event_type": pa.array(et_out, pa.string()),
+            "day": pa.array(d_out, pa.int64()),
+            "ewma": pa.array(e_out, pa.float64()),
+        }
     )

@@ -879,3 +879,21 @@ def test_daily_autocorr_crafted_series(tmp_path):
     assert out["a"]["n_pairs"] == 3 and out["a"]["autocorr1"] == 1.0
     assert out["b"]["autocorr1"] == -0.5
     assert out["c"]["autocorr1"] is None
+
+
+def test_ewma_daily_dyadic_chain(tmp_path):
+    """Crafted series (counts 4, 0, 8 on days 0-2): e = 4, 2, 5 exactly
+    (α = 1/2 dyadic chain); zero-filled day 1 participates."""
+    from lamapi_ray.pipelines import extras
+
+    DAY_US = 86_400_000_000
+    base = 19723 * DAY_US
+    rows = []
+    i = 0
+    for d, k in ((0, 4), (2, 8)):
+        for _ in range(k):
+            rows.append({"event_id": i, "user_id": 1, "event_type": "a",
+                         "ts": base + d * DAY_US + i, "value": 1.0}); i += 1
+    _write_events(tmp_path, rows)
+    out = extras.ewma_daily(str(tmp_path)).to_pylist()
+    assert [(r["day"], r["ewma"]) for r in out] == [(0, 4.0), (1, 2.0), (2, 5.0)]
