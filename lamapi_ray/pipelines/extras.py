@@ -7993,7 +7993,7 @@ def predicate_inverse_align(sf_dir: str, adjacency: pa.Table) -> pa.Table:
     P = scaled_partitions(1.0, 8)
     NB = scaled_partitions(2.0, 32)
 
-    distinct = ray.data.from_arrow(adjacency)
+    triples = ray.data.from_arrow(adjacency)
 
     def _col(batch: pa.Table, n: str) -> pa.Array:
         c = batch[n]
@@ -8020,8 +8020,8 @@ def predicate_inverse_align(sf_dir: str, adjacency: pa.Table) -> pa.Table:
         )
 
     joined = bucketed_hash_join(
-        distinct.map_batches(fwd, batch_format="pyarrow", zero_copy_batch=True),
-        distinct.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True),
+        triples.map_batches(fwd, batch_format="pyarrow", zero_copy_batch=True),
+        triples.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True),
         on="key", num_buckets=P, dedup_sides=True,
     )
 
@@ -8082,7 +8082,7 @@ def predicate_inverse_align(sf_dir: str, adjacency: pa.Table) -> pa.Table:
         )
 
     totals = _collect(
-        distinct.map_batches(
+        triples.map_batches(
             hash_rows, batch_format="pyarrow", zero_copy_batch=True
         )
         .groupby("pkey", num_partitions=NB)
@@ -8224,6 +8224,15 @@ def equidepth_histogram(sf_dir: str, n_buckets: int = 16) -> pa.Table:
     order = np.argsort(vals, kind="mergesort")
     vals, cnt = vals[order], cnt[order]
     total = int(cnt.sum())
+    if total == 0:  # empty input → empty histogram (as the oracle)
+        return pa.table(
+            {
+                "bucket": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "lo_cents": pa.array([], pa.int64()),
+                "hi_cents": pa.array([], pa.int64()),
+            }
+        )
     b = min(n_buckets, total)
     # NTILE sizes: first (total % b) buckets get ceil, the rest floor.
     size = np.full(b, total // b, dtype=np.int64)
@@ -8286,7 +8295,11 @@ def value_trend_ols(sf_dir: str) -> pa.Table:
         # (np.bincount weights accumulate in float64 — not exact at scale)
         order = np.argsort(codes, kind="stable")
         sc = codes[order]
-        starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+        starts = (
+            np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+            if len(sc)
+            else np.zeros(0, dtype=np.int64)
+        )
         gid = sc[starts]
 
         def gsum(arr: np.ndarray) -> np.ndarray:
@@ -8798,14 +8811,15 @@ def user_entropy_histogram(sf_dir: str) -> pa.Table:
         user = pk // 8
         starts = np.flatnonzero(np.r_[True, user[1:] != user[:-1]])
         n = np.add.reduceat(c, starts)
-        # integer micro-nat log lookup over the count domain (math.log,
-        # never np.log — see docstring)
-        top = int(max(int(c.max()), int(n.max())))
-        L = np.zeros(top + 1, dtype=np.int64)
-        for v in range(1, top + 1):
-            L[v] = math.floor(math.log(v) * 1e6)
-        cl = c * L[c]
-        h_micro = n * L[n] - np.add.reduceat(cl, starts)
+        # integer micro-nat logs over the DISTINCT count values only
+        # (math.log, never np.log — see docstring; a dense 1..max table
+        # would cost O(heaviest user) time AND memory per bucket)
+        uv = np.unique(np.r_[c, n])
+        lv = np.array(
+            [math.floor(math.log(int(v)) * 1e6) for v in uv], dtype=np.int64
+        )
+        cl = c * lv[np.searchsorted(uv, c)]
+        h_micro = n * lv[np.searchsorted(uv, n)] - np.add.reduceat(cl, starts)
         h = np.floor(h_micro / (n * 1e6) * 10).astype(np.int64)
         u, cnt = np.unique(h, return_counts=True)
         return pa.table(
@@ -8903,10 +8917,20 @@ def daily_autocorr(sf_dir: str) -> pa.Table:
     driver-side contract; a multi-year 10⁶-day span would move the pair
     sums into a second bounded fold) and evaluates the same
     cast-each-factor-to-double Pearson expression as link_assortativity,
-    printf-rounded. Zero-variance series → NULL."""
+    printf-rounded. Zero-variance series → NULL; a single-day global
+    span yields ZERO rows (no (d, d+1) pairs — the oracle's lag join is
+    empty)."""
     import math
 
     series, _lo = _daily_count_series(sf_dir)
+    if series and len(next(iter(series.values()))) < 2:
+        return pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "n_pairs": pa.array([], pa.int64()),
+                "autocorr1": pa.array([], pa.float64()),
+            }
+        )
     et_out, n_out, r_out = [], [], []
     for et in sorted(series):
         arr = series[et]
@@ -8979,19 +9003,35 @@ def source_vocab_overlap(sf_dir: str) -> pa.Table:
         if not (sl[np.clip(sid_doc, 0, len(sl) - 1)] == et).all():
             raise ValueError("unknown source value")
         sid = sid_doc[doc_idx]
-        pk = np.unique(sh.view(np.int64) * 64 + sid)
-        u = (pk // 64).astype(np.uint64)
-        pkey = (u * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(NB)
+        # th is 61-bit — a th*64+sid pack would overflow int64 and alias
+        # hashes mod 2^58; ship the two columns and dedup by lexsort
+        th = sh.view(np.int64)
+        order = np.lexsort((sid, th))
+        th, sid = th[order], sid[order]
+        keep = np.r_[True, (th[1:] != th[:-1]) | (sid[1:] != sid[:-1])]
+        th, sid = th[keep], sid[keep]
+        pkey = (th.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(
+            NB
+        )
         return pa.table(
             {
                 "pkey": pa.array(pkey.astype(np.int64), pa.int64()),
-                "pk": pa.array(pk, pa.int64()),
+                "th": pa.array(th, pa.int64()),
+                "sid": pa.array(sid.astype(np.int64), pa.int64()),
             }
         )
 
     def bucket_masks(group: pa.Table) -> pa.Table:
-        pk = np.unique(group["pk"].to_numpy(zero_copy_only=False))
-        th, sid = pk // 64, pk % 64
+        th = group["th"].to_numpy(zero_copy_only=False)
+        sid = group["sid"].to_numpy(zero_copy_only=False)
+        if len(th) == 0:
+            return pa.table(
+                {"mask": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+            )
+        order = np.lexsort((sid, th))
+        th, sid = th[order], sid[order]
+        keep = np.r_[True, (th[1:] != th[:-1]) | (sid[1:] != sid[:-1])]
+        th, sid = th[keep], sid[keep]
         starts = np.flatnonzero(np.r_[True, th[1:] != th[:-1]])
         masks = np.bitwise_or.reduceat(
             np.int64(1) << sid.astype(np.int64), starts
